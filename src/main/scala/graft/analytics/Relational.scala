@@ -1,0 +1,396 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational analytic operator layer (SURVEY.md §2.10) over the
+  * TESTDATA star schema: filter/project aggregations, multi-way joins,
+  * semi/anti joins, rollup, windows, top-k, set ops, JSON extraction.
+  *
+  * Scale notes (the 100 TB story, tested at local[32]):
+  *  - Dimension tables (region 5, nation 25, supplier ~1k, part ~20k,
+  *    customer ~1.5M at sf100) are explicitly `broadcast()` so the fact
+  *    scans never shuffle for the dim side.
+  *  - Fact-fact joins (lineitem ⋈ orders) shuffle on the join key only
+  *    after the pushed-down filters have cut the input; at cluster
+  *    scale the same plan holds with AQE picking partition counts.
+  *  - All aggregations are partial (map-side combine) by construction:
+  *    `groupBy().agg()` of algebraic aggregates.
+  *  - Every query ends in a deterministic global sort purely so the
+  *    driver's oracle hash compare sees a stable row order; the sort
+  *    runs on the (small) aggregated result, not the fact table.
+  *
+  * Determinism for the DuckDB oracle: doubles are rounded, group keys
+  * are cast to strings/bigints, timestamps are formatted as strings,
+  * and each query carries a total ORDER BY with unique tiebreak.
+  */
+object Relational {
+
+  /** TPC-H Q1 shape: scan-heavy single-table aggregation.
+    * Pushed filter + 8 partial aggregates in one pass. */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        round(avg("l_extendedprice"), 2).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q5 shape: 5-way star join; every dimension broadcast so the
+    * only shuffle is lineitem ⋈ orders on the order key. */
+  def q02RevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1999-01-01").cast("timestamp"))
+    val c  = Tables.customer(spark, dir)
+    val n  = Tables.nation(spark, dir)
+    val r  = Tables.region(spark, dir)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** TPC-H Q3 shape: join + aggregate + top-k. The top-k is a sort of
+    * the aggregated (per-order) rows with a limit — Spark plans this as
+    * TakeOrderedAndProject, no full global sort of the fact table. */
+  def q03TopOrders(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir)
+    val c  = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("o_orderkey"),
+              date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+              col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Window function: top-3 customers by account balance per nation. */
+  def q04CustomerRank(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    c.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("c_nationkey").cast("bigint").as("nationkey"),
+              col("rnk").cast("bigint").as("rnk"),
+              col("c_custkey"),
+              round(col("c_acctbal"), 2).as("acctbal"))
+      .orderBy("nationkey", "rnk")
+  }
+
+  /** Grouping sets via rollup; null grouping keys coalesced to 'ALL'
+    * so the oracle compare is collation-stable. */
+  def q05RollupSales(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_rows"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+              col("sum_qty"), col("revenue"), col("n_rows"))
+      .orderBy("returnflag", "linestatus")
+  }
+
+  /** TPC-H Q6 shape: fully-pushed-down selective filter + scalar agg.
+    * All three predicates reach the parquet scan (PushedFilters). */
+  def q06RevenueDelta(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  /** Left-semi join (EXISTS): customers that have at least one order. */
+  def q07SegmentSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+           round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Left-anti join (NOT EXISTS): customers with no orders, by nation. */
+  def q08InactiveCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val n = Tables.nation(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_inactive"))
+      .orderBy("n_name")
+  }
+
+  /** Exact distinct aggregation (expand + two-phase shuffle in Spark). */
+  def q09DistinctCounts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_suppkey")).as("n_suppliers"),
+           countDistinct(col("l_partkey")).as("n_parts"),
+           count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Set operators: nations that have both customers and suppliers
+    * (INTERSECT) vs customer-only nations (EXCEPT), tagged + unioned. */
+  def q10NationSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val n = Tables.nation(spark, dir)
+    val custNations = Tables.customer(spark, dir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select("n_name")
+    val suppNations = Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select("n_name")
+    val both = custNations.intersect(suppNations).select(lit("both").as("tag"), col("n_name"))
+    val custOnly = custNations.except(suppNations).select(lit("cust_only").as("tag"), col("n_name"))
+    both.union(custOnly).orderBy("tag", "n_name")
+  }
+
+  /** Time-bucketed event aggregation (daily). */
+  def q11EventsDaily(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+              col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           round(sum("value"), 2).as("sum_value"),
+           round(avg("value"), 4).as("avg_value"))
+      .orderBy("day", "event_type")
+  }
+
+  /** Aggregate-then-window top-k: top 5 users per event type by spend. */
+  def q12TopUsersPerType(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val perUser = e.groupBy(col("event_type"), col("user_id"))
+      .agg(sum("value").as("total_value"), count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("total_value").desc, col("user_id").asc)
+    perUser.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("event_type"), col("rnk").cast("bigint").as("rnk"),
+              col("user_id"), round(col("total_value"), 2).as("total_value"), col("n"))
+      .orderBy("event_type", "rnk")
+  }
+
+  /** TPC-H Q4 shape: semi join with a non-equi conjunct (line shipped
+    * after the order date), counted per priority. */
+  def q13PriorityCounts(spark: SparkSession, dir: String): DataFrame = {
+    val o  = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    o.join(li, o("o_orderkey") === li("l_orderkey") && li("l_shipdate") > o("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q14 shape: conditional aggregation ratio over a broadcast
+    * dimension join (promo revenue share per month). */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir)
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) / sum(rev) * 100, 4).as("promo_share"),
+           count(lit(1)).as("n_rows"))
+      .orderBy("month")
+  }
+
+  /** JSON extraction from the event props payload (codegen'd
+    * get_json_object; no UDF). */
+  def q15EventsJson(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.select(
+        (get_json_object(col("props"), "$.k").cast("bigint") % 10).as("k_bucket"),
+        col("value"))
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("k_bucket")
+  }
+
+  /** Statistical aggregates: correlation + sample stddev per flag. */
+  def q16Stats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    // `+ 0.0` would not fold -0.0 to 0.0; an explicit compare does, and
+    // keeps the rounded value hash-identical across engines.
+    def dropNegZero(c: org.apache.spark.sql.Column) =
+      when(c === 0.0, lit(0.0)).otherwise(c)
+    li.groupBy("l_returnflag")
+      .agg(dropNegZero(round(corr(col("l_quantity"), col("l_extendedprice")), 3)).as("qty_price_corr"),
+           round(stddev_samp(col("l_extendedprice")), 2).as("price_stddev"),
+           round(min("l_extendedprice"), 2).as("min_price"),
+           round(max("l_extendedprice"), 2).as("max_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** All relational queries, keyed for SparkEntry. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary"   -> q01PricingSummary _,
+    "q02_revenue_by_nation" -> q02RevenueByNation _,
+    "q03_top_orders"        -> q03TopOrders _,
+    "q04_customer_rank"     -> q04CustomerRank _,
+    "q05_rollup_sales"      -> q05RollupSales _,
+    "q06_revenue_delta"     -> q06RevenueDelta _,
+    "q07_segment_semi"      -> q07SegmentSemi _,
+    "q08_inactive_customers"-> q08InactiveCustomers _,
+    "q09_distinct_counts"   -> q09DistinctCounts _,
+    "q10_nation_setops"     -> q10NationSetOps _,
+    "q11_events_daily"      -> q11EventsDaily _,
+    "q12_top_users_per_type"-> q12TopUsersPerType _,
+    "q13_priority_counts"   -> q13PriorityCounts _,
+    "q14_promo_share"       -> q14PromoShare _,
+    "q15_events_json"       -> q15EventsJson _,
+    "q16_stats"             -> q16Stats _,
+  )
+
+  /** DuckDB oracle SQL, column-name- and order-aligned with the Spark
+    * plans above (driver sorts columns by name before hashing). */
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_base_price,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+         round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+         round(avg(l_quantity),2) AS avg_qty,
+         round(avg(l_extendedprice),2) AS avg_price,
+         round(avg(l_discount),4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q02_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q03_top_orders" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+         o_orderpriority,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+         GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+    "q04_customer_rank" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+         CAST(rnk AS BIGINT) AS rnk, c_custkey,
+         round(c_acctbal,2) AS acctbal
+         FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+                row_number() OVER (PARTITION BY c_nationkey
+                  ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
+               FROM customer)
+         WHERE rnk <= 3 ORDER BY nationkey, rnk""",
+    "q05_rollup_sales" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS returnflag,
+         coalesce(l_linestatus,'ALL') AS linestatus,
+         round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+    "q06_revenue_delta" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue,
+         count(*) AS n_rows
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q07_segment_semi" ->
+      """SELECT c_mktsegment, count(*) AS n_customers,
+         round(sum(c_acctbal),2) AS total_bal
+         FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q08_inactive_customers" ->
+      """SELECT n_name, count(*) AS n_inactive
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         GROUP BY n_name ORDER BY n_name""",
+    "q09_distinct_counts" ->
+      """SELECT l_returnflag,
+         count(DISTINCT l_suppkey) AS n_suppliers,
+         count(DISTINCT l_partkey) AS n_parts,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q10_nation_setops" ->
+      """WITH custn AS (SELECT n_name FROM customer JOIN nation ON c_nationkey=n_nationkey),
+            suppn AS (SELECT n_name FROM supplier JOIN nation ON s_nationkey=n_nationkey)
+         SELECT 'both' AS tag, n_name FROM (SELECT n_name FROM custn INTERSECT SELECT n_name FROM suppn)
+         UNION ALL
+         SELECT 'cust_only' AS tag, n_name FROM (SELECT n_name FROM custn EXCEPT SELECT n_name FROM suppn)
+         ORDER BY tag, n_name""",
+    "q11_events_daily" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+         count(*) AS n_events, round(sum(value),2) AS sum_value,
+         round(avg(value),4) AS avg_value
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+    "q12_top_users_per_type" ->
+      """SELECT event_type, CAST(rnk AS BIGINT) AS rnk, user_id,
+         round(total_value,2) AS total_value, n
+         FROM (SELECT event_type, user_id, sum(value) AS total_value,
+                count(*) AS n,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY sum(value) DESC, user_id ASC) AS rnk
+               FROM events GROUP BY event_type, user_id)
+         WHERE rnk <= 5 ORDER BY event_type, rnk""",
+    "q13_priority_counts" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q14_promo_share" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS month,
+         round(sum(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice*(1-l_discount) ELSE 0.0 END)
+               / sum(l_extendedprice*(1-l_discount)) * 100, 4) AS promo_share,
+         count(*) AS n_rows
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY 1 ORDER BY month""",
+    "q15_events_json" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+         count(*) AS n, round(sum(value),2) AS sum_value
+         FROM events GROUP BY 1 ORDER BY k_bucket""",
+    "q16_stats" ->
+      """SELECT l_returnflag,
+         CASE WHEN round(corr(l_quantity, l_extendedprice),3) = 0.0 THEN 0.0
+              ELSE round(corr(l_quantity, l_extendedprice),3) END AS qty_price_corr,
+         round(stddev_samp(l_extendedprice),2) AS price_stddev,
+         round(min(l_extendedprice),2) AS min_price,
+         round(max(l_extendedprice),2) AS max_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+  )
+}
