@@ -1,0 +1,203 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for training-data pipelines, in three
+  * scaling tiers over the `documents` table:
+  *
+  *  - [[d01NgramJaccardPairs]] — exact word-3-gram Jaccard on candidate
+  *    pairs found via an inverted shingle index (explode + self-join).
+  *    Exact, but quadratic in shingle collision groups: the CORRECTNESS
+  *    baseline, oracle-checked against DuckDB.
+  *  - [[d02MinHashPairs]] — MinHash signatures (64 perms) + LSH banding
+  *    (16 bands × 4 rows): the 100 TB path. Cost is linear in corpus
+  *    size + output pairs; the only shuffles are the signature groupBy
+  *    and the band-bucket join, both keyed on small hashes, never on
+  *    text. Candidates are verified with exact Jaccard.
+  *  - [[d03SimHashPairs]] — 64-bit SimHash fingerprints; near-dup =
+  *    Hamming distance ≤ 6, found via 4×16-bit chunk banding (pigeonhole:
+  *    any pair at distance ≤ 6 shares ≥ 1 of 4 chunks... only guaranteed
+  *    for ≤ 3; we band on 8×8-bit chunks to guarantee ≤ 7).
+  *  - [[d04EmbeddingNearDup]] — embedding-cosine near-dup pairs, exact
+  *    brute force (the LSH-bucketed scale path is in Similarity.scala).
+  *
+  * All hashing uses Spark's `xxhash64` (seed 42) — deterministic across
+  * runs and cluster sizes.
+  */
+object Dedup {
+
+  private def tokens: Column = split(trim(col("text")), "\\s+")
+
+  /** Distinct word-3-gram shingles per document (1-based element_at,
+    * mirroring the DuckDB oracle's 1-based list indexing). */
+  private def shingles(t: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(t) - 2, lit(0))),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), shingles(col("t")).as("s"))
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.2), candidates
+    * from an inverted shingle index. Oracle-checked. */
+  def d01NgramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir).cache()
+    val sizes = sh.select(col("doc_id"), size(col("s")).cast("long").as("n_sh"))
+    val inv = sh.select(col("doc_id"), explode(col("s")).as("shingle"))
+    val shared = inv.as("a").join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("n_sh", "n_i"), "i")
+      .join(sizes.withColumnRenamed("doc_id", "j").withColumnRenamed("n_sh", "n_j"), "j")
+      .select(col("i"), col("j"),
+        round(col("shared").cast("double") / (col("n_i") + col("n_j") - col("shared")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy("i", "j")
+  }
+
+  private val NumHashes = 64
+  private val NumBands = 16
+  private val RowsPerBand = NumHashes / NumBands // 4
+
+  /** MinHash + LSH banding candidate generation, verified with exact
+    * Jaccard. Returns (i, j, est_jaccard, jaccard) pairs with exact
+    * Jaccard ≥ 0.2 — same final predicate as d01 so the two tiers are
+    * comparable; at scale only this one is runnable. */
+  def d02MinHashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir).cache()
+    // signature: per doc, min over shingles of xxhash64(shingle, seed_i)
+    val sigCols = (0 until NumHashes).map { i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i")
+    }
+    val sigs = sh.select(col("doc_id"), explode(col("s")).as("shingle"))
+      .groupBy("doc_id")
+      .agg(sigCols.head, sigCols.tail: _*)
+    // LSH: band hash over each group of RowsPerBand signature slots
+    val bandCols = (0 until NumBands).map { b =>
+      val slots = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(slots: _*).as("bh"))
+    }
+    val buckets = sigs.select(col("doc_id"), array(bandCols: _*).as("bands"),
+        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+      .select(col("doc_id"), col("sig"), explode(col("bands")).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // candidate pairs: same (band, bandhash) bucket; dedup across bands
+    val cands = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+              col("a.sig").as("sig_i"), col("b.sig").as("sig_j"))
+      .dropDuplicates("i", "j")
+      // signature-estimated jaccard = fraction of agreeing slots
+      .select(col("i"), col("j"),
+        (size(filter(zip_with(col("sig_i"), col("sig_j"), (x, y) => x === y), b => b))
+          .cast("double") / NumHashes).as("est_jaccard"))
+    // verify candidates with exact jaccard (tiny join: only candidates)
+    val withSets = cands
+      .join(sh.withColumnRenamed("doc_id", "i").withColumnRenamed("s", "s_i"), "i")
+      .join(sh.withColumnRenamed("doc_id", "j").withColumnRenamed("s", "s_j"), "j")
+    withSets
+      .select(col("i"), col("j"), round(col("est_jaccard"), 4).as("est_jaccard"),
+        round(size(array_intersect(col("s_i"), col("s_j"))).cast("double") /
+              size(array_union(col("s_i"), col("s_j"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy("i", "j")
+  }
+
+  /** 64-bit SimHash near-dup pairs with Hamming distance ≤ 7, candidate
+    * generation via 8×8-bit chunk banding (pigeonhole-exact for ≤ 7). */
+  def d03SimHashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    // per bit: sum of +1/-1 over token hashes; fingerprint bit = sign
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val fps = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+          .reduce(_ bitwiseOR _).as("simhash"))
+    // band on 8 bytes; any pair with hamming ≤ 7 shares ≥ 1 byte
+    val chunks = fps.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 8).map(c =>
+          struct(lit(c).as("c"), shiftright(col("simhash"), c * 8).bitwiseAND(0xFF).as("v"))): _*)).as("ch"))
+      .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+              bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .dropDuplicates("i", "j")
+      .filter(col("hamming") <= 7)
+      .select(col("i"), col("j"), col("hamming").cast("bigint").as("hamming"))
+      .orderBy("i", "j")
+  }
+
+  /** Cosine similarity between two float-vector columns, computed in
+    * double with a strict left fold — bit-compatible with the DuckDB
+    * oracle's list_aggregate sum. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Embedding-cosine near-dup pairs (exact brute force, threshold
+    * 0.4 — the synthetic embeddings top out at ~0.51). At scale, use
+    * the LSH-bucketed variant (Similarity.s02). */
+  def d04EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+      .orderBy("i", "j")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_ngram_jaccard_pairs" -> d01NgramJaccardPairs _,
+    "d02_minhash_pairs"       -> d02MinHashPairs _,
+    "d03_simhash_pairs"       -> d03SimHashPairs _,
+    "d04_embedding_neardup"   -> d04EmbeddingNearDup _,
+  )
+
+  /** d02/d03 use Spark xxhash64 — not reproducible in DuckDB SQL, so
+    * they get the driver's rows-only check; d01/d04 are exact. */
+  val oracleSql: Map[String, String] = Map(
+    "d01_ngram_jaccard_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+          sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) s
+                 FROM toks WHERE len(t) >= 3),
+          ex AS (SELECT doc_id, unnest(s) shingle FROM sh),
+          pairs AS (SELECT a.doc_id i, b.doc_id j, count(*) shared
+                    FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+          jac AS (SELECT i, j,
+                   round(shared*1.0/(sa.ls + sb.ls - shared), 4) jaccard
+                  FROM pairs
+                  JOIN (SELECT doc_id, len(s) ls FROM sh) sa ON i = sa.doc_id
+                  JOIN (SELECT doc_id, len(s) ls FROM sh) sb ON j = sb.doc_id)
+         SELECT i, j, jaccard FROM jac WHERE jaccard >= 0.2 ORDER BY i, j""",
+    "d04_embedding_neardup" ->
+      """SELECT a.vec_id AS i, b.vec_id AS j,
+          round(
+            list_aggregate(list_transform(range(1, len(a.embedding)+1),
+              k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)), 'sum')
+            / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))
+             * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))), 4) AS cos_sim
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE cos_sim >= 0.4 ORDER BY i, j""",
+  )
+}

@@ -1,0 +1,116 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors).
+  *
+  *  - [[s01BruteForceTopK]] — exact cosine top-k: broadcast the (small)
+  *    query set against the full corpus, rank per query. The corpus
+  *    side streams through a single scan — at 100 TB this is one pass,
+  *    shuffle-free except the final per-query top-k (TakeOrdered per
+  *    partition + merge, via window over query_id which partitions by
+  *    the tiny query-id key).
+  *  - [[s02LshTopK]] — random-hyperplane LSH: 16-bit sign bucket per
+  *    vector from fixed seeded hyperplanes, candidates = same bucket
+  *    in ≥ 1 of 4 band tables, exact cosine re-rank within candidates.
+  *    The scale path: candidate generation is a hash-bucket join, cost
+  *    ~ O(n · bands) instead of O(n · |queries|) per query.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random unit hyperplanes: 4 bands × 16 planes
+    * × 64 dims, seeded — identical across runs and executors. */
+  private[analytics] def hyperplanes(bands: Int, planes: Int, dim: Int): Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(bands, planes, dim)(rnd.nextGaussian())
+  }
+
+  private def queriesSet(df: DataFrame): DataFrame =
+    df.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+
+  /** Exact brute-force cosine top-10 per query vector (every 100th
+    * vec_id). Oracle-checked. */
+  def s01BruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val q = queriesSet(e)
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+              round(Dedup.cosine(col("q_emb"), col("embedding")), 4).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("rnk").cast("bigint").as("rnk"),
+              col("neighbor_id"), col("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** LSH-bucketed approximate top-k: same output shape as s01 but only
+    * candidates sharing an LSH band bucket with the query are scored.
+    * Rows-only check (approximate by construction). */
+  def s02LshTopK(spark: SparkSession, dir: String): DataFrame = {
+    // 8 bands × 8-bit buckets: recall-tuned for ~1e3–1e6 vectors; at
+    // larger corpora raise Planes (finer buckets) and Bands together.
+    val Bands = 8; val Planes = 8; val Dim = 64
+    val hp = hyperplanes(Bands, Planes, Dim)
+    val spark2 = spark
+    import spark2.implicits._
+    val hpDf = broadcast(
+      hp.zipWithIndex.map { case (planes, b) => (b, planes.map(_.toSeq).toSeq) }
+        .toSeq.toDF("band", "planes"))
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // 16-bit sign signature per (vector, band): left-fold acc*2 + bit,
+    // bit = sign(dot(v, plane)) — higher-order functions only, no UDF.
+    def signature = aggregate(col("planes"), lit(0L), (acc, plane) =>
+      acc * 2 + when(
+        aggregate(zip_with(col("embedding"), plane,
+          (x, h) => x.cast("double") * h), lit(0.0), (a, x) => a + x) > 0,
+        lit(1L)).otherwise(lit(0L)))
+    val bucketed = e.crossJoin(hpDf).select(col("vec_id"), col("embedding"),
+      col("band"), signature.as("sig"))
+    val qb = bucketed.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+              col("band"), col("sig"))
+    val cands = bucketed.as("c").join(broadcast(qb).as("q"),
+        col("c.band") === col("q.band") && col("c.sig") === col("q.sig") &&
+        col("c.vec_id") =!= col("q.query_id"))
+      .select(col("q.query_id").as("query_id"), col("c.vec_id").as("neighbor_id"),
+              col("q.q_emb").as("q_emb"), col("c.embedding").as("embedding"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val scored = cands.select(col("query_id"), col("neighbor_id"),
+      round(Dedup.cosine(col("q_emb"), col("embedding")), 4).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("rnk").cast("bigint").as("rnk"),
+              col("neighbor_id"), col("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s01_ann_bruteforce" -> s01BruteForceTopK _,
+    "s02_ann_lsh"        -> s02LshTopK _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s01_ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id query_id, embedding q_emb FROM embeddings WHERE vec_id % 100 = 0),
+          scored AS (SELECT q.query_id, e.vec_id neighbor_id,
+            round(
+              list_aggregate(list_transform(range(1, len(q.q_emb)+1),
+                k -> CAST(q.q_emb[k] AS DOUBLE) * CAST(e.embedding[k] AS DOUBLE)), 'sum')
+              / (sqrt(list_aggregate(list_transform(q.q_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))
+               * sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))), 4) AS cos_sim
+           FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+          ranked AS (SELECT query_id, neighbor_id, cos_sim,
+            row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rnk
+           FROM scored)
+         SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cos_sim
+         FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""",
+  )
+}

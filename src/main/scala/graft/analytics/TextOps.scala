@@ -1,0 +1,159 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * language distribution, token counting, quality scoring, language-ID
+  * heuristic, document fingerprinting, exact deduplication.
+  *
+  * All operators are single-pass groupBy aggregations over `documents`
+  * built from codegen'd `functions._` expressions (split / filter /
+  * transform higher-order functions) — no UDFs, so the whole pipeline
+  * stays inside WholeStageCodegen and scales linearly with executors.
+  * Tokenization is `split(trim(text), "\s+")` on both engines so the
+  * DuckDB oracle hashes line up.
+  */
+object TextOps {
+
+  private val stopwords = Seq("the", "a", "of", "and", "is", "in", "to")
+
+  private def tokens: Column = split(trim(col("text")), "\\s+")
+
+  /** Normalized-text MD5 fingerprint — whitespace-collapsed lowercase
+    * MD5, the cheap exact-dup key (identical in DuckDB). */
+  private def fingerprint: Column =
+    substring(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")), 1, 16)
+
+  /** Language label distribution with document length stats. */
+  def t01LangDistribution(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           round(avg("n_chars"), 2).as("avg_chars"),
+           sum("n_chars").as("total_chars"))
+      .orderBy("lang")
+
+  /** Whitespace token counting, aggregated per source. */
+  def t02TokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), size(tokens).cast("bigint").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_tokens").as("total_tokens"),
+           round(avg("n_tokens"), 2).as("avg_tokens"))
+      .orderBy("source")
+
+  /** Quality scoring: tokens/doc, mean token length, stopword ratio,
+    * type-token ratio — per language. */
+  def t03QualityScores(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"), tokens.as("t"))
+      .select(col("lang"),
+        size(col("t")).cast("double").as("n_tok"),
+        (length(concat_ws("", col("t"))).cast("double") / size(col("t"))).as("tok_len"),
+        (size(filter(col("t"), x => x.isin(stopwords: _*))).cast("double") / size(col("t"))).as("stop_ratio"),
+        (size(array_distinct(col("t"))).cast("double") / size(col("t"))).as("ttr"))
+    d.groupBy("lang")
+      .agg(round(avg("n_tok"), 2).as("avg_tokens"),
+           round(avg("tok_len"), 4).as("avg_token_len"),
+           round(avg("stop_ratio"), 4).as("avg_stopword_ratio"),
+           round(avg("ttr"), 4).as("avg_type_token_ratio"))
+      .orderBy("lang")
+  }
+
+  /** Marker-word language-ID heuristic vs. the labeled language —
+    * confusion counts. (The n-gram-profile variant lives in
+    * [[graft.functions.TextFunctions]]; this one is oracle-checkable.) */
+  def t04LangId(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens
+    val predicted = when(array_contains(t, "the") && array_contains(t, "a"), "en")
+      .when(array_contains(t, "data") && array_contains(t, "query"), "en_tech")
+      .otherwise("unk")
+    Tables.documents(spark, dir)
+      .select(col("lang"), predicted.as("predicted"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Document fingerprinting: normalized MD5 prefix; distinct
+    * fingerprints vs docs per source. */
+  def t05Fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), fingerprint.as("fp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct(col("fp")).as("n_distinct_fp"))
+      .orderBy("source")
+
+  /** Exact deduplication: keep one doc per fingerprint (hash-groupBy
+    * dedup — the 100 TB-scale shape: shuffle on the 16-char hash key,
+    * never on the document text). Output: survivor stats per source. */
+  def t06DedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("source"), col("doc_id"), fingerprint.as("fp"))
+    val survivors = d.groupBy("fp").agg(min("doc_id").as("doc_id"), count(lit(1)).as("dups"))
+    survivors
+      .join(d.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_unique"),
+           sum(col("dups") - 1).as("n_removed"))
+      .orderBy("source")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_lang_distribution" -> t01LangDistribution _,
+    "t02_token_counts"      -> t02TokenCounts _,
+    "t03_quality_scores"    -> t03QualityScores _,
+    "t04_langid"            -> t04LangId _,
+    "t05_fingerprints"      -> t05Fingerprints _,
+    "t06_dedup_exact"       -> t06DedupExact _,
+  )
+
+  private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+
+  val oracleSql: Map[String, String] = Map(
+    "t01_lang_distribution" ->
+      """SELECT lang, count(*) AS n_docs, round(avg(n_chars),2) AS avg_chars,
+         sum(n_chars) AS total_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "t02_token_counts" ->
+      """SELECT source, count(*) AS n_docs,
+         sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+         round(avg(len(string_split_regex(trim(text), '\s+'))), 2) AS avg_tokens
+         FROM documents GROUP BY source ORDER BY source""",
+    "t03_quality_scores" ->
+      s"""WITH d AS (SELECT lang, string_split_regex(trim(text), '\\s+') t FROM documents),
+          m AS (SELECT lang,
+                 CAST(len(t) AS DOUBLE) n_tok,
+                 CAST(list_aggregate(list_transform(t, x -> strlen(x)), 'sum') AS DOUBLE) / len(t) tok_len,
+                 CAST(len(list_filter(t, x -> x IN ($stopList))) AS DOUBLE) / len(t) stop_ratio,
+                 CAST(len(list_distinct(t)) AS DOUBLE) / len(t) ttr
+                FROM d)
+          SELECT lang, round(avg(n_tok),2) AS avg_tokens,
+           round(avg(tok_len),4) AS avg_token_len,
+           round(avg(stop_ratio),4) AS avg_stopword_ratio,
+           round(avg(ttr),4) AS avg_type_token_ratio
+          FROM m GROUP BY lang ORDER BY lang""",
+    "t04_langid" ->
+      """WITH d AS (SELECT lang, string_split_regex(trim(text), '\s+') t FROM documents)
+         SELECT lang,
+          CASE WHEN list_contains(t, 'the') AND list_contains(t, 'a') THEN 'en'
+               WHEN list_contains(t, 'data') AND list_contains(t, 'query') THEN 'en_tech'
+               ELSE 'unk' END AS predicted,
+          count(*) AS n
+         FROM d GROUP BY 1, 2 ORDER BY lang, predicted""",
+    "t05_fingerprints" ->
+      """SELECT source, count(*) AS n_docs,
+         count(DISTINCT substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16)) AS n_distinct_fp
+         FROM documents GROUP BY source ORDER BY source""",
+    "t06_dedup_exact" ->
+      """WITH f AS (SELECT source, doc_id,
+                     substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) fp
+                    FROM documents),
+          s AS (SELECT min(doc_id) doc_id, count(*) dups FROM f GROUP BY fp)
+         SELECT f.source, count(*) AS n_unique, sum(s.dups - 1) AS n_removed
+         FROM s JOIN f ON s.doc_id = f.doc_id
+         GROUP BY f.source ORDER BY f.source""",
+  )
+}
