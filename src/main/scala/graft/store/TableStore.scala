@@ -1,0 +1,323 @@
+package graft.store
+
+import java.io.FileNotFoundException
+import java.nio.file.{Files, Paths}
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core._
+import graft.codec.UriCodec
+import graft.filters.JsonUtil
+import graft.lock.{AdvisoryLock, Locking}
+
+/** Spark-managed table backend — the scalable analogue of the
+  * reference's sqlitedb (`/root/reference/src/aerovaldb/sqlitedb/
+  * sqlitedb.py`): one parquet table per asset type, one row per asset,
+  * key columns + `ctime`/`mtime` + a single opaque `json` (or `blob`)
+  * payload column.
+  *
+  * Physical design for scale:
+  *  - Writes are an append log; readers resolve the newest row per key
+  *    (the parquet equivalent of sqlite's `REPLACE INTO` + UNIQUE key,
+  *    `sqlitedb.py:341-369,500-531`). Point puts buffer in memory and
+  *    flush as batch appends — one parquet file per flushed batch, not
+  *    per asset, so a bulk copy produces a handful of files per table.
+  *  - Key-equality gets push every predicate into the parquet scan
+  *    (column pruning + row-group min/max skipping are free).
+  *  - Tables sharing storage in the reference share here too:
+  *    GLOB_STATS / HEATMAP / REGIONAL_STATS → one `glob_stats` table
+  *    (`sqlitedb.py:184-249`).
+  *  - Layout generations are unified into one superset column set per
+  *    table; rows from older generations leave surplus keys NULL, and
+  *    gets prefer the row with fewest non-null surplus keys — the
+  *    reference's row-disambiguation loop (`sqlitedb.py:441-449`)
+  *    expressed as a deterministic ORDER BY.
+  */
+final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetStore {
+  import TableStore._
+
+  val basedir: String = Paths.get(basedirRaw).toAbsolutePath.toString
+  Files.createDirectories(Paths.get(basedir))
+
+  def name: String = "table_store"
+
+  // in-memory append buffers, flushed per table on read/close
+  private val pending = scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Row]]
+
+  private def schemaFor(table: String): StructType = {
+    val keys = tableKeys(table)
+    StructType(
+      keys.map(k => StructField(k, StringType, nullable = true)) ++ Seq(
+        StructField("json", StringType, nullable = true),
+        StructField("blob", BinaryType, nullable = true),
+        StructField("put_time", LongType, nullable = false),
+        StructField("seq", LongType, nullable = false),
+        StructField("op", StringType, nullable = false)))
+  }
+
+  private def tablePath(table: String) = s"$basedir/$table"
+
+  private def flush(table: String): Unit = synchronized {
+    pending.get(table).filter(_.nonEmpty).foreach { rows =>
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), schemaFor(table))
+      df.write.mode(SaveMode.Append).parquet(tablePath(table))
+      rows.clear()
+    }
+  }
+
+  private def readTable(table: String): Option[DataFrame] = {
+    flush(table)
+    val p = tablePath(table)
+    if (!Files.exists(Paths.get(p))) None
+    else Some(spark.read.schema(schemaFor(table)).parquet(p))
+  }
+
+  /** Newest row per key, honoring rm tombstones. */
+  private def liveRows(table: String): Option[DataFrame] =
+    readTable(table).map { df =>
+      val keys = tableKeys(table).map(col)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys: _*).orderBy(col("put_time").desc, col("seq").desc)
+      df.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1 && col("op") === "put")
+        .drop("_rn")
+        .withColumn("mtime", col("put_time"))
+    }
+
+  private def appendRow(table: String, keyVals: Map[String, String],
+                        json: Option[String], blob: Option[Array[Byte]],
+                        op: String): Unit = synchronized {
+    val keys = tableKeys(table)
+    val row = Row.fromSeq(
+      keys.map(k => keyVals.get(k).orNull) ++
+        Seq(json.orNull, blob.orNull, System.currentTimeMillis(),
+          TableStore.seqCounter.getAndIncrement(), op))
+    pending.getOrElseUpdate(table, scala.collection.mutable.ArrayBuffer.empty) += row
+  }
+
+  /** Key-equality lookup with generation-aware NULL handling: a NULL
+    * key column matches any requested value (rows written by an older
+    * layout generation lack the newer key components — the analogue of
+    * sqlite's per-generation tables, `sqlitedb.py:184-249`), and among
+    * matches the row with the most exactly-matching keys and the
+    * fewest non-null surplus keys wins (`sqlitedb.py:441-449`). */
+  private def lookupRow(table: String, keyVals: Map[String, String]): Option[Row] =
+    liveRows(table).flatMap { df =>
+      val keys = tableKeys(table)
+      val wc = generationKeys(table)
+      val provided = keyVals.view.filterKeys(keys.contains).toMap
+      val surplus = keys.filterNot(provided.contains)
+      val pred = provided.map { case (k, v) =>
+        if (wc.contains(k)) col(k) === v || col(k).isNull else col(k) === v
+      }.reduceOption(_ && _).getOrElse(lit(true))
+      // constant literals in orderBy would be read as column ordinals —
+      // only add the disambiguation keys when they reference columns
+      val orderCols = Seq.newBuilder[org.apache.spark.sql.Column]
+      val providedWc = provided.keys.filter(wc.contains).toSeq.sorted
+      if (providedWc.nonEmpty)
+        orderCols += providedWc.map(k => when(col(k).isNull, 1).otherwise(0)).reduce(_ + _).asc
+      if (surplus.nonEmpty)
+        orderCols += surplus.map(k => when(col(k).isNull, 0).otherwise(1)).reduce(_ + _).asc
+      orderCols += col("put_time").desc
+      orderCols += col("seq").desc
+      df.filter(pred).orderBy(orderCols.result(): _*).limit(1).collect().headOption
+    }
+
+  protected def _get(route: Route, routeArgs: Map[String, String],
+                     kwargs: Map[String, String],
+                     accessType: AccessType,
+                     default: Option[AssetValue],
+                     cache: Boolean): AssetValue = {
+    if (accessType == AccessType.FilePath)
+      throw new UnsupportedOperation(
+        "Accessing FILE_PATH is not supported by TableStore.")
+    val filterArgs = kwargs.filter { case (k, _) =>
+      AssetStore.filterParams.getOrElse(route, Set.empty).contains(k) }
+    val keyVals = routeArgs ++ (kwargs -- filterArgs.keys)
+    val table = tableFor(route)
+
+    val row = lookupRow(table, keyVals)
+    row match {
+      case None =>
+        default.getOrElse(throw new FileNotFoundException(
+          s"No asset for $route with key $keyVals"))
+      case Some(r) =>
+        accessType match {
+          case AccessType.Uri =>
+            AssetValue.Uri(UriCodec.build(route,
+              routeArgs.view.filterKeys(route.argNames.contains).toMap,
+              kwargs -- filterArgs.keys))
+          case AccessType.Mtime => AssetValue.Time(Instant.ofEpochMilli(r.getAs[Long]("put_time")))
+          case AccessType.Ctime =>
+            // creation time = oldest put for the key; approximated by
+            // the surviving row's time unless history is retained
+            AssetValue.Time(Instant.ofEpochMilli(r.getAs[Long]("put_time")))
+          case AccessType.Blob => AssetValue.Blob(r.getAs[Array[Byte]]("blob"))
+          case AccessType.JsonStr | AccessType.Obj =>
+            val json = r.getAs[String]("json")
+            if (json == null) throw new FileNotFoundException(s"No JSON payload for $keyVals")
+            if (filterArgs.isEmpty) {
+              if (accessType == AccessType.JsonStr) AssetValue.Json(json)
+              else AssetValue.Obj(JsonUtil.parse(json))
+            } else {
+              val filtered = AssetStore.applyFilter(route, JsonUtil.parse(json), filterArgs)
+              convertNode(filtered, accessType)
+            }
+          case other => throw new UnsupportedOperation(s"access type $other")
+        }
+    }
+  }
+
+  protected def _put(json: String, route: Route, routeArgs: Map[String, String],
+                     kwargs: Map[String, String]): Unit =
+    appendRow(tableFor(route), routeArgs ++ kwargs, Some(json), None, "put")
+
+  protected def _getBlob(route: Route, routeArgs: Map[String, String]): Array[Byte] =
+    lookupRow(tableFor(route), routeArgs)
+      .map(_.getAs[Array[Byte]]("blob"))
+      .getOrElse(throw new FileNotFoundException(s"No blob for $route $routeArgs"))
+
+  protected def _putBlob(obj: Array[Byte], route: Route, routeArgs: Map[String, String]): Unit =
+    appendRow(tableFor(route), routeArgs, None, Some(obj), "put")
+
+  def query(assetTypes: Seq[Route] = Route.all,
+            kwargs: Map[String, String] = Map.empty): Seq[QueryEntry] = {
+    val routeSet = assetTypes.toSet
+    tables.flatMap { case (table, route) =>
+      if (!routeSet.contains(route)) Seq.empty
+      else liveRows(table) match {
+        case None => Seq.empty
+        case Some(df) =>
+          val keys = tableKeys(table)
+          // non-key kwargs can never match a table without the column
+          if (kwargs.keys.exists(k => !keys.contains(k))) Seq.empty
+          else {
+            val pred = kwargs.map { case (k, v) => col(k) === v }
+              .reduceOption(_ && _).getOrElse(lit(true))
+            df.filter(pred).collect().toSeq.map { r =>
+              val meta = keys.flatMap(k => Option(r.getAs[String](k)).map(k -> _)).toMap
+              val routeArgNames = route.argNames.toSet
+              val args = meta.view.filterKeys(routeArgNames.contains).toMap
+              val kw = meta.view.filterKeys(!routeArgNames.contains(_)).toMap
+              QueryEntry(UriCodec.build(route, args, kw), route, meta)
+            }
+          }
+      }
+    }.toSeq
+  }
+
+  def rmByUri(uri: String): Unit = {
+    val (route, args, kw) = UriCodec.parse(uri)
+    appendRow(tableFor(route), args ++ (kw - "version"), None, None, "rm")
+  }
+
+  def rmExperimentData(project: String, experiment: String): Unit =
+    tables.keys.foreach { table =>
+      val keys = tableKeys(table)
+      if (keys.contains("experiment"))
+        liveRows(table).foreach { df =>
+          df.filter(col("project") === project && col("experiment") === experiment)
+            .collect().foreach { r =>
+              val keyVals = keys.flatMap(k => Option(r.getAs[String](k)).map(k -> _)).toMap
+              appendRow(table, keyVals, None, None, "rm")
+            }
+        }
+    }
+
+  /** Compact a table: rewrite with only the newest row per live key.
+    * Run periodically at scale to bound the append log. */
+  def compact(table: String): Unit = {
+    liveRows(table).foreach { df =>
+      val tmp = tablePath(table) + "_compacting"
+      df.drop("mtime").write.mode(SaveMode.Overwrite).parquet(tmp)
+      val dst = Paths.get(tablePath(table))
+      import scala.jdk.CollectionConverters._
+      Files.walk(dst).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      Files.move(Paths.get(tmp), dst)
+    }
+  }
+
+  def lock(): AdvisoryLock = Locking.forBasedir(basedir)
+
+  /** Flush pending appends (call before handing the dir to another
+    * reader). */
+  def flushAll(): Unit = pending.keys.toSeq.foreach(flush)
+
+  override def close(): Unit = flushAll()
+}
+
+object TableStore {
+  /** Key columns that older layout generations leave NULL — a NULL in
+    * these columns matches any requested value (the analogue of
+    * sqlite's narrower per-generation tables). */
+  def generationKeys(table: String): Set[String] = table match {
+    case "map" | "scatter" => Set("time")
+    case "heatmap_ts"      => Set("region", "network", "obsvar", "layer")
+    case _                 => Set.empty
+  }
+
+  /** Monotonic tie-break for same-millisecond appends. */
+  private[store] val seqCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** table → representative route for catalog URIs. glob_stats maps to
+    * HEATMAP, preserving the jsondb quirk that reverse-parsed
+    * glob_stats files surface as HEATMAP entries. */
+  val tables: Map[String, Route] = Map(
+    "glob_stats"        -> Route.Heatmap,
+    "contour"           -> Route.Contour,
+    "contour_timesplit" -> Route.ContourTimesplit,
+    "timeseries"        -> Route.Timeseries,
+    "timeseries_weekly" -> Route.TimeseriesWeekly,
+    "experiments"       -> Route.Experiments,
+    "config"            -> Route.Config,
+    "menu"              -> Route.Menu,
+    "statistics"        -> Route.Statistics,
+    "ranges"            -> Route.Ranges,
+    "regions"           -> Route.Regions,
+    "models_style"      -> Route.ModelsStyle,
+    "map"               -> Route.MapRoute,
+    "scatter"           -> Route.Scatter,
+    "profiles"          -> Route.Profiles,
+    "heatmap_ts"        -> Route.HeatmapTimeseries,
+    "forecast"          -> Route.Forecast,
+    "fairmode"          -> Route.Fairmode,
+    "gridded_map"       -> Route.GriddedMap,
+    "report"            -> Route.Report,
+    "report_image"      -> Route.ReportImage,
+    "map_overlay"       -> Route.MapOverlay,
+  )
+
+  def tableFor(route: Route): String = route match {
+    case Route.GlobStats | Route.Heatmap | Route.RegionalStats => "glob_stats"
+    case r => tables.collectFirst { case (t, rr) if rr == r => t }.get
+  }
+
+  /** Superset key columns per table (all layout generations). */
+  def tableKeys(table: String): Seq[String] = table match {
+    case "glob_stats"        => Seq("project", "experiment", "frequency")
+    case "contour"           => Seq("project", "experiment", "obsvar", "model")
+    case "contour_timesplit" => Seq("project", "experiment", "obsvar", "model", "timestep")
+    case "timeseries" | "timeseries_weekly" =>
+      Seq("project", "experiment", "location", "network", "obsvar", "layer")
+    case "experiments"       => Seq("project")
+    case "config" | "menu" | "statistics" | "ranges" | "regions" =>
+      Seq("project", "experiment")
+    case "models_style"      => Seq("project", "experiment")
+    case "map" | "scatter"   =>
+      Seq("project", "experiment", "network", "obsvar", "layer", "model", "modvar", "time")
+    case "profiles"          => Seq("project", "experiment", "location", "network", "obsvar")
+    case "heatmap_ts" | "forecast" =>
+      Seq("project", "experiment", "region", "network", "obsvar", "layer")
+    case "fairmode"          =>
+      Seq("project", "experiment", "region", "network", "obsvar", "layer", "model", "time")
+    case "gridded_map"       => Seq("project", "experiment", "obsvar", "model")
+    case "report"            => Seq("project", "experiment", "title")
+    case "report_image"      => Seq("project", "experiment", "path")
+    case "map_overlay"       => Seq("project", "experiment", "source", "variable", "date")
+    case other => throw new IllegalArgumentException(s"Unknown table '$other'")
+  }
+}

@@ -1,0 +1,47 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.{AssetStore, Fixture, JsonFileStore, SparkTestSession, TableStore}
+
+/** Cross-backend equivalence via copy — the reference's bootstrap test
+  * for new backends (`tests/utils/test_copy.py:7-45`). */
+class CopySpec extends AnyFunSuite {
+
+  private def jsonFixture(): AssetStore = {
+    val dir = Files.createTempDirectory("graft-copy-src")
+    Fixture.build(dir)
+    new JsonFileStore(dir.toString)
+  }
+  private def freshJson(): AssetStore =
+    new JsonFileStore(Files.createTempDirectory("graft-copy-dst").toString)
+  private def freshTable(): AssetStore =
+    new TableStore(SparkTestSession.spark,
+      Files.createTempDirectory("graft-copy-tbl").toString)
+
+  private def checkCopy(mk: () => AssetStore): Unit = {
+    val src = jsonFixture()
+    val dst = mk()
+    CopyDb.copyDbContents(src, dst)
+    assert(dst.listAll().size == src.listAll().size)
+    // payloads survive the trip
+    val uri = src.query(Seq(graft.core.Route.Menu)).head.uri
+    assert(src.getByUri(uri) == dst.getByUri(uri))
+    src.close(); dst.close()
+  }
+
+  test("copy json -> json preserves catalog cardinality") { checkCopy(freshJson _) }
+  test("copy json -> table_store preserves catalog cardinality") { checkCopy(freshTable _) }
+
+  test("copy table_store -> table_store preserves catalog cardinality") {
+    val src0 = jsonFixture()
+    val mid = freshTable()
+    CopyDb.copyDbContents(src0, mid)
+    val dst = freshTable()
+    CopyDb.copyDbContents(mid, dst)
+    assert(dst.listAll().size == src0.listAll().size)
+    src0.close(); mid.close(); dst.close()
+  }
+}
