@@ -1,0 +1,107 @@
+package graft.analytics
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.catalog.Catalog
+import graft.etl.CopyDb
+import graft.store.{JsonFileStore, TableStore}
+
+/** Driver-gate entries that exercise the aerovaldb store surface
+  * (SURVEY.md §2.1–§2.9) end-to-end as Spark jobs: build the golden
+  * fixture tree in a temp dir, run the real store machinery, and
+  * return the result as a DataFrame. Rows-only checks (the store
+  * operates on its own fixture assets, not the star-schema tables).
+  */
+object StoreQueries {
+
+  /** The deterministic golden fixture (same shape as the test suite's;
+    * duplicated here because test sources aren't on the runtime
+    * classpath). */
+  private def buildFixture(): java.nio.file.Path = {
+    val root = Files.createTempDirectory("graft-storeq")
+    def put(rel: String, content: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, content)
+    }
+    put("project/experiments.json", """{"exp": 1}""")
+    put("project/models-style.json", """{"style": 1}""")
+    val e = "project/experiment"
+    put(s"$e/cfg_project_experiment.json",
+      """{"exp_info": {"pyaerocom_version": "0.13.5"}}""")
+    put(s"$e/menu.json", """{"menu": 1}""")
+    put(s"$e/ranges.json", """{"ranges": 1}""")
+    put(s"$e/hm/glob_stats_daily.json",
+      """{"od550aer": {"AERONET": {"Column": {"model": {"od550aer": {
+        |  "Europe": {"2024": {"nmb": 0.1}}}}}}}}""".stripMargin)
+    put(s"$e/ts/loc_AERONET-od550aer_Column.json", """{"ts": 1}""")
+    put(s"$e/map/AERONET-od550aer_Column_model-od550aer_2024.json",
+      """[{"station_name": "s", "latitude": 0.0, "longitude": 0.0,
+        |  "Monthly": {"DJF": {"nmb": 1.0}, "JJA": {"nmb": 2.0}}}]""".stripMargin)
+    val old = "project/experiment-old"
+    put(s"$old/cfg_project_experiment-old.json",
+      """{"exp_info": {"pyaerocom_version": "0.0.5"}}""")
+    put(s"$old/map/AERONET-od550aer_Column_model-od550aer.json", """[{"old": true}]""")
+    put("reports/project/experiment/summary.json", """{"report": 1}""")
+    root
+  }
+
+  /** Distributed catalog ingest over the fixture tree: listing +
+    * reverse-parse on executors, then a catalog-DataFrame query. */
+  def av01CatalogIngest(spark: SparkSession, dir: String): DataFrame = {
+    val root = buildFixture()
+    val catalog = Catalog.ingest(spark, root.toString)
+    catalog.select(col("uri"), col("route"), col("project"), col("experiment"))
+      .orderBy("uri")
+  }
+
+  /** Cross-backend copy ETL: fixture json store → Spark TableStore,
+    * verified cardinality, per-route counts. */
+  def av02CopyEtl(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = buildFixture()
+    val src = new JsonFileStore(root.toString)
+    val dst = new TableStore(spark, Files.createTempDirectory("graft-storeq-tbl").toString)
+    CopyDb.copyDbContents(src, dst)
+    val counts = dst.query().groupBy(_.route.name).view.mapValues(_.size).toSeq.sorted
+    src.close(); dst.close()
+    counts.toDF("route", "n_assets").orderBy("route")
+  }
+
+  /** Point-get + content-filter path through the store (the §3.1 read
+    * lifecycle): filtered heatmap + filtered map via the typed API. */
+  def av03FilteredReads(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = buildFixture()
+    val db = new JsonFileStore(root.toString)
+    val hm = db.getHeatmap("project", "experiment", "daily", "Europe", "2024") match {
+      case graft.core.AssetValue.Json(s) => s
+      case other => other.toString
+    }
+    val mp = db.getMap("project", "experiment", "AERONET", "od550aer", "Column",
+      "model", "od550aer", "2024", frequency = Some("Monthly"), season = Some("DJF")) match {
+      case graft.core.AssetValue.Json(s) => s
+      case other => other.toString
+    }
+    val legacy = db.getMap("project", "experiment-old", "AERONET", "od550aer", "Column",
+      "model", "od550aer", "2024") match {
+      case graft.core.AssetValue.Json(s) => s
+      case other => other.toString
+    }
+    db.close()
+    Seq(("heatmap_filtered", hm), ("map_filtered", mp), ("map_legacy_layout", legacy))
+      .toDF("op", "result").orderBy("op")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "av01_catalog_ingest" -> av01CatalogIngest _,
+    "av02_copy_etl"       -> av02CopyEtl _,
+    "av03_filtered_reads" -> av03FilteredReads _,
+  )
+
+  /** Store ops run on their own fixture assets → rows-only checks. */
+  val oracleSql: Map[String, String] = Map.empty
+}

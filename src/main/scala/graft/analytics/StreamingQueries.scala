@@ -1,0 +1,48 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStream
+
+/** Driver-gate entries for the streaming surface. st01 drives a real
+  * Structured Streaming query (file source → watermark + window agg →
+  * memory sink) over the bounded events table, so its result equals
+  * the batch oracle. st02 is gap-based sessionization (batch twin of
+  * the stateful streaming path, oracle-checked; the
+  * flatMapGroupsWithState variant is covered by StreamingSpec). */
+object StreamingQueries {
+
+  def st01StreamDaily(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st01_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    EventStream.runToCompletion(spark, EventStream.dailyCounts(spark, dir), name)
+      .orderBy("day", "event_type")
+  }
+
+  def st02Sessions(spark: SparkSession, dir: String): DataFrame =
+    EventStream.sessionizeBatch(spark, dir, gapMinutes = 30)
+      .orderBy("user_id", "start_ms")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st01_stream_daily" -> st01StreamDaily _,
+    "st02_sessions"     -> st02Sessions _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "st01_stream_daily" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+         count(*) AS n_events, round(sum(value),2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
+    "st02_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events),
+          l AS (SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) prev_ts FROM e),
+          s AS (SELECT *, sum(CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > 1800000
+                                   THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM l)
+         SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+          count(*) AS n_events, round(sum(value),2) AS total_value
+         FROM s GROUP BY user_id, session_id ORDER BY user_id, start_ms""",
+  )
+}

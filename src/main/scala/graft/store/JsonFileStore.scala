@@ -269,7 +269,7 @@ final class JsonFileStore(basedirRaw: String) extends AssetStore {
   /** Reverse-parse one file into a QueryEntry
     * (`jsonfiledb.py:492-597`), memoized. */
   private val entryCache = new java.util.concurrent.ConcurrentHashMap[String, Option[QueryEntry]]()
-  private[store] def queryEntryForFile(file: Path): Option[QueryEntry] =
+  def queryEntryForFile(file: Path): Option[QueryEntry] =
     entryCache.computeIfAbsent(file.toString, { _ =>
       val relRaw = basedir.relativize(file.toAbsolutePath).toString.replace('\\', '/')
       val ext = {

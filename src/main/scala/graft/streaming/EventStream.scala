@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table — the streaming surface
+  * the reference lacks entirely (SURVEY.md §2.10), built the
+  * Spark-native way: `readStream` → event-time window aggregation with
+  * watermark, and `flatMapGroupsWithState` sessionization for custom
+  * state.
+  *
+  * In production the source would be Kafka/files arriving continuously;
+  * the same plan runs unchanged — these helpers take a source path so
+  * tests drive them with the static parquet testdata via the file
+  * source + a memory sink (`processAllAvailable`).
+  */
+object EventStream {
+
+  /** events schema (readStream needs it declared; ts arrives as
+    * nanosecond parquet which Spark surfaces as LongType under
+    * `nanosAsLong`, converted here to a proper timestamp). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the streaming file source wants a directory; glob down to the
+    // events table within it
+    spark.readStream.schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Event-time daily windowed aggregation with a 1-day watermark.
+    * Complete output mode so a bounded drive emits every window —
+    * making the result comparable with the batch oracle. */
+  def dailyCounts(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+              col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Run a streaming aggregation to completion over the bounded file
+    * source and return the final table. */
+  def runToCompletion(spark: SparkSession, agg: DataFrame, queryName: String): DataFrame = {
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionState(start: Long, last: Long, nEvents: Long, total: Double)
+  final case class Session(user_id: Long, start_ms: Long, end_ms: Long,
+                           n_events: Long, total_value: Double)
+
+  /** Sessionization with custom state: per-user sessions closed after
+    * `gapMinutes` of inactivity — `flatMapGroupsWithState` with
+    * event-time timeout, the canonical stateful-streaming shape. */
+  def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def fn(userId: Long, events: Iterator[Event],
+           state: GroupState[SessionState]): Iterator[Session] = {
+      val sorted = events.toSeq.sortBy(_.ts.getTime)
+      var sessions = List.empty[Session]
+      var cur = state.getOption
+      for (e <- sorted) {
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= gapMs =>
+            cur = Some(s.copy(last = t, nEvents = s.nEvents + 1, total = s.total + e.value))
+          case Some(s) =>
+            sessions ::= Session(userId, s.start, s.last, s.nEvents, s.total)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur match {
+        case Some(s) => state.update(s)
+        case None    => state.remove()
+      }
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(s => Session(userId, s.start, s.last, s.nEvents, s.total))
+        state.remove()
+        out.iterator ++ sessions.reverseIterator
+      } else sessions.reverseIterator
+    }
+
+    readEvents(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Event]
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+      .toDF()
+  }
+
+  /** Batch-mode sessionization with identical semantics (lag-based gap
+    * detection + session aggregation) — the oracle-checkable twin of
+    * [[sessionize]], and the shape to prefer for backfills. */
+  def sessionizeBatch(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val gapMs = gapMinutes * 60000L
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_ms", expr("ts div 1000000"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ms", "event_id")
+    events
+      .withColumn("prev_ts", lag(col("ts_ms"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts_ms") - col("prev_ts") > gapMs, 1).otherwise(0))
+      .withColumn("session_id", sum("new_session").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min("ts_ms").as("start_ms"), max("ts_ms").as("end_ms"),
+           count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+      .drop("session_id")
+  }
+
+  private val Window = org.apache.spark.sql.expressions.Window
+}

@@ -1,0 +1,34 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Route
+import graft.store.{Fixture, JsonFileStore, SparkTestSession}
+
+/** The distributed catalog ingest must agree with the store's own
+  * driver-side query() on the same tree. */
+class CatalogSpec extends AnyFunSuite {
+
+  test("ingest matches store.query() URIs; catalog filters prune") {
+    val dir = Files.createTempDirectory("graft-catalog")
+    Fixture.build(dir)
+    val spark = SparkTestSession.spark
+    val store = new JsonFileStore(dir.toString)
+
+    val catalog = Catalog.ingest(spark, dir.toString).cache()
+    val catalogUris = catalog.select("uri").collect().map(_.getString(0)).toSet
+    val storeUris = store.listAll().toSet
+    assert(catalogUris == storeUris)
+
+    val pruned = Catalog.query(catalog, Seq(Route.MapRoute),
+      Map("project" -> "project", "experiment" -> "experiment"))
+    assert(pruned.count() == 2)
+    assert(Catalog.entries(pruned).forall(_.route == Route.MapRoute))
+
+    val heatmaps = Catalog.query(catalog, Seq(Route.Heatmap))
+    assert(heatmaps.count() == 1)
+    store.close()
+  }
+}
