@@ -111,19 +111,13 @@ object Dedup {
   }
 
   /** 64-bit SimHash near-dup pairs with Hamming distance ≤ 7, candidate
-    * generation via 8×8-bit chunk banding (pigeonhole-exact for ≤ 7). */
+    * generation via 8×8-bit chunk banding (pigeonhole-exact for ≤ 7).
+    * Fingerprints come from the single-pass [[graft.functions.SimHash64]]
+    * expression: one row per doc, no explode/aggregation state. */
   def d03SimHashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokens).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    // per bit: sum of +1/-1 over token hashes; fingerprint bit = sign
-    val bitSums = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
-    }
-    val fps = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until 64).map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
-          .reduce(_ bitwiseOR _).as("simhash"))
+    import graft.functions.SimHash64.simhash64
+    val fps = Tables.documents(spark, dir)
+      .select(col("doc_id"), simhash64(tokens).as("simhash"))
     // band on 8 bytes; any pair with hamming ≤ 7 shares ≥ 1 byte
     val chunks = fps.select(col("doc_id"), col("simhash"),
         explode(array((0 until 8).map(c =>
@@ -140,27 +134,37 @@ object Dedup {
       .orderBy("i", "j")
   }
 
-  /** Cosine similarity between two float-vector columns, computed in
-    * double with a strict left fold — bit-compatible with the DuckDB
-    * oracle's list_aggregate sum. */
+  /** Cosine similarity between two float-vector columns via the
+    * codegen'd dot-product expression; strict left-fold summation,
+    * bit-compatible with the DuckDB oracle's list_aggregate sum. */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    dot / (sqrt(na) * sqrt(nb))
+    import graft.functions.VectorFunctions._
+    val ad = as_double_array(a)
+    val bd = as_double_array(b)
+    array_dot(ad, bd) / (array_norm(ad) * array_norm(bd))
+  }
+
+  /** Embeddings with the vector cast to array<double> once and the L2
+    * norm precomputed per vector (identical bits to recomputing per
+    * pair, at 1/N-th the cost). */
+  private[analytics] def normalizedVectors(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    Tables.embeddings(spark, dir).select(col("vec_id"),
+        as_double_array(col("embedding")).as("v"))
+      .withColumn("norm", array_norm(col("v")))
   }
 
   /** Embedding-cosine near-dup pairs (exact brute force, threshold
     * 0.4 — the synthetic embeddings top out at ~0.51). At scale, use
-    * the LSH-bucketed variant (Similarity.s02). */
+    * the LSH-bucketed variant (Similarity.s02). The pair score is one
+    * codegen'd dot product; norms come precomputed from the build
+    * side, so the O(N²) loop does no redundant work. */
   def d04EmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    import graft.functions.VectorFunctions._
+    val e = normalizedVectors(spark, dir)
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 4).as("cos_sim"))
+        round(array_dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= 0.4)
       .orderBy("i", "j")
   }

@@ -28,18 +28,17 @@ object Similarity {
     Array.fill(bands, planes, dim)(rnd.nextGaussian())
   }
 
-  private def queriesSet(df: DataFrame): DataFrame =
-    df.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-
   /** Exact brute-force cosine top-10 per query vector (every 100th
-    * vec_id). Oracle-checked. */
+    * vec_id). Oracle-checked. One scan of the corpus against a
+    * broadcast query set; per-pair work is a single codegen'd dot. */
   def s01BruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val q = queriesSet(e)
+    import graft.functions.VectorFunctions._
+    val e = Dedup.normalizedVectors(spark, dir)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-              round(Dedup.cosine(col("q_emb"), col("embedding")), 4).as("cos_sim"))
+              round(array_dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4).as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w))

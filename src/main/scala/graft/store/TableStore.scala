@@ -186,8 +186,22 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
 
   def query(assetTypes: Seq[Route] = Route.all,
             kwargs: Map[String, String] = Map.empty): Seq[QueryEntry] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val routeSet = assetTypes.toSet
-    tables.flatMap { case (table, route) =>
+    flushAll()
+    // per-table scans are independent Spark jobs — run them
+    // concurrently (Spark's scheduler interleaves them)
+    val futures = tables.toSeq.map { case (table, route) => Future {
+      queryTable(table, route, routeSet, kwargs)
+    }}
+    futures.flatMap(Await.result(_, Duration.Inf))
+  }
+
+  private def queryTable(table: String, route: Route, routeSet: Set[Route],
+                         kwargs: Map[String, String]): Seq[QueryEntry] = {
+    Seq((table, route)).flatMap { case (table, route) =>
       if (!routeSet.contains(route)) Seq.empty
       else liveRows(table) match {
         case None => Seq.empty
