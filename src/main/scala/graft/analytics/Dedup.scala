@@ -16,9 +16,8 @@ import org.apache.spark.sql.functions._
   *    and the band-bucket join, both keyed on small hashes, never on
   *    text. Candidates are verified with exact Jaccard.
   *  - [[d03SimHashPairs]] — 64-bit SimHash fingerprints; near-dup =
-  *    Hamming distance ≤ 6, found via 4×16-bit chunk banding (pigeonhole:
-  *    any pair at distance ≤ 6 shares ≥ 1 of 4 chunks... only guaranteed
-  *    for ≤ 3; we band on 8×8-bit chunks to guarantee ≤ 7).
+  *    Hamming distance ≤ 3, found via 4×16-bit chunk banding
+  *    (pigeonhole: any pair at distance ≤ 3 shares ≥ 1 of 4 chunks).
   *  - [[d04EmbeddingNearDup]] — embedding-cosine near-dup pairs, exact
   *    brute force (the LSH-bucketed scale path is in Similarity.scala).
   *
@@ -110,18 +109,21 @@ object Dedup {
       .orderBy("i", "j")
   }
 
-  /** 64-bit SimHash near-dup pairs with Hamming distance ≤ 7, candidate
-    * generation via 8×8-bit chunk banding (pigeonhole-exact for ≤ 7).
+  /** 64-bit SimHash near-dup pairs with Hamming distance ≤ 3, candidate
+    * generation via 4×16-bit chunk banding (pigeonhole-exact for ≤ 3).
     * Fingerprints come from the single-pass [[graft.functions.SimHash64]]
     * expression: one row per doc, no explode/aggregation state. */
   def d03SimHashPairs(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.SimHash64.simhash64
     val fps = Tables.documents(spark, dir)
       .select(col("doc_id"), simhash64(tokens).as("simhash"))
-    // band on 8 bytes; any pair with hamming ≤ 7 shares ≥ 1 byte
+    // 4×16-bit chunk banding: pigeonhole guarantees every pair with
+    // hamming ≤ 3 shares ≥ 1 chunk (the canonical 64-bit/k=3 near-dup
+    // setting); 16-bit buckets keep candidate groups small, so the
+    // bucket self-join stays near-linear in corpus size
     val chunks = fps.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 8).map(c =>
-          struct(lit(c).as("c"), shiftright(col("simhash"), c * 8).bitwiseAND(0xFF).as("v"))): _*)).as("ch"))
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("c"), shiftright(col("simhash"), c * 16).bitwiseAND(0xFFFF).as("v"))): _*)).as("ch"))
       .select(col("doc_id"), col("simhash"), col("ch.c").as("c"), col("ch.v").as("v"))
     chunks.as("a").join(chunks.as("b"),
         col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
@@ -129,7 +131,7 @@ object Dedup {
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
               bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .dropDuplicates("i", "j")
-      .filter(col("hamming") <= 7)
+      .filter(col("hamming") <= 3)
       .select(col("i"), col("j"), col("hamming").cast("bigint").as("hamming"))
       .orderBy("i", "j")
   }

@@ -115,6 +115,18 @@ trait AssetStore extends AutoCloseable {
   def listGlobStats(project: String, experiment: String): Seq[String] =
     query(Seq(Route.Heatmap), Map("project" -> project, "experiment" -> experiment)).map(_.uri)
 
+  /** Distinct experiments of a project (`aerovaldb.py:483-486` — left
+    * unimplemented in the reference backends; the documented Spark
+    * shape is a distinct over the catalog). `hasResults` keeps only
+    * experiments with at least one non-config asset. */
+  def listExperiments(project: String, hasResults: Boolean = false): Seq[String] = {
+    val entries = query(kwargs = Map("project" -> project))
+    val byExp = entries.flatMap(e => e.meta.get("experiment").map(_ -> e.route))
+    val all = byExp.map(_._1).distinct
+    if (!hasResults) all.sorted
+    else byExp.filter(_._2 != Route.Config).map(_._1).distinct.sorted
+  }
+
   // ------------------------------------------------------------------
   // the 24-route typed surface (getters/putters)
   // ------------------------------------------------------------------

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.store.SparkTestSession
+
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import VectorFunctions._
+
+  test("array_dot matches the higher-order-function fold bit-for-bit") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(50)((Seq.fill(16)(rnd.nextDouble()), Seq.fill(16)(rnd.nextDouble())))
+    val df = rows.toDF("a", "b")
+    val got = df.select(
+      array_dot(col("a"), col("b")).as("fast"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("slow"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("array_dot interpreted eval equals codegen result") {
+    val e = DoubleArrayDot(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(1.0, 2.0, 3.0),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(4.0, 5.0, 6.0),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+    assert(e.eval(null) == 32.0)
+  }
+
+  test("array_norm of unit vectors is 1") {
+    val df = Seq(Seq(1.0, 0.0, 0.0), Seq(0.6, 0.8, 0.0)).toDF("v")
+    val norms = df.select(array_norm(col("v"))).collect().map(_.getDouble(0))
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-12))
+  }
+
+  test("simhash64 equals the explode+aggregate formulation") {
+    import SimHash64.simhash64
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark streams batch data across partitions"),
+      (3L, "a a a b b c"))
+      .toDF("doc_id", "text")
+    val toks = split(trim(col("text")), "\\s+")
+    val fast = docs.select(col("doc_id"), simhash64(toks).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // reference formulation: explode + 64 conditional sums
+    val exploded = docs.select(col("doc_id"), explode(toks).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
+    val slow = exploded.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 64).map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+          .reduce(_ bitwiseOR _).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == slow)
+  }
+
+  test("identical texts share a simhash; distinct texts differ") {
+    import SimHash64.simhash64
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta eta")).toDF("doc_id", "text")
+    val fps = docs.select(simhash64(split(col("text"), "\\s+")))
+      .collect().map(_.getLong(0))
+    assert(fps(0) == fps(1) && fps(0) != fps(2))
+  }
+}

@@ -246,6 +246,26 @@ class JsonFileStoreSpec extends AnyFunSuite with AssetStoreBehavior {
     new JsonFileStore(dir.toString)
   }
 
+  test("json_files: listExperiments distinct + hasResults") {
+    val db = makeStore()
+    assert(db.listExperiments("project").contains("experiment"))
+    assert(db.listExperiments("project").contains("experiment-old"))
+    assert(db.listExperiments("project", hasResults = true).contains("experiment"))
+    db.close()
+  }
+
+  test("json_files: async facade mirrors the sync API") {
+    import scala.concurrent.Await
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import AsyncStore.Ops
+    val db = makeStore()
+    val menu = Await.result(db.async.getByUri("/v0/menu/project/experiment"), 30.seconds)
+    assert(menu == db.getByUri("/v0/menu/project/experiment"))
+    assert(Await.result(db.async.listAll(), 30.seconds).size == 29)
+    db.close()
+  }
+
   test("json_files: FILE_PATH access points at the backing file") {
     val db = makeStore()
     db.getConfig("project", "experiment", AccessType.FilePath) match {
