@@ -247,6 +247,46 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** Full grouping-sets cube over two dimensions. */
+  def q17Cube(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+              col("n_orders"), col("total"))
+      .orderBy("status", "priority")
+  }
+
+  /** Window frames: running sum (rows unbounded-preceding), 7-row
+    * moving average, lag delta — per supplier over ship dates. */
+  def q18WindowFrames(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).filter(col("l_suppkey") <= 3)
+    val w = Window.partitionBy("l_suppkey").orderBy(col("l_shipdate").asc, col("l_orderkey").asc,
+      col("l_linenumber").asc)
+    li.withColumn("running_qty", round(sum("l_quantity")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+      .withColumn("moving_avg", round(avg("l_quantity")
+        .over(w.rowsBetween(-6, 0)), 4))
+      .withColumn("qty_delta", round(col("l_quantity") -
+        coalesce(lag(col("l_quantity"), 1).over(w), lit(0.0)), 2))
+      .select(col("l_suppkey"), col("l_orderkey"),
+        col("l_linenumber").cast("bigint").as("l_linenumber"),
+        col("running_qty"), col("moving_avg"), col("qty_delta"))
+      .orderBy("l_suppkey", "running_qty", "l_orderkey", "l_linenumber")
+  }
+
+  /** Exact interpolated percentiles per market segment. */
+  def q19Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    c.groupBy("c_mktsegment")
+      .agg(round(expr("percentile(c_acctbal, 0.5)"), 2).as("median"),
+           round(expr("percentile(c_acctbal, 0.25)"), 2).as("p25"),
+           round(expr("percentile(c_acctbal, 0.95)"), 2).as("p95"),
+           count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary _,
@@ -265,6 +305,9 @@ object Relational {
     "q14_promo_share"       -> q14PromoShare _,
     "q15_events_json"       -> q15EventsJson _,
     "q16_stats"             -> q16Stats _,
+    "q17_cube"              -> q17Cube _,
+    "q18_window_frames"     -> q18WindowFrames _,
+    "q19_percentiles"       -> q19Percentiles _,
   )
 
   /** DuckDB oracle SQL, column-name- and order-aligned with the Spark
@@ -392,5 +435,30 @@ object Relational {
          round(min(l_extendedprice),2) AS min_price,
          round(max(l_extendedprice),2) AS max_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q17_cube" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+         coalesce(o_orderpriority,'ALL') AS priority,
+         count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
+    "q18_window_frames" ->
+      """SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+         round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+           ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+           ROWS UNBOUNDED PRECEDING), 2) AS running_qty,
+         round(avg(l_quantity) OVER (PARTITION BY l_suppkey
+           ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS moving_avg,
+         round(l_quantity - coalesce(lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
+           ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC), 0.0), 2) AS qty_delta
+         FROM lineitem WHERE l_suppkey <= 3
+         ORDER BY l_suppkey, running_qty, l_orderkey, l_linenumber""",
+    "q19_percentiles" ->
+      """SELECT c_mktsegment,
+         round(quantile_cont(c_acctbal, 0.5), 2) AS median,
+         round(quantile_cont(c_acctbal, 0.25), 2) AS p25,
+         round(quantile_cont(c_acctbal, 0.95), 2) AS p95,
+         count(*) AS n
+         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
   )
 }
