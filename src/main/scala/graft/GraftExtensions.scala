@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DoubleArrayDot, SimHash64}
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * Catalyst expressions as SQL functions so `spark.sql` users get them
+  * too:
+  *
+  * {{{
+  * SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * // or: --conf spark.sql.extensions=graft.GraftExtensions
+  * spark.sql("SELECT array_dot(a, b), simhash64(tokens) FROM t")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[DoubleArrayDot].getName, "array_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "array_dot(a, b) takes two arguments")
+        DoubleArrayDot(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "simhash64(tokens) takes one argument")
+        SimHash64(children.head)
+      }))
+  }
+}

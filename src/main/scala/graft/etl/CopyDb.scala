@@ -33,7 +33,7 @@ object CopyDb {
         }
       }
     }
-    val (srcN, dstN) = (source.listAll().size, dest.listAll().size)
+    val (srcN, dstN) = (uris.size, dest.listAll().size)
     if (srcN != dstN)
       throw new java.io.IOException(
         s"Copy failed: source has $srcN assets, destination has $dstN.")

@@ -117,15 +117,26 @@ final class JsonFileStore(basedirRaw: String) extends AssetStore {
   private val fileCache = lruMap[String, CacheEntry](64)
   private val subKeyCache = lruMap[String, CacheEntry](512)
 
+  /** Cache observability (hit/miss counters, exposed for tests and
+    * ops — the reference asserts on equivalent counters in
+    * `tests/jsondb/test_cache.py:35-149`). */
+  val cacheHits = new java.util.concurrent.atomic.AtomicLong(0)
+  val cacheMisses = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def readThroughCache(path: Path, useCache: Boolean): String = {
     val key = path.toRealPath().toString
     val mtime = Files.getLastModifiedTime(path).toMillis
     if (!useCache) return Files.readString(path)
     val hit = Option(fileCache.get(key)).filter(_.mtimeMs == mtime)
-    hit.map(_.content).getOrElse {
-      val content = Files.readString(path)
-      fileCache.put(key, CacheEntry(content, mtime))
-      content
+    hit match {
+      case Some(e) =>
+        cacheHits.incrementAndGet()
+        e.content
+      case None =>
+        cacheMisses.incrementAndGet()
+        val content = Files.readString(path)
+        fileCache.put(key, CacheEntry(content, mtime))
+        content
     }
   }
 
