@@ -64,10 +64,21 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
     pending.get(table).filter(_.nonEmpty).foreach { rows =>
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(rows.toSeq, 1), schemaFor(table))
-      df.write.mode(SaveMode.Append).parquet(tablePath(table))
+      // physical layout partitioned on the leading key columns: point
+      // gets and rmExperimentData prune to one directory subtree at
+      // scale (`NULL` keys land in the default partition and read back
+      // as NULL)
+      val parts = partitionCols(table)
+      val w = df.write.mode(SaveMode.Append)
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tablePath(table))
       rows.clear()
     }
   }
+
+  /** Partition columns per table: (project, experiment) where both
+    * exist, (project) otherwise. */
+  private def partitionCols(table: String): Seq[String] =
+    tableKeys(table).filter(k => k == "project" || k == "experiment")
 
   private def readTable(table: String): Option[DataFrame] = {
     flush(table)
