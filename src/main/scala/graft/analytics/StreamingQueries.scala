@@ -23,9 +23,16 @@ object StreamingQueries {
     EventStream.sessionizeBatch(spark, dir, gapMinutes = 30)
       .orderBy("user_id", "start_ms")
 
+  def st03StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st03_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    EventStream.runToCompletion(spark, EventStream.streamingDedup(spark, dir), name)
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_daily" -> st01StreamDaily _,
     "st02_sessions"     -> st02Sessions _,
+    "st03_stream_dedup" -> st03StreamDedup _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -44,5 +51,10 @@ object StreamingQueries {
          SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
           count(*) AS n_events, round(sum(value),2) AS total_value
          FROM s GROUP BY user_id, session_id ORDER BY user_id, start_ms""",
+    "st03_stream_dedup" ->
+      """WITH d AS (SELECT DISTINCT ON (event_id) event_id, event_type, value
+                    FROM events ORDER BY event_id, ts)
+         SELECT event_type, count(*) AS n_unique, round(sum(value),2) AS sum_value
+         FROM d GROUP BY event_type ORDER BY event_type""",
   )
 }

@@ -47,6 +47,17 @@ object EventStream {
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
               col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drop repeated event_ids within the
+    * watermark window (`dropDuplicatesWithinWatermark` keeps state only
+    * until the watermark passes — bounded state at any scale), then
+    * count survivors per event type. */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame =
+    readEvents(spark, dir)
+      .withWatermark("ts", "1 day")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"), round(sum("value"), 2).as("sum_value"))
+
   /** Run a streaming aggregation to completion over the bounded file
     * source and return the final table. */
   def runToCompletion(spark: SparkSession, agg: DataFrame, queryName: String): DataFrame = {

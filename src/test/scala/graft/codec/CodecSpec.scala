@@ -76,6 +76,28 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("fname-encoded path templates round-trip through parse") {
+    // the physical-layout templates join args with '_'/'-'; encoded
+    // values contain neither '/' nor '_', so parse is unambiguous for
+    // values without '-'
+    val templates = Seq(
+      "./{project}/{experiment}/hm/glob_stats_{frequency}.json",
+      "./{project}/{experiment}/ts/{location}_{network}_{obsvar}_{layer}.json",
+      "./{project}/{experiment}/map/{network}_{obsvar}_{layer}_{model}_{modvar}_{time}.json",
+      "./{project}/{experiment}/contour/{obsvar}_{model}/{obsvar}_{model}_{timestep}.geojson")
+    for (_ <- 0 until 100) {
+      val raw = randomString(10, "abc012/_% ") + "x"
+      val enc = ArgCodec.encodeFname(raw)
+      for (t <- templates) {
+        val names = TemplateCodec.extractSubstitutions(t).distinct
+        val subs = names.map(_ -> enc).toMap
+        val s = TemplateCodec.format(t, subs)
+        val parsed = TemplateCodec.parseFormattedString(t, s)
+        assert(parsed.values.forall(v => ArgCodec.decodeFname(v) == raw))
+      }
+    }
+  }
+
   test("fname encoding example from reference tests") {
     // tests/jsondb/test_jsonfiledb.py:101-111
     assert(ArgCodec.encodeFname("FFire2022_eea") == "FFire2022%2eea")
