@@ -164,10 +164,20 @@ trait AssetStore extends AutoCloseable {
                  accessType: AccessType = AccessType.JsonStr,
                  default: Option[AssetValue] = None, cache: Boolean = false): AssetValue = {
     val base = pe(project, experiment) + ("obsvar" -> obsvar) + ("model" -> model)
+    if (cache) contourCacheGet(base, timestep) match {
+      case Some(json) =>
+        return accessType match {
+          case AccessType.JsonStr => AssetValue.Json(json)
+          case AccessType.Obj     => AssetValue.Obj(JsonUtil.parse(json))
+          case _                  => convertNode(JsonUtil.parse(json), accessType)
+        }
+      case None => ()
+    }
     try {
       val whole = _get(Route.Contour, base, Map.empty, AccessType.Obj, None, cache)
       whole match {
         case AssetValue.Obj(node) =>
+          if (cache) primeContourCache(base, node)
           val sel = ContentFilters.filterContour(node, Some(timestep))
           convertNode(sel, accessType)
         case other => other
@@ -403,6 +413,17 @@ trait AssetStore extends AutoCloseable {
       "source" -> source, "variable" -> variable, "date" -> date))
 
   // ------------------------------------------------------------------
+
+  /** Hook: on a cached single-doc contour read, backends may pre-split
+    * the document into per-timestep cache entries so later timestep
+    * reads skip the re-filter (`jsonfiledb.py:988-993`). No-op by
+    * default. */
+  protected def primeContourCache(routeArgs: Map[String, String],
+                                  node: JsonNode): Unit = ()
+
+  /** Hook: lookup of a previously-primed per-timestep contour entry. */
+  protected def contourCacheGet(routeArgs: Map[String, String],
+                                timestep: String): Option[String] = None
 
   private def pe(project: String, experiment: String): Map[String, String] =
     Map("project" -> project, "experiment" -> experiment)

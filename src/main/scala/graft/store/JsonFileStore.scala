@@ -274,6 +274,39 @@ final class JsonFileStore(basedirRaw: String) extends AssetStore {
   }
 
   // --------------------------------------------------------------
+  // contour per-timestep cache priming (`jsonfiledb.py:988-993`):
+  // a cached single-doc read splits the document into one sub-key
+  // entry per timestep, so later timestep reads skip file + filter.
+  // --------------------------------------------------------------
+
+  /** Counter exposed for tests: primed-entry hits. */
+  val contourPrimeHits = new java.util.concurrent.atomic.AtomicLong(0)
+
+  override protected def primeContourCache(routeArgs: Map[String, String],
+                                           node: com.fasterxml.jackson.databind.JsonNode): Unit = {
+    val path = resolvePath(Route.Contour, routeArgs)
+    if (Files.exists(path)) {
+      val mtime = Files.getLastModifiedTime(path).toMillis
+      node.fields().forEachRemaining { e =>
+        subKeyCache.put(s"$path::${e.getKey}",
+          CacheEntry(JsonUtil.serialize(e.getValue), mtime))
+      }
+    }
+  }
+
+  override protected def contourCacheGet(routeArgs: Map[String, String],
+                                         timestep: String): Option[String] = {
+    val path = resolvePath(Route.Contour, routeArgs)
+    if (!Files.exists(path)) None
+    else {
+      val mtime = Files.getLastModifiedTime(path).toMillis
+      val hit = Option(subKeyCache.get(s"$path::$timestep")).filter(_.mtimeMs == mtime)
+      hit.foreach(_ => contourPrimeHits.incrementAndGet())
+      hit.map(_.content)
+    }
+  }
+
+  // --------------------------------------------------------------
   // catalog
   // --------------------------------------------------------------
 

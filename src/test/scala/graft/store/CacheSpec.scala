@@ -56,6 +56,16 @@ class CacheSpec extends AnyFunSuite {
     db.close()
   }
 
+  test("contour single-doc read primes per-timestep cache entries") {
+    val db = store()
+    db.getContour("project", "experiment", "obsvar", "model", "timestep", cache = true)
+    assert(db.contourPrimeHits.get() == 0)
+    // second read of the same timestep is served from the primed entry
+    db.getContour("project", "experiment", "obsvar", "model", "timestep", cache = true)
+    assert(db.contourPrimeHits.get() == 1)
+    db.close()
+  }
+
   test("filtered reads go through the sub-key cache (forced cache=true)") {
     val db = store()
     // regional stats forces cache=true; same underlying file read once
