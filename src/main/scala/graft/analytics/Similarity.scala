@@ -52,9 +52,11 @@ object Similarity {
     * candidates sharing an LSH band bucket with the query are scored.
     * Rows-only check (approximate by construction). */
   def s02LshTopK(spark: SparkSession, dir: String): DataFrame = {
-    // 8 bands × 8-bit buckets: recall-tuned for ~1e3–1e6 vectors; at
-    // larger corpora raise Planes (finer buckets) and Bands together.
-    val Bands = 8; val Planes = 8; val Dim = 64
+    // 16 bands × 6-bit buckets: for moderate-similarity neighbors
+    // (θ≈60°) per-band collision is (1-θ/π)^6 ≈ 0.08, so 16 bands give
+    // ~70% recall; raise Planes (finer buckets, fewer candidates) when
+    // the corpus has genuinely-near duplicates, raise Bands for recall.
+    val Bands = 16; val Planes = 6; val Dim = 64
     val hp = hyperplanes(Bands, Planes, Dim)
     val spark2 = spark
     import spark2.implicits._
@@ -91,9 +93,76 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** IVF (inverted-file) approximate top-k: a deterministic k-means
+    * coarse quantizer (Lloyd iterations as DataFrame aggregations)
+    * partitions the corpus into `K` cells; each query probes its
+    * `nProbe` nearest centroids and exact-reranks only those cells.
+    * The 100 TB shape: the corpus is scanned once to assign cells
+    * (then stored partitioned by cell), and a query touches
+    * nProbe/K of the data. */
+  def s03IvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val K = 16; val NProbe = 4; val Iters = 3
+    val e = Dedup.normalizedVectors(spark, dir).cache()
+
+    // deterministic init: the K lowest vec_ids
+    var centroids: Array[(Int, Seq[Double])] = e.orderBy("vec_id").limit(K)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getAs[Seq[Double]]("v")) }
+
+    for (_ <- 0 until Iters) {
+      val cDf = broadcast(spark.createDataFrame(centroids.toSeq)
+        .toDF("cell", "centroid"))
+      // assign: nearest centroid by dot on normalized-ish vectors
+      val assigned = e.crossJoin(cDf)
+        .withColumn("score", array_dot(col("v"), col("centroid")) / col("norm"))
+        .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("score").desc, col("cell").asc)))
+        .filter(col("rnk") === 1)
+      // update: per-cell mean (deterministic)
+      centroids = assigned.groupBy("cell")
+        .agg(array((0 until 64).map(i => avg(element_at(col("v"), i + 1))): _*).as("centroid"))
+        .collect().map(r => (r.getInt(0), r.getAs[Seq[Double]]("centroid")))
+    }
+
+    val cDf = broadcast(spark.createDataFrame(centroids.toSeq).toDF("cell", "centroid"))
+    val assigned = e.crossJoin(cDf)
+      .withColumn("score", array_dot(col("v"), col("centroid")) / col("norm"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("score").desc, col("cell").asc)))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
+      .cache()
+
+    // queries probe their NProbe nearest cells
+    val q = assigned.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val probes = q.crossJoin(cDf)
+      .withColumn("score", array_dot(col("qv"), col("centroid")) / col("qnorm"))
+      .withColumn("prnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("cell").asc)))
+      .filter(col("prnk") <= NProbe)
+      .select(col("query_id"), col("qv"), col("qnorm"), col("cell"))
+
+    // exact rerank within probed cells only
+    val scored = probes.join(assigned, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(array_dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4).as("cos_sim"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("query_id"), col("rnk").cast("bigint").as("rnk"),
+              col("neighbor_id"), col("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> s01BruteForceTopK _,
     "s02_ann_lsh"        -> s02LshTopK _,
+    "s03_ann_ivf"        -> s03IvfTopK _,
   )
 
   val oracleSql: Map[String, String] = Map(
