@@ -96,10 +96,24 @@ object StoreQueries {
       .toDF("op", "result").orderBy("op")
   }
 
+  /** Distributed bulk import (one Spark job per asset table) with
+    * cardinality verification; returns the imported catalog. */
+  def av04BulkImport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = buildFixture()
+    val src = new JsonFileStore(root.toString)
+    val dst = new TableStore(spark, Files.createTempDirectory("graft-storeq-bulk").toString)
+    val n = CopyDb.bulkImport(spark, src, dst)
+    val uris = dst.listAll().sorted
+    src.close(); dst.close()
+    uris.map(u => (u, n)).toDF("uri", "n_imported").orderBy("uri")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "av01_catalog_ingest" -> av01CatalogIngest _,
     "av02_copy_etl"       -> av02CopyEtl _,
     "av03_filtered_reads" -> av03FilteredReads _,
+    "av04_bulk_import"    -> av04BulkImport _,
   )
 
   /** Store ops run on their own fixture assets → rows-only checks. */

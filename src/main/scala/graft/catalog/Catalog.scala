@@ -23,7 +23,7 @@ object Catalog {
   val schema: Seq[String] = Seq("uri", "route", "project", "experiment",
     "frequency", "obsvar", "model", "timestep", "location", "network",
     "layer", "modvar", "time", "region", "title", "path", "source",
-    "variable", "date", "mtime_ms", "size_bytes")
+    "variable", "date", "mtime_ms", "size_bytes", "src_path")
 
   /** Distributed catalog build: Spark lists the tree (binaryFile gives
     * path/mtime/size without reading content), then executors
@@ -53,7 +53,7 @@ object Catalog {
             e.meta.get("layer"), e.meta.get("modvar"), e.meta.get("time"),
             e.meta.get("region"), e.meta.get("title"), e.meta.get("path"),
             e.meta.get("source"), e.meta.get("variable"), e.meta.get("date"),
-            mtime.getTime, size)
+            mtime.getTime, size, p.toString)
         }
       }
     }.toDF(schema: _*)
@@ -73,7 +73,7 @@ object Catalog {
   def entries(df: DataFrame): Seq[QueryEntry] =
     df.collect().toSeq.map { r =>
       val meta = Catalog.schema
-        .filterNot(Seq("uri", "route", "mtime_ms", "size_bytes").contains)
+        .filterNot(Seq("uri", "route", "mtime_ms", "size_bytes", "src_path").contains)
         .flatMap(k => Option(r.getAs[String](k)).map(k -> _)).toMap
       QueryEntry(r.getAs[String]("uri"), Route.fromName(r.getAs[String]("route")), meta)
     }

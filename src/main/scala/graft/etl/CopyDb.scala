@@ -17,6 +17,48 @@ import graft.store.AssetStore
   */
 object CopyDb {
 
+  /** Distributed bulk import: JsonFileStore tree → TableStore, as ONE
+    * Spark job per asset table instead of a driver-side point loop —
+    * the shape that scales to millions of assets (SURVEY.md §3.3:
+    * catalog → mapPartitions payload read → columnar write).
+    *
+    * The executor-side payload read happens inside the projection
+    * (`Files.readAllBytes` over the catalog's `src_path`), so asset
+    * bytes stream straight from the source tree into parquet row
+    * groups without ever collecting to the driver.
+    */
+  def bulkImport(spark: org.apache.spark.sql.SparkSession,
+                 source: graft.store.JsonFileStore,
+                 dest: graft.store.TableStore): Long = {
+    import org.apache.spark.sql.functions._
+    import graft.store.TableStore
+    val catalog = graft.catalog.Catalog.ingest(spark, source.basedir.toString).cache()
+    val readText = udf((p: String) =>
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8"))
+    val readBytes = udf((p: String) =>
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+
+    var imported = 0L
+    TableStore.tables.foreach { case (table, route) =>
+      val part = catalog.filter(col("route") === route.name)
+      if (!part.isEmpty) {
+        val keys = TableStore.tableKeys(table)
+        val isBlob = Route.blobRoutes.contains(route)
+        val rows = part.select((keys.map(col) ++ Seq(
+          (if (isBlob) lit(null).cast("string") else readText(col("src_path"))).as("json"),
+          (if (isBlob) readBytes(col("src_path")) else lit(null).cast("binary")).as("blob"))): _*)
+        dest.bulkAppend(table, rows)
+        imported += part.count()
+      }
+    }
+    dest.flushAll()
+    val dstN = dest.listAll().size
+    if (imported != dstN)
+      throw new java.io.IOException(
+        s"Bulk import failed: imported $imported assets, destination lists $dstN.")
+    imported
+  }
+
   def copyDbContents(source: AssetStore, dest: AssetStore): Unit = {
     val uris = source.listAll()
     uris.foreach { uri =>

@@ -71,6 +71,11 @@ trait AssetStore extends AutoCloseable {
     if (Route.blobRoutes.contains(route) &&
         (accessType == AccessType.Blob || accessType == AccessType.JsonStr))
       AssetValue.Blob(_getBlob(route, args))
+    else if (route == Route.Contour && kw.contains("timestep"))
+      // contour URIs carrying a timestep go through the two-layout
+      // fallback + timestep selection, like the typed getter
+      getContour(args("project"), args("experiment"), args("obsvar"), args("model"),
+        kw("timestep"), accessType, default, cache)
     else _get(route, args, kw - "version", accessType, default, cache)
   }
 

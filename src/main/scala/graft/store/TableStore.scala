@@ -253,6 +253,23 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
         }
     }
 
+  /** Bulk append pre-built rows (distributed ETL path): `rows` must
+    * carry this table's key columns plus `json`/`blob`; bookkeeping
+    * columns are added here. One partitioned write, no driver loop. */
+  def bulkAppend(table: String, rows: DataFrame): Unit = {
+    val keys = tableKeys(table)
+    val withMeta = rows
+      .select((keys.map(k => col(k).cast("string").as(k)) ++ Seq(
+        col("json").cast("string").as("json"),
+        col("blob").cast("binary").as("blob"))): _*)
+      .withColumn("put_time", lit(System.currentTimeMillis()))
+      .withColumn("seq", monotonically_increasing_id())
+      .withColumn("op", lit("put"))
+    val parts = partitionCols(table)
+    val w = withMeta.write.mode(SaveMode.Append)
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tablePath(table))
+  }
+
   /** Compact a table: rewrite with only the newest row per live key.
     * Run periodically at scale to bound the append log. */
   def compact(table: String): Unit = {

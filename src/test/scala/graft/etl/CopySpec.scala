@@ -35,6 +35,20 @@ class CopySpec extends AnyFunSuite {
   test("copy json -> json preserves catalog cardinality") { checkCopy(freshJson _) }
   test("copy json -> table_store preserves catalog cardinality") { checkCopy(freshTable _) }
 
+  test("distributed bulk import equals the point-copy result") {
+    val src = jsonFixture().asInstanceOf[JsonFileStore]
+    val viaPoints = freshTable()
+    CopyDb.copyDbContents(src, viaPoints)
+    val viaBulk = freshTable().asInstanceOf[TableStore]
+    val n = CopyDb.bulkImport(SparkTestSession.spark, src, viaBulk)
+    assert(n == src.listAll().size)
+    assert(viaBulk.listAll().toSet == viaPoints.listAll().toSet)
+    // payloads identical through both paths
+    val uri = src.query(Seq(graft.core.Route.Menu)).head.uri
+    assert(viaBulk.getByUri(uri) == viaPoints.getByUri(uri))
+    src.close(); viaPoints.close(); viaBulk.close()
+  }
+
   test("copy table_store -> table_store preserves catalog cardinality") {
     val src0 = jsonFixture()
     val mid = freshTable()

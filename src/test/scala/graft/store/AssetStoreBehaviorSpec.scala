@@ -119,6 +119,15 @@ trait AssetStoreBehavior { this: AnyFunSuite =>
     db.close()
   }
 
+  test(s"$backendName: getByUri routes contour timestep kwarg through the fallback") {
+    val db = makeStore()
+    assert(json(db.getByUri("/v0/contour/project/experiment/obsvar/model?timestep=timestep"))
+      .contains("single-doc"))
+    assert(json(db.getByUri("/v0/contour/project/experiment/obsvar/model?timestep=timestep2"))
+      .contains("split"))
+    db.close()
+  }
+
   test(s"$backendName: default= returned verbatim on missing asset") {
     val db = makeStore()
     val v = db.getMenu("project", "no-such-experiment",
