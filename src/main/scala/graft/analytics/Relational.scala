@@ -287,6 +287,18 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** The SQL surface: the same engine through `spark.sql`, including a
+    * correlated scalar subquery (Catalyst decorrelates it into a join). */
+  def q20SqlInterface(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("part_v")
+    spark.sql(
+      """SELECT p_type, p_partkey, round(p_retailprice, 2) AS price
+        |FROM part_v p
+        |WHERE p_retailprice > 1.03 * (SELECT avg(p2.p_retailprice)
+        |                             FROM part_v p2 WHERE p2.p_type = p.p_type)
+        |ORDER BY p_type, p_partkey""".stripMargin)
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary _,
@@ -308,6 +320,7 @@ object Relational {
     "q17_cube"              -> q17Cube _,
     "q18_window_frames"     -> q18WindowFrames _,
     "q19_percentiles"       -> q19Percentiles _,
+    "q20_sql_interface"     -> q20SqlInterface _,
   )
 
   /** DuckDB oracle SQL, column-name- and order-aligned with the Spark
@@ -460,5 +473,11 @@ object Relational {
          round(quantile_cont(c_acctbal, 0.95), 2) AS p95,
          count(*) AS n
          FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q20_sql_interface" ->
+      """SELECT p_type, p_partkey, round(p_retailprice, 2) AS price
+         FROM part p
+         WHERE p_retailprice > 1.03 * (SELECT avg(p2.p_retailprice)
+                                      FROM part p2 WHERE p2.p_type = p.p_type)
+         ORDER BY p_type, p_partkey""",
   )
 }
