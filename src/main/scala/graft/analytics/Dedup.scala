@@ -55,7 +55,7 @@ object Dedup {
       .join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("n_sh", "n_i"), "i")
       .join(sizes.withColumnRenamed("doc_id", "j").withColumnRenamed("n_sh", "n_j"), "j")
       .select(col("i"), col("j"),
-        round(col("shared").cast("double") / (col("n_i") + col("n_j") - col("shared")), 4).as("jaccard"))
+        Det.dround(col("shared").cast("double") / (col("n_i") + col("n_j") - col("shared")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
       .orderBy("i", "j")
   }
@@ -166,7 +166,7 @@ object Dedup {
     val e = normalizedVectors(spark, dir)
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-        round(array_dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 4).as("cos_sim"))
+        Det.dround(array_dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= 0.4)
       .orderBy("i", "j")
   }
@@ -191,18 +191,17 @@ object Dedup {
                     FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                     GROUP BY 1, 2),
           jac AS (SELECT i, j,
-                   round(shared*1.0/(sa.ls + sb.ls - shared), 4) jaccard
+                   floor((CAST(shared AS DOUBLE)/(sa.ls + sb.ls - shared)) * 10000.0 + 0.5) / 10000.0 jaccard
                   FROM pairs
                   JOIN (SELECT doc_id, len(s) ls FROM sh) sa ON i = sa.doc_id
                   JOIN (SELECT doc_id, len(s) ls FROM sh) sb ON j = sb.doc_id)
          SELECT i, j, jaccard FROM jac WHERE jaccard >= 0.2 ORDER BY i, j""",
     "d04_embedding_neardup" ->
       """SELECT a.vec_id AS i, b.vec_id AS j,
-          round(
-            list_aggregate(list_transform(range(1, len(a.embedding)+1),
+          floor((list_aggregate(list_transform(range(1, len(a.embedding)+1),
               k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)), 'sum')
             / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))
-             * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))), 4) AS cos_sim
+             * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')))) * 10000.0 + 0.5) / 10000.0 AS cos_sim
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE cos_sim >= 0.4 ORDER BY i, j""",
   )

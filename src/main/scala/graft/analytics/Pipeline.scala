@@ -29,7 +29,7 @@ object Pipeline {
     sampled.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
            sum("n_tokens").as("token_budget"),
-           round(avg("ttr"), 4).as("avg_ttr"))
+           Det.avgDec9R(col("ttr"), 4).as("avg_ttr"))
       .orderBy("lang")
   }
 
@@ -52,7 +52,7 @@ object Pipeline {
                FROM g),
          s AS (SELECT * FROM d WHERE rn = 1 AND doc_id % 5 <> 0)
          SELECT lang, count(*) AS n_docs, sum(n_tokens) AS token_budget,
-           round(avg(ttr), 4) AS avg_ttr
+           floor((CAST(sum(CAST((ttr) AS DECIMAL(18,9))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_ttr
          FROM s GROUP BY lang ORDER BY lang""",
   )
 }

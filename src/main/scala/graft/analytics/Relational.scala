@@ -34,13 +34,13 @@ object Relational {
     li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg("l_quantity"), 2).as("avg_qty"),
-        round(avg("l_extendedprice"), 2).as("avg_price"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        Det.sumDecR(col("l_quantity"), 2).as("sum_qty"),
+        Det.sumDecR(col("l_extendedprice"), 2).as("sum_base_price"),
+        Det.sumDecR(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("sum_disc_price"),
+        Det.sumDecR(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 2).as("sum_charge"),
+        Det.avgDecR(col("l_quantity"), 2).as("avg_qty"),
+        Det.avgDecR(col("l_extendedprice"), 2).as("avg_price"),
+        Det.avgDecR(col("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -60,7 +60,7 @@ object Relational {
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      .agg(Det.sumDecR(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"),
            count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
   }
@@ -75,7 +75,7 @@ object Relational {
     li.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .agg(Det.sumDecR(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
       .select(col("o_orderkey"),
               date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
               col("o_orderpriority"), col("revenue"))
@@ -102,8 +102,8 @@ object Relational {
   def q05RollupSales(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     li.rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
-           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      .agg(Det.sumDecR(col("l_quantity"), 2).as("sum_qty"),
+           Det.sumDecR(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"),
            count(lit(1)).as("n_rows"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
               coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -119,7 +119,7 @@ object Relational {
               col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
               col("l_discount").between(0.05, 0.07) &&
               col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+      .agg(Det.sumDecR(col("l_extendedprice") * col("l_discount"), 2).as("revenue"),
            count(lit(1)).as("n_rows"))
   }
 
@@ -130,7 +130,7 @@ object Relational {
     c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("n_customers"),
-           round(sum("c_acctbal"), 2).as("total_bal"))
+           Det.sumDecR(col("c_acctbal"), 2).as("total_bal"))
       .orderBy("c_mktsegment")
   }
 
@@ -177,8 +177,8 @@ object Relational {
     e.groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
               col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-           round(sum("value"), 2).as("sum_value"),
-           round(avg("value"), 4).as("avg_value"))
+           Det.sumDecR(col("value"), 2).as("sum_value"),
+           Det.avgDecR(col("value"), 4).as("avg_value"))
       .orderBy("day", "event_type")
   }
 
@@ -186,13 +186,13 @@ object Relational {
   def q12TopUsersPerType(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
     val perUser = e.groupBy(col("event_type"), col("user_id"))
-      .agg(sum("value").as("total_value"), count(lit(1)).as("n"))
+      .agg(Det.sumDec(col("value")).as("total_value"), count(lit(1)).as("n"))
     val w = Window.partitionBy("event_type")
       .orderBy(col("total_value").desc, col("user_id").asc)
     perUser.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select(col("event_type"), col("rnk").cast("bigint").as("rnk"),
-              col("user_id"), round(col("total_value"), 2).as("total_value"), col("n"))
+              col("user_id"), Det.dround(col("total_value"), 2).as("total_value"), col("n"))
       .orderBy("event_type", "rnk")
   }
 
@@ -215,7 +215,8 @@ object Relational {
     val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
     li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
-      .agg(round(sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) / sum(rev) * 100, 4).as("promo_share"),
+      .agg(Det.dround(Det.sumDec(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
+             / Det.sumDec(rev) * 100, 4).as("promo_share"),
            count(lit(1)).as("n_rows"))
       .orderBy("month")
   }
@@ -228,22 +229,18 @@ object Relational {
         (get_json_object(col("props"), "$.k").cast("bigint") % 10).as("k_bucket"),
         col("value"))
       .groupBy("k_bucket")
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n"), Det.sumDecR(col("value"), 2).as("sum_value"))
       .orderBy("k_bucket")
   }
 
   /** Statistical aggregates: correlation + sample stddev per flag. */
   def q16Stats(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    // `+ 0.0` would not fold -0.0 to 0.0; an explicit compare does, and
-    // keeps the rounded value hash-identical across engines.
-    def dropNegZero(c: org.apache.spark.sql.Column) =
-      when(c === 0.0, lit(0.0)).otherwise(c)
     li.groupBy("l_returnflag")
-      .agg(dropNegZero(round(corr(col("l_quantity"), col("l_extendedprice")), 3)).as("qty_price_corr"),
-           round(stddev_samp(col("l_extendedprice")), 2).as("price_stddev"),
-           round(min("l_extendedprice"), 2).as("min_price"),
-           round(max("l_extendedprice"), 2).as("max_price"))
+      .agg(Det.dround(corr(col("l_quantity"), col("l_extendedprice")), 3).as("qty_price_corr"),
+           Det.dround(stddev_samp(col("l_extendedprice")), 2).as("price_stddev"),
+           Det.dround(min("l_extendedprice"), 2).as("min_price"),
+           Det.dround(max("l_extendedprice"), 2).as("max_price"))
       .orderBy("l_returnflag")
   }
 
@@ -251,7 +248,7 @@ object Relational {
   def q17Cube(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
     o.cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+      .agg(count(lit(1)).as("n_orders"), Det.sumDecR(col("o_totalprice"), 2).as("total"))
       .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
               coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
               col("n_orders"), col("total"))
@@ -266,7 +263,7 @@ object Relational {
       col("l_linenumber").asc)
     li.withColumn("running_qty", round(sum("l_quantity")
         .over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
-      .withColumn("moving_avg", round(avg("l_quantity")
+      .withColumn("moving_avg", Det.dround(avg("l_quantity")
         .over(w.rowsBetween(-6, 0)), 4))
       .withColumn("qty_delta", round(col("l_quantity") -
         coalesce(lag(col("l_quantity"), 1).over(w), lit(0.0)), 2))
@@ -280,9 +277,9 @@ object Relational {
   def q19Percentiles(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     c.groupBy("c_mktsegment")
-      .agg(round(expr("percentile(c_acctbal, 0.5)"), 2).as("median"),
-           round(expr("percentile(c_acctbal, 0.25)"), 2).as("p25"),
-           round(expr("percentile(c_acctbal, 0.95)"), 2).as("p95"),
+      .agg(Det.dround(expr("percentile(c_acctbal, 0.5)"), 2).as("median"),
+           Det.dround(expr("percentile(c_acctbal, 0.25)"), 2).as("p25"),
+           Det.dround(expr("percentile(c_acctbal, 0.95)"), 2).as("p95"),
            count(lit(1)).as("n"))
       .orderBy("c_mktsegment")
   }
@@ -328,20 +325,20 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity),2) AS sum_qty,
-         round(sum(l_extendedprice),2) AS sum_base_price,
-         round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-         round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
-         round(avg(l_quantity),2) AS avg_qty,
-         round(avg(l_extendedprice),2) AS avg_price,
-         round(avg(l_discount),4) AS avg_disc,
+         floor((CAST(sum(CAST((l_quantity) AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+         floor((CAST(sum(CAST((l_extendedprice) AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
+         floor((CAST(sum(CAST((l_extendedprice*(1-l_discount)) AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
+         floor((CAST(sum(CAST((l_extendedprice*(1-l_discount)*(1+l_tax)) AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_charge,
+         floor((CAST(sum(CAST((l_quantity) AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 100.0 + 0.5) / 100.0 AS avg_qty,
+         floor((CAST(sum(CAST((l_extendedprice) AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 100.0 + 0.5) / 100.0 AS avg_price,
+         floor((CAST(sum(CAST((l_discount) AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
     "q02_revenue_by_nation" ->
       """SELECT r_name, n_name,
-         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+         floor((CAST(sum(CAST((l_extendedprice*(1-l_discount)) AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS revenue,
          count(*) AS n_items
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
@@ -354,7 +351,7 @@ object Relational {
     "q03_top_orders" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
          o_orderpriority,
-         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+         floor((CAST(sum(CAST((l_extendedprice*(1-l_discount)) AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
@@ -372,13 +369,13 @@ object Relational {
     "q05_rollup_sales" ->
       """SELECT coalesce(l_returnflag,'ALL') AS returnflag,
          coalesce(l_linestatus,'ALL') AS linestatus,
-         round(sum(l_quantity),2) AS sum_qty,
-         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+         floor((CAST(sum(CAST((l_quantity) AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+         floor((CAST(sum(CAST((l_extendedprice*(1-l_discount)) AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS revenue,
          count(*) AS n_rows
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY returnflag, linestatus""",
     "q06_revenue_delta" ->
-      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue,
+      """SELECT floor((CAST(sum(CAST((l_extendedprice*l_discount) AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS revenue,
          count(*) AS n_rows
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -386,7 +383,7 @@ object Relational {
            AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
     "q07_segment_semi" ->
       """SELECT c_mktsegment, count(*) AS n_customers,
-         round(sum(c_acctbal),2) AS total_bal
+         floor((CAST(sum(CAST((c_acctbal) AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS total_bal
          FROM customer
          WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
@@ -410,16 +407,17 @@ object Relational {
          ORDER BY tag, n_name""",
     "q11_events_daily" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
-         count(*) AS n_events, round(sum(value),2) AS sum_value,
-         round(avg(value),4) AS avg_value
+         count(*) AS n_events, floor((CAST(sum(CAST((value) AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_value,
+         floor((CAST(sum(CAST((value) AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_value
          FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
     "q12_top_users_per_type" ->
       """SELECT event_type, CAST(rnk AS BIGINT) AS rnk, user_id,
-         round(total_value,2) AS total_value, n
-         FROM (SELECT event_type, user_id, sum(value) AS total_value,
+         floor((total_value) * 100.0 + 0.5) / 100.0 AS total_value, n
+         FROM (SELECT event_type, user_id,
+                CAST(sum(CAST((value) AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
                 count(*) AS n,
                 row_number() OVER (PARTITION BY event_type
-                  ORDER BY sum(value) DESC, user_id ASC) AS rnk
+                  ORDER BY CAST(sum(CAST((value) AS DECIMAL(18,6))) AS DOUBLE) DESC, user_id ASC) AS rnk
                FROM events GROUP BY event_type, user_id)
          WHERE rnk <= 5 ORDER BY event_type, rnk""",
     "q13_priority_counts" ->
@@ -430,28 +428,25 @@ object Relational {
          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
     "q14_promo_share" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS month,
-         round(sum(CASE WHEN p_type = 'PROMO'
-                        THEN l_extendedprice*(1-l_discount) ELSE 0.0 END)
-               / sum(l_extendedprice*(1-l_discount)) * 100, 4) AS promo_share,
+         floor((CAST(sum(CAST((CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1-l_discount) ELSE 0.0 END) AS DECIMAL(18,6))) AS DOUBLE) / CAST(sum(CAST((l_extendedprice*(1-l_discount)) AS DECIMAL(18,6))) AS DOUBLE) * 100) * 10000.0 + 0.5) / 10000.0 AS promo_share,
          count(*) AS n_rows
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY 1 ORDER BY month""",
     "q15_events_json" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
-         count(*) AS n, round(sum(value),2) AS sum_value
+         count(*) AS n, floor((CAST(sum(CAST((value) AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_value
          FROM events GROUP BY 1 ORDER BY k_bucket""",
     "q16_stats" ->
       """SELECT l_returnflag,
-         CASE WHEN round(corr(l_quantity, l_extendedprice),3) = 0.0 THEN 0.0
-              ELSE round(corr(l_quantity, l_extendedprice),3) END AS qty_price_corr,
-         round(stddev_samp(l_extendedprice),2) AS price_stddev,
-         round(min(l_extendedprice),2) AS min_price,
-         round(max(l_extendedprice),2) AS max_price
+         floor((corr(l_quantity, l_extendedprice)) * 1000.0 + 0.5) / 1000.0 AS qty_price_corr,
+         floor((stddev_samp(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS price_stddev,
+         floor((min(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS min_price,
+         floor((max(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS max_price
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q17_cube" ->
       """SELECT coalesce(o_orderstatus,'ALL') AS status,
          coalesce(o_orderpriority,'ALL') AS priority,
-         count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+         count(*) AS n_orders, floor((CAST(sum(CAST((o_totalprice) AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS total
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
          ORDER BY status, priority""",
     "q18_window_frames" ->
@@ -459,18 +454,16 @@ object Relational {
          round(sum(l_quantity) OVER (PARTITION BY l_suppkey
            ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
            ROWS UNBOUNDED PRECEDING), 2) AS running_qty,
-         round(avg(l_quantity) OVER (PARTITION BY l_suppkey
-           ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
-           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS moving_avg,
+         floor((avg(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) * 10000.0 + 0.5) / 10000.0 AS moving_avg,
          round(l_quantity - coalesce(lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
            ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC), 0.0), 2) AS qty_delta
          FROM lineitem WHERE l_suppkey <= 3
          ORDER BY l_suppkey, running_qty, l_orderkey, l_linenumber""",
     "q19_percentiles" ->
       """SELECT c_mktsegment,
-         round(quantile_cont(c_acctbal, 0.5), 2) AS median,
-         round(quantile_cont(c_acctbal, 0.25), 2) AS p25,
-         round(quantile_cont(c_acctbal, 0.95), 2) AS p95,
+         floor((quantile_cont(c_acctbal, 0.5)) * 100.0 + 0.5) / 100.0 AS median,
+         floor((quantile_cont(c_acctbal, 0.25)) * 100.0 + 0.5) / 100.0 AS p25,
+         floor((quantile_cont(c_acctbal, 0.95)) * 100.0 + 0.5) / 100.0 AS p95,
          count(*) AS n
          FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q20_sql_interface" ->

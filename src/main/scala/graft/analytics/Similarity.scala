@@ -38,7 +38,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-              round(array_dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4).as("cos_sim"))
+              Det.dround(array_dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4).as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w))
@@ -169,11 +169,10 @@ object Similarity {
     "s01_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id query_id, embedding q_emb FROM embeddings WHERE vec_id % 100 = 0),
           scored AS (SELECT q.query_id, e.vec_id neighbor_id,
-            round(
-              list_aggregate(list_transform(range(1, len(q.q_emb)+1),
+            floor((list_aggregate(list_transform(range(1, len(q.q_emb)+1),
                 k -> CAST(q.q_emb[k] AS DOUBLE) * CAST(e.embedding[k] AS DOUBLE)), 'sum')
               / (sqrt(list_aggregate(list_transform(q.q_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))
-               * sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))), 4) AS cos_sim
+               * sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')))) * 10000.0 + 0.5) / 10000.0 AS cos_sim
            FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
           ranked AS (SELECT query_id, neighbor_id, cos_sim,
             row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rnk

@@ -38,7 +38,7 @@ object StreamingQueries {
   val oracleSql: Map[String, String] = Map(
     "st01_stream_daily" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
-         count(*) AS n_events, round(sum(value),2) AS sum_value
+         count(*) AS n_events, floor((CAST(sum(CAST((value) AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY day, event_type""",
     "st02_sessions" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events),
@@ -49,12 +49,12 @@ object StreamingQueries {
                         ROWS UNBOUNDED PRECEDING) AS session_id
                 FROM l)
          SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
-          count(*) AS n_events, round(sum(value),2) AS total_value
+          count(*) AS n_events, floor((CAST(sum(CAST((value) AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS total_value
          FROM s GROUP BY user_id, session_id ORDER BY user_id, start_ms""",
     "st03_stream_dedup" ->
       """WITH d AS (SELECT DISTINCT ON (event_id) event_id, event_type, value
                     FROM events ORDER BY event_id, ts)
-         SELECT event_type, count(*) AS n_unique, round(sum(value),2) AS sum_value
+         SELECT event_type, count(*) AS n_unique, floor((CAST(sum(CAST((value) AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_value
          FROM d GROUP BY event_type ORDER BY event_type""",
   )
 }

@@ -30,7 +30,7 @@ object TextOps {
     Tables.documents(spark, dir)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
-           round(avg("n_chars"), 2).as("avg_chars"),
+           Det.dround(sum("n_chars").cast("double") / count(lit(1)), 2).as("avg_chars"),
            sum("n_chars").as("total_chars"))
       .orderBy("lang")
 
@@ -41,7 +41,7 @@ object TextOps {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
            sum("n_tokens").as("total_tokens"),
-           round(avg("n_tokens"), 2).as("avg_tokens"))
+           Det.dround(sum("n_tokens").cast("double") / count(lit(1)), 2).as("avg_tokens"))
       .orderBy("source")
 
   /** Quality scoring: tokens/doc, mean token length, stopword ratio,
@@ -55,10 +55,10 @@ object TextOps {
         (size(filter(col("t"), x => x.isin(stopwords: _*))).cast("double") / size(col("t"))).as("stop_ratio"),
         (size(array_distinct(col("t"))).cast("double") / size(col("t"))).as("ttr"))
     d.groupBy("lang")
-      .agg(round(avg("n_tok"), 2).as("avg_tokens"),
-           round(avg("tok_len"), 4).as("avg_token_len"),
-           round(avg("stop_ratio"), 4).as("avg_stopword_ratio"),
-           round(avg("ttr"), 4).as("avg_type_token_ratio"))
+      .agg(Det.dround(sum("n_tok").cast("double") / count(lit(1)), 2).as("avg_tokens"),
+           Det.avgDec9R(col("tok_len"), 4).as("avg_token_len"),
+           Det.avgDec9R(col("stop_ratio"), 4).as("avg_stopword_ratio"),
+           Det.avgDec9R(col("ttr"), 4).as("avg_type_token_ratio"))
       .orderBy("lang")
   }
 
@@ -114,13 +114,14 @@ object TextOps {
 
   val oracleSql: Map[String, String] = Map(
     "t01_lang_distribution" ->
-      """SELECT lang, count(*) AS n_docs, round(avg(n_chars),2) AS avg_chars,
+      """SELECT lang, count(*) AS n_docs,
+         floor((CAST(sum(n_chars) AS DOUBLE) / count(*)) * 100.0 + 0.5) / 100.0 AS avg_chars,
          sum(n_chars) AS total_chars
          FROM documents GROUP BY lang ORDER BY lang""",
     "t02_token_counts" ->
       """SELECT source, count(*) AS n_docs,
          sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
-         round(avg(len(string_split_regex(trim(text), '\s+'))), 2) AS avg_tokens
+         floor((CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE) / count(*)) * 100.0 + 0.5) / 100.0 AS avg_tokens
          FROM documents GROUP BY source ORDER BY source""",
     "t03_quality_scores" ->
       s"""WITH d AS (SELECT lang, string_split_regex(trim(text), '\\s+') t FROM documents),
@@ -130,10 +131,11 @@ object TextOps {
                  CAST(len(list_filter(t, x -> x IN ($stopList))) AS DOUBLE) / len(t) stop_ratio,
                  CAST(len(list_distinct(t)) AS DOUBLE) / len(t) ttr
                 FROM d)
-          SELECT lang, round(avg(n_tok),2) AS avg_tokens,
-           round(avg(tok_len),4) AS avg_token_len,
-           round(avg(stop_ratio),4) AS avg_stopword_ratio,
-           round(avg(ttr),4) AS avg_type_token_ratio
+          SELECT lang,
+           floor((CAST(sum(n_tok) AS DOUBLE) / count(*)) * 100.0 + 0.5) / 100.0 AS avg_tokens,
+           floor((CAST(sum(CAST((tok_len) AS DECIMAL(18,9))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_token_len,
+           floor((CAST(sum(CAST((stop_ratio) AS DECIMAL(18,9))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_stopword_ratio,
+           floor((CAST(sum(CAST((ttr) AS DECIMAL(18,9))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_type_token_ratio
           FROM m GROUP BY lang ORDER BY lang""",
     "t04_langid" ->
       """WITH d AS (SELECT lang, string_split_regex(trim(text), '\s+') t FROM documents)

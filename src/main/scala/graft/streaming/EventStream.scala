@@ -43,7 +43,8 @@ object EventStream {
     readEvents(spark, dir)
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+           graft.analytics.Det.sumDecR(col("value"), 2).as("sum_value"))
       .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
               col("event_type"), col("n_events"), col("sum_value"))
 
@@ -56,7 +57,8 @@ object EventStream {
       .withWatermark("ts", "1 day")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_unique"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_unique"),
+           graft.analytics.Det.sumDecR(col("value"), 2).as("sum_value"))
 
   /** Run a streaming aggregation to completion over the bounded file
     * source and return the final table. */
@@ -139,7 +141,8 @@ object EventStream {
         w.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("session_id"))
       .agg(min("ts_ms").as("start_ms"), max("ts_ms").as("end_ms"),
-           count(lit(1)).as("n_events"), round(sum("value"), 2).as("total_value"))
+           count(lit(1)).as("n_events"),
+           graft.analytics.Det.sumDecR(col("value"), 2).as("total_value"))
       .drop("session_id")
   }
 
