@@ -63,8 +63,7 @@ object TextOps {
   }
 
   /** Marker-word language-ID heuristic vs. the labeled language —
-    * confusion counts. (The n-gram-profile variant lives in
-    * [[graft.functions.TextFunctions]]; this one is oracle-checkable.) */
+    * confusion counts (rule-based so it stays oracle-checkable). */
   def t04LangId(spark: SparkSession, dir: String): DataFrame = {
     val t = tokens
     val predicted = when(array_contains(t, "the") && array_contains(t, "a"), "en")

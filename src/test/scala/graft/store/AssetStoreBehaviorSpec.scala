@@ -256,6 +256,36 @@ class JsonFileStoreSpec extends AnyFunSuite with AssetStoreBehavior {
     new JsonFileStore(dir.toString)
   }
 
+  test("json_files: NaN payloads round-trip as null through putNode") {
+    // reference NaN policy test shape (test_aerovaldb.py:453-464)
+    val db = makeStore()
+    val node = graft.filters.JsonUtil.parse("""{"x": NaN, "y": [1.5, Infinity]}""")
+    db.putNode(node, graft.core.Route.Menu,
+      Map("project" -> "project", "experiment" -> "experiment"))
+    db.getMenu("project", "experiment") match {
+      case AssetValue.Json(s) => assert(s == """{"x":null,"y":[1.5,null]}""")
+      case other => fail(s"unexpected $other")
+    }
+    db.close()
+  }
+
+  test("json_files: symlinked project dir reads through canonical paths") {
+    // reference symlink case (tests/jsondb/test_jsonfiledb.py:22-26)
+    val dir = Files.createTempDirectory("graft-symlink")
+    Fixture.build(dir)
+    val link = dir.resolve("linked-project")
+    Files.createSymbolicLink(link, dir.resolve("project"))
+    val db = new JsonFileStore(dir.toString)
+    // reads via the symlinked name resolve and cache consistently
+    db.getMenu("linked-project", "experiment", cache = true) match {
+      case AssetValue.Json(s) => assert(s.contains("menu.json"))
+      case other => fail(s"unexpected $other")
+    }
+    db.getMenu("linked-project", "experiment", cache = true)
+    assert(db.asInstanceOf[JsonFileStore].cacheHits.get() == 1)
+    db.close()
+  }
+
   test("json_files: listExperiments distinct + hasResults") {
     val db = makeStore()
     assert(db.listExperiments("project").contains("experiment"))
