@@ -296,6 +296,21 @@ object Relational {
         |ORDER BY p_type, p_partkey""".stripMargin)
   }
 
+  /** Approximate distinct counting (HyperLogLog++) next to the exact
+    * counts — the sketch path for cardinalities at 100 TB where exact
+    * distinct's expand+shuffle is unaffordable. Rows-only check (HLL
+    * implementations differ across engines); ApproxSpec bounds the
+    * relative error against the exact values. */
+  def q21ApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+           countDistinct(col("l_partkey")).as("exact_parts"),
+           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+           countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy("l_returnflag")
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary _,
@@ -318,6 +333,7 @@ object Relational {
     "q18_window_frames"     -> q18WindowFrames _,
     "q19_percentiles"       -> q19Percentiles _,
     "q20_sql_interface"     -> q20SqlInterface _,
+    "q21_approx_distinct"   -> q21ApproxDistinct _,
   )
 
   /** DuckDB oracle SQL, column-name- and order-aligned with the Spark

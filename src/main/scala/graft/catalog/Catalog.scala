@@ -69,6 +69,15 @@ object Catalog {
     }
   }
 
+  /** Persist a catalog as a partitioned parquet metadata table —
+    * subsequent sessions `load` it instead of re-walking the tree, and
+    * (project, experiment) queries prune to one partition subtree. */
+  def persist(catalog: DataFrame, path: String): Unit =
+    catalog.write.mode("overwrite").partitionBy("project").parquet(path)
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Collect a catalog DataFrame back to QueryEntry values. */
   def entries(df: DataFrame): Seq[QueryEntry] =
     df.collect().toSeq.map { r =>

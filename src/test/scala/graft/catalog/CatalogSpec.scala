@@ -29,6 +29,14 @@ class CatalogSpec extends AnyFunSuite {
 
     val heatmaps = Catalog.query(catalog, Seq(Route.Heatmap))
     assert(heatmaps.count() == 1)
+
+    // persisted metadata table round-trips and still prunes
+    val metaPath = Files.createTempDirectory("graft-catalog-meta").resolve("catalog").toString
+    Catalog.persist(catalog, metaPath)
+    val reloaded = Catalog.load(spark, metaPath)
+    assert(reloaded.select("uri").collect().map(_.getString(0)).toSet == catalogUris)
+    assert(Catalog.query(reloaded, Seq(Route.MapRoute),
+      Map("project" -> "project", "experiment" -> "experiment")).count() == 2)
     store.close()
   }
 }
