@@ -311,6 +311,35 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** As-of join — each purchase event matched to the latest view event
+    * at or before it by the same user. Spark lacks a batch as-of join;
+    * per the preference ladder it composes from built-ins (union +
+    * carry-forward window) rather than a custom Strategy: one shuffle
+    * on user_id, one sorted pass — the same cost shape as a native
+    * as-of merge. Oracle: DuckDB's native ASOF JOIN. */
+  def q22AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    // dedup per (user, ts) so tie-breaks are engine-independent
+    def byType(t: String, idName: String) =
+      e.filter(col("event_type") === t)
+        .groupBy("user_id", "ts").agg(min("event_id").as(idName))
+    val views = byType("view", "view_id")
+    val purchases = byType("purchase", "purchase_id")
+    val tagged = views.select(col("user_id"), col("ts"), lit(0).as("kind"),
+        col("view_id"), lit(null).cast("long").as("purchase_id"))
+      .unionByName(purchases.select(col("user_id"), col("ts"), lit(1).as("kind"),
+        lit(null).cast("long").as("view_id"), col("purchase_id")))
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("kind").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tagged
+      .withColumn("last_view", last(col("view_id"), ignoreNulls = true).over(w))
+      .withColumn("last_view_ts", last(when(col("view_id").isNotNull, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("last_view").isNotNull)
+      .select(col("purchase_id"), col("user_id"), col("last_view").as("view_id"),
+        (unix_micros(col("ts")) - unix_micros(col("last_view_ts"))).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary _,
@@ -334,6 +363,7 @@ object Relational {
     "q19_percentiles"       -> q19Percentiles _,
     "q20_sql_interface"     -> q20SqlInterface _,
     "q21_approx_distinct"   -> q21ApproxDistinct _,
+    "q22_asof_join"         -> q22AsOfJoin _,
   )
 
   /** DuckDB oracle SQL, column-name- and order-aligned with the Spark
@@ -488,5 +518,14 @@ object Relational {
          WHERE p_retailprice > 1.03 * (SELECT avg(p2.p_retailprice)
                                       FROM part p2 WHERE p2.p_type = p.p_type)
          ORDER BY p_type, p_partkey""",
+    "q22_asof_join" ->
+      """WITH base AS (SELECT user_id, ts, event_type, min(event_id) AS eid
+                       FROM events GROUP BY 1, 2, 3),
+          v AS (SELECT user_id, ts, eid AS view_id FROM base WHERE event_type = 'view'),
+          p AS (SELECT user_id, ts, eid AS purchase_id FROM base WHERE event_type = 'purchase')
+         SELECT p.purchase_id, p.user_id, v.view_id,
+          epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+         FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+         ORDER BY purchase_id""",
   )
 }
