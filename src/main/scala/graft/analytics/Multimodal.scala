@@ -88,9 +88,42 @@ object Multimodal {
       .orderBy("source")
   }
 
+  final case class Thumb(doc_id: Long, orig_bytes: Int, thumb_bytes: Int,
+                         checksum: Long)
+
+  /** Partition-wise "resize": downsample each blob by `factor` (every
+    * k-th byte — the stub stand-in for image resize; swap the inner
+    * loop for a real scaler, the batching and schema stay). */
+  def m03Resize(spark: SparkSession, dir: String, factor: Int = 8): DataFrame = {
+    import spark.implicits._
+    blobTable(spark, dir).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (docId, bytes) =>
+          val thumb = bytes.indices.collect { case i if i % factor == 0 => bytes(i) }.toArray
+          var crc = 1L
+          thumb.foreach(b => crc = crc * 31 + (b & 0xFF))
+          Thumb(docId, bytes.length, thumb.length, crc)
+        }
+      }.toDF()
+  }
+
+  /** Resize rollup per source: exercises the stub scaler end-to-end. */
+  def m03ResizeStats(spark: SparkSession, dir: String): DataFrame = {
+    val thumbs = m03Resize(spark, dir)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    thumbs.join(broadcast(docs), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_blobs"),
+           sum("orig_bytes").as("total_orig"),
+           sum("thumb_bytes").as("total_thumb"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "m01_blob_meta"   -> m01BlobMeta _,
-    "m02_frame_stats" -> m02FrameStats _,
+    "m01_blob_meta"    -> m01BlobMeta _,
+    "m02_frame_stats"  -> m02FrameStats _,
+    "m03_resize_stats" -> m03ResizeStats _,
   )
 
   /** m01 is byte-exact SQL (UTF-8 length); m02's stub decode is
