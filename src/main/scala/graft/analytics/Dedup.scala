@@ -69,21 +69,23 @@ object Dedup {
     * Jaccard ≥ 0.2 — same final predicate as d01 so the two tiers are
     * comparable; at scale only this one is runnable. */
   def d02MinHashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
     val sh = docShingles(spark, dir).cache()
-    // signature: per doc, min over shingles of xxhash64(shingle, seed_i)
-    val sigCols = (0 until NumHashes).map { i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"h$i")
-    }
+    // signature: the one-pass MinHash sketch aggregator (64 slots in a
+    // single mutable buffer — the TypedImperativeAggregate shape),
+    // bit-identical to min(xxhash64(shingle, lit(i))) per slot
     val sigs = sh.select(col("doc_id"), explode(col("s")).as("shingle"))
-      .groupBy("doc_id")
-      .agg(sigCols.head, sigCols.tail: _*)
+      .as[(Long, String)]
+      .groupByKey(_._1)
+      .agg(graft.functions.MinHashAgg.toColumn.name("sig"))
+      .toDF("doc_id", "sig")
     // LSH: band hash over each group of RowsPerBand signature slots
     val bandCols = (0 until NumBands).map { b =>
-      val slots = (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}"))
+      val slots = (0 until RowsPerBand).map(r => element_at(col("sig"), b * RowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(slots: _*).as("bh"))
     }
-    val buckets = sigs.select(col("doc_id"), array(bandCols: _*).as("bands"),
-        array((0 until NumHashes).map(i => col(s"h$i")): _*).as("sig"))
+    val buckets = sigs.select(col("doc_id"), col("sig"), array(bandCols: _*).as("bands"))
       .select(col("doc_id"), col("sig"), explode(col("bands")).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     // candidate pairs: same (band, bandhash) bucket; dedup across bands

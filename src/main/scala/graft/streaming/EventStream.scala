@@ -60,6 +60,41 @@ object EventStream {
       .agg(count(lit(1)).as("n_unique"),
            graft.analytics.Det.sumDecR(col("value"), 2).as("sum_value"))
 
+  /** Stream-stream interval join: purchases joined to view events of
+    * the same user within the preceding `windowMinutes` — watermarks on
+    * both sides bound the join state (Spark retains only rows inside
+    * the interval + watermark slack, so state is O(rate · window) at
+    * any scale). Inner join → append-mode pairs. */
+  def streamStreamJoin(spark: SparkSession, dir: String, windowMinutes: Int = 60): DataFrame = {
+    val views = readEvents(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+              col("event_id").as("view_id"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = readEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+              col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("v_ts") <= col("p_ts"))
+  }
+
+  /** Run an append-mode streaming query to completion over the bounded
+    * file source and return the sink table. */
+  def runAppendToCompletion(spark: SparkSession, df: DataFrame, queryName: String): DataFrame = {
+    val q = df.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Run a streaming aggregation to completion over the bounded file
     * source and return the final table. */
   def runToCompletion(spark: SparkSession, agg: DataFrame, queryName: String): DataFrame = {

@@ -39,4 +39,26 @@ class CatalogSpec extends AnyFunSuite {
       Map("project" -> "project", "experiment" -> "experiment")).count() == 2)
     store.close()
   }
+
+  test("incremental refresh picks up added and removed assets") {
+    val dir = Files.createTempDirectory("graft-catalog-refresh")
+    Fixture.build(dir)
+    val spark = SparkTestSession.spark
+    val prior = Catalog.ingest(spark, dir.toString).cache()
+    prior.count()
+    // add one asset, remove one
+    Files.writeString(dir.resolve("project/experiment/statistics2.json"), "{}")
+    Files.move(dir.resolve("project/experiment/statistics2.json"),
+      dir.resolve("project/experiment2-statistics.json")) // unparseable name -> skipped
+    Files.writeString(dir.resolve("project/experiment/menu2.json"), "{}") // unparseable too
+    val db = new graft.store.JsonFileStore(dir.toString)
+    db.putMenu("""{"fresh": 1}""", "project", "newexp")
+    Files.delete(dir.resolve("project/experiment/menu.json"))
+    db.close()
+    val refreshed = Catalog.refresh(spark, prior, dir.toString)
+    val uris = refreshed.select("uri").collect().map(_.getString(0)).toSet
+    assert(uris.exists(_.contains("/menu/project/newexp")))
+    assert(!uris.exists(_.contains("/menu/project/experiment?")))
+    assert(refreshed.count() == prior.count()) // one added, one removed
+  }
 }

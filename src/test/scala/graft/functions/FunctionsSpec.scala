@@ -65,6 +65,22 @@ class FunctionsSpec extends AnyFunSuite {
     assert(fast == slow)
   }
 
+  test("MinHashAgg slot hashes equal the builtin xxhash64 chain") {
+    val shingles = Seq((1L, "a b c"), (1L, "b c d"), (2L, "x y z"))
+    val viaAgg = shingles.toDS()
+      .groupByKey(_._1).agg(MinHashAgg.toColumn.name("sig"))
+      .collect().toMap
+    val df = shingles.toDF("doc_id", "shingle")
+    val sigCols = (0 until MinHashAgg.NumHashes).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    val viaBuiltin = df.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to MinHashAgg.NumHashes).map(r.getLong).toArray).toMap
+    viaAgg.foreach { case (k, sig) =>
+      assert(sig.sameElements(viaBuiltin(k)), s"signature mismatch for doc $k")
+    }
+  }
+
   test("identical texts share a simhash; distinct texts differ") {
     import SimHash64.simhash64
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
