@@ -19,7 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextOps.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ StreamingQueries.queries ++
-      StoreQueries.queries ++ Pipeline.queries
+      StoreQueries.queries ++ Pipeline.queries ++ LangId.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
