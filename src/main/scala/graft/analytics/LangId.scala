@@ -57,9 +57,29 @@ object LangId {
   /** Gate query: fit on the labeled corpus, predict it back, report the
     * confusion matrix. Rows-only (windowed float ranking). */
   def t07NgramLangId(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir).cache()
-    val profile = fit(docs)
-    predict(docs, profile)
+    // materialize the exploded trigram bag once; fit and predict both
+    // derive from it (one explode pass instead of two)
+    val docs = Tables.documents(spark, dir)
+    val grams = docs.select(col("doc_id"), col("lang"),
+        explode(trigramsExpr("text")).as("gram"))
+      .groupBy("doc_id", "lang", "gram").agg(count(lit(1)).as("tf"))
+      .cache()
+
+    val byLang = grams.groupBy("lang", "gram").agg(sum("tf").as("n"))
+    val w = Window.partitionBy("lang").orderBy(col("n").desc, col("gram").asc)
+    val top = byLang.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= ProfileSize)
+    val totals = top.groupBy("lang").agg(sum("n").as("total"))
+    val profile = top.join(totals, "lang")
+      .select(col("lang").as("profile_lang"), col("gram"),
+        (col("n").cast("double") / col("total")).as("weight"))
+
+    val scored = grams.join(broadcast(profile), Seq("gram"))
+      .groupBy(col("doc_id"), col("profile_lang"))
+      .agg(sum(col("tf") * col("weight")).as("score"))
+    val w2 = Window.partitionBy("doc_id").orderBy(col("score").desc, col("profile_lang").asc)
+    scored.withColumn("rnk", row_number().over(w2))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("profile_lang").as("predicted"))
       .join(docs.select(col("doc_id"), col("lang")), "doc_id")
       .groupBy("lang", "predicted")
       .agg(count(lit(1)).as("n"))
