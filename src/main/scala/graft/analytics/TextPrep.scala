@@ -1,0 +1,105 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus preparation operators that finish the training-data story:
+  * chunking, deterministic sampling, shard packing. All pure column
+  * expressions / windows, all oracle-checked.
+  */
+object TextPrep {
+
+  private val ChunkTokens = 32
+  private val Overlap = 8
+
+  /** Split documents into overlapping token-window chunks: stride =
+    * ChunkTokens - Overlap, one output row per chunk with its token
+    * span — explode of a computed sequence, no UDF, linear scan. */
+  def t08Chunking(spark: SparkSession, dir: String): DataFrame = {
+    val stride = ChunkTokens - Overlap
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      .withColumn("n_tok", size(col("toks")))
+      // chunk start offsets: 0, stride, 2*stride, … while start < n_tok
+      .withColumn("starts", sequence(lit(0),
+        greatest(floor((col("n_tok") - 1) / stride).cast("int"), lit(0)) * stride,
+        lit(stride)))
+      .select(col("doc_id"), col("n_tok"), posexplode(col("starts")).as(Seq("chunk_id", "start")),
+        col("toks"))
+      .withColumn("chunk_len", least(lit(ChunkTokens), col("n_tok") - col("start")))
+      .filter(col("chunk_len") > 0)
+    d.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+           sum("chunk_len").as("chunk_tokens"),
+           max("n_tok").as("n_tok"))
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("n_chunks"), col("chunk_tokens"),
+        col("n_tok").cast("bigint").as("n_tok"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic Bernoulli sampling: keep a doc iff the first two hex
+    * digits of md5(text) fall under the rate — reproducible across
+    * engines, runs, and cluster sizes (no RNG state). */
+  def t09DeterministicSample(spark: SparkSession, dir: String): DataFrame = {
+    // hex-prefix compare: md5 is lowercase hex in both engines, so the
+    // lexicographic test "< '40'" is the deterministic 25% gate
+    Tables.documents(spark, dir)
+      .withColumn("sampled", substring(md5(col("text")), 1, 2) < "40")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"))
+      .orderBy("lang")
+  }
+
+  /** Shard packing: assign docs (ordered by doc_id) to output shards of
+    * ~`budget` tokens via a cumulative-sum window — the deterministic
+    * layout step before writing training shards. */
+  def t10ShardPacking(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 4000L
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    d.withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("shard_id", floor((col("cum") - 1L) / budget).cast("bigint"))
+      .groupBy("lang", "shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
+      .orderBy("lang", "shard_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t08_chunking"      -> t08Chunking _,
+    "t09_deterministic_sample" -> t09DeterministicSample _,
+    "t10_shard_packing" -> t10ShardPacking _,
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "t08_chunking" ->
+      """WITH d AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tok
+                    FROM documents),
+          ch AS (SELECT doc_id, n_tok, unnest(range(0, ((n_tok - 1) // 24) * 24 + 1, 24)) AS start
+                 FROM d),
+          c AS (SELECT doc_id, n_tok, least(32, n_tok - start) AS chunk_len
+                FROM ch WHERE n_tok - start > 0)
+         SELECT doc_id, count(*) AS n_chunks, sum(chunk_len) AS chunk_tokens,
+          CAST(max(n_tok) AS BIGINT) AS n_tok
+         FROM c WHERE doc_id < 50 GROUP BY doc_id ORDER BY doc_id""",
+    "t09_deterministic_sample" ->
+      """SELECT lang, count(*) AS n_docs,
+          sum(CASE WHEN substr(md5(text), 1, 2) < '40' THEN 1 ELSE 0 END) AS n_sampled
+         FROM documents GROUP BY lang ORDER BY lang""",
+    "t10_shard_packing" ->
+      """WITH d AS (SELECT doc_id, lang,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+                    FROM documents),
+          c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                              ROWS UNBOUNDED PRECEDING) AS cum
+                FROM d)
+         SELECT lang, CAST((cum - 1) // 4000 AS BIGINT) AS shard_id,
+          count(*) AS n_docs, sum(n_tokens) AS shard_tokens
+         FROM c GROUP BY 1, 2 ORDER BY lang, shard_id""",
+  )
+}
