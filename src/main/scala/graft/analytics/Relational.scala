@@ -340,6 +340,20 @@ object Relational {
       .orderBy("purchase_id")
   }
 
+  /** Text ⋈ embedding join: document language crossed with embedding
+    * cluster label (doc_id = vec_id where both exist) — the multimodal
+    * join shape (text table ⋈ vector table on the shared id). */
+  def q23DocsEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("label"))
+    docs.join(emb, "doc_id")
+      .groupBy("lang", "label")
+      .agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("label").cast("bigint").as("label"), col("n"))
+      .orderBy("lang", "label")
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary _,
@@ -364,6 +378,7 @@ object Relational {
     "q20_sql_interface"     -> q20SqlInterface _,
     "q21_approx_distinct"   -> q21ApproxDistinct _,
     "q22_asof_join"         -> q22AsOfJoin _,
+    "q23_docs_embeddings"   -> q23DocsEmbeddings _,
   )
 
   /** DuckDB oracle SQL, column-name- and order-aligned with the Spark
@@ -527,5 +542,9 @@ object Relational {
           epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
          FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
          ORDER BY purchase_id""",
+    "q23_docs_embeddings" ->
+      """SELECT d.lang, CAST(e.label AS BIGINT) AS label, count(*) AS n
+         FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+         GROUP BY 1, 2 ORDER BY lang, label""",
   )
 }
