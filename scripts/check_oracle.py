@@ -20,14 +20,14 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 def value_hash(df: pd.DataFrame) -> str:
+    # Stringify values raw (no float reformatting) to mirror the driver's
+    # compare: a DuckDB HUGEINT that pandas coerces to float64 must FAIL
+    # here ("7949.0" vs "7949"), not be masked by %.6g formatting.
     import hashlib
     h = hashlib.md5()
     for row in df.itertuples(index=False):
         for v in row:
-            if isinstance(v, float):
-                h.update(f"{v:.6g}".encode())
-            else:
-                h.update(str(v).encode())
+            h.update(str(v).encode())
         h.update(b"\n")
     return h.hexdigest()
 

@@ -131,8 +131,8 @@ object Multimodal {
   val oracleSql: Map[String, String] = Map(
     "m01_blob_meta" ->
       """SELECT source, count(*) AS n_blobs,
-         sum(octet_length(encode(text))) AS total_bytes,
-         max(octet_length(encode(text))) AS max_bytes
+         CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+         CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
          FROM documents GROUP BY source ORDER BY source""",
   )
 }

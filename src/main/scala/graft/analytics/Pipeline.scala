@@ -51,7 +51,7 @@ object Pipeline {
                  ORDER BY doc_id) rn
                FROM g),
          s AS (SELECT * FROM d WHERE rn = 1 AND doc_id % 5 <> 0)
-         SELECT lang, count(*) AS n_docs, sum(n_tokens) AS token_budget,
+         SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS token_budget,
            floor((CAST(sum(CAST((ttr) AS DECIMAL(18,9))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_ttr
          FROM s GROUP BY lang ORDER BY lang""",
   )

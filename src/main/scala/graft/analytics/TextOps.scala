@@ -91,9 +91,12 @@ object TextOps {
     * never on the document text). Output: survivor stats per source. */
   def t06DedupExact(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("source"), col("doc_id"), fingerprint.as("fp"))
-    val survivors = d.groupBy("fp").agg(min("doc_id").as("doc_id"), count(lit(1)).as("dups"))
+    // min_by carries the survivor's source through the fingerprint agg —
+    // one shuffle total, no join-back to recover attributes.
+    val survivors = d.groupBy("fp")
+      .agg(min_by(col("source"), col("doc_id")).as("source"),
+           count(lit(1)).as("dups"))
     survivors
-      .join(d.select("doc_id", "source"), "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_unique"),
            sum(col("dups") - 1).as("n_removed"))
@@ -115,11 +118,11 @@ object TextOps {
     "t01_lang_distribution" ->
       """SELECT lang, count(*) AS n_docs,
          floor((CAST(sum(n_chars) AS DOUBLE) / count(*)) * 100.0 + 0.5) / 100.0 AS avg_chars,
-         sum(n_chars) AS total_chars
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY lang ORDER BY lang""",
     "t02_token_counts" ->
       """SELECT source, count(*) AS n_docs,
-         sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
          floor((CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS DOUBLE) / count(*)) * 100.0 + 0.5) / 100.0 AS avg_tokens
          FROM documents GROUP BY source ORDER BY source""",
     "t03_quality_scores" ->
@@ -153,7 +156,7 @@ object TextOps {
                      substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) fp
                     FROM documents),
           s AS (SELECT min(doc_id) doc_id, count(*) dups FROM f GROUP BY fp)
-         SELECT f.source, count(*) AS n_unique, sum(s.dups - 1) AS n_removed
+         SELECT f.source, count(*) AS n_unique, CAST(sum(s.dups - 1) AS BIGINT) AS n_removed
          FROM s JOIN f ON s.doc_id = f.doc_id
          GROUP BY f.source ORDER BY f.source""",
   )

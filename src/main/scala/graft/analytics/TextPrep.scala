@@ -84,12 +84,12 @@ object TextPrep {
                  FROM d),
           c AS (SELECT doc_id, n_tok, least(32, n_tok - start) AS chunk_len
                 FROM ch WHERE n_tok - start > 0)
-         SELECT doc_id, count(*) AS n_chunks, sum(chunk_len) AS chunk_tokens,
+         SELECT doc_id, count(*) AS n_chunks, CAST(sum(chunk_len) AS BIGINT) AS chunk_tokens,
           CAST(max(n_tok) AS BIGINT) AS n_tok
          FROM c WHERE doc_id < 50 GROUP BY doc_id ORDER BY doc_id""",
     "t09_deterministic_sample" ->
       """SELECT lang, count(*) AS n_docs,
-          sum(CASE WHEN substr(md5(text), 1, 2) < '40' THEN 1 ELSE 0 END) AS n_sampled
+          CAST(sum(CASE WHEN substr(md5(text), 1, 2) < '40' THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
          FROM documents GROUP BY lang ORDER BY lang""",
     "t10_shard_packing" ->
       """WITH d AS (SELECT doc_id, lang,
@@ -99,7 +99,7 @@ object TextPrep {
                                               ROWS UNBOUNDED PRECEDING) AS cum
                 FROM d)
          SELECT lang, CAST((cum - 1) // 4000 AS BIGINT) AS shard_id,
-          count(*) AS n_docs, sum(n_tokens) AS shard_tokens
+          count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
          FROM c GROUP BY 1, 2 ORDER BY lang, shard_id""",
   )
 }
