@@ -26,5 +26,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextOps.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++
-      StreamingQueries.oracleSql ++ Pipeline.oracleSql ++ TextPrep.oracleSql
+      StreamingQueries.oracleSql ++ Pipeline.oracleSql ++ LangId.oracleSql ++
+      TextPrep.oracleSql
 }
