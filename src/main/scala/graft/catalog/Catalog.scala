@@ -2,6 +2,7 @@ package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.LongAccumulator
 
 import graft.core.{QueryEntry, Route}
 import graft.store.JsonFileStore
@@ -25,39 +26,60 @@ object Catalog {
     "layer", "modvar", "time", "region", "title", "path", "source",
     "variable", "date", "mtime_ms", "size_bytes", "src_path")
 
-  /** Distributed catalog build: Spark lists the tree (binaryFile gives
-    * path/mtime/size without reading content), then executors
-    * reverse-parse each path with the same codec the point API uses. */
-  def ingest(spark: SparkSession, basedir: String): DataFrame = {
+  /** Tree listing WITHOUT parsing: (src_path, mtime_ms, size_bytes).
+    * binaryFile gives path/mtime/size; the unread `content` column is
+    * pruned, so no file bytes move. */
+  def listing(spark: SparkSession, basedir: String): DataFrame = {
     import spark.implicits._
-    val listing = spark.read.format("binaryFile")
+    spark.read.format("binaryFile")
       .option("pathGlobFilter", "*")
       .option("recursiveFileLookup", "true")
       .load(basedir)
       .select(col("path"), col("modificationTime"), col("length"))
       .as[(String, java.sql.Timestamp, Long)]
-
-    val base = basedir
-    listing.mapPartitions { it =>
-      // one store handle per partition: memoizes version lookups
-      // (config reads) across the partition's files, like the
-      // reference's alru_cache
-      val store = new JsonFileStore(base)
-      it.flatMap { case (rawPath, mtime, size) =>
-        val p = java.nio.file.Paths.get(new java.net.URI(rawPath).getPath)
-        store.queryEntryForFile(p).map { e =>
-          (e.uri, e.route.name,
-            e.meta.get("project"), e.meta.get("experiment"),
-            e.meta.get("frequency"), e.meta.get("obsvar"), e.meta.get("model"),
-            e.meta.get("timestep"), e.meta.get("location"), e.meta.get("network"),
-            e.meta.get("layer"), e.meta.get("modvar"), e.meta.get("time"),
-            e.meta.get("region"), e.meta.get("title"), e.meta.get("path"),
-            e.meta.get("source"), e.meta.get("variable"), e.meta.get("date"),
-            mtime.getTime, size, p.toString)
-        }
+      .map { case (rawPath, mtime, size) =>
+        (java.nio.file.Paths.get(new java.net.URI(rawPath).getPath).toString,
+          mtime.getTime, size)
       }
-    }.toDF(schema: _*)
+      .toDF("src_path", "mtime_ms", "size_bytes")
   }
+
+  /** Reverse-parse a listing subset into catalog rows. `parseCounter`
+    * (if supplied) counts files actually examined — the refresh test
+    * asserts it equals the number of changed files. */
+  private def parse(spark: SparkSession, basedir: String, files: DataFrame,
+                    parseCounter: Option[LongAccumulator]): DataFrame = {
+    import spark.implicits._
+    val base = basedir
+    files.select("src_path", "mtime_ms", "size_bytes")
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        // one store handle per partition: memoizes version lookups
+        // (config reads) across the partition's files, like the
+        // reference's alru_cache
+        val store = new JsonFileStore(base)
+        it.flatMap { case (path, mtimeMs, size) =>
+          parseCounter.foreach(_.add(1))
+          val p = java.nio.file.Paths.get(path)
+          store.queryEntryForFile(p).map { e =>
+            (e.uri, e.route.name,
+              e.meta.get("project"), e.meta.get("experiment"),
+              e.meta.get("frequency"), e.meta.get("obsvar"), e.meta.get("model"),
+              e.meta.get("timestep"), e.meta.get("location"), e.meta.get("network"),
+              e.meta.get("layer"), e.meta.get("modvar"), e.meta.get("time"),
+              e.meta.get("region"), e.meta.get("title"), e.meta.get("path"),
+              e.meta.get("source"), e.meta.get("variable"), e.meta.get("date"),
+              mtimeMs, size, path)
+          }
+        }
+      }.toDF(schema: _*)
+  }
+
+  /** Distributed catalog build: Spark lists the tree, then executors
+    * reverse-parse each path with the same codec the point API uses. */
+  def ingest(spark: SparkSession, basedir: String,
+             parseCounter: Option[LongAccumulator] = None): DataFrame =
+    parse(spark, basedir, listing(spark, basedir), parseCounter)
 
   /** `query()` over an ingested catalog: route-set membership + exact
     * key equality — all pushdown-friendly. */
@@ -80,20 +102,17 @@ object Catalog {
 
   /** Incremental refresh: keep prior entries whose file mtime/size are
     * unchanged, re-parse only new or modified files, drop deleted ones.
-    * At millions of assets a refresh touches only the changed paths —
-    * an anti-join against the fresh listing, never a full re-parse. */
-  def refresh(spark: SparkSession, prior: DataFrame, basedir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    val fresh = ingest(spark, basedir) // listing is cheap; parse below is what we dedupe
-    // entries unchanged since `prior` keep their prior row (same
-    // src_path + mtime + size); everything else comes from the fresh
-    // ingest. Equivalent output, minimal re-parse in a real system
-    // where `prior` is a persisted metadata table and `fresh` would be
-    // listing-only until joined.
+    * The fresh tree is LISTED only (path/mtime/size — no content read,
+    * no reverse parse); the anti-join against `prior` finds the changed
+    * subset and only that subset is parsed, so at millions of assets a
+    * refresh touches exactly the changed paths. */
+  def refresh(spark: SparkSession, prior: DataFrame, basedir: String,
+              parseCounter: Option[LongAccumulator] = None): DataFrame = {
+    val ls = listing(spark, basedir)
     val keyCols = Seq("src_path", "mtime_ms", "size_bytes")
-    val unchanged = prior.join(fresh.select(keyCols.map(col): _*), keyCols, "left_semi")
-    val changed = fresh.join(prior.select(keyCols.map(col): _*), keyCols, "left_anti")
-    unchanged.unionByName(changed)
+    val unchanged = prior.join(ls, keyCols, "left_semi")
+    val changedFiles = ls.join(prior.select(keyCols.map(col): _*), keyCols, "left_anti")
+    unchanged.unionByName(parse(spark, basedir, changedFiles, parseCounter))
   }
 
   /** Collect a catalog DataFrame back to QueryEntry values. */

@@ -55,10 +55,24 @@ class CatalogSpec extends AnyFunSuite {
     db.putMenu("""{"fresh": 1}""", "project", "newexp")
     Files.delete(dir.resolve("project/experiment/menu.json"))
     db.close()
-    val refreshed = Catalog.refresh(spark, prior, dir.toString)
+    val counter = spark.sparkContext.longAccumulator("graft.catalog.parsedFiles")
+    // cache + single materializing count so the parse stage runs exactly
+    // once — the accumulator then IS the number of files parsed
+    val refreshed = Catalog.refresh(spark, prior, dir.toString, Some(counter)).cache()
+    val refreshedCount = refreshed.count()
     val uris = refreshed.select("uri").collect().map(_.getString(0)).toSet
     assert(uris.exists(_.contains("/menu/project/newexp")))
     assert(!uris.exists(_.contains("/menu/project/experiment?")))
-    assert(refreshed.count() == prior.count()) // one added, one removed
+    assert(refreshedCount == prior.count()) // one added, one removed
+
+    // refresh must parse ONLY the changed paths: exactly the listing
+    // rows with no (src_path, mtime, size) match in the prior catalog
+    val keys = Seq("src_path", "mtime_ms", "size_bytes")
+    val expectedChanged = Catalog.listing(spark, dir.toString)
+      .join(prior.select(keys.map(org.apache.spark.sql.functions.col): _*), keys, "left_anti")
+      .count()
+    assert(counter.value == expectedChanged)
+    assert(expectedChanged < prior.count()) // strictly fewer than a full re-parse
+    refreshed.unpersist()
   }
 }
