@@ -240,16 +240,31 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
     appendRow(tableFor(route), args ++ (kw - "version"), None, None, "rm")
   }
 
+  /** Experiment-wide delete as ONE distributed tombstone write per
+    * table: the live keys of the experiment (a partition-pruned scan —
+    * tables are partitioned on project/experiment) are written back as
+    * `rm` rows. No `collect()`: at millions of assets per experiment
+    * nothing funnels through the driver. */
   def rmExperimentData(project: String, experiment: String): Unit =
     tables.keys.foreach { table =>
       val keys = tableKeys(table)
       if (keys.contains("experiment"))
         liveRows(table).foreach { df =>
-          df.filter(col("project") === project && col("experiment") === experiment)
-            .collect().foreach { r =>
-              val keyVals = keys.flatMap(k => Option(r.getAs[String](k)).map(k -> _)).toMap
-              appendRow(table, keyVals, None, None, "rm")
-            }
+          // one batch seq for the whole tombstone set — keys are unique
+          // within it, and a later same-millisecond put (higher seq)
+          // still wins the newest-row resolution
+          val batchSeq = TableStore.seqCounter.getAndIncrement()
+          val tombstones = df
+            .filter(col("project") === project && col("experiment") === experiment)
+            .select(keys.map(k => col(k).cast("string").as(k)): _*)
+            .withColumn("json", lit(null).cast("string"))
+            .withColumn("blob", lit(null).cast("binary"))
+            .withColumn("put_time", lit(System.currentTimeMillis()))
+            .withColumn("seq", lit(batchSeq))
+            .withColumn("op", lit("rm"))
+          val parts = partitionCols(table)
+          val w = tombstones.write.mode(SaveMode.Append)
+          (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tablePath(table))
         }
     }
 
