@@ -105,6 +105,18 @@ object Similarity {
     val K = 16; val NProbe = 4; val Iters = 3
     val e = Dedup.normalizedVectors(spark, dir).cache()
 
+    // nearest centroid per vector as a min_by HASH aggregation — a
+    // row_number window here would sort-shuffle N×K rows per Lloyd
+    // iteration just to compute an argmax. Tie-break: score desc,
+    // cell asc (via lexicographic (-score, cell) min).
+    def assign(cDf: DataFrame): DataFrame = e.crossJoin(cDf)
+      .withColumn("score", array_dot(col("v"), col("centroid")) / col("norm"))
+      .groupBy("vec_id")
+      .agg(min_by(struct(col("cell"), col("v"), col("norm")),
+        struct((-col("score")).as("ns"), col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.v").as("v"),
+        col("best.norm").as("norm"), col("best.cell").as("cell"))
+
     // deterministic init: the K lowest vec_ids
     var centroids: Array[(Int, Seq[Double])] = e.orderBy("vec_id").limit(K)
       .collect().zipWithIndex
@@ -113,43 +125,41 @@ object Similarity {
     for (_ <- 0 until Iters) {
       val cDf = broadcast(spark.createDataFrame(centroids.toSeq)
         .toDF("cell", "centroid"))
-      // assign: nearest centroid by dot on normalized-ish vectors
-      val assigned = e.crossJoin(cDf)
-        .withColumn("score", array_dot(col("v"), col("centroid")) / col("norm"))
-        .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("score").desc, col("cell").asc)))
-        .filter(col("rnk") === 1)
       // update: per-cell mean (deterministic)
-      centroids = assigned.groupBy("cell")
+      centroids = assign(cDf).groupBy("cell")
         .agg(array((0 until 64).map(i => avg(element_at(col("v"), i + 1))): _*).as("centroid"))
         .collect().map(r => (r.getInt(0), r.getAs[Seq[Double]]("centroid")))
     }
+    // centroids are now driver-side; the remaining plan re-derives the
+    // assignment from the raw table, so drop the Lloyd-loop cache
+    // rather than leak it across the bench session (at scale you would
+    // instead WRITE the assignment out partitioned by cell)
+    e.unpersist()
 
     val cDf = broadcast(spark.createDataFrame(centroids.toSeq).toDF("cell", "centroid"))
-    val assigned = e.crossJoin(cDf)
-      .withColumn("score", array_dot(col("v"), col("centroid")) / col("norm"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("score").desc, col("cell").asc)))
-      .filter(col("rnk") === 1)
-      .select(col("vec_id"), col("v"), col("norm"), col("cell"))
-      .cache()
+    val assigned = assign(cDf)
 
-    // queries probe their NProbe nearest cells
-    val q = assigned.filter(col("vec_id") % 100 === 0)
+    // queries probe their NProbe nearest cells: per query only K=16
+    // candidate rows, so top-N is a collect_list + array_sort + slice
+    // inside one hash agg — no window, no sort shuffle
+    val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     val probes = q.crossJoin(cDf)
       .withColumn("score", array_dot(col("qv"), col("centroid")) / col("qnorm"))
-      .withColumn("prnk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("score").desc, col("cell").asc)))
-      .filter(col("prnk") <= NProbe)
-      .select(col("query_id"), col("qv"), col("qnorm"), col("cell"))
+      .groupBy("query_id")
+      .agg(first(col("qv")).as("qv"), first(col("qnorm")).as("qnorm"),
+        slice(array_sort(collect_list(struct((-col("score")).as("ns"), col("cell")))),
+          1, NProbe).as("top"))
+      .select(col("query_id"), col("qv"), col("qnorm"),
+        explode(col("top.cell")).as("cell"))
 
-    // exact rerank within probed cells only
+    // exact rerank within probed cells only; each vector lives in
+    // exactly one cell so (query_id, neighbor_id) is already unique —
+    // no dedup shuffle needed
     val scored = probes.join(assigned, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(array_dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4).as("cos_sim"))
-      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w))
