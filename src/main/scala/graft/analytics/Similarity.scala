@@ -63,14 +63,17 @@ object Similarity {
     val hpDf = broadcast(
       hp.zipWithIndex.map { case (planes, b) => (b, planes.map(_.toSeq).toSeq) }
         .toSeq.toDF("band", "planes"))
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    // 16-bit sign signature per (vector, band): left-fold acc*2 + bit,
-    // bit = sign(dot(v, plane)) — higher-order functions only, no UDF.
+    import graft.functions.VectorFunctions._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        as_double_array(col("embedding")).as("v64"))
+    // 6-bit sign signature per (vector, band): left-fold acc*2 + bit,
+    // bit = sign(dot(v, plane)). The per-plane dot is the tight-loop
+    // array_dot expression — the interpreted zip_with+aggregate fold
+    // allocated an intermediate 64-element product array per plane per
+    // band per vector and dominated s02's runtime.
     def signature = aggregate(col("planes"), lit(0L), (acc, plane) =>
-      acc * 2 + when(
-        aggregate(zip_with(col("embedding"), plane,
-          (x, h) => x.cast("double") * h), lit(0.0), (a, x) => a + x) > 0,
-        lit(1L)).otherwise(lit(0L)))
+      acc * 2 + when(array_dot(col("v64"), plane) > 0, lit(1L)).otherwise(lit(0L)))
     val bucketed = e.crossJoin(hpDf).select(col("vec_id"), col("embedding"),
       col("band"), signature.as("sig"))
     val qb = bucketed.filter(col("vec_id") % 100 === 0)
