@@ -28,18 +28,15 @@ object Dedup {
 
   private def tokens: Column = split(trim(col("text")), "\\s+")
 
-  /** Distinct word-3-gram shingles per document (1-based element_at,
-    * mirroring the DuckDB oracle's 1-based list indexing). */
-  private def shingles(t: Column): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(t) - 2, lit(0))),
-      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
-
-  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+  /** Distinct word-3-gram shingles per document via the single-pass
+    * [[graft.functions.WordShingles]] expression (sub-3-token docs get
+    * an empty array, so no token-count pre-filter — and therefore no
+    * expensive filter expression for predicate pushdown to duplicate). */
+  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.WordShingles.word_shingles
     Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens.as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), shingles(col("t")).as("s"))
+      .select(col("doc_id"), word_shingles(col("text")).as("s"))
+  }
 
   /** Document-frequency cap for the d01 inverted index: a shingle
     * appearing in more than this many documents is a stop-shingle —
@@ -60,9 +57,16 @@ object Dedup {
     * postings structs so there is no join-back (shuffle #2 is the
     * final (i,j) count). Oracle-checked. */
   def d01NgramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    // n_sh rides inside the exploded struct so the generator child is a
+    // (cheap) transform over the materialized shingle array, not a bare
+    // attribute — InferFiltersFromGenerate only fires on attribute
+    // children, so no `size(shingles(...)) > 0` filter gets inferred
+    // and pushed into a second evaluation of the shingle computation.
     val inv = docShingles(spark, dir)
-      .select(col("doc_id"), size(col("s")).cast("long").as("n_sh"),
-        explode(col("s")).as("shingle"))
+      .select(col("doc_id"),
+        explode(transform(col("s"), x =>
+          struct(x.as("shingle"), size(col("s")).cast("long").as("n_sh")))).as("e"))
+      .select(col("doc_id"), col("e.shingle").as("shingle"), col("e.n_sh").as("n_sh"))
     val postings = inv.groupBy("shingle")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("docs"))
       .filter(size(col("docs")).between(2, MaxShingleDf))
@@ -92,27 +96,32 @@ object Dedup {
     * Jaccard ≥ 0.2 — same final predicate as d01 so the two tiers are
     * comparable; at scale only this one is runnable. */
   def d02MinHashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val spark2 = spark
-    import spark2.implicits._
-    // not cached: at corpus scale the shingle set doesn't fit in
-    // storage memory; the plan below scans it exactly twice (signature
-    // pass + candidate-verification pass)
+    import graft.functions.MinHash64.minhash64
+    // the corpus-sized shingle set is NOT cached (it wouldn't fit in
+    // storage memory at scale); the plan scans it exactly twice —
+    // signature pass + candidate-verification pass
     val sh = docShingles(spark, dir)
-    // signature: the one-pass MinHash sketch aggregator (64 slots in a
-    // single mutable buffer — the TypedImperativeAggregate shape),
-    // bit-identical to min(xxhash64(shingle, lit(i))) per slot
-    val sigs = sh.select(col("doc_id"), explode(col("s")).as("shingle"))
-      .as[(Long, String)]
-      .groupByKey(_._1)
-      .agg(graft.functions.MinHashAgg.toColumn.name("sig"))
-      .toDF("doc_id", "sig")
-    // LSH: band hash over each group of RowsPerBand signature slots
+    // signature: the single-pass MinHash64 expression — a narrow
+    // per-row map over the per-doc shingle arrays (no explode, no
+    // groupBy shuffle, no aggregation state; each shingle string is
+    // hashed ONCE then chained through the 64 slot indices).
+    // Cached: output-sized (64 longs/doc), and it feeds both sides of
+    // the band self-join plus the est_jaccard projection — without the
+    // cache the whole shingle+signature pass re-runs 2-3x. Bench/Verify
+    // clearCache() per query; at real scale, write the signatures out
+    // once instead.
+    val sigs = sh.select(col("doc_id"), minhash64(col("s")).as("sig"))
+      .filter(col("sig").isNotNull) // sub-3-token docs (see MinHash64)
+      .cache()
+    // LSH: band hash over each group of RowsPerBand signature slots;
+    // the band array is built inline in the explode (expression child,
+    // so no generate-filter inference)
     val bandCols = (0 until NumBands).map { b =>
       val slots = (0 until RowsPerBand).map(r => element_at(col("sig"), b * RowsPerBand + r + 1))
       struct(lit(b).as("band"), xxhash64(slots: _*).as("bh"))
     }
-    val buckets = sigs.select(col("doc_id"), col("sig"), array(bandCols: _*).as("bands"))
-      .select(col("doc_id"), col("sig"), explode(col("bands")).as("bb"))
+    val buckets = sigs
+      .select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     // candidate pairs: same (band, bandhash) bucket; dedup across bands.
     // Cached: output-sized (candidate pairs only, not corpus-sized);

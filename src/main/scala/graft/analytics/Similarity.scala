@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -106,60 +106,51 @@ object Similarity {
   def s03IvfTopK(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions._
     val K = 16; val NProbe = 4; val Iters = 3
+    // cached through the whole query: the Lloyd loop, the final
+    // assignment, and the query projection all read it, and the
+    // Bench/Verify runners clearCache() after each query
     val e = Dedup.normalizedVectors(spark, dir).cache()
 
-    // nearest centroid per vector as a min_by HASH aggregation — a
-    // row_number window here would sort-shuffle N×K rows per Lloyd
-    // iteration just to compute an argmax. Tie-break: score desc,
-    // cell asc (via lexicographic (-score, cell) min).
-    def assign(cDf: DataFrame): DataFrame = e.crossJoin(cDf)
-      .withColumn("score", array_dot(col("v"), col("centroid")) / col("norm"))
-      .groupBy("vec_id")
-      .agg(min_by(struct(col("cell"), col("v"), col("norm")),
-        struct((-col("score")).as("ns"), col("cell"))).as("best"))
-      .select(col("vec_id"), col("best.v").as("v"),
-        col("best.norm").as("norm"), col("best.cell").as("cell"))
+    // (neg cosine, cell) struct per centroid, as PURE per-row
+    // expressions over the K=16 driver-side centroid literals — the
+    // lexicographic array_min/array_sort over this array is the argmax
+    // (score desc, cell asc). No crossJoin, no aggregation, no shuffle:
+    // nearest-centroid assignment is a narrow map over the corpus —
+    // the only shape that survives a Lloyd iteration at 100 TB.
+    def cellScores(cents: Array[(Int, Array[Double])], v: Column, norm: Column): Column =
+      array(cents.map { case (cell, c) =>
+        struct((-array_dot(v, typedLit(c)) / norm).as("ns"), lit(cell).as("cell"))
+      }: _*)
+    def cellOf(cents: Array[(Int, Array[Double])], v: Column, norm: Column): Column =
+      array_min(cellScores(cents, v, norm)).getField("cell")
 
     // deterministic init: the K lowest vec_ids
-    var centroids: Array[(Int, Seq[Double])] = e.orderBy("vec_id").limit(K)
+    var centroids: Array[(Int, Array[Double])] = e.orderBy("vec_id").limit(K)
       .collect().zipWithIndex
-      .map { case (r, i) => (i, r.getAs[Seq[Double]]("v")) }
+      .map { case (r, i) => (i, r.getSeq[Double](r.fieldIndex("v")).toArray) }
 
     for (_ <- 0 until Iters) {
-      val cDf = broadcast(spark.createDataFrame(centroids.toSeq)
-        .toDF("cell", "centroid"))
-      // update: per-cell mean (deterministic)
-      centroids = assign(cDf).groupBy("cell")
+      // update: per-cell mean (deterministic) — one map + one hash agg
+      centroids = e.groupBy(cellOf(centroids, col("v"), col("norm")).as("cell"))
         .agg(array((0 until 64).map(i => avg(element_at(col("v"), i + 1))): _*).as("centroid"))
-        .collect().map(r => (r.getInt(0), r.getAs[Seq[Double]]("centroid")))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     }
-    // centroids are now driver-side; the remaining plan re-derives the
-    // assignment from the raw table, so drop the Lloyd-loop cache
-    // rather than leak it across the bench session (at scale you would
-    // instead WRITE the assignment out partitioned by cell)
-    e.unpersist()
 
-    val cDf = broadcast(spark.createDataFrame(centroids.toSeq).toDF("cell", "centroid"))
-    val assigned = assign(cDf)
+    val assigned = e.withColumn("cell", cellOf(centroids, col("v"), col("norm")))
 
-    // queries probe their NProbe nearest cells: per query only K=16
-    // candidate rows, so top-N is a collect_list + array_sort + slice
-    // inside one hash agg — no window, no sort shuffle
+    // queries probe their NProbe nearest cells: sort the same K-struct
+    // array per row and slice — again no crossJoin, no aggregation
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
-    val probes = q.crossJoin(cDf)
-      .withColumn("score", array_dot(col("qv"), col("centroid")) / col("qnorm"))
-      .groupBy("query_id")
-      .agg(first(col("qv")).as("qv"), first(col("qnorm")).as("qnorm"),
-        slice(array_sort(collect_list(struct((-col("score")).as("ns"), col("cell")))),
-          1, NProbe).as("top"))
-      .select(col("query_id"), col("qv"), col("qnorm"),
-        explode(col("top.cell")).as("cell"))
+    val probes = q.select(col("query_id"), col("qv"), col("qnorm"),
+      explode(slice(array_sort(cellScores(centroids, col("qv"), col("qnorm"))),
+        1, NProbe).getField("cell")).as("cell"))
 
     // exact rerank within probed cells only; each vector lives in
     // exactly one cell so (query_id, neighbor_id) is already unique —
-    // no dedup shuffle needed
-    val scored = probes.join(assigned, "cell")
+    // no dedup shuffle needed. Probes are tiny (|queries|·NProbe):
+    // broadcast them against the assigned corpus.
+    val scored = broadcast(probes).join(assigned, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(array_dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4).as("cos_sim"))

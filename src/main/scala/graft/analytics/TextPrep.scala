@@ -21,12 +21,14 @@ object TextPrep {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
       .withColumn("n_tok", size(col("toks")))
-      // chunk start offsets: 0, stride, 2*stride, … while start < n_tok
-      .withColumn("starts", sequence(lit(0),
-        greatest(floor((col("n_tok") - 1) / stride).cast("int"), lit(0)) * stride,
-        lit(stride)))
-      .select(col("doc_id"), col("n_tok"), posexplode(col("starts")).as(Seq("chunk_id", "start")),
-        col("toks"))
+      // chunk start offsets (0, stride, 2*stride, … while start < n_tok)
+      // built inline in the posexplode: the generator child is a
+      // sequence *expression* (not an attribute), so no generate-filter
+      // is inferred and pushed into a re-evaluation of the split
+      .select(col("doc_id"), col("n_tok"),
+        posexplode(sequence(lit(0),
+          greatest(floor((col("n_tok") - 1) / stride).cast("int"), lit(0)) * stride,
+          lit(stride))).as(Seq("chunk_id", "start")))
       .withColumn("chunk_len", least(lit(ChunkTokens), col("n_tok") - col("start")))
       .filter(col("chunk_len") > 0)
     d.groupBy("doc_id")

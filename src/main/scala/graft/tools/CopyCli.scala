@@ -26,7 +26,6 @@ object CopyCli {
       .appName("graft-copy")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.sql.optimizer.excludedRules", graft.SparkTuning.ExcludedOptimizerRules)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
