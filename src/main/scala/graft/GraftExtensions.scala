@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DoubleArrayDot, SimHash64}
+import graft.functions.{CharTrigrams, DoubleArrayDot, SimHash64, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions so `spark.sql` users get them
@@ -31,6 +31,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "simhash64(tokens) takes one argument")
         SimHash64(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "word_shingles(text) takes one argument")
+        WordShingles(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("char_trigrams"),
+      new ExpressionInfo(classOf[CharTrigrams].getName, "char_trigrams"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "char_trigrams(text) takes one argument")
+        CharTrigrams(children.head)
       }))
   }
 }

@@ -45,7 +45,15 @@ object Dedup {
     * exact pair expansion at scale. Chosen far above any fixture df
     * (max 25 at sf0.1) so gate output is unchanged; at 100 TB it
     * bounds the worst-case per-shingle pair group to MaxShingleDf²/2
-    * and the per-row postings array to MaxShingleDf entries. */
+    * and the per-row postings array to MaxShingleDf entries.
+    *
+    * Semantics under the cap: a capped shingle is dropped from the
+    * `shared` numerator while n_i/n_j keep full set sizes, so for any
+    * pair sharing a hot shingle the reported jaccard is a LOWER BOUND
+    * on the exact value (pairs can only be under-reported, never
+    * over-reported — conservative for a ≥-threshold near-dup filter).
+    * When exact values matter at scale, re-verify surviving pairs with
+    * an exact set intersection as d02 does. */
   private val MaxShingleDf = 2000
 
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.2) via a
@@ -139,14 +147,18 @@ object Dedup {
           .cast("double") / NumHashes).as("est_jaccard"))
       .cache()
     // verify candidates with exact jaccard: ONE more corpus scan,
-    // semi-joined down to candidate docs, then broadcast into both
-    // sides of the pair join (also cached — bounded by 2×candidates)
+    // semi-joined down to candidate docs (also cached — bounded by
+    // 2×candidates). No broadcast hint on candSh: it is candidate-
+    // bounded, not corpus-bounded, so on a near-dup-heavy corpus its
+    // shingle sets can exceed driver memory — AQE promotes the join to
+    // broadcast at runtime when the cached size is actually small, and
+    // falls back to a shuffle join when it isn't.
     val candDocs = cands.select(col("i").as("doc_id"))
       .union(cands.select(col("j").as("doc_id"))).distinct()
     val candSh = sh.join(broadcast(candDocs), "doc_id").cache()
     cands
-      .join(broadcast(candSh.withColumnRenamed("doc_id", "i").withColumnRenamed("s", "s_i")), "i")
-      .join(broadcast(candSh.withColumnRenamed("doc_id", "j").withColumnRenamed("s", "s_j")), "j")
+      .join(candSh.withColumnRenamed("doc_id", "i").withColumnRenamed("s", "s_i"), "i")
+      .join(candSh.withColumnRenamed("doc_id", "j").withColumnRenamed("s", "s_j"), "j")
       .select(col("i"), col("j"), round(col("est_jaccard"), 4).as("est_jaccard"),
         round(size(array_intersect(col("s_i"), col("s_j"))).cast("double") /
               size(array_union(col("s_i"), col("s_j"))), 4).as("jaccard"))

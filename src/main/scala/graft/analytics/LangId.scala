@@ -12,13 +12,13 @@ import org.apache.spark.sql.expressions.Window
   *    (lang, gram) aggregation is map-side combined down to at most
   *    |langs| × |distinct grams| rows before the shuffle; the windowed
   *    top-K then runs over that small set. Output is broadcastable.
-  *  - [[predict]]: raw exploded trigram *occurrences* broadcast-hash-
-  *    joined against the profile (no per-doc tf shuffle — each
-  *    occurrence contributes its gram weight once, so the join stream
-  *    IS the tf·w product), aggregated to (doc × lang) partial scores
-  *    (map-side combined, so the only shuffle is ~|docs|·|langs| rows),
-  *    argmax per doc via a `min_by` hash aggregation — no sort, no
-  *    window.
+  *  - [[predict]]: a single narrow map over the corpus — the collected
+  *    profile (|langs|×200 entries, IVF-centroid-sized) rides into each
+  *    task inside the [[graft.functions.BestProfileLang]] expression,
+  *    which walks a document's trigrams once and returns the argmax
+  *    language per row. No occurrence explode, no join, no shuffle:
+  *    the only post-scan exchange in t07 is the tiny confusion-matrix
+  *    aggregation.
   *
   * Weights are exact integers — `w = (n · 10⁹) div total_lang` — so
   * scores are BIGINTs: partition-order-independent, tie-broken
@@ -38,24 +38,16 @@ object LangId {
   private val ProfileSize = 200
   private val WeightScale = 1000000000L
 
-  /** Sliding character trigrams over a column that is ALREADY
-    * lowercased (lowercase once per document in a prior projection —
-    * `lower()` inside the transform lambda would re-run per trigram,
-    * O(len²) per doc). Texts shorter than 3 chars yield no grams —
-    * guarded explicitly because Spark's `sequence(1, 0)` counts *down*
-    * ([1, 0]) rather than returning empty like DuckDB's
-    * generate_series. (substring with a Column start position needs
-    * the SQL form.) */
-  private def trigramsOfLowered(lcCol: String): Column =
-    expr(s"CASE WHEN length($lcCol) >= 3 THEN " +
-      s"transform(sequence(1, length($lcCol) - 2), i -> substring($lcCol, i, 3)) " +
-      "ELSE array() END")
-
-  /** (gram column, one row per occurrence) for `docs`, keeping
-    * `keep` columns alongside. */
+  /** (gram column, one row per occurrence) for `docs`, keeping `keep`
+    * columns alongside. Grams come from the single-pass
+    * [[graft.functions.CharTrigrams]] expression (lowercase once per
+    * document) — the declarative
+    * `transform(sequence(...), i -> substring(_lc, i, 3))` chain it
+    * replaces ran an interpreted lambda + start-anchored substring per
+    * gram and dominated t07's runtime. */
   private def explodedGrams(docs: DataFrame, textCol: String, keep: Seq[Column]): DataFrame =
-    docs.select(keep :+ lower(col(textCol)).as("_lc"): _*)
-      .select(keep :+ explode(trigramsOfLowered("_lc")).as("gram"): _*)
+    docs.select(keep :+
+      explode(graft.functions.CharTrigrams.char_trigrams(lower(col(textCol)))).as("gram"): _*)
 
   /** Per-language top-K trigram profile with integer-scaled weights:
     * (profile_lang, gram, weight: bigint). */
@@ -63,47 +55,57 @@ object LangId {
     val grams = explodedGrams(docs, textCol, Seq(col(langCol).as("lang")))
       .groupBy("lang", "gram").agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("lang").orderBy(col("n").desc, col("gram").asc)
+    // per-lang total as a window sum over the post-top-K set (tiny:
+    // ≤ |langs|·K rows) — a `top.join(top.groupBy...)` self-join here
+    // would evaluate the whole corpus-scale fit subtree twice
     val top = grams.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= ProfileSize)
-    val totals = top.groupBy("lang").agg(sum("n").as("total"))
-    top.join(totals, "lang")
-      .select(col("lang").as("profile_lang"), col("gram"),
-        expr(s"(n * ${WeightScale}L) div total").as("weight"))
+      .withColumn("total", sum("n").over(Window.partitionBy("lang")))
+    top.select(col("lang").as("profile_lang"), col("gram"),
+      expr(s"(n * ${WeightScale}L) div total").as("weight"))
+  }
+
+  /** Collect a fitted profile to the driver as the per-row argmax
+    * expression's inputs — langs ascending (tie-break order) and a
+    * gram → (langIndex, weight) table. The profile is |langs| × K
+    * rows (K=200), the same driver-side footprint class as the IVF
+    * centroid set: safe to collect at any corpus scale. */
+  private def collectProfile(profile: DataFrame): (Seq[String], Seq[(String, Seq[(Int, Long)])]) = {
+    val rows = profile.select("profile_lang", "gram", "weight").collect()
+    val langs = rows.map(_.getString(0)).distinct.sorted.toSeq
+    val idx = langs.zipWithIndex.toMap
+    val byGram = rows.groupBy(_.getString(1)).map { case (gram, rs) =>
+      gram -> rs.map(r => (idx(r.getString(0)), r.getLong(2))).toSeq
+    }.toSeq
+    (langs, byGram)
   }
 
   /** Predict the language of each document against a fitted profile:
     * (idCol, predicted). Documents sharing no gram with any profile
-    * produce no row (same contract as an inner join). */
+    * produce no row (same contract as an inner join). Prediction is
+    * one narrow map over the corpus via [[graft.functions.BestProfileLang]]
+    * — the profile rides into tasks as expression state, so there is
+    * no per-occurrence explode, no join, and no shuffle. */
   def predict(docs: DataFrame, profile: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
-    val occ = explodedGrams(docs, textCol, Seq(col(idCol)))
-    scoreByLang(occ, profile, Seq(idCol))
-      .groupBy(col(idCol))
-      .agg(min_by(col("profile_lang"),
-        struct((-col("score")).as("neg"), col("profile_lang"))).as("predicted"))
+    val (langs, byGram) = collectProfile(profile)
+    docs.select(col(idCol),
+        graft.functions.BestProfileLang.best_profile_lang(
+          lower(col(textCol)), langs, byGram).as("predicted"))
+      .filter(col("predicted").isNotNull)
   }
-
-  /** (id, lang-score) scoring stage shared by predict paths:
-    * Σ weight over gram occurrences, per (id, profile_lang). */
-  private def scoreByLang(occ: DataFrame, profile: DataFrame, keyCols: Seq[String]): DataFrame =
-    occ.join(broadcast(profile), Seq("gram"))
-      .groupBy(keyCols.map(col) :+ col("profile_lang"): _*)
-      .agg(sum("weight").as("score"))
 
   /** Gate query: fit on the labeled corpus, predict it back, report the
     * confusion matrix. Oracle-checked (integer scores, deterministic
     * lang-asc tie-break). */
   def t07NgramLangId(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val profile = fit(docs)
-
-    // carry the true label through the scoring pass so no join-back to
-    // `docs` is needed for the confusion matrix
-    val occ = explodedGrams(docs, "text", Seq(col("doc_id"), col("lang")))
-    val scored = scoreByLang(occ, profile, Seq("doc_id", "lang"))
-    scored
-      .groupBy("doc_id", "lang")
-      .agg(min_by(col("profile_lang"),
-        struct((-col("score")).as("neg"), col("profile_lang"))).as("predicted"))
+    val (langs, byGram) = collectProfile(fit(docs))
+    // carry the true label through the per-row argmax so no join-back
+    // to `docs` is needed for the confusion matrix
+    docs.select(col("lang"),
+        graft.functions.BestProfileLang.best_profile_lang(
+          lower(col("text")), langs, byGram).as("predicted"))
+      .filter(col("predicted").isNotNull)
       .groupBy("lang", "predicted")
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted")
@@ -119,9 +121,9 @@ object LangId {
     "t07_ngram_langid" ->
       s"""WITH g AS (
             SELECT doc_id, lang,
-                   unnest(list_transform(generate_series(1, length(text) - 2),
+                   unnest(list_transform(generate_series(1, length(lower(text)) - 2),
                                          i -> substring(lower(text), CAST(i AS INT), 3))) AS gram
-            FROM documents WHERE length(text) >= 3),
+            FROM documents WHERE length(lower(text)) >= 3),
           bylang AS (
             SELECT lang, gram, count(*) AS n FROM g GROUP BY lang, gram),
           top AS (

@@ -5,19 +5,22 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: treat image/audio/video payloads as
   * opaque `binary` columns with typed metadata, processed partition-
-  * wise. The real pipeline shape is:
+  * wise. The pipeline shape is:
   *
   *   binary payload + metadata struct
-  *     → mapPartitions batch decode (stubbed here: the container ships
-  *       no image/audio codecs, so decode is a deterministic fake that
-  *       derives "features" from the bytes; the Spark-side plumbing —
-  *       schema, batching, partitioning, explode of per-frame rows —
-  *       is real)
+  *     → mapPartitions batch decode — REAL for images (PNG/GIF/JPEG/BMP
+  *       via `javax.imageio`, which ships in the JDK: magic-byte sniff,
+  *       full raster decode, per-band luminance features, true
+  *       area-average resize); deterministic byte-window fake for
+  *       audio/video, whose codecs this container does not ship
   *     → per-frame/feature rows for downstream dedup/similarity.
   *
-  * Since the synthetic testdata has no binary table, payloads are
-  * manufactured from `documents.text` (UTF-8 bytes) — the pipeline is
-  * identical for real blobs.
+  * Since the synthetic testdata has no binary table, the gate queries
+  * manufacture payloads from `documents.text` (UTF-8 bytes, which fail
+  * the image sniff and take the byte-window path) — the plumbing is
+  * identical for real blobs, and MultimodalSpec drives the image path
+  * with golden in-memory PNGs (reference round-trips real PNG/webp
+  * blobs: `tests/test_aerovaldb.py:538-573`).
   */
 object Multimodal {
 
@@ -46,34 +49,100 @@ object Multimodal {
   final case class Frame(doc_id: Long, frame_id: Int, offset: Int,
                          feature: Double, checksum: Long)
 
-  /** Partition-wise "frame sampling": every blob yields one frame per
-    * `frameBytes` window with a stub feature (mean byte value) and a
-    * rolling checksum. Stand-in for image decode / video frame-sample /
-    * audio windowing — swap `decodeWindow` for a real codec; the
-    * mapPartitions batching and the output schema stay. */
-  def m02FrameSample(spark: SparkSession, dir: String, frameBytes: Int = 64): DataFrame = {
-    import spark.implicits._
-    val blobs = blobTable(spark, dir).select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
+  final case class ImageMeta(format: String, width: Int, height: Int)
 
-    def decodeWindow(bytes: Array[Byte], from: Int, until: Int): (Double, Long) = {
-      var sum = 0L; var crc = 1L
-      var i = from
-      while (i < until) { sum += (bytes(i) & 0xFF); crc = crc * 31 + (bytes(i) & 0xFF); i += 1 }
-      (sum.toDouble / (until - from), crc)
+  /** Magic-byte sniff for the image formats `javax.imageio` decodes out
+    * of the box (same sniff idea as the store's blob-extension sniff;
+    * the reference's allowed image set is `const.py:1-3`). */
+  def sniffImage(bytes: Array[Byte]): Option[String] = {
+    def at(i: Int) = bytes(i) & 0xFF
+    if (bytes.length < 8) None
+    else if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') Some("png")
+    else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F' && at(3) == '8') Some("gif")
+    else if (at(0) == 0xFF && at(1) == 0xD8 && at(2) == 0xFF) Some("jpeg")
+    else if (at(0) == 'B' && at(1) == 'M') Some("bmp")
+    else None
+  }
+
+  /** Real image decode: full raster via ImageIO. None for payloads that
+    * are not a decodable image. */
+  def decodeImage(bytes: Array[Byte]): Option[(ImageMeta, java.awt.image.BufferedImage)] =
+    sniffImage(bytes).flatMap { fmt =>
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .map(img => (ImageMeta(fmt, img.getWidth, img.getHeight), img))
     }
 
+  /** Integer luminance (ITU-R 601 weights, scaled by 1000 to stay
+    * exact) of a packed ARGB pixel. */
+  private def luma1000(argb: Int): Long = {
+    val r = (argb >> 16) & 0xFF; val g = (argb >> 8) & 0xFF; val b = argb & 0xFF
+    299L * r + 587L * g + 114L * b
+  }
+
+  /** Deterministic fallback feature for non-image payloads (audio/video
+    * codecs are not in this container — byte-window mean + rolling
+    * checksum keeps the pipeline runnable end-to-end for them). */
+  private def decodeWindow(bytes: Array[Byte], from: Int, until: Int): (Double, Long) = {
+    var sum = 0L; var crc = 1L
+    var i = from
+    while (i < until) { sum += (bytes(i) & 0xFF); crc = crc * 31 + (bytes(i) & 0xFF); i += 1 }
+    (sum.toDouble / (until - from), crc)
+  }
+
+  /** Partition-wise frame sampling over a typed blob dataset:
+    *  - image payloads decode for real and emit one frame per
+    *    `bandRows`-scanline horizontal band — feature is the band's
+    *    mean luminance (0-255 scale), checksum a rolling hash over the
+    *    band's ARGB pixels;
+    *  - other payloads (text fixtures, audio, video) emit one frame per
+    *    `frameBytes` window with the byte-window fallback.
+    * The mapPartitions batching and output schema are shared by both
+    * paths — swapping in an audio codec changes only the decode slot. */
+  def frameSample(blobs: org.apache.spark.sql.Dataset[(Long, Array[Byte])],
+                  frameBytes: Int = 64, bandRows: Int = 16): org.apache.spark.sql.Dataset[Frame] = {
+    import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
       it.flatMap { case (docId, bytes) =>
-        val n = math.max(1, (bytes.length + frameBytes - 1) / frameBytes)
-        (0 until n).iterator.map { f =>
-          val from = f * frameBytes
-          val until = math.min(bytes.length, from + frameBytes)
-          val (feat, crc) = decodeWindow(bytes, from, math.max(until, from + 1))
-          Frame(docId, f, from, math.rint(feat * 100) / 100, crc)
+        decodeImage(bytes) match {
+          case Some((_, img)) =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val nBands = (h + bandRows - 1) / bandRows
+            (0 until nBands).iterator.map { f =>
+              val from = f * bandRows
+              val until = math.min(h, from + bandRows)
+              var lumaSum = 0L; var crc = 1L
+              var y = from
+              while (y < until) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  lumaSum += luma1000(p)
+                  crc = crc * 31 + (p & 0xFFFFFF)
+                  x += 1
+                }
+                y += 1
+              }
+              val mean = lumaSum.toDouble / (1000L * w * (until - from))
+              Frame(docId, f, from, math.rint(mean * 100) / 100, crc)
+            }
+          case None =>
+            val n = math.max(1, (bytes.length + frameBytes - 1) / frameBytes)
+            (0 until n).iterator.map { f =>
+              val from = f * frameBytes
+              val until = math.min(bytes.length, from + frameBytes)
+              val (feat, crc) = decodeWindow(bytes, from, math.max(until, from + 1))
+              Frame(docId, f, from, math.rint(feat * 100) / 100, crc)
+            }
         }
       }
-    }.toDF()
+    }
+  }
+
+  /** [[frameSample]] over the gate blob table. */
+  def m02FrameSample(spark: SparkSession, dir: String, frameBytes: Int = 64): DataFrame = {
+    import spark.implicits._
+    frameSample(blobTable(spark, dir).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])], frameBytes).toDF()
   }
 
   /** Frame-level rollup: frames per doc + mean feature per source —
@@ -91,21 +160,71 @@ object Multimodal {
   final case class Thumb(doc_id: Long, orig_bytes: Int, thumb_bytes: Int,
                          checksum: Long)
 
-  /** Partition-wise "resize": downsample each blob by `factor` (every
-    * k-th byte — the stub stand-in for image resize; swap the inner
-    * loop for a real scaler, the batching and schema stay). */
+  /** Real image resize: area-average downscale by `factor` (each output
+    * pixel is the mean ARGB of its factor×factor source block — exact
+    * integer arithmetic, deterministic across JVMs unlike Graphics2D
+    * interpolation), re-encoded as PNG for the thumb byte size. */
+  def resizeImage(img: java.awt.image.BufferedImage, factor: Int): (Array[Byte], Long) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val (tw, th) = (math.max(1, w / factor), math.max(1, h / factor))
+    val out = new java.awt.image.BufferedImage(tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var crc = 1L
+    var ty = 0
+    while (ty < th) {
+      var tx = 0
+      while (tx < tw) {
+        var (rs, gs, bs, n) = (0L, 0L, 0L, 0L)
+        var y = ty * factor
+        while (y < math.min(h, (ty + 1) * factor)) {
+          var x = tx * factor
+          while (x < math.min(w, (tx + 1) * factor)) {
+            val p = img.getRGB(x, y)
+            rs += (p >> 16) & 0xFF; gs += (p >> 8) & 0xFF; bs += p & 0xFF; n += 1
+            x += 1
+          }
+          y += 1
+        }
+        val p = (((rs / n).toInt & 0xFF) << 16) | (((gs / n).toInt & 0xFF) << 8) | ((bs / n).toInt & 0xFF)
+        out.setRGB(tx, ty, p)
+        crc = crc * 31 + p
+        tx += 1
+      }
+      ty += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", baos)
+    (baos.toByteArray, crc)
+  }
+
+  /** Partition-wise resize over a typed blob dataset: image payloads go
+    * through the real [[resizeImage]] scaler (thumb_bytes = re-encoded
+    * PNG size, checksum over the scaled raster — raster, not encoding,
+    * so the value is JVM-encoder-independent); non-image payloads keep
+    * the every-k-th-byte fallback. */
+  def resizeBlobs(blobs: org.apache.spark.sql.Dataset[(Long, Array[Byte])],
+                  factor: Int = 8): org.apache.spark.sql.Dataset[Thumb] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.map { case (docId, bytes) =>
+        decodeImage(bytes) match {
+          case Some((_, img)) =>
+            val (png, crc) = resizeImage(img, factor)
+            Thumb(docId, bytes.length, png.length, crc)
+          case None =>
+            val thumb = bytes.indices.collect { case i if i % factor == 0 => bytes(i) }.toArray
+            var crc = 1L
+            thumb.foreach(b => crc = crc * 31 + (b & 0xFF))
+            Thumb(docId, bytes.length, thumb.length, crc)
+        }
+      }
+    }
+  }
+
+  /** [[resizeBlobs]] over the gate blob table. */
   def m03Resize(spark: SparkSession, dir: String, factor: Int = 8): DataFrame = {
     import spark.implicits._
-    blobTable(spark, dir).select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (docId, bytes) =>
-          val thumb = bytes.indices.collect { case i if i % factor == 0 => bytes(i) }.toArray
-          var crc = 1L
-          thumb.foreach(b => crc = crc * 31 + (b & 0xFF))
-          Thumb(docId, bytes.length, thumb.length, crc)
-        }
-      }.toDF()
+    resizeBlobs(blobTable(spark, dir).select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])], factor).toDF()
   }
 
   /** Resize rollup per source: exercises the stub scaler end-to-end. */

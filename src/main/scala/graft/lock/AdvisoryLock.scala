@@ -40,13 +40,13 @@ final class FileAdvisoryLock(lockFile: Path) extends AdvisoryLock {
 
   def acquire(): Unit = synchronized {
     if (osLock.isEmpty) {
-      monitor.lock()
+      monitor.acquireUninterruptibly()
       osLock = Some(raf.getChannel.lock())
     }
   }
 
   def release(): Unit = synchronized {
-    osLock.foreach { l => l.release(); monitor.unlock() }
+    osLock.foreach { l => l.release(); monitor.release() }
     osLock = None
   }
 
@@ -56,9 +56,13 @@ final class FileAdvisoryLock(lockFile: Path) extends AdvisoryLock {
 }
 
 object FileAdvisoryLock {
-  private val monitors = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+  // Semaphore(1), not ReentrantLock: the reference's lock has no thread
+  // ownership — release() from a thread other than the acquirer must
+  // work (ReentrantLock.unlock would throw IllegalMonitorStateException
+  // there). Fair, so in-process waiters are FIFO like the OS queue.
+  private val monitors = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.Semaphore]()
   private def monitorFor(key: String) =
-    monitors.computeIfAbsent(key, _ => new java.util.concurrent.locks.ReentrantLock())
+    monitors.computeIfAbsent(key, _ => new java.util.concurrent.Semaphore(1, true))
 }
 
 object Locking {

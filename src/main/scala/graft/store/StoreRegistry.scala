@@ -6,11 +6,15 @@ import org.apache.spark.sql.SparkSession
   * plugin registry (`/root/reference/src/aerovaldb/plugins.py:14-101`):
   * a named-backend registry plus a resource-string parser.
   *
-  * Resource forms:
+  * Resource forms (`plugins.py:48-101`):
+  *  - `":memory:"` → ephemeral [[TableStore]] (the sqlite in-memory
+  *    special case, `plugins.py:74-77`; needs a SparkSession)
   *  - `"json_files:<path>"` → [[JsonFileStore]]
   *  - `"table_store:<path>"` → [[TableStore]] (needs a SparkSession)
-  *  - bare path → JsonFileStore (the reference's default for a
-  *    directory path)
+  *  - bare `*.db` / `*.sqlite` path → [[TableStore]] (the reference's
+  *    sqlite-file extension dispatch, `plugins.py:89-93`)
+  *  - any other bare path → JsonFileStore (the reference's default for
+  *    a directory path)
   */
 object StoreRegistry {
   type Factory = (String, Option[SparkSession]) => AssetStore
@@ -28,11 +32,21 @@ object StoreRegistry {
 
   def listEngines: Seq[String] = registry.keys.toSeq.sorted
 
+  private def extension(path: String): String = {
+    val name = path.substring(path.lastIndexOf('/') + 1)
+    val dot = name.lastIndexOf('.')
+    if (dot < 0) "" else name.substring(dot)
+  }
+
   def open(resource: String, spark: Option[SparkSession] = None): AssetStore = {
-    val (engine, path) = resource.split(":", 2) match {
-      case Array(e, p) if registry.contains(e) => (e, p)
-      case _ => ("json_files", resource)
-    }
+    val (engine, path) =
+      if (resource == ":memory:") ("table_store", ":memory:")
+      else resource.split(":", 2) match {
+        case Array(e, p) if registry.contains(e) => (e, p)
+        case _ if Set(".db", ".sqlite").contains(extension(resource)) =>
+          ("table_store", resource)
+        case _ => ("json_files", resource)
+      }
     registry(engine)(path, spark)
   }
 }

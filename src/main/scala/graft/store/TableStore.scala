@@ -39,7 +39,15 @@ import graft.lock.{AdvisoryLock, Locking}
 final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetStore {
   import TableStore._
 
-  val basedir: String = Paths.get(basedirRaw).toAbsolutePath.toString
+  /** `":memory:"` opens an ephemeral store (the sqlite in-memory
+    * analogue, `plugins.py:74-77`): a fresh temp directory per
+    * instance, deleted on close — contents are not persistent and two
+    * `:memory:` opens never share data, like two sqlite `:memory:`
+    * connections. */
+  private val ephemeral = basedirRaw == ":memory:"
+  val basedir: String =
+    if (ephemeral) Files.createTempDirectory("graft-memdb").toAbsolutePath.toString
+    else Paths.get(basedirRaw).toAbsolutePath.toString
   Files.createDirectories(Paths.get(basedir))
 
   def name: String = "table_store"
@@ -304,7 +312,15 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
     * reader). */
   def flushAll(): Unit = pending.keys.toSeq.foreach(flush)
 
-  override def close(): Unit = flushAll()
+  override def close(): Unit = {
+    flushAll()
+    if (ephemeral) {
+      import scala.jdk.CollectionConverters._
+      val root = Paths.get(basedir)
+      Files.walk(root).iterator().asScala.toSeq.reverseIterator
+        .foreach(p => Files.deleteIfExists(p))
+    }
+  }
 }
 
 object TableStore {

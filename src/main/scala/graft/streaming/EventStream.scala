@@ -114,48 +114,73 @@ object EventStream {
   final case class Session(user_id: Long, start_ms: Long, end_ms: Long,
                            n_events: Long, total_value: Double)
 
-  /** Sessionization with custom state: per-user sessions closed after
-    * `gapMinutes` of inactivity — `flatMapGroupsWithState` with
-    * event-time timeout, the canonical stateful-streaming shape. */
-  def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+  /** Sessionization core over a typed event stream: per-user sessions
+    * closed after `gapMinutes` of inactivity — `flatMapGroupsWithState`
+    * with event-time timeout, the canonical stateful-streaming shape.
+    * Two emission paths, both required on an unbounded stream:
+    *  - event-driven: a new event beyond the gap closes the previous
+    *    session immediately;
+    *  - timeout-driven: `setTimeoutTimestamp(last + gap)` arms an
+    *    event-time timeout after every state update, so an idle user's
+    *    final session is emitted once the watermark passes its gap
+    *    horizon — without it that session would sit in state forever. */
+  def sessionizeEvents(events: org.apache.spark.sql.Dataset[Event],
+                       gapMinutes: Int = 30): DataFrame = {
+    val spark = events.sparkSession
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
 
     def fn(userId: Long, events: Iterator[Event],
            state: GroupState[SessionState]): Iterator[Session] = {
-      val sorted = events.toSeq.sortBy(_.ts.getTime)
-      var sessions = List.empty[Session]
-      var cur = state.getOption
-      for (e <- sorted) {
-        val t = e.ts.getTime
-        cur match {
-          case Some(s) if t - s.last <= gapMs =>
-            cur = Some(s.copy(last = t, nEvents = s.nEvents + 1, total = s.total + e.value))
-          case Some(s) =>
-            sessions ::= Session(userId, s.start, s.last, s.nEvents, s.total)
-            cur = Some(SessionState(t, t, 1, e.value))
-          case None =>
-            cur = Some(SessionState(t, t, 1, e.value))
-        }
-      }
-      cur match {
-        case Some(s) => state.update(s)
-        case None    => state.remove()
-      }
       if (state.hasTimedOut) {
+        // gap elapsed with no new events: emit the idle session
+        // (timeout invocations always have an empty event iterator)
         val out = state.getOption.map(s => Session(userId, s.start, s.last, s.nEvents, s.total))
         state.remove()
-        out.iterator ++ sessions.reverseIterator
-      } else sessions.reverseIterator
+        out.iterator
+      } else {
+        val sorted = events.toSeq.sortBy(_.ts.getTime)
+        var sessions = List.empty[Session]
+        var cur = state.getOption
+        for (e <- sorted) {
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.last <= gapMs =>
+              cur = Some(s.copy(last = t, nEvents = s.nEvents + 1, total = s.total + e.value))
+            case Some(s) =>
+              sessions ::= Session(userId, s.start, s.last, s.nEvents, s.total)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          // clamp to watermark+1: a session already expired relative to
+          // the current watermark (late data) must still get a valid
+          // timeout (setTimeoutTimestamp rejects timestamps ≤ watermark)
+          // and then fires on the next batch
+          state.setTimeoutTimestamp(math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
+        }
+        sessions.reverseIterator
+      }
     }
 
-    readEvents(spark, dir)
-      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .as[Event]
+    events
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
       .toDF()
+  }
+
+  /** [[sessionizeEvents]] over the events file stream. */
+  def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    sessionizeEvents(
+      readEvents(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+        .as[Event],
+      gapMinutes)
   }
 
   /** Batch-mode sessionization with identical semantics (lag-based gap

@@ -1,0 +1,81 @@
+package graft.analytics
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.SparkTestSession
+
+/** Golden-image checks for the real multimodal decode path: an
+  * in-memory PNG with known pixels must produce exact dimensions,
+  * band luminance features, and an exact area-averaged thumbnail —
+  * while non-image payloads fall back to the byte-window path
+  * (reference round-trips real image blobs,
+  * `tests/test_aerovaldb.py:538-573`). */
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** 32×32 PNG: left half pure black, right half pure white. */
+  private def goldenPng(): Array[Byte] = {
+    val img = new BufferedImage(32, 32, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 32; x <- 0 until 32)
+      img.setRGB(x, y, if (x < 16) 0x000000 else 0xFFFFFF)
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("magic sniff: png/gif/jpeg recognized, text rejected") {
+    assert(Multimodal.sniffImage(goldenPng()) == Some("png"))
+    assert(Multimodal.sniffImage("GIF89a trailer".getBytes("UTF-8")) == Some("gif"))
+    assert(Multimodal.sniffImage(Array(0xFF, 0xD8, 0xFF, 0xE0, 0, 0, 0, 0).map(_.toByte)) == Some("jpeg"))
+    assert(Multimodal.sniffImage("plain text payload".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("decodeImage reads real dimensions from a golden PNG") {
+    val (meta, img) = Multimodal.decodeImage(goldenPng()).get
+    assert(meta == Multimodal.ImageMeta("png", 32, 32))
+    assert((img.getRGB(0, 0) & 0xFFFFFF) == 0x000000)
+    assert((img.getRGB(31, 31) & 0xFFFFFF) == 0xFFFFFF)
+  }
+
+  test("frameSample: image bands carry real mean luminance; text falls back to byte windows") {
+    import spark.implicits._
+    val text = "not an image, just bytes " * 10 // 250 bytes -> 4 windows of 64
+    val blobs = Seq((1L, goldenPng()), (2L, text.getBytes("UTF-8"))).toDS()
+    val frames = Multimodal.frameSample(blobs, frameBytes = 64, bandRows = 16)
+      .collect().groupBy(_.doc_id)
+
+    val img = frames(1L).sortBy(_.frame_id)
+    assert(img.length == 2) // 32 rows / 16-row bands
+    // half black (0) half white (255) -> exact mean luminance 127.5
+    assert(img.forall(_.feature == 127.5))
+    assert(img(0).offset == 0 && img(1).offset == 16)
+    // identical pixel content in both bands -> identical rolling checksum
+    assert(img(0).checksum == img(1).checksum)
+
+    val txt = frames(2L).sortBy(_.frame_id)
+    assert(txt.length == (text.length + 63) / 64)
+    assert(txt.forall(f => f.feature > 0 && f.feature < 256))
+  }
+
+  test("resizeBlobs: 8x area-average of the golden PNG is an exact 4x4 half-black thumb") {
+    import spark.implicits._
+    val blobs = Seq((1L, goldenPng())).toDS()
+    val thumb = Multimodal.resizeBlobs(blobs, factor = 8).collect().head
+    assert(thumb.orig_bytes == goldenPng().length)
+
+    // the thumb is a real PNG; decode it back and check every pixel:
+    // each 8×8 source block is uniform, so area-average is exact
+    val (png, _) = Multimodal.resizeImage(Multimodal.decodeImage(goldenPng()).get._2, 8)
+    assert(thumb.thumb_bytes == png.length)
+    val dec = ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(dec.getWidth == 4 && dec.getHeight == 4)
+    for (y <- 0 until 4; x <- 0 until 4)
+      assert((dec.getRGB(x, y) & 0xFFFFFF) == (if (x < 2) 0x000000 else 0xFFFFFF),
+        s"pixel ($x,$y)")
+  }
+}

@@ -49,6 +49,35 @@ class CopySpec extends AnyFunSuite {
     src.close(); viaPoints.close(); viaBulk.close()
   }
 
+  test("open(\":memory:\") round-trips like the reference's sqlite special case") {
+    import graft.store.StoreRegistry
+    val src = jsonFixture()
+    val mem = StoreRegistry.open(":memory:", Some(SparkTestSession.spark))
+    assert(mem.name == "table_store")
+    CopyDb.copyDbContents(src, mem)
+    assert(mem.listAll().size == src.listAll().size)
+    val uri = src.query(Seq(graft.core.Route.Menu)).head.uri
+    assert(src.getByUri(uri) == mem.getByUri(uri))
+    // ephemeral: a second :memory: open shares nothing
+    val mem2 = StoreRegistry.open(":memory:", Some(SparkTestSession.spark))
+    assert(mem2.listAll().isEmpty)
+    // close deletes the backing temp dir
+    val dir = mem.asInstanceOf[TableStore].basedir
+    src.close(); mem.close(); mem2.close()
+    assert(!Files.exists(java.nio.file.Paths.get(dir)))
+  }
+
+  test("bare *.db resource dispatches to the table_store backend") {
+    import graft.store.StoreRegistry
+    val path = Files.createTempDirectory("graft-ext").resolve("data.db").toString
+    val db = StoreRegistry.open(path, Some(SparkTestSession.spark))
+    assert(db.name == "table_store")
+    db.close()
+    val json = StoreRegistry.open(Files.createTempDirectory("graft-plain").toString)
+    assert(json.name == "json_files")
+    json.close()
+  }
+
   test("copy table_store -> table_store preserves catalog cardinality") {
     val src0 = jsonFixture()
     val mid = freshTable()

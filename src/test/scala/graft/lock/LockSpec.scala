@@ -1,6 +1,6 @@
 package graft.lock
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -49,5 +49,45 @@ class LockSpec extends AnyFunSuite {
     threads.foreach(_.start())
     threads.foreach(_.join())
     assert(Files.readString(counterFile).trim.toLong == writers.toLong * increments)
+  }
+
+  test("release from a non-acquiring thread works (no thread ownership)") {
+    val dir = Files.createTempDirectory("graft-lock")
+    val lock = new FileAdvisoryLock(dir.resolve("lockfile")) // acquired on construction
+    assert(lock.isLocked)
+    var failure: Option[Throwable] = None
+    val releaser = new Thread(() =>
+      try lock.release() catch { case t: Throwable => failure = Some(t) })
+    releaser.start(); releaser.join()
+    assert(failure.isEmpty, s"non-owner release threw: $failure")
+    assert(!lock.isLocked)
+    lock.close()
+  }
+
+  test("6 OS processes × 25 increments, exact counter through the file lock") {
+    val dir = Files.createTempDirectory("graft-lock-proc")
+    val counterFile = dir.resolve("counter")
+    Files.writeString(counterFile, "0")
+    val lockFile = dir.resolve("lockfile")
+    val (procs, iters) = (6, 25)
+
+    // classpath for the forked JVMs: wherever LockWorker and the Scala
+    // stdlib were loaded from (robust whether or not sbt forks tests)
+    val cp = Seq(LockWorker.getClass, classOf[FileAdvisoryLock], classOf[scala.Function1[_, _]])
+      .map(_.getProtectionDomain.getCodeSource.getLocation.getPath)
+      .distinct.mkString(java.io.File.pathSeparator)
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java").toString
+
+    val running = (0 until procs).map { _ =>
+      new ProcessBuilder(javaBin, "-cp", cp, "graft.lock.LockWorker",
+        lockFile.toString, counterFile.toString, iters.toString)
+        .redirectErrorStream(true).start()
+    }
+    running.foreach { p =>
+      assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS), "worker timed out")
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.exitValue() == 0, s"worker failed: $out")
+    }
+    assert(Files.readString(counterFile).trim.toLong == procs.toLong * iters)
   }
 }

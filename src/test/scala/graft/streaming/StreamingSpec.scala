@@ -26,11 +26,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("idle sessions are emitted via event-time timeout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[EventStream.Event]
+    val name = "spec_timeout_sessions"
+    val q = EventStream.sessionizeEvents(src.toDS(), gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    val M = 60000L
+    // base at 1970-01-02: a t=0 event would equal the initial watermark
+    // (0) and be discarded as late data before reaching the state fn
+    val B = 86400000L
+    def ev(id: Long, user: Long, tsMs: Long, v: Double) =
+      EventStream.Event(id, new java.sql.Timestamp(B + tsMs), user, "view", v)
+    // batch 1: user 1 has a 2-event session, then a second session at
+    // 2h — and then goes idle FOREVER. User 2 has one event at t=0.
+    src.addData(ev(1, 1, 0, 1.0), ev(2, 1, 10 * M, 2.0), ev(3, 1, 120 * M, 3.0),
+                ev(4, 2, 0, 4.0))
+    q.processAllAvailable()
+    // batch 2: user 2 returns 10h later → watermark advances to 9h,
+    // far past user 1's timeout horizon (2h30m)
+    src.addData(ev(5, 2, 600 * M, 5.0))
+    q.processAllAvailable()
+    // batch 3: runs under the 9h watermark → user 1's idle session MUST
+    // fire via hasTimedOut (its user has no event in any later batch)
+    src.addData(ev(6, 2, 601 * M, 6.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name)
+      .select("user_id", "start_ms", "end_ms", "n_events", "total_value")
+      .collect().map(_.toSeq).toSet
+    val expected: Set[Seq[Any]] = Set(
+      Seq(1L, B, B + 10 * M, 2L, 3.0),            // closed by user 1's 2h event
+      Seq(1L, B + 120 * M, B + 120 * M, 1L, 3.0), // idle session — timeout-only emission
+      Seq(2L, B, B, 1L, 4.0),                     // closed by user 2's 10h event (or its timeout)
+    )
+    assert(got == expected,
+      s"timeout emission mismatch: got ${got.diff(expected)}, missing ${expected.diff(got)}")
+  }
+
   test("stateful sessionization agrees with the batch twin") {
-    // streaming emits only sessions closed by a later event (the final
-    // open session per user stays in state on a bounded source), so
-    // compare on the common prefix: every streamed session must equal
-    // a batch session, and per-user counts differ by at most 1.
+    // bounded-source agreement: every streamed session (event-closed or
+    // timeout-closed) must equal a batch session; only per-user trailing
+    // sessions inside the watermark+gap horizon may still sit in state.
     val streamed = EventStream.sessionize(spark, dir, gapMinutes = 30)
     val name = "stream_spec_sessions"
     val q = streamed.writeStream.outputMode("append").format("memory").queryName(name).start()
