@@ -153,9 +153,11 @@ object Dedup {
     // shingle sets can exceed driver memory — AQE promotes the join to
     // broadcast at runtime when the cached size is actually small, and
     // falls back to a shuffle join when it isn't.
+    // ids-only but still candidate-bounded — same no-hint rule: AQE
+    // broadcasts the semi-join side only when it is actually small
     val candDocs = cands.select(col("i").as("doc_id"))
       .union(cands.select(col("j").as("doc_id"))).distinct()
-    val candSh = sh.join(broadcast(candDocs), "doc_id").cache()
+    val candSh = sh.join(candDocs, "doc_id").cache()
     cands
       .join(candSh.withColumnRenamed("doc_id", "i").withColumnRenamed("s", "s_i"), "i")
       .join(candSh.withColumnRenamed("doc_id", "j").withColumnRenamed("s", "s_j"), "j")

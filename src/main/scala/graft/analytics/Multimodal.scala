@@ -149,8 +149,11 @@ object Multimodal {
     * exercises the decode path end-to-end. */
   def m02FrameStats(spark: SparkSession, dir: String): DataFrame = {
     val frames = m02FrameSample(spark, dir)
+    // no broadcast hint: docs is corpus-sized (one row per document), so
+    // a forced broadcast would blow the driver at scale — AQE promotes
+    // the join to broadcast at runtime only when the side is actually small
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    frames.join(broadcast(docs), "doc_id")
+    frames.join(docs, "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_frames"),
            round(avg("feature"), 2).as("avg_feature"))
@@ -230,8 +233,9 @@ object Multimodal {
   /** Resize rollup per source: exercises the stub scaler end-to-end. */
   def m03ResizeStats(spark: SparkSession, dir: String): DataFrame = {
     val thumbs = m03Resize(spark, dir)
+    // corpus-sized dimension: no broadcast hint (see m02FrameStats)
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
-    thumbs.join(broadcast(docs), "doc_id")
+    thumbs.join(docs, "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_blobs"),
            sum("orig_bytes").as("total_orig"),

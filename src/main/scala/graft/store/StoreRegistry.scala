@@ -43,6 +43,13 @@ object StoreRegistry {
       if (resource == ":memory:") ("table_store", ":memory:")
       else resource.split(":", 2) match {
         case Array(e, p) if registry.contains(e) => (e, p)
+        // an engine-looking prefix (no path separator) that isn't
+        // registered is an error, like the reference's KeyError on
+        // `list_engines()[name]` (`plugins.py:79-99`) — a bare path
+        // containing ':' past a separator still opens as json_files
+        case Array(e, _) if !e.contains('/') && !e.contains('\\') && e.nonEmpty =>
+          throw new IllegalArgumentException(
+            s"Unknown engine '$e' (available: ${listEngines.mkString(", ")})")
         case _ if Set(".db", ".sqlite").contains(extension(resource)) =>
           ("table_store", resource)
         case _ => ("json_files", resource)

@@ -76,6 +76,8 @@ class CopySpec extends AnyFunSuite {
     val json = StoreRegistry.open(Files.createTempDirectory("graft-plain").toString)
     assert(json.name == "json_files")
     json.close()
+    // unknown engine prefix errors like the reference's KeyError
+    intercept[IllegalArgumentException](StoreRegistry.open("bogus_engine:/tmp/x"))
   }
 
   test("copy table_store -> table_store preserves catalog cardinality") {
