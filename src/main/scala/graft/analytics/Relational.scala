@@ -9,9 +9,13 @@ import org.apache.spark.sql.expressions.Window
   * semi/anti joins, rollup, windows, top-k, set ops, JSON extraction.
   *
   * Scale notes (the 100 TB story, tested at local[32]):
-  *  - Dimension tables (region 5, nation 25, supplier ~1k, part ~20k,
-  *    customer ~1.5M at sf100) are explicitly `broadcast()` so the fact
-  *    scans never shuffle for the dim side.
+  *  - FIXED-size dimension tables (region 5, nation 25 — constant at
+  *    any scale factor) are explicitly `broadcast()` so the fact scans
+  *    never shuffle for the dim side. Dimensions that GROW with the
+  *    scale factor (customer, part, supplier) carry no hint: AQE
+  *    promotes those joins to broadcast at runtime while they fit and
+  *    falls back to a shuffle join when they no longer do — a forced
+  *    broadcast of a linearly-growing table is a driver OOM at 100 TB.
   *  - Fact-fact joins (lineitem ⋈ orders) shuffle on the join key only
   *    after the pushed-down filters have cut the input; at cluster
   *    scale the same plan holds with AQE picking partition counts.
@@ -45,8 +49,9 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  /** TPC-H Q5 shape: 5-way star join; every dimension broadcast so the
-    * only shuffle is lineitem ⋈ orders on the order key. */
+  /** TPC-H Q5 shape: 5-way star join; fixed-size dims broadcast,
+    * customer joined AQE-adaptively (see scale notes) so the plan
+    * survives any scale factor. */
   def q02RevenueByNation(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val o  = Tables.orders(spark, dir)
@@ -56,7 +61,7 @@ object Relational {
     val n  = Tables.nation(spark, dir)
     val r  = Tables.region(spark, dir)
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
@@ -73,7 +78,7 @@ object Relational {
     val o  = Tables.orders(spark, dir)
     val c  = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
     li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(Det.sumDecR(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"))
       .select(col("o_orderkey"),
@@ -207,13 +212,14 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
-  /** TPC-H Q14 shape: conditional aggregation ratio over a broadcast
-    * dimension join (promo revenue share per month). */
+  /** TPC-H Q14 shape: conditional aggregation ratio over a dimension
+    * join (promo revenue share per month); part grows with SF, so the
+    * join is AQE-adaptive, not hint-broadcast. */
   def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val p  = Tables.part(spark, dir)
     val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
       .agg(Det.dround(Det.sumDec(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))
              / Det.sumDec(rev) * 100, 4).as("promo_share"),
