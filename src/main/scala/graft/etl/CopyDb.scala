@@ -38,17 +38,24 @@ object CopyDb {
     val readBytes = udf((p: String) =>
       java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
 
+    // per-route cardinalities in ONE aggregation job over the cached
+    // catalog (≤ |routes| rows) — probing each table with its own
+    // isEmpty + count would run 2 extra Spark jobs per table, all
+    // scheduler overhead on a point-store-sized catalog
+    val routeCounts = catalog.groupBy(col("route")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     var imported = 0L
     TableStore.tables.foreach { case (table, route) =>
-      val part = catalog.filter(col("route") === route.name)
-      if (!part.isEmpty) {
+      val n = routeCounts.getOrElse(route.name, 0L)
+      if (n > 0) {
+        val part = catalog.filter(col("route") === route.name)
         val keys = TableStore.tableKeys(table)
         val isBlob = Route.blobRoutes.contains(route)
         val rows = part.select((keys.map(col) ++ Seq(
           (if (isBlob) lit(null).cast("string") else readText(col("src_path"))).as("json"),
           (if (isBlob) readBytes(col("src_path")) else lit(null).cast("binary")).as("blob"))): _*)
         dest.bulkAppend(table, rows)
-        imported += part.count()
+        imported += n
       }
     }
     dest.flushAll()
