@@ -68,20 +68,32 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
 
   private def tablePath(table: String) = s"$basedir/$table"
 
-  private def flush(table: String): Unit = synchronized {
-    pending.get(table).filter(_.nonEmpty).foreach { rows =>
-      val df = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toSeq, 1), schemaFor(table))
-      // physical layout partitioned on the leading key columns: point
-      // gets and rmExperimentData prune to one directory subtree at
-      // scale (`NULL` keys land in the default partition and read back
-      // as NULL)
-      val parts = partitionCols(table)
-      val w = df.write.mode(SaveMode.Append)
-      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tablePath(table))
-      rows.clear()
+  // per-table write monitors: two flushes of the SAME table must not
+  // append to one directory concurrently (shared _temporary dir), but
+  // different tables are independent paths and may write in parallel
+  private val flushLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def flush(table: String): Unit =
+    flushLocks.computeIfAbsent(table, _ => new Object).synchronized {
+      // snapshot-and-clear under the store lock; the Spark write runs
+      // outside it so concurrent flushes of other tables proceed
+      val snapshot = synchronized {
+        pending.get(table).filter(_.nonEmpty).map { rows =>
+          val r = rows.toSeq; rows.clear(); r
+        }
+      }
+      snapshot.foreach { rows =>
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), schemaFor(table))
+        // physical layout partitioned on the leading key columns: point
+        // gets and rmExperimentData prune to one directory subtree at
+        // scale (`NULL` keys land in the default partition and read back
+        // as NULL)
+        val parts = partitionCols(table)
+        val w = df.write.mode(SaveMode.Append)
+        (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tablePath(table))
+      }
     }
-  }
 
   /** Partition columns per table: (project, experiment) where both
     * exist, (project) otherwise. */
@@ -309,8 +321,17 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
   def lock(): AdvisoryLock = Locking.forBasedir(basedir)
 
   /** Flush pending appends (call before handing the dir to another
-    * reader). */
-  def flushAll(): Unit = pending.keys.toSeq.foreach(flush)
+    * reader). Tables flush CONCURRENTLY — each write is an independent
+    * Spark job on its own directory, so serializing them would leave
+    * the cluster idle per tiny batch (same reasoning as the concurrent
+    * per-table catalog scans in [[query]]). */
+  def flushAll(): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val tables = synchronized(pending.filter(_._2.nonEmpty).keys.toSeq)
+    Await.result(Future.sequence(tables.map(t => Future(flush(t)))), Duration.Inf)
+  }
 
   override def close(): Unit = {
     flushAll()
