@@ -337,9 +337,9 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
     flushAll()
     if (ephemeral) {
       import scala.jdk.CollectionConverters._
-      val root = Paths.get(basedir)
-      Files.walk(root).iterator().asScala.toSeq.reverseIterator
-        .foreach(p => Files.deleteIfExists(p))
+      val walk = Files.walk(Paths.get(basedir))
+      try walk.iterator().asScala.toSeq.reverseIterator.foreach(p => Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 }
