@@ -81,6 +81,58 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("char_trigrams matches the transform/substring chain, incl. multi-byte chars") {
+    import CharTrigrams.char_trigrams
+    val texts = Seq("hello world", "ab", "", "abc", "naïve café breeze",
+      "日本語のテキストです", "mixed 漢字 and ascii", "  spaced  out  ")
+    val df = texts.toDF("t").select(lower(col("t")).as("lc"))
+    val rows = df.select(
+      char_trigrams(col("lc")).as("fast"),
+      expr("CASE WHEN length(lc) >= 3 THEN " +
+        "transform(sequence(1, length(lc) - 2), i -> substring(lc, i, 3)) " +
+        "ELSE array() END").as("slow"))
+      .collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"mismatch for '$t'")
+    }
+  }
+
+  test("best_profile_lang equals the explode+join+argmax formulation") {
+    import BestProfileLang.best_profile_lang
+    import CharTrigrams.char_trigrams
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog ran"),
+      (2L, "der hund lief durch den wald und den garten"),
+      (3L, "le chat dort sur le lit dans la maison"),
+      (4L, "xy"), // < 3 chars: no grams -> no prediction row
+      (5L, "the der le mixed thing")).toDF("doc_id", "text")
+    val labeled = Seq(
+      (10L, "en", "the cat and the dog sat on the mat in the house then ran out"),
+      (11L, "de", "der hund und die katze liefen durch den wald in den garten"),
+      (12L, "fr", "le chat et le chien dorment sur le lit dans la maison"))
+      .toDF("doc_id", "lang", "text")
+    val profile = graft.analytics.LangId.fit(labeled)
+
+    val fast = graft.analytics.LangId.predict(docs, profile)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    // declarative twin: per-occurrence explode -> broadcast join ->
+    // score aggregation -> min_by argmax with lang-asc tie-break
+    val occ = docs.select(col("doc_id"),
+      explode(char_trigrams(lower(col("text")))).as("gram"))
+    val slow = occ.join(profile, Seq("gram"))
+      .groupBy("doc_id", "profile_lang")
+      .agg(sum("weight").as("score"))
+      .groupBy("doc_id")
+      .agg(min_by(col("profile_lang"),
+        struct((-col("score")).as("neg"), col("profile_lang"))).as("predicted"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    assert(fast == slow)
+    assert(!fast.contains(4L), "gram-less doc must produce no prediction row")
+    assert(fast.contains(1L) && fast.contains(2L) && fast.contains(3L))
+  }
+
   test("identical texts share a simhash; distinct texts differ") {
     import SimHash64.simhash64
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
