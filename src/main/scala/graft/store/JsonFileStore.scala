@@ -108,7 +108,7 @@ final class JsonFileStore(basedirRaw: String) extends AssetStore {
   // LRU caches: whole-file (64) + filtered sub-key (512), mtime-
   // invalidated (`jsondb/cache.py:114-371`).
   // --------------------------------------------------------------
-  private final case class CacheEntry(content: String, mtimeMs: Long)
+  import JsonFileStore.CacheEntry
   private def lruMap[K, V](maxSize: Int) =
     java.util.Collections.synchronizedMap(
       new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
@@ -413,6 +413,10 @@ final class JsonFileStore(basedirRaw: String) extends AssetStore {
 }
 
 object JsonFileStore {
+  /** LRU payload + mtime stamp (top-level so the pattern-match type
+    * test carries no outer-instance reference). */
+  private[store] final case class CacheEntry(content: String, mtimeMs: Long)
+
   /** Supported image extensions (`/root/reference/src/aerovaldb/
     * const.py:1-3`), probed in sorted order. */
   val ImgExts: Seq[String] =
