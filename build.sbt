@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] on a 128 GiB box: an 8g heap puts the collector under
+  // pressure mid-bench (multi-MB text rows + decoded image buffers are
+  // humongous objects for G1's default region size) and a full GC can
+  // land on an unlucky query; 16g + 32m regions keeps pauses off the
+  // per-query timings
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  "-XX:+UseG1GC", "-XX:G1HeapRegionSize=32m",
 )

@@ -20,6 +20,38 @@ object Bench {
     }
     try graft.analytics.Tables.events(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // first-use machinery the count() warmups never touch, each of
+    // which otherwise lands its one-time cost (classloading + JIT, can
+    // be seconds) on whichever timed query hits it first:
+    // text-column scan + regex split + window + hash agg on a slice
+    try {
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+      graft.analytics.Tables.documents(spark, sfDir).limit(256)
+        .withColumn("n", size(split(trim(col("text")), "\\s+")))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("lang").agg(sum("n")).count()
+    } catch { case _: Throwable => () }
+    // javax.imageio plugin-registry init + one decode/encode round trip
+    try {
+      val img = new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+    } catch { case _: Throwable => () }
+    // incremental-execution stack (state store, microbatch planner)
+    try {
+      import spark.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Long]
+      ms.addData(1L, 2L)
+      val q = ms.toDS().groupBy().count().writeStream
+        .outputMode("complete").format("memory")
+        .queryName("bench_warmup_stream").start()
+      q.processAllAvailable(); q.stop()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

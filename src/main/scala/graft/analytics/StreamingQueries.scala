@@ -15,7 +15,7 @@ object StreamingQueries {
 
   def st01StreamDaily(spark: SparkSession, dir: String): DataFrame = {
     val name = "st01_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    EventStream.runToCompletion(spark, EventStream.dailyCounts(spark, dir), name)
+    EventStream.runToCompletion(spark, EventStream.dailyCounts(_, dir), name)
       .orderBy("day", "event_type")
   }
 
@@ -25,7 +25,7 @@ object StreamingQueries {
 
   def st03StreamDedup(spark: SparkSession, dir: String): DataFrame = {
     val name = "st03_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    EventStream.runToCompletion(spark, EventStream.streamingDedup(spark, dir), name)
+    EventStream.runToCompletion(spark, EventStream.streamingDedup(_, dir), name)
       .orderBy("event_type")
   }
 
@@ -35,7 +35,7 @@ object StreamingQueries {
     import org.apache.spark.sql.functions._
     val name = "st04_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val pairs = EventStream.runAppendToCompletion(spark,
-      EventStream.streamStreamJoin(spark, dir), name)
+      EventStream.streamStreamJoin(_, dir), name)
     pairs.groupBy(col("p_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
            countDistinct(col("purchase_id")).as("n_purchases"),

@@ -83,15 +83,28 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
         }
       }
       snapshot.foreach { rows =>
-        val df = spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, 1), schemaFor(table))
-        // physical layout partitioned on the leading key columns: point
-        // gets and rmExperimentData prune to one directory subtree at
-        // scale (`NULL` keys land in the default partition and read back
-        // as NULL)
-        val parts = partitionCols(table)
-        val w = df.write.mode(SaveMode.Append)
-        (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tablePath(table))
+        try {
+          val df = spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1), schemaFor(table))
+          // physical layout partitioned on the leading key columns: point
+          // gets and rmExperimentData prune to one directory subtree at
+          // scale (`NULL` keys land in the default partition and read back
+          // as NULL)
+          val parts = partitionCols(table)
+          val w = df.write.mode(SaveMode.Append)
+          (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tablePath(table))
+        } catch {
+          case e: Throwable =>
+            // failed write must not lose the buffered rows: put the
+            // snapshot back at the FRONT (it predates anything appended
+            // meanwhile) so the next flush retries it
+            synchronized {
+              pending.getOrElseUpdate(
+                table, scala.collection.mutable.ArrayBuffer.empty)
+                .prependAll(rows)
+            }
+            throw e
+        }
       }
     }
 

@@ -87,47 +87,49 @@ object EventStream {
     * by a DATA batch — watermark-advance ("no-data") microbatches only
     * evict state, so on a drive that ends immediately afterwards they
     * are pure overhead (a full batch round across every state-store
-    * partition). Disable them for the run, restore after. Queries that
-    * DO emit on watermark advance (event-time timeouts, append-mode
-    * aggregation) must not use these helpers. */
-  private def withoutNoDataBatches[T](spark: SparkSession)(body: => T): T = {
-    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try body
-    finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None    => spark.conf.unset(key)
-    }
+    * partition). The query is built and run on a CLONED session
+    * (isolated SQLConf) so disabling them cannot leak into
+    * timeout-dependent streaming queries started concurrently on the
+    * shared session. Queries that DO emit on watermark advance
+    * (event-time timeouts, append-mode aggregation) must not use these
+    * helpers. */
+  private def boundedDriveSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    s
   }
 
   /** Run an append-mode streaming query to completion over the bounded
-    * file source and return the sink table. */
-  def runAppendToCompletion(spark: SparkSession, df: DataFrame, queryName: String): DataFrame =
-    withoutNoDataBatches(spark) {
-      val q = df.writeStream
-        .outputMode(OutputMode.Append)
-        .format("memory")
-        .queryName(queryName)
-        .start()
-      q.processAllAvailable()
-      q.stop()
-      spark.table(queryName)
-    }
+    * file source and return the sink table. `mkDf` receives the
+    * isolated drive session the query must be built on. */
+  def runAppendToCompletion(spark: SparkSession, mkDf: SparkSession => DataFrame,
+                            queryName: String): DataFrame = {
+    val s = boundedDriveSession(spark)
+    val q = mkDf(s).writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(queryName)
+  }
 
   /** Run a streaming aggregation to completion over the bounded file
-    * source and return the final table. */
-  def runToCompletion(spark: SparkSession, agg: DataFrame, queryName: String): DataFrame =
-    withoutNoDataBatches(spark) {
-      val q = agg.writeStream
-        .outputMode(OutputMode.Complete)
-        .format("memory")
-        .queryName(queryName)
-        .start()
-      q.processAllAvailable()
-      q.stop()
-      spark.table(queryName)
-    }
+    * source and return the final table. `mkDf` receives the isolated
+    * drive session the query must be built on. */
+  def runToCompletion(spark: SparkSession, mkDf: SparkSession => DataFrame,
+                      queryName: String): DataFrame = {
+    val s = boundedDriveSession(spark)
+    val q = mkDf(s).writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(queryName)
+  }
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)

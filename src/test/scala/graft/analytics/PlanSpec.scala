@@ -20,32 +20,47 @@ class PlanSpec extends AnyFunSuite {
   test("q01: filter pushdown and column pruning reach the lineitem scan") {
     val plan = Relational.q01PricingSummary(spark, dir)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+    // directional, format-tolerant: the shipdate predicate appears in
+    // SOME pushed-filter list, and the scan never reads a column the
+    // query doesn't touch
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(plan).isDefined,
       s"shipdate filter not pushed:\n$plan")
     assert(plan.contains("l_shipdate") && !plan.contains("l_partkey"),
       "scan reads columns the query never touches")
   }
 
-  test("t07 predict side is a single narrow pass (2 exchanges: agg + sort)") {
-    val plan = LangId.t07NgramLangId(spark, dir).queryExecution.executedPlan.toString
+  test("t07 predict side is a single narrow pass") {
+    val qe = LangId.t07NgramLangId(spark, dir).queryExecution
+    val plan = qe.executedPlan.toString
+    // directional bound (agg + sort), not an exact count, so plan-string
+    // formatting or an extra AQE wrapper can't produce a false failure
     val exchanges = "Exchange".r.findAllIn(plan).length
-    assert(exchanges == 2, s"expected agg+sort exchanges only, got $exchanges:\n$plan")
+    assert(exchanges <= 2, s"predict pass gained a shuffle, got $exchanges:\n$plan")
     assert(!plan.contains("Generate"), "predict must not explode occurrences")
     assert(!plan.toLowerCase.contains("broadcasthashjoin"), "predict must not join")
   }
 
+  private def hintedRelations(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h.child.toString
+    }
+
   test("growing-side joins carry no broadcast hint (d02, m02)") {
     // analyzed plans retain ResolvedHint nodes; corpus/candidate-bounded
     // sides must have none so AQE can fall back to a shuffle join
-    val d02 = Dedup.d02MinHashPairs(spark, dir).queryExecution.analyzed.toString
-    assert(!d02.toLowerCase.contains("hint"), s"d02 hints a growing side:\n$d02")
-    val m02 = Multimodal.m02FrameStats(spark, dir).queryExecution.analyzed.toString
-    assert(!m02.toLowerCase.contains("hint"), s"m02 hints a growing side:\n$m02")
+    assert(hintedRelations(Dedup.d02MinHashPairs(spark, dir)).isEmpty,
+      "d02 hints a growing side")
+    assert(hintedRelations(Multimodal.m02FrameStats(spark, dir)).isEmpty,
+      "m02 hints a growing side")
   }
 
   test("fixed-size dims stay hint-broadcast in the star join (q02)") {
-    val q02 = Relational.q02RevenueByNation(spark, dir).queryExecution.analyzed.toString
-    val hints = "ResolvedHint".r.findAllIn(q02).length
-    assert(hints == 2, s"expected nation+region broadcast hints only, got $hints")
+    // hint SET is exactly {nation, region}: matched on the hinted
+    // subtrees' source files, not on node counts in a plan string
+    val hinted = hintedRelations(Relational.q02RevenueByNation(spark, dir))
+    assert(hinted.exists(_.contains("nation")) && hinted.exists(_.contains("region")),
+      s"nation+region must keep their broadcast hints, got:\n${hinted.mkString("\n")}")
+    assert(hinted.forall(h => h.contains("nation") || h.contains("region")),
+      s"a growing table is hint-broadcast:\n${hinted.mkString("\n")}")
   }
 }

@@ -14,7 +14,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("windowed streaming agg equals batch aggregation") {
     val streamed = EventStream.runToCompletion(spark,
-      EventStream.dailyCounts(spark, dir), "stream_spec_daily")
+      EventStream.dailyCounts(_, dir), "stream_spec_daily")
       .orderBy("day", "event_type").collect().toSeq
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val batch = spark.read.parquet(s"$dir/events.parquet")
