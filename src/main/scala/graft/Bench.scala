@@ -52,19 +52,31 @@ object Bench {
         .queryName("bench_warmup_stream").start()
       q.processAllAvailable(); q.stop()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // release any narrow per-query cache so storage memory never
-      // leaks across the 52-query run
-      spark.catalog.clearCache()
-      name -> dt
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def pass(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // release any narrow per-query cache so storage memory never
+        // leaks across the 52-query run
+        spark.catalog.clearCache()
+        name -> dt
+      }
+    // pass 1 (reported as "queries"/"value", comparable with earlier
+    // rounds): first-run timings, which still carry each query's
+    // residual JIT/classloading. pass 2 ("queries_warm"/"total_warm"):
+    // steady-state cost — on a long-lived cluster JIT is a one-time
+    // cost, and warm numbers are what a 100 TB run would see per-query;
+    // they are also stable when a GC or JIT storm lands on one unlucky
+    // first-run query.
+    val results = pass()
+    val warm = pass()
+    def fmt(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val totalWarm = if (warm.nonEmpty) warm.map(_._2).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},""" +
+      s""""total_warm":$totalWarm,"queries_warm":${fmt(warm)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -44,20 +44,26 @@ object CopyDb {
     // scheduler overhead on a point-store-sized catalog
     val routeCounts = catalog.groupBy(col("route")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    var imported = 0L
-    TableStore.tables.foreach { case (table, route) =>
-      val n = routeCounts.getOrElse(route.name, 0L)
-      if (n > 0) {
-        val part = catalog.filter(col("route") === route.name)
-        val keys = TableStore.tableKeys(table)
-        val isBlob = Route.blobRoutes.contains(route)
-        val rows = part.select((keys.map(col) ++ Seq(
-          (if (isBlob) lit(null).cast("string") else readText(col("src_path"))).as("json"),
-          (if (isBlob) readBytes(col("src_path")) else lit(null).cast("binary")).as("blob"))): _*)
-        dest.bulkAppend(table, rows)
-        imported += n
-      }
+    // each table is an independent destination path, so the per-table
+    // import jobs run concurrently — overlapping the writes instead of
+    // paying the scheduler round trip |tables| times (same reasoning as
+    // TableStore.flushAll)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val work = TableStore.tables.toSeq.flatMap { case (table, route) =>
+      routeCounts.get(route.name).filter(_ > 0).map(n => (table, route, n))
     }
+    Await.result(Future.sequence(work.map { case (table, route, _) => Future {
+      val part = catalog.filter(col("route") === route.name)
+      val keys = TableStore.tableKeys(table)
+      val isBlob = Route.blobRoutes.contains(route)
+      val rows = part.select((keys.map(col) ++ Seq(
+        (if (isBlob) lit(null).cast("string") else readText(col("src_path"))).as("json"),
+        (if (isBlob) readBytes(col("src_path")) else lit(null).cast("binary")).as("blob"))): _*)
+      dest.bulkAppend(table, rows)
+    }}), Duration.Inf)
+    val imported = work.map(_._3).sum
     dest.flushAll()
     val dstN = dest.listAll().size
     if (imported != dstN)
