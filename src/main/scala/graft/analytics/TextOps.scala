@@ -103,6 +103,33 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** BPE-ish tokenization (subword-style segmentation a trainer's token
+    * accounting uses, vs t02's whitespace counting): contraction
+    * suffixes split off, letter runs, digit runs capped at 3 (the
+    * number-chunking modern BPE vocabularies use), single punctuation.
+    * Alternation is leftmost-first in BOTH Java regex and DuckDB's RE2,
+    * and the pattern avoids lookarounds (RE2 has none), so the two
+    * engines tokenize identically. */
+  private val bpePattern =
+    "'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\\s]"
+
+  /** Token-budget accounting per source under BPE-ish segmentation:
+    * doc counts, total/avg subword tokens, and the subword-per-
+    * whitespace-token expansion ratio (integer sums → exact, so the
+    * aggregate is order-independent at any parallelism). */
+  def t11BpeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit(bpePattern), lit(0)))
+          .cast("bigint").as("n_bpe"),
+        size(tokens).cast("bigint").as("n_ws"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_bpe").as("total_bpe_tokens"),
+           Det.dround(sum("n_bpe").cast("double") / count(lit(1)), 2).as("avg_bpe_tokens"),
+           Det.dround(sum("n_bpe").cast("double") / sum("n_ws"), 4).as("bpe_per_ws_token"))
+      .orderBy("source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_distribution" -> t01LangDistribution _,
     "t02_token_counts"      -> t02TokenCounts _,
@@ -110,6 +137,7 @@ object TextOps {
     "t04_langid"            -> t04LangId _,
     "t05_fingerprints"      -> t05Fingerprints _,
     "t06_dedup_exact"       -> t06DedupExact _,
+    "t11_bpe_tokens"        -> t11BpeTokens _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -159,5 +187,16 @@ object TextOps {
          SELECT f.source, count(*) AS n_unique, CAST(sum(s.dups - 1) AS BIGINT) AS n_removed
          FROM s JOIN f ON s.doc_id = f.doc_id
          GROUP BY f.source ORDER BY f.source""",
+    "t11_bpe_tokens" ->
+      """WITH d AS (SELECT source,
+             CAST(len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]')) AS BIGINT) n_bpe,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n_ws
+           FROM documents)
+         SELECT source, count(*) AS n_docs,
+          CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+          floor((CAST(sum(n_bpe) AS DOUBLE) / count(*)) * 100.0 + 0.5) / 100.0 AS avg_bpe_tokens,
+          floor((CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws)) * 10000.0 + 0.5) / 10000.0 AS bpe_per_ws_token
+         FROM d GROUP BY source ORDER BY source""",
   )
 }

@@ -113,7 +113,7 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
   private def partitionCols(table: String): Seq[String] =
     tableKeys(table).filter(k => k == "project" || k == "experiment")
 
-  private def readTable(table: String): Option[DataFrame] = {
+  private[store] def readTable(table: String): Option[DataFrame] = {
     flush(table)
     val p = tablePath(table)
     if (!Files.exists(Paths.get(p))) None
