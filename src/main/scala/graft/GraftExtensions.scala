@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharTrigrams, DoubleArrayDot, SimHash64, WordShingles}
+import graft.functions.{CharTrigrams, DoubleArrayDot, SimHash64, WinnowFingerprints, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions so `spark.sql` users get them
@@ -45,6 +45,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "char_trigrams(text) takes one argument")
         CharTrigrams(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1 || children.length == 3,
+          "winnow_fingerprints(text[, k, window])")
+        if (children.length == 1) WinnowFingerprints(children.head, 25, 26)
+        else {
+          def intArg(e: Expression, name: String): Int = e.eval() match {
+            case i: Int => i
+            case other => throw new IllegalArgumentException(
+              s"winnow_fingerprints: $name must be an integer literal, got $other")
+          }
+          WinnowFingerprints(children.head,
+            intArg(children(1), "k"), intArg(children(2), "window"))
+        }
       }))
   }
 }

@@ -230,15 +230,54 @@ object Dedup {
       .orderBy("i", "j")
   }
 
+  /** Winnowing (rolling-hash) passage-level near-dup pairs — the
+    * LOCAL-similarity tier: two docs sharing any ≥50 normalized-char
+    * passage are guaranteed a common fingerprint
+    * ([[graft.functions.WinnowFingerprints]], k=25, window=26), which
+    * catches copied paragraphs inside otherwise-different documents —
+    * the case a global MinHash signature dilutes away. Same df-capped
+    * postings-index shape as d01: shuffle #1 keys on the 8-byte
+    * fingerprint (never on text), pairs come from the lazy i<j postings
+    * slice, shuffle #2 is the final pair count. Overlap coefficient
+    * `shared / min(|f_i|,|f_j|)` scores containment so a short doc
+    * pasted into a long one still scores high. */
+  def d05WinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.WinnowFingerprints.winnow_fingerprints
+    val fps = Tables.documents(spark, dir)
+      .select(col("doc_id"), winnow_fingerprints(col("text")).as("f"))
+    val inv = fps
+      .select(col("doc_id"),
+        explode(transform(col("f"), x =>
+          struct(x.as("fp"), size(col("f")).cast("long").as("n_f")))).as("e"))
+      .select(col("doc_id"), col("e.fp").as("fp"), col("e.n_f").as("n_f"))
+    val postings = inv.groupBy("fp")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_f")))).as("docs"))
+      .filter(size(col("docs")).between(2, MaxShingleDf))
+    val pairs = postings
+      .select(col("docs"), posexplode(col("docs")).as(Seq("idx", "a")))
+      .select(col("a"),
+        explode(slice(col("docs"), col("idx") + lit(2), size(col("docs")))).as("b"))
+    pairs.groupBy(
+        col("a.doc_id").as("i"), col("a.n_f").as("n_i"),
+        col("b.doc_id").as("j"), col("b.n_f").as("n_j"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+      .select(col("i"), col("j"), col("shared"),
+        Det.dround(col("shared").cast("double") / least(col("n_i"), col("n_j")), 4).as("overlap"))
+      .orderBy("i", "j")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_ngram_jaccard_pairs" -> d01NgramJaccardPairs _,
     "d02_minhash_pairs"       -> d02MinHashPairs _,
     "d03_simhash_pairs"       -> d03SimHashPairs _,
     "d04_embedding_neardup"   -> d04EmbeddingNearDup _,
+    "d05_winnow_pairs"        -> d05WinnowPairs _,
   )
 
-  /** d02/d03 use Spark xxhash64 — not reproducible in DuckDB SQL, so
-    * they get the driver's rows-only check; d01/d04 are exact. */
+  /** d02/d03 use Spark xxhash64 and d05 a u64 rolling hash — not
+    * reproducible in DuckDB SQL, so they get the driver's rows-only
+    * check; d01/d04 are exact. */
   val oracleSql: Map[String, String] = Map(
     "d01_ngram_jaccard_pairs" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
