@@ -66,6 +66,51 @@ class StreamingSpec extends AnyFunSuite {
       s"timeout emission mismatch: got ${got.diff(expected)}, missing ${expected.diff(got)}")
   }
 
+  test("sessionization is invariant to microbatch slicing") {
+    // the state function must produce identical sessions no matter how
+    // the same event stream is cut into microbatches — the property
+    // that makes results reproducible across trigger intervals, source
+    // rates, and replays
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val M = 60000L
+    val B = 86400000L
+    def ev(id: Long, user: Long, tsMs: Long) =
+      EventStream.Event(id, new java.sql.Timestamp(B + tsMs), user, "view", 1.0)
+    // globally time-ordered: under a finer slicing the watermark
+    // advances between batches, so an out-of-order fixture would make
+    // later users' events legitimately late (dropped) — the invariance
+    // being asserted holds for in-order delivery
+    val events = Seq(
+      ev(1, 1, 0), ev(6, 2, 5 * M), ev(2, 1, 10 * M),    // u1 session A starts, u2 singleton
+      ev(3, 1, 20 * M), ev(7, 2, 50 * M), ev(8, 3, 60 * M), // u2 second singleton, u3
+      ev(4, 1, 120 * M), ev(5, 1, 125 * M))              // u1 session B
+    // tail event far in the future: advances the watermark past every
+    // session's gap horizon so all of u1-u3's sessions close
+    val tail = ev(99, 99, 3000 * M)
+
+    def runWith(slices: Seq[Seq[EventStream.Event]], name: String): Set[Seq[Any]] = {
+      val src = MemoryStream[EventStream.Event]
+      val q = EventStream.sessionizeEvents(src.toDS(), gapMinutes = 30)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      (slices :+ Seq(tail)).foreach { s => src.addData(s: _*); q.processAllAvailable() }
+      // one more batch under the advanced watermark so timeouts fire
+      src.addData(ev(100, 99, 3001 * M)); q.processAllAvailable()
+      q.stop()
+      spark.table(name).filter(col("user_id") =!= 99)
+        .select("user_id", "start_ms", "end_ms", "n_events", "total_value")
+        .collect().map(_.toSeq).toSet
+    }
+
+    val oneBatch = runWith(Seq(events), "spec_slice_one")
+    val bySession = runWith(Seq(events.take(3), events.slice(3, 6), events.drop(6)), "spec_slice_three")
+    val perEvent = runWith(events.map(Seq(_)), "spec_slice_single")
+    assert(oneBatch.size == 5, s"expected 5 closed sessions, got $oneBatch")
+    assert(oneBatch == bySession && oneBatch == perEvent,
+      s"slicing changed the result:\none=$oneBatch\nthree=$bySession\nsingle=$perEvent")
+  }
+
   test("stateful sessionization agrees with the batch twin") {
     // bounded-source agreement: every streamed session (event-closed or
     // timeout-closed) must equal a batch session; only per-user trailing
