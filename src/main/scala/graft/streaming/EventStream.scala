@@ -96,6 +96,13 @@ object EventStream {
   private def boundedDriveSession(spark: SparkSession): SparkSession = {
     val s = spark.newSession()
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    // a streaming query's state-store partition count is frozen at
+    // start (unlike batch, AQE cannot right-size it later), and every
+    // microbatch pays per-partition store open/commit across ALL
+    // stateful operators. Size it to the drive's state volume — for
+    // these bounded drives that is a few MB, so 8 partitions; a
+    // production deployment sizes this to rate × window before start.
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     s
   }
 
