@@ -360,6 +360,24 @@ object Relational {
       .orderBy("lang", "label")
   }
 
+  /** Salted two-phase hot-key aggregation over events: event_type has
+    * a handful of values across the whole table — the shape that pins
+    * one reducer at 100 TB. [[SkewUtils.saltedAggregate]] shuffles on
+    * (event_type, salt) first so a hot key spreads over 8 reducers,
+    * then recombines the tiny per-salt partials. Decimal partial sums
+    * keep the two-phase total exact, so the result is bit-equal to the
+    * plain one-shuffle aggregate — which is exactly what the DuckDB
+    * oracle computes. */
+  def q24SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    SkewUtils.saltedAggregate(
+      Tables.events(spark, dir).select(col("event_type"), col("value")),
+      Seq("event_type"), buckets = 8,
+      partialAggs = Seq(count(lit(1)).as("pc"),
+        sum(col("value").cast("decimal(18,6)")).as("ps")),
+      finalAggs = Seq(sum("pc").as("n_events"),
+        Det.dround(sum("ps").cast("double"), 2).as("sum_value")))
+      .orderBy("event_type")
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary _,
@@ -385,6 +403,7 @@ object Relational {
     "q21_approx_distinct"   -> q21ApproxDistinct _,
     "q22_asof_join"         -> q22AsOfJoin _,
     "q23_docs_embeddings"   -> q23DocsEmbeddings _,
+    "q24_salted_agg"        -> q24SaltedAgg _,
   )
 
   /** DuckDB oracle SQL, column-name- and order-aligned with the Spark
@@ -552,5 +571,10 @@ object Relational {
       """SELECT d.lang, CAST(e.label AS BIGINT) AS label, count(*) AS n
          FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
          GROUP BY 1, 2 ORDER BY lang, label""",
+    // the salted two-phase plan must equal the plain aggregate
+    "q24_salted_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+         floor((CAST(sum(CAST((value) AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
   )
 }
