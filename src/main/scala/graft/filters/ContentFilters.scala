@@ -31,19 +31,19 @@ object ContentFilters {
     * appear with `{}` at the level they reached. */
   def filterHeatmap(data: JsonNode, region: String, time: String): JsonNode = {
     val out = JsonUtil.mapper.createObjectNode()
-    data.fields().forEachRemaining { ve =>
+    data.properties().forEach { ve =>
       val vOut = JsonUtil.mapper.createObjectNode()
       out.set[JsonNode](ve.getKey, vOut)
-      ve.getValue.fields().forEachRemaining { ne =>
+      ve.getValue.properties().forEach { ne =>
         val nOut = JsonUtil.mapper.createObjectNode()
         vOut.set[JsonNode](ne.getKey, nOut)
-        ne.getValue.fields().forEachRemaining { le =>
+        ne.getValue.properties().forEach { le =>
           val lOut = JsonUtil.mapper.createObjectNode()
           nOut.set[JsonNode](le.getKey, lOut)
-          le.getValue.fields().forEachRemaining { me =>
+          le.getValue.properties().forEach { me =>
             val mOut = JsonUtil.mapper.createObjectNode()
             lOut.set[JsonNode](me.getKey, mOut)
-            me.getValue.fields().forEachRemaining { mve =>
+            me.getValue.properties().forEach { mve =>
               val mvOut = JsonUtil.mapper.createObjectNode()
               mOut.set[JsonNode](mve.getKey, mvOut)
               val regionData = mve.getValue.get(region)

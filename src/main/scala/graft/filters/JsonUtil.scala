@@ -1,19 +1,18 @@
 package graft.filters
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.json.JsonMapper
 import com.fasterxml.jackson.databind.node.{ArrayNode, DoubleNode, ObjectNode, NullNode}
-import com.fasterxml.jackson.core.JsonParser
+import com.fasterxml.jackson.core.json.JsonReadFeature
 
 /** JSON parse/serialize with the reference's NaN policy: parse accepts
   * NaN/Infinity literals; serialization emits them as `null`
   * (simplejson `ignore_nan=True` — `/root/reference/src/aerovaldb/
   * utils/json.py:11-18`). */
 object JsonUtil {
-  val mapper: ObjectMapper = {
-    val m = new ObjectMapper()
-    m.configure(JsonParser.Feature.ALLOW_NON_NUMERIC_NUMBERS, true)
-    m
-  }
+  val mapper: ObjectMapper = JsonMapper.builder()
+    .enable(JsonReadFeature.ALLOW_NON_NUMERIC_NUMBERS)
+    .build()
 
   def parse(json: String): JsonNode = mapper.readTree(json)
 
@@ -23,7 +22,7 @@ object JsonUtil {
       NullNode.getInstance
     case o: ObjectNode =>
       val copy = o.objectNode()
-      o.fields().forEachRemaining(e => copy.set[JsonNode](e.getKey, nanToNull(e.getValue)))
+      o.properties().forEach(e => copy.set[JsonNode](e.getKey, nanToNull(e.getValue)))
       copy
     case a: ArrayNode =>
       val copy = a.arrayNode()

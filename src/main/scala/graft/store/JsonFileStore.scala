@@ -287,7 +287,7 @@ final class JsonFileStore(basedirRaw: String) extends AssetStore {
     val path = resolvePath(Route.Contour, routeArgs)
     if (Files.exists(path)) {
       val mtime = Files.getLastModifiedTime(path).toMillis
-      node.fields().forEachRemaining { e =>
+      node.properties().forEach { e =>
         subKeyCache.put(s"$path::${e.getKey}",
           CacheEntry(JsonUtil.serialize(e.getValue), mtime))
       }
