@@ -55,12 +55,14 @@ object Bench {
     def pass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         // release any narrow per-query cache so storage memory never
         // leaks across the 52-query run
         spark.catalog.clearCache()
-        name -> dt
+        // a NEGATIVE duration marks an errored query — loud in the
+        // JSON instead of masquerading as a normal timing
+        name -> (if (ok) dt else -dt)
       }
     // pass 1 (reported as "queries"/"value", comparable with earlier
     // rounds): first-run timings, which still carry each query's

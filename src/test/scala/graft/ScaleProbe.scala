@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only scaling probe (test scope — not shipped): replicates the
+  * sf0.1 tables `REP`× into a /tmp dir (id-offset replicas; document
+  * text gets a per-replica suffix token so replicas are near- but not
+  * exact duplicates — a dedup stress test, not a no-op), then times
+  * the headline operators at 1× and REP× to check scaling linearity.
+  *
+  *   SPARK_GRAFT_REP=10 sbt "Test/runMain graft.ScaleProbe"
+  *
+  * Quadratic-by-design baselines (s01/d04 brute force) are excluded —
+  * their scale paths (s02/s03, d02) are included.
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val rep = sys.env.getOrElse("SPARK_GRAFT_REP", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    val big = java.nio.file.Files.createTempDirectory(s"graft-scale-x$rep").toString
+    def reps = spark.range(rep).select(col("id").as("_rep"))
+
+    // documents: doc_id offset per replica + a replica suffix token so
+    // copies are near-dups (shared long passages) rather than byte dups
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDocs = docs.count()
+    docs.crossJoin(reps)
+      .withColumn("doc_id", col("doc_id") + col("_rep") * lit(nDocs))
+      .withColumn("text", concat(col("text"), lit(" rep"), col("_rep")))
+      .drop("_rep")
+      .repartition(32).write.mode("overwrite").parquet(s"$big/documents.parquet")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nEmb = emb.count()
+    emb.crossJoin(reps)
+      .withColumn("vec_id", col("vec_id") + col("_rep") * lit(nEmb))
+      .drop("_rep")
+      .repartition(32).write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+
+    // events: user-id offset per replica — organic growth (more users,
+    // same per-user rate), no watermark pathology
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val nUsers = ev.agg(max("user_id")).head().getLong(0) + 1
+    val nEv = ev.count()
+    ev.crossJoin(reps)
+      .withColumn("user_id", col("user_id") + col("_rep") * lit(nUsers))
+      .withColumn("event_id", col("event_id") + col("_rep") * lit(nEv))
+      .drop("_rep")
+      .repartition(32).write.mode("overwrite").parquet(s"$big/events.parquet")
+
+    val names = Seq("d01_ngram_jaccard_pairs", "d02_minhash_pairs", "d03_simhash_pairs",
+      "d05_winnow_pairs", "t07_ngram_langid", "p01_curation_pipeline", "t11_bpe_tokens",
+      "s02_ann_lsh", "s03_ann_ivf", "st02_sessions", "q24_salted_agg")
+    def time(name: String, dir: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      spark.catalog.clearCache()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    println(f"[scale] ${"query"}%-26s ${"1x_s"}%8s ${s"${rep}x_s"}%8s ${"ratio"}%6s  rows_1x -> rows_big")
+    names.foreach { name =>
+      val (t1, n1) = time(name, sfDir)
+      val (tb, nb) = time(name, big)
+      println(f"[scale] $name%-26s $t1%8.2f $tb%8.2f ${tb / t1}%6.1f  $n1 -> $nb")
+    }
+    spark.stop()
+  }
+}
