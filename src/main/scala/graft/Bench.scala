@@ -23,15 +23,31 @@ object Bench {
     // first-use machinery the count() warmups never touch, each of
     // which otherwise lands its one-time cost (classloading + JIT, can
     // be seconds) on whichever timed query hits it first:
-    // text-column scan + regex split + window + hash agg on a slice
+    // text-column scan + regex split + window + hash agg + the custom
+    // single-pass expressions, on a 256-doc slice
     try {
       import org.apache.spark.sql.functions._
+      import graft.functions.WordShingles.word_shingles
+      import graft.functions.CharTrigrams.char_trigrams
+      import graft.functions.WinnowFingerprints.winnow_fingerprints
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy("doc_id")
       graft.analytics.Tables.documents(spark, sfDir).limit(256)
         .withColumn("n", size(split(trim(col("text")), "\\s+")))
+        .withColumn("sh", size(word_shingles(col("text"))))
+        .withColumn("tg", size(char_trigrams(col("text"))))
+        .withColumn("wf", size(winnow_fingerprints(col("text"))))
         .withColumn("rn", row_number().over(w))
-        .groupBy("lang").agg(sum("n")).count()
+        .groupBy("lang").agg(sum("n"), sum("sh"), sum("tg"), sum("wf")).count()
+    } catch { case _: Throwable => () }
+    // vector expressions (array_dot) on an embeddings slice
+    try {
+      import org.apache.spark.sql.functions._
+      import graft.functions.VectorFunctions.array_dot
+      graft.analytics.Tables.table(spark, sfDir, "embeddings").limit(256)
+        .select(col("embedding").cast("array<double>").as("v"))
+        .select(array_dot(col("v"), col("v")).as("d"))
+        .agg(sum("d")).count()
     } catch { case _: Throwable => () }
     // javax.imageio plugin-registry init + one decode/encode round trip
     try {
