@@ -49,6 +49,17 @@ object Bench {
         .select(array_dot(col("v"), col("v")).as("d"))
         .agg(sum("d")).count()
     } catch { case _: Throwable => () }
+    // store machinery: one TableStore put/flush/get/list round trip in
+    // a temp dir (parquet append write, newest-row window read) — the
+    // classes and codegen the av* store gates hit first otherwise
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-bench-warm")
+      val db = new graft.store.TableStore(spark, dir.toString)
+      db.putMenu("""{"warm": 1}""", "p", "e")
+      db.getMenu("p", "e")
+      db.listAll()
+      db.close()
+    } catch { case _: Throwable => () }
     // javax.imageio plugin-registry init + one decode/encode round trip
     try {
       val img = new java.awt.image.BufferedImage(
