@@ -103,44 +103,58 @@ object Similarity {
     * The 100 TB shape: the corpus is scanned once to assign cells
     * (then stored partitioned by cell), and a query touches
     * nProbe/K of the data. */
-  def s03IvfTopK(spark: SparkSession, dir: String): DataFrame = {
+  // (neg cosine, cell) struct per centroid, as PURE per-row
+  // expressions over the K=16 driver-side centroid literals — the
+  // lexicographic array_min/array_sort over this array is the argmax
+  // (score desc, cell asc). No crossJoin, no aggregation, no shuffle:
+  // nearest-centroid assignment is a narrow map over the corpus —
+  // the only shape that survives a Lloyd iteration at 100 TB.
+  private[analytics] def cellScores(cents: Array[(Int, Array[Double])],
+                                    v: Column, norm: Column): Column = {
     import graft.functions.VectorFunctions._
-    val K = 16; val NProbe = 4; val Iters = 3
+    array(cents.map { case (cell, c) =>
+      struct((-array_dot(v, typedLit(c)) / norm).as("ns"), lit(cell).as("cell"))
+    }: _*)
+  }
+  private[analytics] def cellOf(cents: Array[(Int, Array[Double])],
+                                v: Column, norm: Column): Column =
+    array_min(cellScores(cents, v, norm)).getField("cell")
+
+  /** Fit the IVF coarse quantizer (deterministic Lloyd iterations) and
+    * assign every vector to its nearest cell. Returns the assigned
+    * corpus (vec_id, v, norm, cell) and the fitted centroids — the
+    * `cell` column is the partition key a 100 TB deployment writes the
+    * corpus under (see the layout spec in PlanSpec). */
+  private[analytics] def ivfFit(spark: SparkSession, dir: String,
+                                k: Int = 16, iters: Int = 3)
+      : (DataFrame, Array[(Int, Array[Double])]) = {
     // cached through the whole query: the Lloyd loop, the final
     // assignment, and the query projection all read it, and the
     // Bench/Verify runners clearCache() after each query
     val e = Dedup.normalizedVectors(spark, dir).cache()
 
-    // (neg cosine, cell) struct per centroid, as PURE per-row
-    // expressions over the K=16 driver-side centroid literals — the
-    // lexicographic array_min/array_sort over this array is the argmax
-    // (score desc, cell asc). No crossJoin, no aggregation, no shuffle:
-    // nearest-centroid assignment is a narrow map over the corpus —
-    // the only shape that survives a Lloyd iteration at 100 TB.
-    def cellScores(cents: Array[(Int, Array[Double])], v: Column, norm: Column): Column =
-      array(cents.map { case (cell, c) =>
-        struct((-array_dot(v, typedLit(c)) / norm).as("ns"), lit(cell).as("cell"))
-      }: _*)
-    def cellOf(cents: Array[(Int, Array[Double])], v: Column, norm: Column): Column =
-      array_min(cellScores(cents, v, norm)).getField("cell")
-
     // deterministic init: the K lowest vec_ids
-    var centroids: Array[(Int, Array[Double])] = e.orderBy("vec_id").limit(K)
+    var centroids: Array[(Int, Array[Double])] = e.orderBy("vec_id").limit(k)
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](r.fieldIndex("v")).toArray) }
 
-    for (_ <- 0 until Iters) {
+    for (_ <- 0 until iters) {
       // update: per-cell mean (deterministic) — one map + one hash agg
       centroids = e.groupBy(cellOf(centroids, col("v"), col("norm")).as("cell"))
         .agg(array((0 until 64).map(i => avg(element_at(col("v"), i + 1))): _*).as("centroid"))
         .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     }
+    (e.withColumn("cell", cellOf(centroids, col("v"), col("norm"))), centroids)
+  }
 
-    val assigned = e.withColumn("cell", cellOf(centroids, col("v"), col("norm")))
+  def s03IvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val NProbe = 4
+    val (assigned, centroids) = ivfFit(spark, dir)
 
     // queries probe their NProbe nearest cells: sort the same K-struct
     // array per row and slice — again no crossJoin, no aggregation
-    val q = e.filter(col("vec_id") % 100 === 0)
+    val q = assigned.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     val probes = q.select(col("query_id"), col("qv"), col("qnorm"),
       explode(slice(array_sort(cellScores(centroids, col("qv"), col("qnorm"))),

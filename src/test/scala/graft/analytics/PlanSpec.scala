@@ -54,6 +54,25 @@ class PlanSpec extends AnyFunSuite {
       "m02 hints a growing side")
   }
 
+  test("IVF cell layout: a probe reads only its nProbe partition directories") {
+    // the s03 scale story: store the corpus partitioned by cell, and a
+    // query's probe scan prunes to nProbe of K directories — proven at
+    // the plan level, like the TableStore point-read pruning
+    val (assigned, _) = Similarity.ivfFit(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-layout")
+    assigned.write.partitionBy("cell").parquet(s"$tmp/corpus")
+    val stored = spark.read.parquet(s"$tmp/corpus")
+    val cells = stored.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted.take(4)
+    assert(cells.length == 4, s"expected >=4 populated cells, got ${cells.length}")
+    val probed = stored.filter(org.apache.spark.sql.functions.col("cell").isin(cells.map(Integer.valueOf): _*))
+    val scanned = probed.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.partitionCount
+    }
+    assert(scanned == Seq(4), s"probe must scan exactly its 4 cells, got $scanned")
+  }
+
   test("fixed-size dims stay hint-broadcast in the star join (q02)") {
     // hint SET is exactly {nation, region}: matched on the hinted
     // subtrees' source files, not on node counts in a plan string
