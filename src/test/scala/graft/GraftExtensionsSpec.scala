@@ -17,4 +17,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val fp2 = spark.sql("SELECT simhash64(array('a', 'b', 'c')) AS f").head().getLong(0)
     assert(fp == fp2)
   }
+
+  test("shingle/trigram/winnow expressions are callable from SQL") {
+    val spark = SparkTestSession.spark
+    val sh = spark.sql(
+      "SELECT word_shingles('a b c d') AS s").head().getSeq[String](0)
+    assert(sh == Seq("a b c", "b c d"))
+    val tg = spark.sql("SELECT char_trigrams('abcd') AS t").head().getSeq[String](0)
+    assert(tg == Seq("abc", "bcd"))
+    // default (k=25, w=26) and explicit-literal forms agree
+    val text = ("x" * 30) + " shared passage body here"
+    val a = spark.sql(s"SELECT winnow_fingerprints('$text') AS f").head().getSeq[Long](0)
+    val b = spark.sql(s"SELECT winnow_fingerprints('$text', 25, 26) AS f").head().getSeq[Long](0)
+    assert(a.nonEmpty && a == b)
+  }
 }
