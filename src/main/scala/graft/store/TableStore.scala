@@ -314,8 +314,12 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
       .withColumn("seq", monotonically_increasing_id())
       .withColumn("op", lit("put"))
     val parts = partitionCols(table)
-    val w = withMeta.write.mode(SaveMode.Append)
-    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tablePath(table))
+    // same per-table monitor as flush(): two writers into one table
+    // directory would collide in the shared _temporary dir
+    flushLocks.computeIfAbsent(table, _ => new Object).synchronized {
+      val w = withMeta.write.mode(SaveMode.Append)
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tablePath(table))
+    }
   }
 
   /** Compact a table: rewrite with only the newest row per live key.
