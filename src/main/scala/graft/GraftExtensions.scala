@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharTrigrams, DoubleArrayDot, SimHash64, WinnowFingerprints, WordShingles}
+import graft.functions.{CharTrigrams, DoubleArrayDot, MinHash64, SimHash64, WinnowFingerprints, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions so `spark.sql` users get them
@@ -45,6 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "char_trigrams(text) takes one argument")
         CharTrigrams(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash64"),
+      new ExpressionInfo(classOf[MinHash64].getName, "minhash64"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "minhash64(shingles) takes one argument")
+        MinHash64(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("winnow_fingerprints"),

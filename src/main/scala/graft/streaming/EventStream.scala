@@ -26,21 +26,26 @@ object EventStream {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  private def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  private def readEvents(spark: SparkSession, dir: String,
+                         maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the streaming file source wants a directory; glob down to the
-    // events table within it
-    spark.readStream.schema(eventsSchema)
+    // events table within it. maxFilesPerTrigger is the production
+    // rate-limiting knob: bound per-microbatch input instead of
+    // swallowing a backlog in one batch.
+    val r = spark.readStream.schema(eventsSchema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n.toString))
+    r.parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Event-time daily windowed aggregation with a 1-day watermark.
     * Complete output mode so a bounded drive emits every window —
     * making the result comparable with the batch oracle. */
-  def dailyCounts(spark: SparkSession, dir: String): DataFrame =
-    readEvents(spark, dir)
+  def dailyCounts(spark: SparkSession, dir: String,
+                  maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    readEvents(spark, dir, maxFilesPerTrigger)
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),

@@ -26,6 +26,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("file-source incremental ingestion equals the single-batch result") {
+    // the same events split over 3 files and trickled one file per
+    // microbatch must aggregate to the single-batch (and batch-oracle)
+    // result — the property the production file/Kafka path relies on
+    import java.nio.file.{Files, Paths}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tmp = Files.createTempDirectory("graft-stream-files")
+    // three single-file splits, each named events.parquet so the
+    // source's pathGlobFilter matches: $tmp/split{i}/events.parquet
+    val staging = s"$tmp/staging"
+    spark.read.parquet(s"$dir/events.parquet").repartition(3)
+      .write.parquet(staging)
+    val parts = Files.list(Paths.get(staging)).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).sorted
+    assert(parts.length == 3)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val d = Paths.get(s"$tmp/split$i")
+      Files.createDirectories(d)
+      Files.move(Paths.get(p), d.resolve("events.parquet"))
+    }
+    val trickled = EventStream.runToCompletion(spark,
+      EventStream.dailyCounts(_, s"$tmp/split*", maxFilesPerTrigger = Some(1)),
+      "spec_trickle_daily")
+      .orderBy("day", "event_type").collect().map(_.toSeq).toSeq
+    val oneShot = EventStream.runToCompletion(spark,
+      EventStream.dailyCounts(_, dir), "spec_oneshot_daily")
+      .orderBy("day", "event_type").collect().map(_.toSeq).toSeq
+    assert(trickled.nonEmpty && trickled == oneShot)
+  }
+
   test("idle sessions are emitted via event-time timeout") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
