@@ -360,6 +360,23 @@ object Relational {
       .orderBy("lang", "label")
   }
 
+  /** Quantile sketch (q19's exact percentiles are the oracle-checked
+    * baseline; this is the 100 TB tier): `percentile_approx` is a
+    * mergeable sketch — partials combine associatively across
+    * partitions, one shuffle of sketch state instead of a global sort.
+    * Exact values ride along so the ApproxSpec error bound is
+    * self-checking; rows-only gate (sketch internals are
+    * implementation-defined). */
+  def q25ApproxPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_p50"),
+           expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+           percentile_approx(col("l_extendedprice"), lit(0.95), lit(1000)).as("approx_p95"),
+           expr("percentile(l_extendedprice, 0.95)").as("exact_p95"))
+      .orderBy("l_returnflag")
+  }
+
   /** Salted two-phase hot-key aggregation over events: event_type has
     * a handful of values across the whole table — the shape that pins
     * one reducer at 100 TB. [[SkewUtils.saltedAggregate]] shuffles on
@@ -404,6 +421,7 @@ object Relational {
     "q22_asof_join"         -> q22AsOfJoin _,
     "q23_docs_embeddings"   -> q23DocsEmbeddings _,
     "q24_salted_agg"        -> q24SaltedAgg _,
+    "q25_approx_percentiles"-> q25ApproxPercentiles _,
   )
 
   /** DuckDB oracle SQL, column-name- and order-aligned with the Spark

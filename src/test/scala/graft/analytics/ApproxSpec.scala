@@ -17,4 +17,16 @@ class ApproxSpec extends AnyFunSuite {
       assert(math.abs(ao - eo).toDouble / eo < 0.05, s"orders: $ao vs $eo")
     }
   }
+
+  test("percentile_approx within 2% of exact quantiles") {
+    val df = Relational.q25ApproxPercentiles(SparkTestSession.spark, "/root/testdata/sf0.01")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      for ((a, e) <- Seq(("approx_p50", "exact_p50"), ("approx_p95", "exact_p95"))) {
+        val (ap, ex) = (r.getAs[Double](a), r.getAs[Double](e))
+        assert(math.abs(ap - ex) / ex < 0.02, s"$a: $ap vs $ex")
+      }
+    }
+  }
 }
