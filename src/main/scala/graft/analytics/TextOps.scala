@@ -130,6 +130,35 @@ object TextOps {
            Det.dround(sum("n_bpe").cast("double") / sum("n_ws"), 4).as("bpe_per_ws_token"))
       .orderBy("source")
 
+  /** Repetition-based quality metrics (the Gopher/MassiveText rules a
+    * trainer filters on): per-document duplicate-word fraction and
+    * top-bigram fraction (share of all 2-grams taken by the most
+    * common one), averaged per source. The per-doc top-bigram compute
+    * is two hash aggregations keyed on (doc_id, bigram) then (doc_id)
+    * — never a global structure, so it scales with executors. */
+  def t12Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val t = tokens
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("source"),
+        (lit(1.0) - size(array_distinct(col("t"))).cast("double") / size(col("t")))
+          .as("dwf"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+          concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)))).as("bg"))
+    val perDoc = base.groupBy(col("doc_id"), col("bg"))
+      .agg(first("source").as("source"), first("dwf").as("dwf"),
+           count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(first("source").as("source"), first("dwf").as("dwf"),
+           (max(col("c")).cast("double") / sum(col("c"))).as("top_bg_frac"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           Det.avgDec9R(col("dwf"), 4).as("avg_dup_word_frac"),
+           Det.avgDec9R(col("top_bg_frac"), 4).as("avg_top_bigram_frac"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_distribution" -> t01LangDistribution _,
     "t02_token_counts"      -> t02TokenCounts _,
@@ -138,6 +167,7 @@ object TextOps {
     "t05_fingerprints"      -> t05Fingerprints _,
     "t06_dedup_exact"       -> t06DedupExact _,
     "t11_bpe_tokens"        -> t11BpeTokens _,
+    "t12_repetition"        -> t12Repetition _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -198,5 +228,18 @@ object TextOps {
           floor((CAST(sum(n_bpe) AS DOUBLE) / count(*)) * 100.0 + 0.5) / 100.0 AS avg_bpe_tokens,
           floor((CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws)) * 10000.0 + 0.5) / 10000.0 AS bpe_per_ws_token
          FROM d GROUP BY source ORDER BY source""",
+    "t12_repetition" ->
+      """WITH toks AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') t FROM documents),
+          base AS (SELECT doc_id, source,
+              1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS dwf,
+              list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) bgs
+            FROM toks WHERE len(t) >= 2),
+          bg AS (SELECT doc_id, unnest(bgs) AS b FROM base),
+          cnt AS (SELECT doc_id, b, count(*) c FROM bg GROUP BY 1, 2),
+          top AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / sum(c) top_frac FROM cnt GROUP BY 1)
+         SELECT source, count(*) AS n_docs,
+          floor((CAST(sum(CAST((dwf) AS DECIMAL(18,9))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_dup_word_frac,
+          floor((CAST(sum(CAST((top_frac) AS DECIMAL(18,9))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_top_bigram_frac
+         FROM base JOIN top USING (doc_id) GROUP BY source ORDER BY source""",
   )
 }
