@@ -35,10 +35,13 @@ object Bench {
       graft.analytics.Tables.documents(spark, sfDir).limit(256)
         .withColumn("n", size(split(trim(col("text")), "\\s+")))
         .withColumn("sh", size(word_shingles(col("text"))))
+        .withColumn("mh", size(graft.functions.MinHash64.minhash64(word_shingles(col("text")))))
+        .withColumn("sim", graft.functions.SimHash64.simhash64(split(trim(col("text")), "\\s+")))
         .withColumn("tg", size(char_trigrams(col("text"))))
         .withColumn("wf", size(winnow_fingerprints(col("text"))))
         .withColumn("rn", row_number().over(w))
-        .groupBy("lang").agg(sum("n"), sum("sh"), sum("tg"), sum("wf")).count()
+        .groupBy("lang").agg(sum("n"), sum("sh"), sum("mh"), sum("sim"),
+          sum("tg"), sum("wf")).count()
     } catch { case _: Throwable => () }
     // vector expressions (array_dot) on an embeddings slice
     try {
