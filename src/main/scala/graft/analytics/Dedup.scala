@@ -32,11 +32,16 @@ object Dedup {
     * [[graft.functions.WordShingles]] expression (sub-3-token docs get
     * an empty array, so no token-count pre-filter — and therefore no
     * expensive filter expression for predicate pushdown to duplicate). */
-  private def docShingles(spark: SparkSession, dir: String): DataFrame = {
+  /** Distinct word-3-gram shingles per (doc_id, text) row — the
+    * DataFrame-parameterized core [[graft.analytics.Pipeline.curate]]
+    * composes over arbitrary (pre-filtered) corpora. */
+  private[analytics] def shinglesOf(docs: DataFrame): DataFrame = {
     import graft.functions.WordShingles.word_shingles
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), word_shingles(col("text")).as("s"))
+    docs.select(col("doc_id"), word_shingles(col("text")).as("s"))
   }
+
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    shinglesOf(Tables.documents(spark, dir))
 
   /** Document-frequency cap for the d01 inverted index: a shingle
     * appearing in more than this many documents is a stop-shingle —
@@ -103,12 +108,16 @@ object Dedup {
     * Jaccard. Returns (i, j, est_jaccard, jaccard) pairs with exact
     * Jaccard ≥ 0.2 — same final predicate as d01 so the two tiers are
     * comparable; at scale only this one is runnable. */
-  def d02MinHashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def d02MinHashPairs(spark: SparkSession, dir: String): DataFrame =
+    minHashPairsOf(docShingles(spark, dir))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy("i", "j")
+
+  /** MinHash+LSH near-dup pairs over an arbitrary shingled corpus
+    * (doc_id, s) — unfiltered/unordered core; callers apply their own
+    * jaccard threshold. */
+  private[analytics] def minHashPairsOf(sh: DataFrame): DataFrame = {
     import graft.functions.MinHash64.minhash64
-    // the corpus-sized shingle set is NOT cached (it wouldn't fit in
-    // storage memory at scale); the plan scans it exactly twice —
-    // signature pass + candidate-verification pass
-    val sh = docShingles(spark, dir)
     // signature: the single-pass MinHash64 expression — a narrow
     // per-row map over the per-doc shingle arrays (no explode, no
     // groupBy shuffle, no aggregation state; each shingle string is
@@ -164,8 +173,6 @@ object Dedup {
       .select(col("i"), col("j"), round(col("est_jaccard"), 4).as("est_jaccard"),
         round(size(array_intersect(col("s_i"), col("s_j"))).cast("double") /
               size(array_union(col("s_i"), col("s_j"))), 4).as("jaccard"))
-      .filter(col("jaccard") >= 0.2)
-      .orderBy("i", "j")
   }
 
   /** 64-bit SimHash near-dup pairs with Hamming distance ≤ 3, candidate
@@ -241,9 +248,17 @@ object Dedup {
     * slice, shuffle #2 is the final pair count. Overlap coefficient
     * `shared / min(|f_i|,|f_j|)` scores containment so a short doc
     * pasted into a long one still scores high. */
-  def d05WinnowPairs(spark: SparkSession, dir: String): DataFrame = {
+  def d05WinnowPairs(spark: SparkSession, dir: String): DataFrame =
+    winnowPairsOf(Tables.documents(spark, dir))
+      .filter(col("shared") >= 2)
+      .orderBy("i", "j")
+
+  /** Winnowing pair core over an arbitrary (doc_id, text) corpus —
+    * unfiltered/unordered; callers apply their own shared-fingerprint
+    * threshold. */
+  private[analytics] def winnowPairsOf(docs: DataFrame): DataFrame = {
     import graft.functions.WinnowFingerprints.winnow_fingerprints
-    val fps = Tables.documents(spark, dir)
+    val fps = docs
       .select(col("doc_id"), winnow_fingerprints(col("text")).as("f"))
     val inv = fps
       .select(col("doc_id"),
@@ -261,10 +276,8 @@ object Dedup {
         col("a.doc_id").as("i"), col("a.n_f").as("n_i"),
         col("b.doc_id").as("j"), col("b.n_f").as("n_j"))
       .agg(count(lit(1)).as("shared"))
-      .filter(col("shared") >= 2)
       .select(col("i"), col("j"), col("shared"),
         Det.dround(col("shared").cast("double") / least(col("n_i"), col("n_j")), 4).as("overlap"))
-      .orderBy("i", "j")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

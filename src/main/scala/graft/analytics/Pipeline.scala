@@ -12,26 +12,74 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  def p01CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  /** Curation configuration — the knobs a training-data run tunes:
+    * quality gate thresholds, the dedup tier (cost/recall trade),
+    * and the deterministic holdout.
+    *
+    * Dedup tiers: `"exact"` (normalized-hash groupBy — byte dups),
+    * `"minhash"` (MinHash+LSH, global near-dups above
+    * [[minhashJaccard]]), `"winnow"` (rolling-hash passage near-dups
+    * sharing ≥ [[winnowShared]] fingerprints), `"none"`. */
+  final case class CurationConfig(
+      minTokens: Int = 20,
+      minTtr: Double = 0.3,
+      dedup: String = "exact",
+      minhashJaccard: Double = 0.5,
+      winnowShared: Int = 2,
+      holdoutModulus: Int = 5)
+
+  /** Composable curation over any (doc_id, lang, text) corpus:
+    * quality gate → dedup tier → deterministic holdout. Returns the
+    * surviving docs with `n_tokens`/`ttr` attached. Near-dup tiers
+    * drop the higher-id side of every pair (greedy lowest-id-survivor
+    * — the standard corpus-scale approximation of connected
+    * components); everything stays one declarative plan, so Catalyst
+    * prunes `text` out of every shuffle that doesn't need it. */
+  def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig()): DataFrame = {
     val t = split(trim(col("text")), "\\s+")
     val quality = docs
       .withColumn("n_tokens", size(t).cast("bigint"))
       .withColumn("ttr", size(array_distinct(t)).cast("double") / size(t))
       // quality gate: minimum length + lexical diversity
-      .filter(col("n_tokens") >= 20 && col("ttr") >= 0.3)
-    val deduped = quality
-      .withColumn("fp", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
-      .withColumn("keep", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("fp").orderBy("doc_id")) === 1)
-      .filter(col("keep"))
-    val sampled = deduped.filter(col("doc_id") % 5 =!= 0) // hold out 20%
-    sampled.groupBy("lang")
+      .filter(col("n_tokens") >= cfg.minTokens && col("ttr") >= cfg.minTtr)
+    val deduped = cfg.dedup match {
+      case "exact" =>
+        quality
+          .withColumn("fp", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+          .withColumn("keep", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("fp").orderBy("doc_id")) === 1)
+          .filter(col("keep"))
+          .drop("fp", "keep")
+      case "minhash" =>
+        val dropped = Dedup.minHashPairsOf(Dedup.shinglesOf(quality))
+          .filter(col("jaccard") >= cfg.minhashJaccard)
+          .select(col("j").as("doc_id")).distinct()
+        quality.join(dropped, Seq("doc_id"), "left_anti")
+      case "winnow" =>
+        val dropped = Dedup.winnowPairsOf(quality)
+          .filter(col("shared") >= cfg.winnowShared)
+          .select(col("j").as("doc_id")).distinct()
+        quality.join(dropped, Seq("doc_id"), "left_anti")
+      case "none" => quality
+      case other => throw new IllegalArgumentException(
+        s"unknown dedup tier '$other' (exact | minhash | winnow | none)")
+    }
+    if (cfg.holdoutModulus > 0) deduped.filter(col("doc_id") % cfg.holdoutModulus =!= 0)
+    else deduped
+  }
+
+  /** Per-language token-budget accounting over a curated corpus. */
+  def curationStats(curated: DataFrame): DataFrame =
+    curated.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"),
            sum("n_tokens").as("token_budget"),
            Det.avgDec9R(col("ttr"), 4).as("avg_ttr"))
       .orderBy("lang")
-  }
+
+  /** The oracle-checked gate: [[curate]] with the default config
+    * (quality gate → exact dedup → 20% holdout) + [[curationStats]]. */
+  def p01CurationPipeline(spark: SparkSession, dir: String): DataFrame =
+    curationStats(curate(Tables.documents(spark, dir)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_curation_pipeline" -> p01CurationPipeline _,
