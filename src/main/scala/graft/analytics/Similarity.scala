@@ -32,41 +32,56 @@ object Similarity {
     * vec_id). Oracle-checked. One scan of the corpus against a
     * broadcast query set; per-pair work is a single codegen'd dot. */
   def s01BruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions._
     val e = Dedup.normalizedVectors(spark, dir)
-    val q = e.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    bruteTopK(e, e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm")),
+      k = 10)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Exact brute-force core over normalized frames — corpus
+    * (vec_id, v, norm), queries (query_id, qv, qnorm). Ids share one
+    * namespace: a corpus row with vec_id == query_id is the query
+    * itself and is excluded. */
+  private[analytics] def bruteTopK(e: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions._
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
               Det.dround(array_dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4).as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
+      .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk").cast("bigint").as("rnk"),
               col("neighbor_id"), col("cos_sim"))
-      .orderBy("query_id", "rnk")
   }
 
   /** LSH-bucketed approximate top-k: same output shape as s01 but only
     * candidates sharing an LSH band bucket with the query are scored.
     * Rows-only check (approximate by construction). */
   def s02LshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    lshTopK(e, e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      k = 10)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Random-hyperplane LSH core — corpus (vec_id, embedding), queries
+    * (query_id, q_emb); same id-namespace rule as [[bruteTopK]]. */
+  private[analytics] def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     // 16 bands × 6-bit buckets: for moderate-similarity neighbors
     // (θ≈60°) per-band collision is (1-θ/π)^6 ≈ 0.08, so 16 bands give
     // ~70% recall; raise Planes (finer buckets, fewer candidates) when
     // the corpus has genuinely-near duplicates, raise Bands for recall.
     val Bands = 16; val Planes = 6; val Dim = 64
     val hp = hyperplanes(Bands, Planes, Dim)
-    val spark2 = spark
+    val spark2 = corpus.sparkSession
     import spark2.implicits._
     val hpDf = broadcast(
       hp.zipWithIndex.map { case (planes, b) => (b, planes.map(_.toSeq).toSeq) }
         .toSeq.toDF("band", "planes"))
     import graft.functions.VectorFunctions._
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-        as_double_array(col("embedding")).as("v64"))
     // 6-bit sign signature per (vector, band): left-fold acc*2 + bit,
     // bit = sign(dot(v, plane)). The per-plane dot is the tight-loop
     // array_dot expression — the interpreted zip_with+aggregate fold
@@ -74,11 +89,13 @@ object Similarity {
     // band per vector and dominated s02's runtime.
     def signature = aggregate(col("planes"), lit(0L), (acc, plane) =>
       acc * 2 + when(array_dot(col("v64"), plane) > 0, lit(1L)).otherwise(lit(0L)))
-    val bucketed = e.crossJoin(hpDf).select(col("vec_id"), col("embedding"),
-      col("band"), signature.as("sig"))
-    val qb = bucketed.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-              col("band"), col("sig"))
+    def bucketsOf(df: DataFrame, idCol: String, embCol: String) = df
+      .select(col(idCol), col(embCol),
+        as_double_array(col(embCol)).as("v64"))
+      .crossJoin(hpDf)
+      .select(col(idCol), col(embCol), col("band"), signature.as("sig"))
+    val bucketed = bucketsOf(corpus, "vec_id", "embedding")
+    val qb = bucketsOf(queries, "query_id", "q_emb")
     val cands = bucketed.as("c").join(broadcast(qb).as("q"),
         col("c.band") === col("q.band") && col("c.sig") === col("q.sig") &&
         col("c.vec_id") =!= col("q.query_id"))
@@ -90,10 +107,9 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
+      .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk").cast("bigint").as("rnk"),
               col("neighbor_id"), col("cos_sim"))
-      .orderBy("query_id", "rnk")
   }
 
   /** IVF (inverted-file) approximate top-k: a deterministic k-means
@@ -127,11 +143,16 @@ object Similarity {
     * corpus under (see the layout spec in PlanSpec). */
   private[analytics] def ivfFit(spark: SparkSession, dir: String,
                                 k: Int = 16, iters: Int = 3)
+      : (DataFrame, Array[(Int, Array[Double])]) =
+    ivfFitOf(Dedup.normalizedVectors(spark, dir), k, iters)
+
+  /** [[ivfFit]] over any normalized corpus frame (vec_id, v, norm). */
+  private[analytics] def ivfFitOf(corpus: DataFrame, k: Int = 16, iters: Int = 3)
       : (DataFrame, Array[(Int, Array[Double])]) = {
     // cached through the whole query: the Lloyd loop, the final
     // assignment, and the query projection all read it, and the
     // Bench/Verify runners clearCache() after each query
-    val e = Dedup.normalizedVectors(spark, dir).cache()
+    val e = corpus.cache()
 
     // deterministic init: the K lowest vec_ids
     var centroids: Array[(Int, Array[Double])] = e.orderBy("vec_id").limit(k)
@@ -148,21 +169,31 @@ object Similarity {
   }
 
   def s03IvfTopK(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.VectorFunctions._
-    val NProbe = 4
     val (assigned, centroids) = ivfFit(spark, dir)
+    ivfTopK(assigned, centroids,
+      assigned.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm")),
+      k = 10)
+      .orderBy("query_id", "rnk")
+  }
 
-    // queries probe their NProbe nearest cells: sort the same K-struct
+  /** IVF probe+rerank core over an [[ivfFit]]-assigned corpus —
+    * queries (query_id, qv, qnorm); same id-namespace rule as
+    * [[bruteTopK]]. */
+  private[analytics] def ivfTopK(assigned: DataFrame,
+                                 centroids: Array[(Int, Array[Double])],
+                                 queries: DataFrame, k: Int,
+                                 nProbe: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions._
+    // queries probe their nProbe nearest cells: sort the same K-struct
     // array per row and slice — again no crossJoin, no aggregation
-    val q = assigned.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
-    val probes = q.select(col("query_id"), col("qv"), col("qnorm"),
+    val probes = queries.select(col("query_id"), col("qv"), col("qnorm"),
       explode(slice(array_sort(cellScores(centroids, col("qv"), col("qnorm"))),
-        1, NProbe).getField("cell")).as("cell"))
+        1, nProbe).getField("cell")).as("cell"))
 
     // exact rerank within probed cells only; each vector lives in
     // exactly one cell so (query_id, neighbor_id) is already unique —
-    // no dedup shuffle needed. Probes are tiny (|queries|·NProbe):
+    // no dedup shuffle needed. Probes are tiny (|queries|·nProbe):
     // broadcast them against the assigned corpus.
     val scored = broadcast(probes).join(assigned, "cell")
       .filter(col("vec_id") =!= col("query_id"))
@@ -171,10 +202,39 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
+      .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk").cast("bigint").as("rnk"),
               col("neighbor_id"), col("cos_sim"))
-      .orderBy("query_id", "rnk")
+  }
+
+  /** User-facing ANN search over arbitrary frames: corpus
+    * (vec_id, embedding) × queries (query_id, embedding) → top-`k`
+    * cosine neighbors per query as (query_id, rnk, neighbor_id,
+    * cos_sim). `method`: `"brute"` (exact single-scan baseline),
+    * `"lsh"` (random-hyperplane buckets), `"ivf"` (k-means cells,
+    * probe + exact rerank — the 100 TB path). Ids share one
+    * namespace: a corpus row whose vec_id equals a query_id is
+    * treated as that query itself and excluded from its results. */
+  def topK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
+           method: String = "ivf"): DataFrame = {
+    import graft.functions.VectorFunctions._
+    def normalized(df: DataFrame, id: String, vOut: String, nOut: String) = df
+      .select(col(id), as_double_array(col("embedding")).as(vOut))
+      .withColumn(nOut, array_norm(col(vOut)))
+    method match {
+      case "brute" =>
+        bruteTopK(normalized(corpus, "vec_id", "v", "norm"),
+          normalized(queries, "query_id", "qv", "qnorm"), k)
+      case "lsh" =>
+        lshTopK(corpus.select(col("vec_id"), col("embedding")),
+          queries.select(col("query_id"), col("embedding").as("q_emb")), k)
+      case "ivf" =>
+        val (assigned, centroids) = ivfFitOf(normalized(corpus, "vec_id", "v", "norm"))
+        ivfTopK(assigned, centroids,
+          normalized(queries, "query_id", "qv", "qnorm"), k)
+      case other => throw new IllegalArgumentException(
+        s"unknown ANN method '$other' (brute | lsh | ivf)")
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
