@@ -69,13 +69,21 @@ object Dedup {
     * is lazy per row), and shingle-set sizes ride along inside the
     * postings structs so there is no join-back (shuffle #2 is the
     * final (i,j) count). Oracle-checked. */
-  def d01NgramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+  def d01NgramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairsOf(docShingles(spark, dir))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy("i", "j")
+
+  /** Exact-Jaccard pair core over an arbitrary shingled corpus
+    * (doc_id, s) — unfiltered/unordered; callers apply their own
+    * jaccard threshold. */
+  private[analytics] def ngramJaccardPairsOf(sh: DataFrame): DataFrame = {
     // n_sh rides inside the exploded struct so the generator child is a
     // (cheap) transform over the materialized shingle array, not a bare
     // attribute — InferFiltersFromGenerate only fires on attribute
     // children, so no `size(shingles(...)) > 0` filter gets inferred
     // and pushed into a second evaluation of the shingle computation.
-    val inv = docShingles(spark, dir)
+    val inv = sh
       .select(col("doc_id"),
         explode(transform(col("s"), x =>
           struct(x.as("shingle"), size(col("s")).cast("long").as("n_sh")))).as("e"))
@@ -96,8 +104,6 @@ object Dedup {
       .agg(count(lit(1)).as("shared"))
       .select(col("i"), col("j"),
         Det.dround(col("shared").cast("double") / (col("n_i") + col("n_j") - col("shared")), 4).as("jaccard"))
-      .filter(col("jaccard") >= 0.2)
-      .orderBy("i", "j")
   }
 
   private val NumHashes = 64
@@ -280,12 +286,63 @@ object Dedup {
         Det.dround(col("shared").cast("double") / least(col("n_i"), col("n_j")), 4).as("overlap"))
   }
 
+  /** Duplicate-cluster assignment — near-dup detection's missing last
+    * step: pairwise near-dup output (d01's exact-Jaccard graph,
+    * threshold 0.2) is only half the operator a curation run needs;
+    * picking ONE survivor per duplicate GROUP requires the connected
+    * components of the pair graph. Computed by distributed min-label
+    * propagation: every round is one edges⋈labels shuffle join plus a
+    * partial-aggregating min-groupBy, the only driver-side value is the
+    * scalar changed-label count that decides convergence, and rounds
+    * are bounded by the largest component's diameter — near-dup
+    * clusters are shallow (dup groups are cliques or near-cliques), so
+    * this converges in 2-3 rounds where a transitive-closure self-join
+    * would explode. Edges and the current labels are cached per round,
+    * previous-round caches released immediately. Output: one row per
+    * clustered doc with its cluster representative (min doc_id) and
+    * cluster size — oracle-checked against a DuckDB recursive CTE. */
+  def d06DupClusters(spark: SparkSession, dir: String): DataFrame =
+    dupClustersOf(ngramJaccardPairsOf(docShingles(spark, dir))
+      .filter(col("jaccard") >= 0.2))
+
+  /** Connected components over an undirected pair list `(i, j)` —
+    * the clustering core behind [[d06DupClusters]], reusable over any
+    * near-dup pair output (d01/d02/d03/d05). Returns one row per node:
+    * `(doc_id, cluster_id = component min, cluster_size)`. */
+  private[analytics] def dupClustersOf(pairs: DataFrame): DataFrame = {
+    val ij = pairs.select(col("i"), col("j"))
+    val edges = ij.union(ij.select(col("j"), col("i")))
+      .toDF("src", "dst").cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).cache()
+    var converged = false
+    while (!converged) {
+      val prop = edges.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.unionByName(prop)
+        .groupBy("node").agg(min("label").as("label")).cache()
+      val improved = next.join(labels.withColumnRenamed("label", "prev"), "node")
+        .filter(col("label") < col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = improved == 0
+    }
+    // labels stays cached: the returned frame is lazy, so dropping the
+    // cache here would make the caller's action re-run every propagation
+    // round from scratch. The Verify/Bench runners clearCache() per query.
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_ngram_jaccard_pairs" -> d01NgramJaccardPairs _,
     "d02_minhash_pairs"       -> d02MinHashPairs _,
     "d03_simhash_pairs"       -> d03SimHashPairs _,
     "d04_embedding_neardup"   -> d04EmbeddingNearDup _,
     "d05_winnow_pairs"        -> d05WinnowPairs _,
+    "d06_dup_clusters"        -> d06DupClusters _,
   )
 
   /** d02/d03 use Spark xxhash64 and d05 a u64 rolling hash — not
@@ -315,5 +372,28 @@ object Dedup {
              * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')))) * 10000.0 + 0.5) / 10000.0 AS cos_sim
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE cos_sim >= 0.4 ORDER BY i, j""",
+    "d06_dup_clusters" ->
+      """WITH RECURSIVE
+          toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+          sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) s
+                 FROM toks WHERE len(t) >= 3),
+          ex AS (SELECT doc_id, unnest(s) shingle FROM sh),
+          cand AS (SELECT a.doc_id i, b.doc_id j, count(*) shared
+                   FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+          pairs AS (SELECT i, j FROM cand
+                    JOIN (SELECT doc_id, len(s) ls FROM sh) sa ON i = sa.doc_id
+                    JOIN (SELECT doc_id, len(s) ls FROM sh) sb ON j = sb.doc_id
+                    WHERE floor((CAST(shared AS DOUBLE)/(sa.ls + sb.ls - shared)) * 10000.0 + 0.5) / 10000.0 >= 0.2),
+          edges AS (SELECT i a, j b FROM pairs UNION ALL SELECT j AS a, i AS b FROM pairs),
+          reach(node, lab) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+          cc AS (SELECT node, min(lab) cluster_id FROM reach GROUP BY node)
+         SELECT cc.node AS doc_id, cc.cluster_id, s.n AS cluster_size
+         FROM cc JOIN (SELECT cluster_id, count(*) n FROM cc GROUP BY 1) s USING (cluster_id)
+         ORDER BY doc_id""",
   )
 }

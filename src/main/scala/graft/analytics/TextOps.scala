@@ -159,6 +159,68 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** TF-IDF distinctive-term extraction: top-3 terms per document by
+    * tf·ln(N/df), ties broken by term. Document frequencies come from a
+    * partial-aggregating groupBy (the shuffle carries per-term counts,
+    * never per-occurrence rows, so a stopword like "the" cannot skew a
+    * partition the way a `count over (partition by term)` window
+    * would), and the tf⋈df join's build side is vocabulary-sized —
+    * AQE broadcasts it when it fits and falls back to a shuffle join
+    * when a 100 TB vocabulary doesn't. Ranking orders by the ROUNDED
+    * score so the cross-engine compare never depends on sub-ulp
+    * ordering of mathematically-equal scores. */
+  def t13Tfidf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    // corpus size for the idf denominator: a metadata-only count
+    val nDocs = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(tokens).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), lower(col("tok")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .withColumn("tfidf", Det.dround(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))).cast("bigint"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Benchmark decontamination — the check every training corpus needs
+    * before a model trains on it: which candidate documents share word
+    * 3-gram shingles with the held-out benchmark corpus (here: the
+    * `src0` source slice plays the benchmark). One corpus pass builds
+    * shingle sets (single-pass [[graft.functions.WordShingles]]
+    * expression), the benchmark's distinct shingles form the probe
+    * side of a LEFT SEMI join keyed on the shingle — real benchmark
+    * suites are fixed-size, so at 100 TB that side broadcasts and the
+    * scan stays shuffle-free on the corpus side; here it grows with
+    * the fixture, so the hint is left to AQE. Output: per-document
+    * contaminated-shingle counts and fraction. */
+  def t14Decontamination(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.WordShingles.word_shingles
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), word_shingles(col("text")).as("s"))
+    val evalSh = sh.filter(col("source") === "src0")
+      .select(explode(col("s")).as("shingle")).distinct()
+    // n_sh rides inside the exploded struct (attribute-free generator
+    // child, so InferFiltersFromGenerate cannot duplicate the shingle
+    // computation into an inferred filter — same shape as d01)
+    val train = sh.filter(col("source") =!= "src0")
+      .select(col("doc_id"), explode(transform(col("s"), x =>
+        struct(x.as("shingle"), size(col("s")).cast("long").as("n_sh")))).as("e"))
+      .select(col("doc_id"), col("e.shingle").as("shingle"), col("e.n_sh").as("n_shingles"))
+    train.join(evalSh, Seq("shingle"), "left_semi")
+      .groupBy("doc_id", "n_shingles")
+      .agg(count(lit(1)).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        Det.dround(col("n_contaminated").cast("double") / col("n_shingles"), 4).as("contamination"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_distribution" -> t01LangDistribution _,
     "t02_token_counts"      -> t02TokenCounts _,
@@ -168,6 +230,8 @@ object TextOps {
     "t06_dedup_exact"       -> t06DedupExact _,
     "t11_bpe_tokens"        -> t11BpeTokens _,
     "t12_repetition"        -> t12Repetition _,
+    "t13_tfidf"             -> t13Tfidf _,
+    "t14_decontamination"   -> t14Decontamination _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -241,5 +305,31 @@ object TextOps {
           floor((CAST(sum(CAST((dwf) AS DECIMAL(18,9))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_dup_word_frac,
           floor((CAST(sum(CAST((top_frac) AS DECIMAL(18,9))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_top_bigram_frac
          FROM base JOIN top USING (doc_id) GROUP BY source ORDER BY source""",
+    "t13_tfidf" ->
+      """WITH toks AS (SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) term
+                       FROM documents),
+          tf AS (SELECT doc_id, term, count(*) tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+          df AS (SELECT term, count(*) df FROM tf GROUP BY term),
+          sc AS (SELECT doc_id, term, tf, df,
+                  floor((tf * ln((SELECT count(*) FROM documents) * 1.0 / df)) * 10000.0 + 0.5) / 10000.0 tfidf
+                 FROM tf JOIN df USING (term)),
+          r AS (SELECT *, CAST(row_number() OVER (
+                  PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) rank
+                FROM sc)
+         SELECT doc_id, rank, term, tf, df, tfidf
+         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "t14_decontamination" ->
+      """WITH toks AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') t FROM documents),
+          sh AS (SELECT doc_id, source, list_distinct(list_transform(range(1, len(t)-1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) s
+                 FROM toks WHERE len(t) >= 3),
+          ev AS (SELECT DISTINCT unnest(s) shingle FROM sh WHERE source = 'src0'),
+          tr AS (SELECT doc_id, CAST(len(s) AS BIGINT) n_shingles, unnest(s) shingle
+                 FROM sh WHERE source <> 'src0'),
+          hit AS (SELECT doc_id, n_shingles, count(*) n_contaminated
+                  FROM tr WHERE shingle IN (SELECT shingle FROM ev) GROUP BY 1, 2)
+         SELECT doc_id, n_shingles, n_contaminated,
+           floor((CAST(n_contaminated AS DOUBLE) / n_shingles) * 10000.0 + 0.5) / 10000.0 AS contamination
+         FROM hit ORDER BY doc_id""",
   )
 }

@@ -1,0 +1,78 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.store.SparkTestSession
+
+/** Round-5 corpus operators: duplicate-cluster connected components
+  * (d06), TF-IDF distinctive terms (t13), and benchmark
+  * decontamination (t14) — planted-input semantics plus the gate
+  * queries' shape on the real fixture.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("dupClustersOf: chain transitivity, multiple components, min-label ids") {
+    import spark.implicits._
+    // component A: a 4-chain 1-2-3-4 (1~4 only transitively);
+    // component B: the pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("i", "j")
+    val got = Dedup.dupClustersOf(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
+      (10L, 10L, 2L), (11L, 10L, 2L)))
+  }
+
+  test("d06 gate: clusters cover exactly the d01-pair docs, sizes consistent") {
+    val pairs = Dedup.d01NgramJaccardPairs(spark, dir)
+    val pairDocs = pairs.select(col("i").as("d")).union(pairs.select(col("j").as("d")))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val clusters = Dedup.d06DupClusters(spark, dir).collect()
+    assert(clusters.map(_.getLong(0)).toSet == pairDocs)
+    // every cluster id is a member of its own cluster and the min id
+    val byCluster = clusters.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, rows) =>
+      assert(rows.map(_.getLong(0)).min == cid)
+      assert(rows.forall(_.getLong(2) == rows.length))
+    }
+  }
+
+  test("t13: rare terms outrank ubiquitous ones; ties break by term") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "zebra common common common", "en", "s", 0L),
+      (2L, "common word word", "en", "s", 0L),
+      (3L, "common word apple", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-t13").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.t13Tfidf(spark, tmp)
+      .select("doc_id", "rank", "term").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // doc 1: zebra (df=1) must beat "common" (df=3, idf=0)
+    assert(got.filter(_._1 == 1L).map(_._3).head == "zebra")
+    // doc 3: apple (df=1) first, then word (df=2), then common (idf=0)
+    assert(got.filter(_._1 == 3L).sortBy(_._2).map(_._3).toSeq ==
+      Seq("apple", "word", "common"))
+  }
+
+  test("t14: only train docs sharing benchmark shingles are flagged") {
+    import spark.implicits._
+    val passage = "the quick brown fox jumps over the lazy dog today"
+    val docs = Seq(
+      (1L, passage, "en", "src0", 0L),                       // benchmark
+      (2L, s"intro words then $passage and a tail", "en", "src1", 0L), // contaminated
+      (3L, "completely unrelated text with many fresh tokens", "en", "src1", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-t14").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.t14Decontamination(spark, tmp).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(2L))
+    val r = got.head
+    // all 8 shingles of the 10-token passage appear in doc 2
+    assert(r.getLong(2) >= 8L && r.getLong(1) > r.getLong(2))
+  }
+}
