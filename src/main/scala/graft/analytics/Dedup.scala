@@ -313,19 +313,30 @@ object Dedup {
     val ij = pairs.select(col("i"), col("j"))
     val edges = ij.union(ij.select(col("j"), col("i")))
       .toDF("src", "dst").cache()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label")).cache()
+    // init fused with propagation round 1: label(n) = min(n, neighbors)
+    // directly from the edge list — one groupBy replaces the distinct
+    // shuffle AND the first full round
+    var labels = edges.select(col("src").as("node"), col("dst").as("label"))
+      .unionByName(edges.select(col("src").as("node"), col("src").as("label")))
+      .groupBy("node").agg(min("label").as("label")).cache()
+    // labels only ever decrease, so the exact (decimal — overflow-proof
+    // at any corpus size) label sum is strictly monotone until the
+    // fixpoint: convergence needs one scalar aggregation per round, not
+    // a next⋈prev anti-join over corpus-sized label sets
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
       val prop = edges.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("label"))
       val next = labels.unionByName(prop)
         .groupBy("node").agg(min("label").as("label")).cache()
-      val improved = next.join(labels.withColumnRenamed("label", "prev"), "node")
-        .filter(col("label") < col("prev")).count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = improved == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
     }
     // labels stays cached: the returned frame is lazy, so dropping the
     // cache here would make the caller's action re-run every propagation

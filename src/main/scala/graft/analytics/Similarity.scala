@@ -207,12 +207,142 @@ object Similarity {
               col("neighbor_id"), col("cos_sim"))
   }
 
+  // ---- IVF-PQ: product-quantized approximate scoring ----
+  private val PqM = 8       // subspaces
+  private val PqSubDim = 8  // dims per subspace (8×8 = 64)
+  private val PqKs = 16     // centroids per subspace → 4-bit codes
+
+  /** 1-based slice of the `m`-th subvector. */
+  private def subv(v: Column, m: Int): Column = slice(v, m * PqSubDim + 1, PqSubDim)
+
+  /** Nearest sub-centroid id for a subvector, as a pure per-row
+    * expression over the Ks codebook literals: argmin of squared L2 =
+    * argmin of (|c|² − 2·x·c) since |x|² is constant per row — so the
+    * per-cell score is one codegen'd [[graft.functions.VectorFunctions.array_dot]]
+    * plus a scalar, and the argmin is a lexicographic array_min over
+    * (score, cell) structs. No crossJoin, no shuffle — the same
+    * assignment shape as the IVF coarse quantizer. */
+  private def pqCell(codebook: Array[Array[Double]], sv: Column): Column = {
+    import graft.functions.VectorFunctions._
+    array_min(array(codebook.zipWithIndex.map { case (c, cell) =>
+      val cNorm2 = c.map(x => x * x).sum
+      struct((lit(cNorm2) - lit(2.0) * array_dot(sv, typedLit(c.toSeq))).as("d"),
+             lit(cell).as("cell"))
+    }: _*)).getField("cell")
+  }
+
+  /** Fit per-subspace codebooks (deterministic Lloyd, ALL subspaces in
+    * one shuffle per iteration via an M-way explode of 8-dim
+    * subvectors) and PQ-encode the corpus to `M` 4-bit codes — 8 bytes
+    * a vector instead of 256, the compression that lets a 100 TB
+    * corpus's index live in executor memory. Returns the encoded
+    * corpus (vec_id, norm, codes) and the codebooks. */
+  private[analytics] def pqFitEncode(corpus: DataFrame, iters: Int = 3)
+      : (DataFrame, Array[Array[Array[Double]]]) = {
+    val e = corpus.cache()
+    // deterministic spread init: Ks id-strided vectors — id-adjacent
+    // vectors can be near-identical, and seeding Lloyd from a tight
+    // clump wastes cells. A narrow modulo filter, never a global sort:
+    // if the id space is sparse enough to under-fill, top up from the
+    // lowest ids.
+    val n = e.count()
+    val stride = math.max(1L, n / PqKs)
+    var seed = e.filter(col("vec_id") % stride === 0).orderBy("vec_id").limit(PqKs)
+      .collect().map(_.getSeq[Double](1).toArray)
+    if (seed.length < PqKs)
+      seed = (seed ++ e.orderBy("vec_id").limit(PqKs).collect()
+        .map(_.getSeq[Double](1).toArray)).take(PqKs)
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(PqM)(m => seed.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)))
+    // per-iteration: explode to (m, sv) rows — 8 narrow 8-dim rows per
+    // vector, the same bytes as the original row — then ONE hash agg
+    // keyed (m, cell) updates every subspace's codebook together
+    val sub = e.select(explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("m"), subv(col("v"), m).as("sv"))): _*)).as("s"))
+      .select(col("s.m").as("m"), col("s.sv").as("sv"))
+    for (_ <- 0 until iters) {
+      val cellByM = (1 until PqM).foldLeft(pqCell(books(0), col("sv"))) {
+        (acc, m) => when(col("m") === m, pqCell(books(m), col("sv"))).otherwise(acc)
+      }
+      val fitted = sub.groupBy(col("m"), cellByM.as("cell"))
+        .agg(array((0 until PqSubDim).map(i => avg(element_at(col("sv"), i + 1))): _*).as("c"))
+        .collect()
+      books = Array.tabulate(PqM) { m =>
+        val got = fitted.filter(_.getInt(0) == m)
+          .map(r => r.getInt(1) -> r.getSeq[Double](2).toArray).toMap
+        // a cell can go empty during Lloyd: keep its previous centroid
+        Array.tabulate(PqKs)(cell => got.getOrElse(cell, books(m)(cell)))
+      }
+    }
+    val codes = array((0 until PqM).map(m => pqCell(books(m), subv(col("v"), m))): _*)
+    (e.select(col("vec_id"), col("norm"), codes.as("codes")), books)
+  }
+
+  /** IVF-PQ approximate top-k: PQ-encoded corpus scored by asymmetric
+    * distance computation — each query precomputes an M×Ks lookup table
+    * of subvector·sub-centroid dots (a pure expression over the
+    * codebook literals, broadcast with the query row), and a corpus
+    * vector's approximate cosine is M table lookups instead of a
+    * 64-dim dot. The ADC pass shortlists `refine·k` candidates per
+    * query from the codes alone (8 bytes a vector); only the
+    * shortlist's full vectors are fetched for an exact re-rank — the
+    * FAISS refine pattern, and the reason the scan side can be 32×
+    * smaller than the raw corpus at 100 TB. Rows-only gate
+    * (approximate by construction). */
+  def s04IvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.normalizedVectors(spark, dir)
+    val (encoded, books) = pqFitEncode(e)
+    val queries = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    pqTopK(encoded, e, books, queries, k = 10).orderBy("query_id", "rnk")
+  }
+
+  private[analytics] def pqTopK(encoded: DataFrame, corpus: DataFrame,
+                                books: Array[Array[Array[Double]]],
+                                queries: DataFrame, k: Int,
+                                refine: Int = 5): DataFrame = {
+    import graft.functions.VectorFunctions._
+    // per-query ADC lookup table: luts[m][cell] = q_sub(m) · codebook(m)(cell)
+    val luts = array((0 until PqM).map { m =>
+      array((0 until PqKs).map { cell =>
+        array_dot(subv(col("qv"), m), typedLit(books(m)(cell).toSeq))
+      }: _*)
+    }: _*)
+    val q = queries.select(col("query_id"), col("qnorm"), luts.as("luts"))
+    val adc = encoded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (aggregate(zip_with(col("codes"), col("luts"),
+            (c, lut) => element_at(lut, c + 1)), lit(0.0), (acc, x) => acc + x)
+          / (col("qnorm") * col("norm"))).as("adc_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_sim").desc, col("neighbor_id").asc)
+    val shortlist = adc.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k * refine)
+      .select(col("query_id"), col("neighbor_id"))
+    // exact re-rank: fetch full vectors for shortlist rows only —
+    // |queries|·refine·k of them, so everything after the ADC scan is
+    // query-bounded, never corpus-bounded
+    val exact = shortlist
+      .join(corpus.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .join(broadcast(queries.select(col("query_id"), col("qv"), col("qnorm"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(array_dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4).as("cos_sim"))
+    val wf = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    exact.withColumn("rnk", row_number().over(wf))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("rnk").cast("bigint").as("rnk"),
+              col("neighbor_id"), col("cos_sim"))
+  }
+
   /** User-facing ANN search over arbitrary frames: corpus
     * (vec_id, embedding) × queries (query_id, embedding) → top-`k`
     * cosine neighbors per query as (query_id, rnk, neighbor_id,
     * cos_sim). `method`: `"brute"` (exact single-scan baseline),
     * `"lsh"` (random-hyperplane buckets), `"ivf"` (k-means cells,
-    * probe + exact rerank — the 100 TB path). Ids share one
+    * probe + exact rerank — the 100 TB path), `"ivfpq"` (product-
+    * quantized 8-byte codes + ADC shortlist + exact refine — the
+    * path when even the IVF cells don't fit memory). Ids share one
     * namespace: a corpus row whose vec_id equals a query_id is
     * treated as that query itself and excluded from its results. */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int = 10,
@@ -232,8 +362,13 @@ object Similarity {
         val (assigned, centroids) = ivfFitOf(normalized(corpus, "vec_id", "v", "norm"))
         ivfTopK(assigned, centroids,
           normalized(queries, "query_id", "qv", "qnorm"), k)
+      case "ivfpq" =>
+        val e = normalized(corpus, "vec_id", "v", "norm")
+        val (encoded, books) = pqFitEncode(e)
+        pqTopK(encoded, e, books,
+          normalized(queries, "query_id", "qv", "qnorm"), k)
       case other => throw new IllegalArgumentException(
-        s"unknown ANN method '$other' (brute | lsh | ivf)")
+        s"unknown ANN method '$other' (brute | lsh | ivf | ivfpq)")
     }
   }
 
@@ -241,6 +376,7 @@ object Similarity {
     "s01_ann_bruteforce" -> s01BruteForceTopK _,
     "s02_ann_lsh"        -> s02LshTopK _,
     "s03_ann_ivf"        -> s03IvfTopK _,
+    "s04_ann_ivfpq"      -> s04IvfPqTopK _,
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -35,4 +35,23 @@ class SimilaritySpec extends AnyFunSuite {
     // with correct per-query list sizes
     assert(ivf.values.forall(_.size <= 10))
   }
+
+  test("IVF-PQ scores every query over the full corpus with useful recall") {
+    val exact = topSets(Similarity.s01BruteForceTopK(spark, dir))
+    val pq = Similarity.s04IvfPqTopK(spark, dir)
+    val sets = topSets(pq)
+    // ADC scores the whole corpus (no candidate pruning), so every
+    // query must return a full top-10 list
+    assert(sets.keySet == exact.keySet)
+    assert(sets.values.forall(_.size == 10))
+    val per = exact.map { case (q, ex) =>
+      sets(q).intersect(ex).size.toDouble / ex.size }
+    val recall = per.sum / per.size
+    info(s"recall: ivfpq=$recall")
+    // ADC alone lands ~0.26 on these near-random synthetic vectors;
+    // the exact refine of the 5k-deep shortlist lifts it to 0.6 —
+    // keep the bar above the no-refine level so the refine step
+    // cannot silently regress away
+    assert(recall >= 0.45, s"IVF-PQ recall too low: $recall")
+  }
 }
