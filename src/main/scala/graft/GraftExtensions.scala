@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharTrigrams, DoubleArrayDot, MinHash64, SimHash64, WinnowFingerprints, WordShingles}
+import graft.functions.{BigramStats, CharTrigrams, DoubleArrayDot, MinHash64, SimHash64, WinnowFingerprints, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions so `spark.sql` users get them
@@ -69,6 +69,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           WinnowFingerprints(children.head,
             intArg(children(1), "k"), intArg(children(2), "window"))
         }
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bigram_stats"),
+      new ExpressionInfo(classOf[BigramStats].getName, "bigram_stats"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "bigram_stats(text) takes one argument")
+        BigramStats(children.head)
       }))
   }
 }

@@ -237,7 +237,7 @@ object Similarity {
     * a vector instead of 256, the compression that lets a 100 TB
     * corpus's index live in executor memory. Returns the encoded
     * corpus (vec_id, norm, codes) and the codebooks. */
-  private[analytics] def pqFitEncode(corpus: DataFrame, iters: Int = 3)
+  private[analytics] def pqFitEncode(corpus: DataFrame, iters: Int = 2)
       : (DataFrame, Array[Array[Array[Double]]]) = {
     val e = corpus.cache()
     // deterministic spread init: Ks id-strided vectors — id-adjacent
@@ -275,7 +275,12 @@ object Similarity {
       }
     }
     val codes = array((0 until PqM).map(m => pqCell(books(m), subv(col("v"), m))): _*)
-    (e.select(col("vec_id"), col("norm"), codes.as("codes")), books)
+    // cached: output-sized (8 ints + a norm per vector) AND a hard
+    // materialization boundary — without it CollapseProject inlines the
+    // 8×16-dot code assignment through the non-equi ADC join and
+    // re-encodes every vector once per QUERY PAIR (measured 11 s vs
+    // ~2 s at sf0.1). At real scale, write the codes out once instead.
+    (e.select(col("vec_id"), col("norm"), codes.as("codes")).cache(), books)
   }
 
   /** IVF-PQ approximate top-k: PQ-encoded corpus scored by asymmetric
@@ -309,11 +314,16 @@ object Similarity {
       }: _*)
     }: _*)
     val q = queries.select(col("query_id"), col("qnorm"), luts.as("luts"))
+    // ADC sum as a fixed chain of element_at lookups — builtin,
+    // codegen'd expressions only: an interpreted zip_with+aggregate
+    // lambda pair here ran 5× slower than the 64-dim brute-force dot
+    // it was supposed to undercut
+    val adcSum = (0 until PqM).map { m =>
+      element_at(element_at(col("luts"), m + 1), element_at(col("codes"), m + 1) + 1)
+    }.reduce(_ + _)
     val adc = encoded.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (aggregate(zip_with(col("codes"), col("luts"),
-            (c, lut) => element_at(lut, c + 1)), lit(0.0), (acc, x) => acc + x)
-          / (col("qnorm") * col("norm"))).as("adc_sim"))
+        (adcSum / (col("qnorm") * col("norm"))).as("adc_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_sim").desc, col("neighbor_id").asc)
     val shortlist = adc.withColumn("rnk", row_number().over(w))

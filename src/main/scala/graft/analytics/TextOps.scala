@@ -137,22 +137,18 @@ object TextOps {
     * is two hash aggregations keyed on (doc_id, bigram) then (doc_id)
     * — never a global structure, so it scales with executors. */
   def t12Repetition(spark: SparkSession, dir: String): DataFrame = {
-    val t = tokens
+    import graft.functions.BigramStats.bigram_stats
+    // one narrow pass: the per-doc counts come out of the single-pass
+    // BigramStats expression, so the only shuffle left is the final
+    // per-source rollup — the explode-bigrams + two per-doc hash
+    // aggregations this replaced carried a row per bigram OCCURRENCE
     val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), t.as("t"))
-      .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), col("source"),
-        (lit(1.0) - size(array_distinct(col("t"))).cast("double") / size(col("t")))
-          .as("dwf"),
-        explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
-          concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)))).as("bg"))
-    val perDoc = base.groupBy(col("doc_id"), col("bg"))
-      .agg(first("source").as("source"), first("dwf").as("dwf"),
-           count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(first("source").as("source"), first("dwf").as("dwf"),
-           (max(col("c")).cast("double") / sum(col("c"))).as("top_bg_frac"))
-    perDoc.groupBy("source")
+      .select(col("source"), bigram_stats(col("text")).as("bs"))
+      .filter(col("bs.n_tokens") >= 2)
+      .select(col("source"),
+        (lit(1.0) - col("bs.n_distinct").cast("double") / col("bs.n_tokens")).as("dwf"),
+        (col("bs.top_bigram").cast("double") / col("bs.n_bigrams")).as("top_bg_frac"))
+    base.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
            Det.avgDec9R(col("dwf"), 4).as("avg_dup_word_frac"),
            Det.avgDec9R(col("top_bg_frac"), 4).as("avg_top_bigram_frac"))

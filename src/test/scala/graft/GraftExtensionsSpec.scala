@@ -31,4 +31,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val b = spark.sql(s"SELECT winnow_fingerprints('$text', 25, 26) AS f").head().getSeq[Long](0)
     assert(a.nonEmpty && a == b)
   }
+
+  test("bigram_stats is callable from SQL with exact counts") {
+    val spark = SparkTestSession.spark
+    val r = spark.sql("SELECT bigram_stats('a b a b c') AS s").head().getStruct(0)
+    // 5 tokens, 3 distinct, 4 bigrams, top bigram 'a b' appears twice
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) == ((5, 3, 4, 2)))
+    // boundary cases: single token and empty-after-trim text
+    val one = spark.sql("SELECT bigram_stats('solo') AS s").head().getStruct(0)
+    assert((one.getInt(0), one.getInt(2), one.getInt(3)) == ((1, 0, 0)))
+  }
 }
