@@ -43,11 +43,20 @@ object StreamingQueries {
       .orderBy("user_id")
   }
 
+  /** Stream-static enrichment join run to completion (complete-mode
+    * aggregation over the dim-bounded key space). */
+  def st05StreamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st05_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    EventStream.runToCompletion(spark, EventStream.enrichByNation(_, dir), name)
+      .orderBy("nation", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_daily" -> st01StreamDaily _,
     "st02_sessions"     -> st02Sessions _,
     "st03_stream_dedup" -> st03StreamDedup _,
     "st04_stream_join"  -> st04StreamJoin _,
+    "st05_stream_enrich" -> st05StreamEnrich _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -81,5 +90,13 @@ object StreamingQueries {
                     FROM events ORDER BY event_id, ts)
          SELECT event_type, count(*) AS n_unique, floor((CAST(sum(CAST((value) AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_value
          FROM d GROUP BY event_type ORDER BY event_type""",
+    "st05_stream_enrich" ->
+      """SELECT n.n_name AS nation, e.event_type,
+          count(*) AS n_events,
+          floor((CAST(sum(CAST((e.value) AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_value
+         FROM events e
+         JOIN customer c ON e.user_id = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY 1, 2 ORDER BY nation, event_type""",
   )
 }

@@ -217,6 +217,73 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** C4-style heuristic quality gate — the rule battery a web-scale
+    * corpus is filtered through before training, with per-rule failure
+    * accounting so a pipeline owner can see WHICH rule bites: minimum
+    * token count, sane mean token length, contains a stopword
+    * (English-centric by design, like C4), lexical diversity, and no
+    * pathological unbroken token. One narrow pass + one rollup
+    * shuffle; every rule is a codegen'd column predicate. */
+  def t15QualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("source"), tokens.as("t"))
+      .select(col("source"),
+        size(col("t")).as("n_tok"),
+        (length(concat_ws("", col("t"))).cast("double") / size(col("t"))).as("mean_len"),
+        size(filter(col("t"), x => x.isin(stopwords: _*))).as("n_stop"),
+        (size(array_distinct(col("t"))).cast("double") / size(col("t"))).as("ttr"),
+        array_max(transform(col("t"), x => length(x))).as("max_len"))
+      .select(col("source"),
+        (col("n_tok") >= 20).as("r1"),
+        (col("mean_len") >= 2.0 && col("mean_len") <= 12.0).as("r2"),
+        (col("n_stop") > 0).as("r3"),
+        (col("ttr") >= 0.2).as("r4"),
+        (col("max_len") <= 40).as("r5"))
+    d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("r1") && col("r2") && col("r3") && col("r4") && col("r5"), 1L)
+          .otherwise(0L)).as("n_pass"),
+        sum(when(!col("r1"), 1L).otherwise(0L)).as("fail_min_tokens"),
+        sum(when(!col("r2"), 1L).otherwise(0L)).as("fail_token_len"),
+        sum(when(!col("r3"), 1L).otherwise(0L)).as("fail_no_stopword"),
+        sum(when(!col("r4"), 1L).otherwise(0L)).as("fail_ttr"),
+        sum(when(!col("r5"), 1L).otherwise(0L)).as("fail_long_token"))
+      .orderBy("source")
+  }
+
+  /** Data-mixture sampling — the mixing step that turns a raw corpus
+    * into a training mix: compute per-language sampling rates that
+    * equalize token budgets (rate = min(1, fair_share / lang_tokens)),
+    * then gate each document deterministically by comparing its md5
+    * prefix against the rate's 32-bit hex threshold — RNG-free, so the
+    * sample is reproducible across engines, runs, and partitionings.
+    * Shape at scale: two tiny aggregations (per-lang totals) + one
+    * broadcast-joined corpus pass; no shuffle touches document text. */
+  def t16MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(tokens).cast("long").as("n_tokens"))
+    val langTotals = d.groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
+    val global = langTotals.agg(sum("lang_tokens").cast("double").as("total_tokens"),
+      count(lit(1)).as("n_langs"))
+    val rates = langTotals.crossJoin(broadcast(global))
+      .select(col("lang"),
+        least(lit(1.0), (col("total_tokens") / col("n_langs")) / col("lang_tokens")).as("rate"))
+    d.join(broadcast(rates), "lang")
+      // 8-hex-digit threshold: floor(rate·2³²) printed as zero-padded
+      // lowercase hex, compared lexicographically against the md5
+      // prefix — the same cross-engine trick as t09, with the rate==1
+      // case short-circuited (its threshold would need 9 digits)
+      .withColumn("sampled", col("rate") >= 1.0 ||
+        substring(md5(col("text")), 1, 8) <
+          lpad(lower(hex(floor(col("rate") * lit(4294967296.0)).cast("bigint"))), 8, "0"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+           sum(when(col("sampled"), col("n_tokens")).otherwise(0L)).as("sampled_tokens"),
+           Det.dround(min(col("rate")), 4).as("rate"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_distribution" -> t01LangDistribution _,
     "t02_token_counts"      -> t02TokenCounts _,
@@ -228,6 +295,8 @@ object TextOps {
     "t12_repetition"        -> t12Repetition _,
     "t13_tfidf"             -> t13Tfidf _,
     "t14_decontamination"   -> t14Decontamination _,
+    "t15_quality_filter"    -> t15QualityFilter _,
+    "t16_mixture_sample"    -> t16MixtureSample _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -327,5 +396,42 @@ object TextOps {
          SELECT doc_id, n_shingles, n_contaminated,
            floor((CAST(n_contaminated AS DOUBLE) / n_shingles) * 10000.0 + 0.5) / 10000.0 AS contamination
          FROM hit ORDER BY doc_id""",
+    "t15_quality_filter" ->
+      s"""WITH d AS (SELECT source, string_split_regex(trim(text), '\\s+') t FROM documents),
+          m AS (SELECT source,
+                 len(t) n_tok,
+                 CAST(list_aggregate(list_transform(t, x -> strlen(x)), 'sum') AS DOUBLE) / len(t) mean_len,
+                 len(list_filter(t, x -> x IN ($stopList))) n_stop,
+                 CAST(len(list_distinct(t)) AS DOUBLE) / len(t) ttr,
+                 list_max(list_transform(t, x -> strlen(x))) max_len
+                FROM d),
+          r AS (SELECT source, n_tok >= 20 r1,
+                 mean_len >= 2.0 AND mean_len <= 12.0 r2,
+                 n_stop > 0 r3, ttr >= 0.2 r4, max_len <= 40 r5
+                FROM m)
+         SELECT source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+          CAST(sum(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS BIGINT) AS fail_min_tokens,
+          CAST(sum(CASE WHEN NOT r2 THEN 1 ELSE 0 END) AS BIGINT) AS fail_token_len,
+          CAST(sum(CASE WHEN NOT r3 THEN 1 ELSE 0 END) AS BIGINT) AS fail_no_stopword,
+          CAST(sum(CASE WHEN NOT r4 THEN 1 ELSE 0 END) AS BIGINT) AS fail_ttr,
+          CAST(sum(CASE WHEN NOT r5 THEN 1 ELSE 0 END) AS BIGINT) AS fail_long_token
+         FROM r GROUP BY source ORDER BY source""",
+    "t16_mixture_sample" ->
+      """WITH d AS (SELECT doc_id, lang, text,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n_tokens
+                    FROM documents),
+          lt AS (SELECT lang, sum(n_tokens) lang_tokens FROM d GROUP BY lang),
+          g AS (SELECT CAST(sum(lang_tokens) AS DOUBLE) total_tokens, count(*) n_langs FROM lt),
+          r AS (SELECT lang, least(1.0, (total_tokens / n_langs) / lang_tokens) rate FROM lt, g),
+          s AS (SELECT d.*, r.rate,
+                 (r.rate >= 1.0 OR substr(md5(d.text), 1, 8) <
+                   lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))), 8, '0')) sampled
+                FROM d JOIN r USING (lang))
+         SELECT lang, count(*) AS n_docs,
+          CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+          CAST(sum(CASE WHEN sampled THEN n_tokens ELSE 0 END) AS BIGINT) AS sampled_tokens,
+          floor(min(rate) * 10000.0 + 0.5) / 10000.0 AS rate
+         FROM s GROUP BY lang ORDER BY lang""",
   )
 }

@@ -87,6 +87,27 @@ object EventStream {
         col("v_ts") <= col("p_ts"))
   }
 
+  /** Stream-static enrichment: the events stream joined to the
+    * customer→nation dimension — the canonical "enrich a stream with a
+    * slowly-changing dimension" production shape. The static side is a
+    * fixed-size dim table, so it broadcasts: the stream side stays
+    * shuffle-free and the join keeps NO streaming state (unlike a
+    * stream-stream join) — per-microbatch cost is one hash-map probe
+    * per event at any scale. Aggregated per (nation, event_type) in
+    * complete mode (bounded key space: dim-sized). */
+  def enrichByNation(spark: SparkSession, dir: String): DataFrame = {
+    val dim = broadcast(
+      spark.read.parquet(s"$dir/customer.parquet")
+        .join(spark.read.parquet(s"$dir/nation.parquet"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").as("user_id"), col("n_name").as("nation")))
+    readEvents(spark, dir)
+      .join(dim, "user_id")
+      .groupBy(col("nation"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           graft.analytics.Det.sumDecR(col("value"), 2).as("sum_value"))
+  }
+
   /** Bounded-drive helper: on a finite source, every result row of an
     * inner stream-stream join or a complete-mode aggregation is emitted
     * by a DATA batch — watermark-advance ("no-data") microbatches only

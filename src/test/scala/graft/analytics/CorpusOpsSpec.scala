@@ -59,6 +59,39 @@ class CorpusOpsSpec extends AnyFunSuite {
       Seq("apple", "word", "common"))
   }
 
+  test("t15: each rule fails exactly the planted offender") {
+    import spark.implicits._
+    val good = (1 to 30).map(i => s"w$i").mkString(" ") + " the of and"
+    val docs = Seq(
+      (1L, good, "en", "s", 0L),                                   // passes all
+      (2L, "too short the", "en", "s", 0L),                        // fails r1 only... also r1
+      (3L, good.replace("the of and", "x ".repeat(50).trim), "en", "s", 0L), // no stopword
+      (4L, good + " " + "y".repeat(80), "en", "s", 0L)             // long token
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-t15").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = TextOps.t15QualityFilter(spark, tmp).collect().head
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("fail_long_token") == 1L)
+    assert(r.getAs[Long]("fail_no_stopword") >= 1L)
+    assert(r.getAs[Long]("n_pass") >= 1L)
+  }
+
+  test("t16: rates equalize token budgets and the gate is deterministic") {
+    val out = TextOps.t16MixtureSample(spark, dir).collect()
+    val out2 = TextOps.t16MixtureSample(spark, dir).collect()
+    assert(out.map(_.toSeq).toSeq == out2.map(_.toSeq).toSeq)
+    // every rate is in (0, 1]; the largest language is downsampled
+    // hardest (rate strictly < 1 when languages are imbalanced)
+    val rates = out.map(r => r.getAs[String]("lang") -> r.getAs[Double]("rate")).toMap
+    assert(rates.values.forall(r => r > 0.0 && r <= 1.0))
+    assert(rates.values.exists(_ < 1.0))
+    // sampled_tokens <= lang tokens, and n_sampled <= n_docs
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_sampled") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("t14: only train docs sharing benchmark shingles are flagged") {
     import spark.implicits._
     val passage = "the quick brown fox jumps over the lazy dog today"
