@@ -286,6 +286,31 @@ object Dedup {
         Det.dround(col("shared").cast("double") / least(col("n_i"), col("n_j")), 4).as("overlap"))
   }
 
+  /** Embedding near-dup pairs at scale — the LSH-bucketed tier that
+    * replaces d04's O(N²) loop: candidates are vector pairs sharing a
+    * random-hyperplane sign bucket in ≥1 of 16 bands
+    * ([[Similarity.lshBuckets]], the same core as the s02 query path),
+    * verified with one exact codegen'd cosine each. Cost is linear in
+    * corpus + bucket-collision pairs; the bucket self-join keys on
+    * (band, 6-bit sig) — never on the vector payload. Same 0.4
+    * threshold as d04 so the two tiers are directly comparable
+    * (recall vs d04 is asserted in CorpusOpsSpec). Rows-only gate
+    * (LSH candidate generation has no SQL oracle). */
+  def d07EmbeddingLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val b = Similarity.lshBuckets(e, "vec_id", "embedding")
+    b.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+              col("a.embedding").as("e_i"), col("b.embedding").as("e_j"))
+      .dropDuplicates("i", "j")
+      .select(col("i"), col("j"),
+        Det.dround(cosine(col("e_i"), col("e_j")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+      .orderBy("i", "j")
+  }
+
   /** Duplicate-cluster assignment — near-dup detection's missing last
     * step: pairwise near-dup output (d01's exact-Jaccard graph,
     * threshold 0.2) is only half the operator a curation run needs;
@@ -354,6 +379,7 @@ object Dedup {
     "d04_embedding_neardup"   -> d04EmbeddingNearDup _,
     "d05_winnow_pairs"        -> d05WinnowPairs _,
     "d06_dup_clusters"        -> d06DupClusters _,
+    "d07_embedding_lsh_pairs" -> d07EmbeddingLshPairs _,
   )
 
   /** d02/d03 use Spark xxhash64 and d05 a u64 rolling hash — not

@@ -67,35 +67,40 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
-  /** Random-hyperplane LSH core — corpus (vec_id, embedding), queries
-    * (query_id, q_emb); same id-namespace rule as [[bruteTopK]]. */
-  private[analytics] def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    // 16 bands × 6-bit buckets: for moderate-similarity neighbors
-    // (θ≈60°) per-band collision is (1-θ/π)^6 ≈ 0.08, so 16 bands give
-    // ~70% recall; raise Planes (finer buckets, fewer candidates) when
-    // the corpus has genuinely-near duplicates, raise Bands for recall.
+  /** (id, emb, band, sig) LSH bucket rows for a vector frame — 16
+    * bands × 6-bit sign buckets over seeded random hyperplanes: for
+    * moderate-similarity neighbors (θ≈60°) per-band collision is
+    * (1-θ/π)^6 ≈ 0.08, so 16 bands give ~70% recall; raise Planes
+    * (finer buckets, fewer candidates) when the corpus has
+    * genuinely-near duplicates, raise Bands for recall. The 6-bit sign
+    * signature is a left-fold acc*2 + bit, bit = sign(dot(v, plane)) —
+    * the per-plane dot is the tight-loop array_dot expression (an
+    * interpreted zip_with+aggregate fold here allocated a 64-element
+    * product array per plane per band per vector and dominated s02's
+    * runtime). Shared by the query-top-k (s02) and pairwise-dedup
+    * (d07) paths. */
+  private[analytics] def lshBuckets(df: DataFrame, idCol: String, embCol: String): DataFrame = {
     val Bands = 16; val Planes = 6; val Dim = 64
     val hp = hyperplanes(Bands, Planes, Dim)
-    val spark2 = corpus.sparkSession
+    val spark2 = df.sparkSession
     import spark2.implicits._
     val hpDf = broadcast(
       hp.zipWithIndex.map { case (planes, b) => (b, planes.map(_.toSeq).toSeq) }
         .toSeq.toDF("band", "planes"))
     import graft.functions.VectorFunctions._
-    // 6-bit sign signature per (vector, band): left-fold acc*2 + bit,
-    // bit = sign(dot(v, plane)). The per-plane dot is the tight-loop
-    // array_dot expression — the interpreted zip_with+aggregate fold
-    // allocated an intermediate 64-element product array per plane per
-    // band per vector and dominated s02's runtime.
     def signature = aggregate(col("planes"), lit(0L), (acc, plane) =>
       acc * 2 + when(array_dot(col("v64"), plane) > 0, lit(1L)).otherwise(lit(0L)))
-    def bucketsOf(df: DataFrame, idCol: String, embCol: String) = df
-      .select(col(idCol), col(embCol),
+    df.select(col(idCol), col(embCol),
         as_double_array(col(embCol)).as("v64"))
       .crossJoin(hpDf)
       .select(col(idCol), col(embCol), col("band"), signature.as("sig"))
-    val bucketed = bucketsOf(corpus, "vec_id", "embedding")
-    val qb = bucketsOf(queries, "query_id", "q_emb")
+  }
+
+  /** Random-hyperplane LSH core — corpus (vec_id, embedding), queries
+    * (query_id, q_emb); same id-namespace rule as [[bruteTopK]]. */
+  private[analytics] def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val bucketed = lshBuckets(corpus, "vec_id", "embedding")
+    val qb = lshBuckets(queries, "query_id", "q_emb")
     val cands = bucketed.as("c").join(broadcast(qb).as("q"),
         col("c.band") === col("q.band") && col("c.sig") === col("q.sig") &&
         col("c.vec_id") =!= col("q.query_id"))

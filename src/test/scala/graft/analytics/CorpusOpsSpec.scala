@@ -59,6 +59,17 @@ class CorpusOpsSpec extends AnyFunSuite {
       Seq("apple", "word", "common"))
   }
 
+  test("d07: LSH pair tier finds a usable fraction of d04's exact pairs, no false positives") {
+    val exact = Dedup.d04EmbeddingNearDup(spark, dir)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.d07EmbeddingLshPairs(spark, dir)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every reported pair is exact-verified, so d07 ⊆ d04
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    assert(exact.isEmpty || lsh.size.toDouble / exact.size >= 0.3,
+      s"recall too low: ${lsh.size}/${exact.size}")
+  }
+
   test("t15: each rule fails exactly the planted offender") {
     import spark.implicits._
     val good = (1 to 30).map(i => s"w$i").mkString(" ") + " the of and"
