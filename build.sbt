@@ -29,8 +29,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local[32] on a 128 GiB box: an 8g heap puts the collector under
   // pressure mid-bench (multi-MB text rows + decoded image buffers are
   // humongous objects for G1's default region size) and a full GC can
-  // land on an unlucky query; 16g + 32m regions keeps pauses off the
-  // per-query timings
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // land on an unlucky query; 32g + 32m regions keeps pauses off the
+  // per-query timings (65 gate queries now cache more intermediates
+  // per pass than the 16g setting was sized for)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   "-XX:+UseG1GC", "-XX:G1HeapRegionSize=32m",
 )

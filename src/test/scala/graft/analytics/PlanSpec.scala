@@ -82,4 +82,30 @@ class PlanSpec extends AnyFunSuite {
     assert(hinted.forall(h => h.contains("nation") || h.contains("region")),
       s"a growing table is hint-broadcast:\n${hinted.mkString("\n")}")
   }
+
+  test("t14 probes the benchmark shingles with a semi join") {
+    // the corpus side must never materialize matched benchmark rows —
+    // LEFT SEMI keeps the probe one-sided at any corpus size
+    val plan = TextOps.t14Decontamination(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a semi join:\n$plan")
+  }
+
+  test("t15 scans only the columns the rule battery touches") {
+    val plan = TextOps.t15QualityFilter(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("n_chars") && !plan.contains("doc_id"),
+      s"documents scan reads untouched columns:\n$plan")
+  }
+
+  test("d07/t16 broadcast hints are all cardinality-bounded (never a raw corpus scan)") {
+    // hyperplane literals (d07) and per-lang aggregates (t16) may be
+    // hinted; a hint directly on a parquet relation would be a
+    // corpus-sized broadcast waiting to OOM the driver at scale
+    (hintedRelations(Dedup.d07EmbeddingLshPairs(spark, dir)) ++
+      hintedRelations(TextOps.t16MixtureSample(spark, dir))).foreach { h =>
+      assert(!h.contains("Relation") || h.contains("Aggregate") || h.contains("LocalRelation"),
+        s"hinted subtree looks corpus-sized:\n$h")
+    }
+  }
 }
