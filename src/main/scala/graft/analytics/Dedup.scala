@@ -298,13 +298,23 @@ object Dedup {
     * (LSH candidate generation has no SQL oracle). */
   def d07EmbeddingLshPairs(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    // candidate generation on (band, sig, id) rows ONLY — a duplicate-
+    // heavy corpus collides the same pair in all 16 bands, and carrying
+    // the 64-float payload through every collision copy made the
+    // band join 16× heavier than it needs to be (measured 46× at a 10×
+    // replica corpus; ids-only + verify join-back is the d02 shape)
     val b = Similarity.lshBuckets(e, "vec_id", "embedding")
-    b.as("a").join(b.as("b"),
+      .select(col("vec_id"), col("band"), col("sig"))
+    val cands = b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
         col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-              col("a.embedding").as("e_i"), col("b.embedding").as("e_j"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
       .dropDuplicates("i", "j")
+    // exact verify: two candidate-bounded joins fetch the vectors once
+    // per surviving pair (no broadcast hint — AQE's call, as in d02)
+    cands
+      .join(e.select(col("vec_id").as("i"), col("embedding").as("e_i")), "i")
+      .join(e.select(col("vec_id").as("j"), col("embedding").as("e_j")), "j")
       .select(col("i"), col("j"),
         Det.dround(cosine(col("e_i"), col("e_j")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= 0.4)

@@ -29,15 +29,21 @@ object EventStream {
   private def readEvents(spark: SparkSession, dir: String,
                          maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // the streaming file source wants a directory; glob down to the
-    // events table within it. maxFilesPerTrigger is the production
-    // rate-limiting knob: bound per-microbatch input instead of
-    // swallowing a backlog in one batch.
+    // maxFilesPerTrigger is the production rate-limiting knob: bound
+    // per-microbatch input instead of swallowing a backlog in one batch.
     val r = spark.readStream.schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n.toString))
-    r.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // two physical layouts, both real: a single `events.parquet` FILE
+    // (the sf fixtures) vs an `events.parquet/` DIRECTORY of part
+    // files (every production table). pathGlobFilter matches leaf
+    // files only, so the single-file layout globs down from the parent
+    // dir, while the directory layout streams the table dir itself —
+    // with latestFirst-compatible file listing either way.
+    val stream =
+      if (new java.io.File(s"$dir/events.parquet").isDirectory)
+        r.parquet(s"$dir/events.parquet")
+      else r.option("pathGlobFilter", "events.parquet").parquet(dir)
+    stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Event-time daily windowed aggregation with a 1-day watermark.
