@@ -395,6 +395,45 @@ object Relational {
         Det.dround(sum("ps").cast("double"), 2).as("sum_value")))
       .orderBy("event_type")
 
+  /** Pivot (long → wide): daily revenue matrix with one column per
+    * event type. The pivot values are DECLARED, not discovered — the
+    * two-job "collect distinct keys first" variant is a full extra
+    * corpus pass, and an unbounded key set would OOM the driver
+    * building the plan; with declared values this is ONE hash
+    * aggregation with map-side partials, identical in cost to a plain
+    * groupBy. Missing cells coalesce to 0 so the wide row is total. */
+  def q26Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(spark, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+              col("event_type"), col("value"))
+      .groupBy("day")
+      .pivot("event_type", types)
+      .agg(Det.dround(coalesce(Det.sumDec(col("value")), lit(0.0)), 2))
+      .orderBy("day")
+  }
+
+  /** Time-series gap-fill (the resample step every monitoring/feature
+    * pipeline needs): per event type, a dense daily spine from the
+    * type's own [min, max] day — `sequence` + explode, built from the
+    * aggregated per-type bounds, so the spine generator runs on
+    * #types rows, never per event — left-joined to observed daily
+    * aggregates; missing days emit explicit zeros. */
+  def q27GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"), Det.sumDecR(col("value"), 2).as("sum_value"))
+    val spine = daily.groupBy("event_type")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    spine.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("event_type", "day")
+  }
+
   /** All relational queries, keyed for SparkEntry. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary"   -> q01PricingSummary _,
@@ -422,6 +461,8 @@ object Relational {
     "q23_docs_embeddings"   -> q23DocsEmbeddings _,
     "q24_salted_agg"        -> q24SaltedAgg _,
     "q25_approx_percentiles"-> q25ApproxPercentiles _,
+    "q26_pivot"             -> q26Pivot _,
+    "q27_gapfill"           -> q27GapFill _,
   )
 
   /** DuckDB oracle SQL, column-name- and order-aligned with the Spark
@@ -594,5 +635,26 @@ object Relational {
       """SELECT event_type, count(*) AS n_events,
          floor((CAST(sum(CAST((value) AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_value
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "q26_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+          floor((coalesce(CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0)) * 100.0 + 0.5) / 100.0 AS click,
+          floor((coalesce(CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0)) * 100.0 + 0.5) / 100.0 AS error,
+          floor((coalesce(CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0)) * 100.0 + 0.5) / 100.0 AS purchase,
+          floor((coalesce(CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0)) * 100.0 + 0.5) / 100.0 AS signup,
+          floor((coalesce(CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE), 0.0)) * 100.0 + 0.5) / 100.0 AS view
+         FROM events GROUP BY 1 ORDER BY day""",
+    "q27_gapfill" ->
+      """WITH daily AS (SELECT event_type, date_trunc('day', ts) AS day,
+                         count(*) AS n_events,
+                         floor((CAST(sum(CAST((value) AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_value
+                        FROM events GROUP BY 1, 2),
+          bounds AS (SELECT event_type, min(day) d0, max(day) d1 FROM daily GROUP BY 1),
+          spine AS (SELECT event_type, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+                    FROM bounds)
+         SELECT s.event_type, strftime(s.day, '%Y-%m-%d') AS day,
+          coalesce(d.n_events, 0) AS n_events,
+          coalesce(d.sum_value, 0.0) AS sum_value
+         FROM spine s LEFT JOIN daily d USING (event_type, day)
+         ORDER BY event_type, day""",
   )
 }
