@@ -133,6 +133,38 @@ class FunctionsSpec extends AnyFunSuite {
     assert(fast.contains(1L) && fast.contains(2L) && fast.contains(3L))
   }
 
+  test("bigram_stats equals the declarative explode formulation on fuzzed texts") {
+    import BigramStats.bigram_stats
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e")
+    val texts = Seq.fill(60) {
+      val n = rnd.nextInt(12)
+      (if (rnd.nextBoolean()) "  " else "") +
+        Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+          .mkString(if (rnd.nextBoolean()) " " else "\t") +
+        (if (rnd.nextBoolean()) " " else "")
+    } ++ Seq("", "solo", "a a a a")
+    val df = texts.toDF("text").withColumn("id", monotonically_increasing_id())
+    val viaExpr = df.select(col("id"), bigram_stats(col("text")).as("bs"))
+      .select(col("id"), col("bs.n_tokens"), col("bs.n_distinct"),
+              col("bs.n_bigrams"), col("bs.top_bigram"))
+    val t = split(trim(col("text")), "\\s+")
+    val base = df.select(col("id"), t.as("t"))
+    val perRow = base.select(col("id"),
+        size(col("t")).as("n_tokens"),
+        size(array_distinct(col("t"))).as("n_distinct"),
+        greatest(size(col("t")) - 1, lit(0)).as("n_bigrams"))
+    val topBg = base.filter(size(col("t")) >= 2)
+      .select(col("id"), explode(transform(sequence(lit(1), size(col("t")) - 1), i =>
+        concat_ws(" ", element_at(col("t"), i), element_at(col("t"), i + 1)))).as("bg"))
+      .groupBy("id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("id").agg(max("c").cast("int").as("top_bigram"))
+    val twin = perRow.join(topBg, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"), col("n_distinct"), col("n_bigrams"),
+        coalesce(col("top_bigram"), lit(0)).as("top_bigram"))
+    assert(viaExpr.collect().map(_.toSeq).toSet == twin.collect().map(_.toSeq).toSet)
+  }
+
   test("identical texts share a simhash; distinct texts differ") {
     import SimHash64.simhash64
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
