@@ -359,7 +359,7 @@ object Dedup {
     // fixpoint: convergence needs one scalar aggregation per round, not
     // a next⋈prev anti-join over corpus-sized label sets
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {

@@ -133,7 +133,7 @@ object Similarity {
   private[analytics] def cellScores(cents: Array[(Int, Array[Double])],
                                     v: Column, norm: Column): Column = {
     import graft.functions.VectorFunctions._
-    array(cents.map { case (cell, c) =>
+    array(cents.toIndexedSeq.map { case (cell, c) =>
       struct((-array_dot(v, typedLit(c)) / norm).as("ns"), lit(cell).as("cell"))
     }: _*)
   }
@@ -229,7 +229,7 @@ object Similarity {
     * assignment shape as the IVF coarse quantizer. */
   private def pqCell(codebook: Array[Array[Double]], sv: Column): Column = {
     import graft.functions.VectorFunctions._
-    array_min(array(codebook.zipWithIndex.map { case (c, cell) =>
+    array_min(array(codebook.zipWithIndex.toIndexedSeq.map { case (c, cell) =>
       val cNorm2 = c.map(x => x * x).sum
       struct((lit(cNorm2) - lit(2.0) * array_dot(sv, typedLit(c.toSeq))).as("d"),
              lit(cell).as("cell"))
