@@ -58,18 +58,40 @@ object TextPrep {
   /** Shard packing: assign docs (ordered by doc_id) to output shards of
     * ~`budget` tokens via a cumulative-sum window — the deterministic
     * layout step before writing training shards. */
-  def t10ShardPacking(spark: SparkSession, dir: String): DataFrame = {
-    val budget = 4000L
-    val d = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    d.withColumn("cum", sum("n_tokens").over(w))
-      .withColumn("shard_id", floor((col("cum") - 1L) / budget).cast("bigint"))
+  def t10ShardPacking(spark: SparkSession, dir: String): DataFrame =
+    shardAssignments(Tables.documents(spark, dir), 4000L)
       .groupBy("lang", "shard_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens"))
       .orderBy("lang", "shard_id")
+
+  /** Shard assignment for an arbitrary (doc_id, lang, text, …) corpus —
+    * the t10 packing core, returned per-document. */
+  private[analytics] def shardAssignments(docs: DataFrame, budget: Long): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs
+      .withColumn("n_tokens", size(split(trim(col("text")), "\\s+")).cast("long"))
+      .withColumn("shard_id",
+        floor((sum("n_tokens").over(w) - 1L) / budget).cast("bigint"))
+  }
+
+  /** Materialize packed training shards: assign documents to ~`budget`-
+    * token shards per language (t10's cumulative-sum layout) and write
+    * them as parquet partitioned by (lang, shard_id), documents sorted
+    * by doc_id inside each shard file. This is the step that turns the
+    * curated corpus into the artifact a trainer actually consumes.
+    * One shuffle total: the repartition to (lang, shard_id) doubles as
+    * the write layout AND keeps each shard in one task → one file —
+    * at 100 TB that means ~budget-token output files regardless of
+    * executor count. Returns the written document count. */
+  def writeShards(docs: DataFrame, outDir: String, budget: Long = 4000L): Long = {
+    val assigned = shardAssignments(docs, budget)
+    assigned
+      .repartition(col("lang"), col("shard_id"))
+      .sortWithinPartitions("lang", "shard_id", "doc_id")
+      .write.partitionBy("lang", "shard_id")
+      .mode("overwrite").parquet(outDir)
+    assigned.sparkSession.read.parquet(outDir).count()
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

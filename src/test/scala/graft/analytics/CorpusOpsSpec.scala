@@ -103,6 +103,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("writeShards materializes one sorted file per shard within budget") {
+    val docs = Tables.documents(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val budget = 2000L
+    val written = TextPrep.writeShards(docs, out, budget)
+    assert(written == docs.count())
+    val back = spark.read.parquet(out)
+    // every shard obeys the packing bound: sum < budget + its max doc
+    val bad = back.groupBy("lang", "shard_id")
+      .agg(sum("n_tokens").as("s"), max("n_tokens").as("m"))
+      .filter(col("s") >= lit(budget) + col("m")).count()
+    assert(bad == 0L, "a shard exceeds budget + one document")
+    // one task per shard → exactly one parquet file per shard directory
+    val shardDirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.isDirectory)
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"${d.getName} has ${parts.length} files")
+    }
+  }
+
   test("t14: only train docs sharing benchmark shingles are flagged") {
     import spark.implicits._
     val passage = "the quick brown fox jumps over the lazy dog today"
