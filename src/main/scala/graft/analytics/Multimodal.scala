@@ -243,10 +243,113 @@ object Multimodal {
       .orderBy("source")
   }
 
+  // ---- perceptual image hashing (aHash) → image-level dedup ----
+
+  /** 64-bit average hash of a decoded image: area-average the
+    * luminance onto an 8×8 grid, set bit i when cell i is brighter
+    * than the global mean — the classic perceptual fingerprint that
+    * survives resizing and mild brightness shifts. Pure integer/
+    * double arithmetic over exact decoded pixels → deterministic
+    * across runs and JVMs. */
+  def aHash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Long](64); val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = math.min(y * 8 / h, 7)
+      var x = 0
+      while (x < w) {
+        val idx = cy * 8 + math.min(x * 8 / w, 7)
+        sums(idx) += luma1000(img.getRGB(x, y)); counts(idx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val means = Array.tabulate(64)(i =>
+      if (counts(i) == 0) 0.0 else sums(i).toDouble / counts(i))
+    val global = means.sum / 64
+    var bits = 0L; var i = 0
+    while (i < 64) { if (means(i) > global) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** (doc_id, ahash) for every decodable image payload — partition-wise
+    * decode, one 8-byte fingerprint per image; non-images are dropped. */
+  def imageHashes(blobs: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      it.flatMap { case (docId, bytes) =>
+        decodeImage(bytes).map { case (_, img) => (docId, aHash64(img)) }
+      }
+    }.toDF("doc_id", "ahash")
+  }
+
+  /** Near-dup image pairs with Hamming distance ≤ 3 over the aHash
+    * fingerprints — the same 4×16-bit pigeonhole banding as the
+    * SimHash text tier (d03), so the bucket join stays near-linear in
+    * image count: image dedup is text dedup once the hash exists. */
+  def imageDupPairs(hashes: DataFrame): DataFrame = {
+    val chunks = hashes.select(col("doc_id"), col("ahash"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("c"), shiftright(col("ahash"), c * 16).bitwiseAND(0xFFFF).as("v"))): _*)).as("ch"))
+      .select(col("doc_id"), col("ahash"), col("ch.c").as("c"), col("ch.v").as("v"))
+    chunks.as("a").join(chunks.as("b"),
+        col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+              bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
+      .dropDuplicates("i", "j")
+      .filter(col("hamming") <= 3)
+  }
+
+  /** Deterministic synthetic image corpus: one 16×16 black/white PNG
+    * per document, the pattern an LCG-seeded random bitmap keyed by
+    * doc_id % 10 — docs sharing a pattern produce byte-identical PNGs
+    * with structurally-distinct aHashes across patterns (smooth
+    * per-channel gradients are NOT distinct under a perceptual hash:
+    * aHash keys on bright/dark geometry, so the planted patterns must
+    * differ in geometry, not just channel values). */
+  private[analytics] def syntheticImages(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long].map { docId =>
+      var state = (docId % 10) * 2654435761L + 12345L
+      def nextBit(): Boolean = {
+        state = state * 6364136223846793005L + 1442695040888963407L
+        ((state >>> 33) & 1L) == 1L
+      }
+      val img = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 16) {
+        var x = 0
+        while (x < 16) {
+          img.setRGB(x, y, if (nextBit()) 0xFFFFFF else 0x000000)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      (docId, bos.toByteArray)
+    }
+  }
+
+  /** Gate: encode → decode → aHash → exact-hash dup groups over the
+    * synthetic image corpus (10 planted pattern groups). Rows-only
+    * (the PNG round trip has no SQL oracle). */
+  def m04ImageDupGroups(spark: SparkSession, dir: String): DataFrame =
+    imageHashes(syntheticImages(spark, dir))
+      .groupBy("ahash")
+      .agg(min("doc_id").as("group_rep"), count(lit(1)).as("n_images"))
+      .select(col("group_rep"), col("n_images"))
+      .orderBy("group_rep")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_blob_meta"    -> m01BlobMeta _,
     "m02_frame_stats"  -> m02FrameStats _,
     "m03_resize_stats" -> m03ResizeStats _,
+    "m04_image_dups"   -> m04ImageDupGroups _,
   )
 
   /** m01 is byte-exact SQL (UTF-8 length); m02's stub decode is

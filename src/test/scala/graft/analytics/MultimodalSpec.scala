@@ -78,4 +78,52 @@ class MultimodalSpec extends AnyFunSuite {
       assert((dec.getRGB(x, y) & 0xFFFFFF) == (if (x < 2) 0x000000 else 0xFFFFFF),
         s"pixel ($x,$y)")
   }
+
+  /** Gradient PNG (horizontal or vertical) with a per-pixel brightness
+    * offset. */
+  private def gradientPng(shift: Int, size: Int = 32,
+                          vertical: Boolean = false): Array[Byte] = {
+    val img = new BufferedImage(size, size, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until size; x <- 0 until size) {
+      val t = if (vertical) y else x
+      val v = math.min(255, math.max(0, (t * 255 / (size - 1)) + shift))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("aHash: scale- and brightness-invariant, pattern-sensitive; banding finds near dups") {
+    import Multimodal._
+    def hashOf(png: Array[Byte]) = aHash64(decodeImage(png).get._2)
+    val base = hashOf(gradientPng(0))
+    // same structure, different raster size → identical fingerprint
+    assert(hashOf(gradientPng(0, size = 64)) == base)
+    // mild global brightness shift → hamming ≤ 3 (near-dup territory)
+    val shifted = hashOf(gradientPng(12))
+    assert(java.lang.Long.bitCount(base ^ shifted) <= 3)
+    // aHash keys on bright/dark STRUCTURE: a vertical gradient is a
+    // genuinely different pattern (a left-dark threshold image is NOT —
+    // it shares the horizontal gradient's above/below-mean geometry)
+    val other = hashOf(gradientPng(0, vertical = true))
+    assert(java.lang.Long.bitCount(base ^ other) > 10)
+    // the banded pair join surfaces exactly the near-dup pair
+    import spark.implicits._
+    val hashes = Seq((1L, base), (2L, shifted), (3L, other)).toDF("doc_id", "ahash")
+    val pairs = imageDupPairs(hashes).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("m04 gate: ten planted pattern groups, each hashed to one bucket") {
+    val got = Multimodal.m04ImageDupGroups(spark, "/root/testdata/sf0.001").collect()
+    val nDocs = got.map(_.getLong(1)).sum
+    // every document produced a decodable image and a fingerprint
+    assert(nDocs == Tables.documents(spark, "/root/testdata/sf0.001").count())
+    // 10 planted patterns → at most 10 groups (distinct patterns may
+    // collide only if aHash degenerates — reps must be the 10 lowest ids)
+    assert(got.length == 10)
+    assert(got.map(_.getLong(0)).toSet == (0L until 10L).toSet)
+  }
 }
