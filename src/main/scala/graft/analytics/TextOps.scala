@@ -284,6 +284,51 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** PII patterns shared by detection and redaction — no lookarounds,
+    * so Java regex (Spark) and RE2 (DuckDB) match identically. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val Ipv4Re  = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** PII scrub — the redaction pass a corpus takes before release:
+    * detect and mask emails, phone numbers, and IPv4 addresses. The
+    * synthetic corpus carries no PII, so the gate PLANTS deterministic
+    * PII spans on a doc_id-keyed subset first (the same trick the m04
+    * image gate uses), then reports per-source detection counts and
+    * verifies every planted span is gone after redaction — the
+    * residual count is part of the oracle-checked output, pinning the
+    * scrub itself, not just the detector. One narrow pass; regex work
+    * is codegen'd `regexp_extract_all`/`regexp_replace`. */
+  def t17PiiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir)
+      .withColumn("text", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" reach me at user"), col("doc_id"), lit("@mail.example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" call +1 555-867-5309")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" host 10.0."), (col("doc_id") % 200).cast("string"), lit(".25")))
+          .otherwise(lit(""))))
+    val masked = regexp_replace(regexp_replace(regexp_replace(col("text"),
+      EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"), Ipv4Re, "[IP]")
+    planted
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_email"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("n_phone"),
+        size(regexp_extract_all(col("text"), lit(Ipv4Re), lit(0))).cast("long").as("n_ip"),
+        (size(regexp_extract_all(masked, lit(EmailRe), lit(0))) +
+         size(regexp_extract_all(masked, lit(PhoneRe), lit(0))) +
+         size(regexp_extract_all(masked, lit(Ipv4Re), lit(0)))).cast("long").as("n_residual"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("n_email") + col("n_phone") + col("n_ip") > 0, 1L).otherwise(0L)).as("n_docs_with_pii"),
+           sum("n_email").as("n_emails"),
+           sum("n_phone").as("n_phones"),
+           sum("n_ip").as("n_ips"),
+           sum("n_residual").as("n_residual"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_distribution" -> t01LangDistribution _,
     "t02_token_counts"      -> t02TokenCounts _,
@@ -297,6 +342,7 @@ object TextOps {
     "t14_decontamination"   -> t14Decontamination _,
     "t15_quality_filter"    -> t15QualityFilter _,
     "t16_mixture_sample"    -> t16MixtureSample _,
+    "t17_pii_redaction"     -> t17PiiRedaction _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -433,5 +479,36 @@ object TextOps {
           CAST(sum(CASE WHEN sampled THEN n_tokens ELSE 0 END) AS BIGINT) AS sampled_tokens,
           floor(min(rate) * 10000.0 + 0.5) / 10000.0 AS rate
          FROM s GROUP BY lang ORDER BY lang""",
+    "t17_pii_redaction" ->
+      """WITH p AS (SELECT source, text ||
+            CASE WHEN doc_id % 7 = 0
+                 THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+                 ELSE '' END ||
+            CASE WHEN doc_id % 11 = 0 THEN ' call +1 555-867-5309' ELSE '' END ||
+            CASE WHEN doc_id % 13 = 0
+                 THEN ' host 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.25'
+                 ELSE '' END AS text
+           FROM documents),
+          m AS (SELECT source,
+                 CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) n_email,
+                 CAST(len(regexp_extract_all(text, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) n_phone,
+                 CAST(len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) n_ip,
+                 regexp_replace(regexp_replace(regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                   '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+                   '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g') AS masked
+                FROM p),
+          r AS (SELECT source, n_email, n_phone, n_ip,
+                 CAST(len(regexp_extract_all(masked, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                    + len(regexp_extract_all(masked, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}'))
+                    + len(regexp_extract_all(masked, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) n_residual
+                FROM m)
+         SELECT source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+          CAST(sum(n_email) AS BIGINT) AS n_emails,
+          CAST(sum(n_phone) AS BIGINT) AS n_phones,
+          CAST(sum(n_ip) AS BIGINT) AS n_ips,
+          CAST(sum(n_residual) AS BIGINT) AS n_residual
+         FROM r GROUP BY source ORDER BY source""",
   )
 }
