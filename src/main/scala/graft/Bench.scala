@@ -30,6 +30,7 @@ object Bench {
       import graft.functions.WordShingles.word_shingles
       import graft.functions.CharTrigrams.char_trigrams
       import graft.functions.WinnowFingerprints.winnow_fingerprints
+      import graft.functions.BigramStats.bigram_stats
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy("doc_id")
       graft.analytics.Tables.documents(spark, sfDir).limit(256)
@@ -39,9 +40,10 @@ object Bench {
         .withColumn("sim", graft.functions.SimHash64.simhash64(split(trim(col("text")), "\\s+")))
         .withColumn("tg", size(char_trigrams(col("text"))))
         .withColumn("wf", size(winnow_fingerprints(col("text"))))
+        .withColumn("bg", bigram_stats(col("text")).getField("n_bigrams"))
         .withColumn("rn", row_number().over(w))
         .groupBy("lang").agg(sum("n"), sum("sh"), sum("mh"), sum("sim"),
-          sum("tg"), sum("wf")).count()
+          sum("tg"), sum("wf"), sum("bg")).count()
     } catch { case _: Throwable => () }
     // vector expressions (array_dot) on an embeddings slice
     try {
