@@ -51,12 +51,32 @@ object StreamingQueries {
       .orderBy("nation", "event_type")
   }
 
+  /** Streaming ingestion into the asset store: drive the event stream
+    * through foreachBatch → TableStore.bulkAppend, then read the
+    * per-experiment asset counts BACK OUT of the store's catalog —
+    * the round trip proves the streaming ETL feeds the database the
+    * reference's consumers would read. */
+  def st06StreamIngest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-ingest")
+    val db = new graft.store.TableStore(spark, tmp.toString)
+    try {
+      EventStream.ingestEventsToStore(spark, dir, db)
+      db.query(Seq(graft.core.Route.Timeseries))
+        .groupBy(_.meta("experiment")).toSeq
+        .map { case (exp, entries) => (exp, entries.size.toLong) }
+        .toDF("experiment", "n_assets")
+        .orderBy("experiment")
+    } finally db.close()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_daily" -> st01StreamDaily _,
     "st02_sessions"     -> st02Sessions _,
     "st03_stream_dedup" -> st03StreamDedup _,
     "st04_stream_join"  -> st04StreamJoin _,
     "st05_stream_enrich" -> st05StreamEnrich _,
+    "st06_stream_ingest" -> st06StreamIngest _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -98,5 +118,10 @@ object StreamingQueries {
          JOIN customer c ON e.user_id = c.c_custkey
          JOIN nation n ON c.c_nationkey = n.n_nationkey
          GROUP BY 1, 2 ORDER BY nation, event_type""",
+    // one TIMESERIES asset per (event_type, user): the store's catalog
+    // after streaming ingest must equal the batch distinct count
+    "st06_stream_ingest" ->
+      """SELECT event_type AS experiment, count(DISTINCT user_id) AS n_assets
+         FROM events GROUP BY 1 ORDER BY experiment""",
   )
 }

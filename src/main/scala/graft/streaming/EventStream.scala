@@ -114,6 +114,39 @@ object EventStream {
            graft.analytics.Det.sumDecR(col("value"), 2).as("sum_value"))
   }
 
+  /** Continuous ingestion from the event stream INTO the asset store —
+    * the streaming ETL that feeds the reference's database in
+    * production: each microbatch aggregates per-(user, event_type)
+    * stats and bulk-appends them as TIMESERIES assets
+    * (`foreachBatch` → [[graft.store.TableStore.bulkAppend]], one
+    * distributed partitioned write per batch, no per-asset driver
+    * loop). Append-log semantics make re-delivered keys an upsert
+    * (newest row per key wins at read time), so the sink is
+    * effectively idempotent per key. */
+  def ingestEventsToStore(spark: SparkSession, dir: String,
+                          db: graft.store.TableStore): Unit = {
+    val q = readEvents(spark, dir).writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum("value").as("total"))
+          .select(
+            lit("events").as("project"),
+            col("event_type").cast("string").as("experiment"),
+            col("user_id").cast("string").as("location"),
+            lit("stream").as("network"),
+            lit("value").as("obsvar"),
+            lit("surface").as("layer"),
+            to_json(struct(col("n"), col("total"))).as("json"),
+            lit(null).cast("binary").as("blob"))
+        db.bulkAppend("timeseries", rows)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    db.flushAll()
+  }
+
   /** Bounded-drive helper: on a finite source, every result row of an
     * inner stream-stream join or a complete-mode aggregation is emitted
     * by a DATA batch — watermark-advance ("no-data") microbatches only
