@@ -359,7 +359,10 @@ object Dedup {
     // fixpoint: convergence needs one scalar aggregation per round, not
     // a next⋈prev anti-join over corpus-sized label sets
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      // sum over an EMPTY label set is SQL NULL — map it to zero so a
+      // dup-free corpus converges on the first round instead of NPEing
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {

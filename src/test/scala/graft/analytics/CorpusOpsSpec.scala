@@ -26,6 +26,12 @@ class CorpusOpsSpec extends AnyFunSuite {
       (10L, 10L, 2L), (11L, 10L, 2L)))
   }
 
+  test("dupClustersOf: a dup-free corpus yields an empty cluster table") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("i", "j")
+    assert(Dedup.dupClustersOf(none).count() == 0L)
+  }
+
   test("d06 gate: clusters cover exactly the d01-pair docs, sizes consistent") {
     val pairs = Dedup.d01NgramJaccardPairs(spark, dir)
     val pairDocs = pairs.select(col("i").as("d")).union(pairs.select(col("j").as("d")))
