@@ -65,6 +65,26 @@ class CorpusOpsSpec extends AnyFunSuite {
       Seq("apple", "word", "common"))
   }
 
+  test("d02 pairs are a subset of d01's exact pairs — banding loses, never invents") {
+    val exact = Dedup.d01NgramJaccardPairs(spark, dir)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = Dedup.d02MinHashPairs(spark, dir)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(exact), s"minhash invented pairs: ${mh -- exact}")
+    assert(exact.isEmpty || mh.size.toDouble / exact.size >= 0.5,
+      s"minhash recall too low: ${mh.size}/${exact.size}")
+  }
+
+  test("d06: both endpoints of every d01 pair land in the same cluster") {
+    val pairs = Dedup.d01NgramJaccardPairs(spark, dir)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cluster = Dedup.d06DupClusters(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    pairs.foreach { case (i, j) =>
+      assert(cluster(i) == cluster(j), s"pair ($i,$j) split across clusters")
+    }
+  }
+
   test("d07: LSH pair tier finds a usable fraction of d04's exact pairs, no false positives") {
     val exact = Dedup.d04EmbeddingNearDup(spark, dir)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
