@@ -151,6 +151,17 @@ object Similarity {
       : (DataFrame, Array[(Int, Array[Double])]) =
     ivfFitOf(Dedup.normalizedVectors(spark, dir), k, iters)
 
+  /** Vectors the quantizer trains on: a deterministic id-strided
+    * sample capped at `maxFit` — codebook quality needs thousands of
+    * representative vectors, not the corpus, so at 100 TB the Lloyd
+    * iterations aggregate a bounded frame and only the final
+    * assignment scans everything (the FAISS train/add split). */
+  private val MaxFitVectors = 20000L
+  private def fitSample(e: DataFrame): DataFrame = {
+    val stride = math.max(1L, e.count() / MaxFitVectors)
+    if (stride > 1) e.filter(col("vec_id") % stride === 0) else e
+  }
+
   /** [[ivfFit]] over any normalized corpus frame (vec_id, v, norm). */
   private[analytics] def ivfFitOf(corpus: DataFrame, k: Int = 16, iters: Int = 3)
       : (DataFrame, Array[(Int, Array[Double])]) = {
@@ -158,15 +169,17 @@ object Similarity {
     // assignment, and the query projection all read it, and the
     // Bench/Verify runners clearCache() after each query
     val e = corpus.cache()
+    val fit = fitSample(e).cache()
 
-    // deterministic init: the K lowest vec_ids
-    var centroids: Array[(Int, Array[Double])] = e.orderBy("vec_id").limit(k)
+    // deterministic init: the K lowest fit-sample vec_ids
+    var centroids: Array[(Int, Array[Double])] = fit.orderBy("vec_id").limit(k)
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](r.fieldIndex("v")).toArray) }
 
     for (_ <- 0 until iters) {
       // update: per-cell mean (deterministic) — one map + one hash agg
-      centroids = e.groupBy(cellOf(centroids, col("v"), col("norm")).as("cell"))
+      // over the BOUNDED fit sample, never the corpus
+      centroids = fit.groupBy(cellOf(centroids, col("v"), col("norm")).as("cell"))
         .agg(array((0 until 64).map(i => avg(element_at(col("v"), i + 1))): _*).as("centroid"))
         .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     }
@@ -245,24 +258,26 @@ object Similarity {
   private[analytics] def pqFitEncode(corpus: DataFrame, iters: Int = 2)
       : (DataFrame, Array[Array[Array[Double]]]) = {
     val e = corpus.cache()
+    val fit = fitSample(e).cache()
     // deterministic spread init: Ks id-strided vectors — id-adjacent
     // vectors can be near-identical, and seeding Lloyd from a tight
     // clump wastes cells. A narrow modulo filter, never a global sort:
     // if the id space is sparse enough to under-fill, top up from the
     // lowest ids.
-    val n = e.count()
+    val n = fit.count()
     val stride = math.max(1L, n / PqKs)
-    var seed = e.filter(col("vec_id") % stride === 0).orderBy("vec_id").limit(PqKs)
+    var seed = fit.filter(col("vec_id") % stride === 0).orderBy("vec_id").limit(PqKs)
       .collect().map(_.getSeq[Double](1).toArray)
     if (seed.length < PqKs)
-      seed = (seed ++ e.orderBy("vec_id").limit(PqKs).collect()
+      seed = (seed ++ fit.orderBy("vec_id").limit(PqKs).collect()
         .map(_.getSeq[Double](1).toArray)).take(PqKs)
     var books: Array[Array[Array[Double]]] =
       Array.tabulate(PqM)(m => seed.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)))
     // per-iteration: explode to (m, sv) rows — 8 narrow 8-dim rows per
-    // vector, the same bytes as the original row — then ONE hash agg
-    // keyed (m, cell) updates every subspace's codebook together
-    val sub = e.select(explode(array((0 until PqM).map(m =>
+    // FIT-SAMPLE vector, then ONE hash agg keyed (m, cell) updates
+    // every subspace's codebook together; the full corpus is only
+    // touched once, by the encode below
+    val sub = fit.select(explode(array((0 until PqM).map(m =>
         struct(lit(m).as("m"), subv(col("v"), m).as("sv"))): _*)).as("s"))
       .select(col("s.m").as("m"), col("s.sv").as("sv"))
     for (_ <- 0 until iters) {
