@@ -341,11 +341,25 @@ object Dedup {
       .filter(col("jaccard") >= 0.2))
 
   /** Connected components over an undirected pair list `(i, j)` —
-    * the clustering core behind [[d06DupClusters]], reusable over any
-    * near-dup pair output (d01/d02/d03/d05). Returns one row per node:
-    * `(doc_id, cluster_id = component min, cluster_size)`. */
-  private[analytics] def dupClustersOf(pairs: DataFrame): DataFrame = {
-    val ij = pairs.select(col("i"), col("j"))
+    * the clustering core behind [[d06DupClusters]] and
+    * [[d08EmbeddingDupClusters]], reusable over any near-dup pair
+    * output (d01/d02/d03/d05/d07). Returns one row per node:
+    * `(doc_id, cluster_id = component min, cluster_size)`.
+    *
+    * Hybrid execution: the pair graph is OUTPUT-sized (near-dup pairs
+    * after thresholding), not corpus-sized, so when it fits
+    * comfortably on the driver (≤ [[maxLocalEdges]], ~160 MB at the
+    * default) a union-find over the collected edges answers in
+    * milliseconds — a distributed loop would spend 30+ scheduler
+    * round trips on a graph one core can chew through. Above the
+    * threshold, the distributed min-label-propagation +
+    * pointer-jumping loop takes over (O(log diameter) rounds, lineage
+    * truncated per round); both paths produce identical output and
+    * the planted-graph spec pins them against each other. */
+  private[analytics] def dupClustersOf(pairs: DataFrame,
+                                       maxLocalEdges: Long = 10000000L): DataFrame = {
+    val ij = pairs.select(col("i"), col("j")).cache()
+    if (ij.count() <= maxLocalEdges) return localClusters(ij)
     val edges = ij.union(ij.select(col("j"), col("i")))
       .toDF("src", "dst").cache()
     // init fused with propagation round 1: label(n) = min(n, neighbors)
@@ -368,8 +382,27 @@ object Dedup {
     while (!converged) {
       val prop = edges.join(labels, col("src") === col("node"))
         .select(col("dst").as("node"), col("label"))
-      val next = labels.unionByName(prop)
-        .groupBy("node").agg(min("label").as("label")).cache()
+      // localCheckpoint, not cache: caching truncates EXECUTION but the
+      // logical plan still accumulates one join+agg layer per round,
+      // and Catalyst re-analyzes the whole tower every round — O(R²)
+      // planning that dwarfs the actual work on high-diameter graphs.
+      // Checkpointing cuts the lineage so every round plans O(1); it
+      // also makes the pointer-jump below a clean leaf self-join.
+      val combined = labels.unionByName(prop)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      // pointer jumping: label := min(label, label(label)) — a label is
+      // itself a node id, so one extra self-join halves the remaining
+      // distance to the component minimum each round (O(log diameter)
+      // rounds instead of O(diameter) — a chain-shaped component at a
+      // loose similarity threshold otherwise needs hundreds of rounds)
+      val next = combined
+        .join(combined.select(col("node").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      combined.unpersist()
       val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
@@ -385,6 +418,47 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Driver-side union-find over a collected edge list — the fast path
+    * for pair graphs that fit on the driver. Union-by-min-root keeps
+    * every root the minimum id of its component, so output is
+    * bit-identical to the distributed path. */
+  private def localClusters(ij: DataFrame): DataFrame = {
+    val spark2 = ij.sparkSession
+    import spark2.implicits._
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    ij.collect().foreach { row =>
+      val i = row.getLong(0); val j = row.getLong(1)
+      parent.getOrElseUpdate(i, i); parent.getOrElseUpdate(j, j)
+      val ri = find(i); val rj = find(j)
+      if (ri != rj) {
+        if (ri < rj) parent(rj) = ri else parent(ri) = rj
+      }
+    }
+    val assigned = parent.keys.toSeq.map(n => n -> find(n))
+    val sizes = assigned.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assigned.map { case (n, r) => (n, r, sizes(r)) }
+      .toDF("doc_id", "cluster_id", "cluster_size")
+      .orderBy("doc_id")
+  }
+
+  /** Embedding duplicate clusters (the SemDeDup shape: semantic
+    * near-dup pairs → connected components → one survivor per
+    * cluster): [[dupClustersOf]] composed over [[d04EmbeddingNearDup]]'s
+    * exact cosine pairs — text and embedding dedup share one
+    * clustering core. Oracle-checked against a DuckDB recursive CTE
+    * over the same pair predicate. */
+  def d08EmbeddingDupClusters(spark: SparkSession, dir: String): DataFrame =
+    dupClustersOf(d04EmbeddingNearDup(spark, dir).select(col("i"), col("j")))
+      .select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy("vec_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_ngram_jaccard_pairs" -> d01NgramJaccardPairs _,
     "d02_minhash_pairs"       -> d02MinHashPairs _,
@@ -393,6 +467,7 @@ object Dedup {
     "d05_winnow_pairs"        -> d05WinnowPairs _,
     "d06_dup_clusters"        -> d06DupClusters _,
     "d07_embedding_lsh_pairs" -> d07EmbeddingLshPairs _,
+    "d08_embedding_clusters"  -> d08EmbeddingDupClusters _,
   )
 
   /** d02/d03 use Spark xxhash64 and d05 a u64 rolling hash — not
@@ -445,5 +520,23 @@ object Dedup {
          SELECT cc.node AS doc_id, cc.cluster_id, s.n AS cluster_size
          FROM cc JOIN (SELECT cluster_id, count(*) n FROM cc GROUP BY 1) s USING (cluster_id)
          ORDER BY doc_id""",
+    "d08_embedding_clusters" ->
+      """WITH RECURSIVE
+          pairs AS (SELECT a.vec_id AS i, b.vec_id AS j,
+              floor((list_aggregate(list_transform(range(1, len(a.embedding)+1),
+                  k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)), 'sum')
+                / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))
+                 * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')))) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             WHERE cos_sim >= 0.4),
+          edges AS (SELECT i a, j b FROM pairs UNION ALL SELECT j AS a, i AS b FROM pairs),
+          reach(node, lab) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+          cc AS (SELECT node, min(lab) cluster_id FROM reach GROUP BY node)
+         SELECT cc.node AS vec_id, cc.cluster_id, s.n AS cluster_size
+         FROM cc JOIN (SELECT cluster_id, count(*) n FROM cc GROUP BY 1) s USING (cluster_id)
+         ORDER BY vec_id""",
   )
 }

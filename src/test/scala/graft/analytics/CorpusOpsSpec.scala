@@ -14,16 +14,33 @@ class CorpusOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val dir = "/root/testdata/sf0.001"
 
-  test("dupClustersOf: chain transitivity, multiple components, min-label ids") {
+  test("dupClustersOf: chain transitivity, multiple components, min-label ids — both paths") {
     import spark.implicits._
     // component A: a 4-chain 1-2-3-4 (1~4 only transitively);
     // component B: the pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("i", "j")
-    val got = Dedup.dupClustersOf(pairs)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(got == Set(
+    val want = Set(
       (1L, 1L, 4L), (2L, 1L, 4L), (3L, 1L, 4L), (4L, 1L, 4L),
-      (10L, 10L, 2L), (11L, 10L, 2L)))
+      (10L, 10L, 2L), (11L, 10L, 2L))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // fast path (driver union-find) and forced distributed loop
+    // (maxLocalEdges = 0) must agree bit-for-bit
+    assert(run(Dedup.dupClustersOf(pairs)) == want)
+    assert(run(Dedup.dupClustersOf(pairs, maxLocalEdges = 0L)) == want)
+  }
+
+  test("dupClustersOf: local and distributed paths agree on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // ~80 random edges over 60 nodes: multiple components, cycles, chains
+    val pairs = Seq.fill(80) {
+      val a = rnd.nextInt(60).toLong; val b = rnd.nextInt(60).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct.toDF("i", "j")
+    val local = Dedup.dupClustersOf(pairs).collect().map(_.toSeq).toSet
+    val dist = Dedup.dupClustersOf(pairs, maxLocalEdges = 0L).collect().map(_.toSeq).toSet
+    assert(local == dist)
   }
 
   test("dupClustersOf: a dup-free corpus yields an empty cluster table") {
