@@ -18,8 +18,12 @@ object Pipeline {
     *
     * Dedup tiers: `"exact"` (normalized-hash groupBy — byte dups),
     * `"minhash"` (MinHash+LSH, global near-dups above
-    * [[minhashJaccard]]), `"winnow"` (rolling-hash passage near-dups
-    * sharing ≥ [[winnowShared]] fingerprints), `"none"`. */
+    * [[minhashJaccard]]; drops the higher-id side of every pair),
+    * `"cluster"` (same pairs, but connected components first and ONE
+    * survivor per component — the SemDeDup policy: a star of near-dups
+    * keeps exactly its minimum, where pairwise dropping would keep
+    * every spoke), `"winnow"` (rolling-hash passage near-dups sharing
+    * ≥ [[winnowShared]] fingerprints), `"none"`. */
   final case class CurationConfig(
       minTokens: Int = 20,
       minTtr: Double = 0.3,
@@ -55,6 +59,14 @@ object Pipeline {
           .filter(col("jaccard") >= cfg.minhashJaccard)
           .select(col("j").as("doc_id")).distinct()
         quality.join(dropped, Seq("doc_id"), "left_anti")
+      case "cluster" =>
+        val dropped = Dedup.dupClustersOf(
+            Dedup.minHashPairsOf(Dedup.shinglesOf(quality))
+              .filter(col("jaccard") >= cfg.minhashJaccard)
+              .select(col("i"), col("j")))
+          .filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id")).distinct()
+        quality.join(dropped, Seq("doc_id"), "left_anti")
       case "winnow" =>
         val dropped = Dedup.winnowPairsOf(quality)
           .filter(col("shared") >= cfg.winnowShared)
@@ -62,7 +74,7 @@ object Pipeline {
         quality.join(dropped, Seq("doc_id"), "left_anti")
       case "none" => quality
       case other => throw new IllegalArgumentException(
-        s"unknown dedup tier '$other' (exact | minhash | winnow | none)")
+        s"unknown dedup tier '$other' (exact | minhash | cluster | winnow | none)")
     }
     if (cfg.holdoutModulus > 0) deduped.filter(col("doc_id") % cfg.holdoutModulus =!= 0)
     else deduped

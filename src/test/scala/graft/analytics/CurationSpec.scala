@@ -45,6 +45,12 @@ class CurationSpec extends AnyFunSuite {
     assert(ids(CurationConfig(dedup = "minhash", minhashJaccard = 0.5)) == Set(1L, 4L))
   }
 
+  test("cluster tier keeps exactly one survivor per near-dup component") {
+    // same duplicate structure as minhash here (1-2-3 form one
+    // component whose min is 1), but via connected components
+    assert(ids(CurationConfig(dedup = "cluster", minhashJaccard = 0.5)) == Set(1L, 4L))
+  }
+
   test("none tier keeps all quality-passing unheld docs") {
     assert(ids(CurationConfig(dedup = "none")) == Set(1L, 2L, 3L, 4L))
   }
