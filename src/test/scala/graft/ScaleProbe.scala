@@ -72,12 +72,16 @@ object ScaleProbe {
     spark.read.parquet(s"$sfDir/nation.parquet")
       .write.mode("overwrite").parquet(s"$big/nation.parquet")
 
+    // d08 is excluded with s01/d04: it composes over the O(N²) exact
+    // pair baseline by construction (the scale path composes the same
+    // CC core over d07's LSH pairs, both probed here)
     val names = Seq("d01_ngram_jaccard_pairs", "d02_minhash_pairs", "d03_simhash_pairs",
       "d05_winnow_pairs", "d06_dup_clusters", "d07_embedding_lsh_pairs",
       "t07_ngram_langid", "p01_curation_pipeline", "t11_bpe_tokens", "t12_repetition",
       "t13_tfidf", "t14_decontamination", "t15_quality_filter", "t16_mixture_sample",
-      "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq", "st02_sessions", "st05_stream_enrich",
-      "q24_salted_agg")
+      "t17_pii_redaction", "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq",
+      "st02_sessions", "st05_stream_enrich", "st06_stream_ingest",
+      "q24_salted_agg", "q26_pivot", "q27_gapfill", "m04_image_dups")
     def time(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, dir).count()
