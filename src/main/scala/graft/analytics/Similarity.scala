@@ -255,7 +255,7 @@ object Similarity {
     * a vector instead of 256, the compression that lets a 100 TB
     * corpus's index live in executor memory. Returns the encoded
     * corpus (vec_id, norm, codes) and the codebooks. */
-  private[analytics] def pqFitEncode(corpus: DataFrame, iters: Int = 2)
+  private[analytics] def pqFitEncode(corpus: DataFrame, iters: Int = 1)
       : (DataFrame, Array[Array[Array[Double]]]) = {
     val e = corpus.cache()
     val fit = fitSample(e).cache()
