@@ -147,7 +147,7 @@ object Similarity {
     * `cell` column is the partition key a 100 TB deployment writes the
     * corpus under (see the layout spec in PlanSpec). */
   private[analytics] def ivfFit(spark: SparkSession, dir: String,
-                                k: Int = 16, iters: Int = 3)
+                                k: Int = 16, iters: Int = 2)
       : (DataFrame, Array[(Int, Array[Double])]) =
     ivfFitOf(Dedup.normalizedVectors(spark, dir), k, iters)
 
@@ -163,7 +163,7 @@ object Similarity {
   }
 
   /** [[ivfFit]] over any normalized corpus frame (vec_id, v, norm). */
-  private[analytics] def ivfFitOf(corpus: DataFrame, k: Int = 16, iters: Int = 3)
+  private[analytics] def ivfFitOf(corpus: DataFrame, k: Int = 16, iters: Int = 2)
       : (DataFrame, Array[(Int, Array[Double])]) = {
     // cached through the whole query: the Lloyd loop, the final
     // assignment, and the query projection all read it, and the
