@@ -2,7 +2,6 @@ package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over the `embeddings` table (64-dim float
   * vectors).
@@ -28,6 +27,28 @@ object Similarity {
     Array.fill(bands, planes, dim)(rnd.nextGaussian())
   }
 
+  /** Shared per-query ranking: (query_id, neighbor_id, `scoreName`)
+    * → (query_id, rnk, neighbor_id, `scoreName`), top `k` per query by
+    * (score desc, neighbor_id asc).
+    *
+    * Every ANN path ends in this step, and a
+    * `row_number() OVER (PARTITION BY query_id)` window here shuffles
+    * ALL scored rows into |queries| partitions — corpus-sized and
+    * skewed at scale. [[graft.functions.BoundedTopK]] instead
+    * partially aggregates map-side: each input partition contributes
+    * one ≤ k-entry buffer per query to the exchange, so the shuffle is
+    * |queries|·partitions·k no matter how large the scored input was.
+    * Identical output to the window (same total order). */
+  private[analytics] def rankTopK(scored: DataFrame, k: Int,
+                                  scoreName: String = "cos_sim"): DataFrame = {
+    import graft.functions.BoundedTopK.top_k_by
+    scored.groupBy("query_id")
+      .agg(top_k_by(col(scoreName), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("p", "e")))
+      .select(col("query_id"), (col("p") + 1).cast("bigint").as("rnk"),
+              col("e.id").as("neighbor_id"), col("e.score").as(scoreName))
+  }
+
   /** Exact brute-force cosine top-10 per query vector (every 100th
     * vec_id). Oracle-checked. One scan of the corpus against a
     * broadcast query set; per-pair work is a single codegen'd dot. */
@@ -48,12 +69,7 @@ object Similarity {
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
               Det.dround(array_dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk").cast("bigint").as("rnk"),
-              col("neighbor_id"), col("cos_sim"))
+    rankTopK(scored, k)
   }
 
   /** LSH-bucketed approximate top-k: same output shape as s01 but only
@@ -109,12 +125,7 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
     val scored = cands.select(col("query_id"), col("neighbor_id"),
       round(Dedup.cosine(col("q_emb"), col("embedding")), 4).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk").cast("bigint").as("rnk"),
-              col("neighbor_id"), col("cos_sim"))
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) approximate top-k: a deterministic k-means
@@ -147,42 +158,76 @@ object Similarity {
     * `cell` column is the partition key a 100 TB deployment writes the
     * corpus under (see the layout spec in PlanSpec). */
   private[analytics] def ivfFit(spark: SparkSession, dir: String,
-                                k: Int = 16, iters: Int = 2)
+                                k: Int = 16, iters: Int = 5)
       : (DataFrame, Array[(Int, Array[Double])]) =
     ivfFitOf(Dedup.normalizedVectors(spark, dir), k, iters)
 
   /** Vectors the quantizer trains on: a deterministic id-strided
-    * sample capped at `maxFit` — codebook quality needs thousands of
-    * representative vectors, not the corpus, so at 100 TB the Lloyd
-    * iterations aggregate a bounded frame and only the final
-    * assignment scans everything (the FAISS train/add split). */
+    * sample capped at [[MaxFitVectors]] (~10 MB at the cap), collected
+    * to the driver and sorted by vec_id. Codebook quality needs
+    * thousands of representative vectors, not the corpus — the FAISS
+    * train/add split taken to its conclusion: TRAINING is a bounded
+    * driver-local loop (so Lloyd iteration count costs microseconds,
+    * never a wall-clock anyone is tempted to trade recall for), and
+    * only assignment/encode scan the corpus distributed. */
   private val MaxFitVectors = 20000L
-  private def fitSample(e: DataFrame): DataFrame = {
+  private def localFitSample(e: DataFrame): Array[(Long, Array[Double])] = {
     val stride = math.max(1L, e.count() / MaxFitVectors)
-    if (stride > 1) e.filter(col("vec_id") % stride === 0) else e
+    val s = if (stride > 1) e.filter(col("vec_id") % stride === 0) else e
+    s.select(col("vec_id"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
   }
 
-  /** [[ivfFit]] over any normalized corpus frame (vec_id, v, norm). */
-  private[analytics] def ivfFitOf(corpus: DataFrame, k: Int = 16, iters: Int = 2)
-      : (DataFrame, Array[(Int, Array[Double])]) = {
-    // cached through the whole query: the Lloyd loop, the final
-    // assignment, and the query projection all read it, and the
-    // Bench/Verify runners clearCache() after each query
-    val e = corpus.cache()
-    val fit = fitSample(e).cache()
+  private def ddot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
 
-    // deterministic init: the K lowest fit-sample vec_ids
-    var centroids: Array[(Int, Array[Double])] = fit.orderBy("vec_id").limit(k)
-      .collect().zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](r.fieldIndex("v")).toArray) }
-
+  /** Driver-side Lloyd for the IVF coarse quantizer — the same
+    * assignment total order as [[cellOf]] (score desc, cell asc; init
+    * = the K lowest-vec_id sample vectors) and the same empty-cell
+    * rule as the aggregation it replaces (an emptied cell drops out of
+    * the codebook). */
+  private def lloydIvf(sample: Array[(Long, Array[Double])], k: Int, iters: Int)
+      : Array[(Int, Array[Double])] = {
+    var centroids: Array[(Int, Array[Double])] =
+      sample.take(k).zipWithIndex.map { case ((_, v), i) => (i, v) }
+    val norms = sample.map { case (_, v) => math.sqrt(ddot(v, v)) }
     for (_ <- 0 until iters) {
-      // update: per-cell mean (deterministic) — one map + one hash agg
-      // over the BOUNDED fit sample, never the corpus
-      centroids = fit.groupBy(cellOf(centroids, col("v"), col("norm")).as("cell"))
-        .agg(array((0 until 64).map(i => avg(element_at(col("v"), i + 1))): _*).as("centroid"))
-        .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      val sums = scala.collection.mutable.LinkedHashMap.empty[Int, (Array[Double], Long)]
+      var i = 0
+      while (i < sample.length) {
+        val v = sample(i)._2
+        var bestCell = -1; var bestScore = Double.MaxValue
+        centroids.foreach { case (cell, c) =>
+          val ns = -ddot(v, c) / norms(i)
+          if (ns < bestScore || (ns == bestScore && cell < bestCell)) {
+            bestScore = ns; bestCell = cell
+          }
+        }
+        val (acc, n) = sums.getOrElseUpdate(bestCell, (new Array[Double](v.length), 0L))
+        var d = 0
+        while (d < v.length) { acc(d) += v(d); d += 1 }
+        sums(bestCell) = (acc, n + 1)
+        i += 1
+      }
+      centroids = sums.toArray.sortBy(_._1).map { case (cell, (acc, n)) =>
+        (cell, acc.map(_ / n))
+      }
     }
+    centroids
+  }
+
+  /** [[ivfFit]] over any normalized corpus frame (vec_id, v, norm).
+    * The corpus is cached through the whole query — the assignment
+    * scan and the query projection both read it, and the Bench/Verify
+    * runners clearCache() after each query. */
+  private[analytics] def ivfFitOf(corpus: DataFrame, k: Int = 16, iters: Int = 5)
+      : (DataFrame, Array[(Int, Array[Double])]) = {
+    val e = corpus.cache()
+    val centroids = lloydIvf(localFitSample(e), k, iters)
     (e.withColumn("cell", cellOf(centroids, col("v"), col("norm"))), centroids)
   }
 
@@ -217,12 +262,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(array_dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk").cast("bigint").as("rnk"),
-              col("neighbor_id"), col("cos_sim"))
+    rankTopK(scored, k)
   }
 
   // ---- IVF-PQ: product-quantized approximate scoring ----
@@ -249,91 +289,109 @@ object Similarity {
     }: _*)).getField("cell")
   }
 
-  /** Fit per-subspace codebooks (deterministic Lloyd, ALL subspaces in
-    * one shuffle per iteration via an M-way explode of 8-dim
-    * subvectors) and PQ-encode the corpus to `M` 4-bit codes — 8 bytes
-    * a vector instead of 256, the compression that lets a 100 TB
-    * corpus's index live in executor memory. Returns the encoded
-    * corpus (vec_id, norm, codes) and the codebooks. */
-  private[analytics] def pqFitEncode(corpus: DataFrame, iters: Int = 1)
-      : (DataFrame, Array[Array[Array[Double]]]) = {
-    val e = corpus.cache()
-    val fit = fitSample(e).cache()
-    // deterministic spread init: Ks id-strided vectors — id-adjacent
-    // vectors can be near-identical, and seeding Lloyd from a tight
-    // clump wastes cells. A narrow modulo filter, never a global sort:
-    // if the id space is sparse enough to under-fill, top up from the
-    // lowest ids.
-    val n = fit.count()
-    val stride = math.max(1L, n / PqKs)
-    var seed = fit.filter(col("vec_id") % stride === 0).orderBy("vec_id").limit(PqKs)
-      .collect().map(_.getSeq[Double](1).toArray)
+  /** Driver-side Lloyd for the per-subspace PQ codebooks — same
+    * assignment total order as [[pqCell]] (argmin of |c|²−2·x·c, tie →
+    * lowest cell), same deterministic spread init (Ks id-strided
+    * sample vectors, topped up from the lowest ids when the id space
+    * under-fills), same empty-cell rule (keep the previous centroid).
+    * All M subspaces fit in one pass over the sample per iteration. */
+  private def lloydPq(sample: Array[(Long, Array[Double])], iters: Int)
+      : Array[Array[Array[Double]]] = {
+    val stride = math.max(1L, sample.length.toLong / PqKs)
+    var seed = sample.filter(_._1 % stride == 0).take(PqKs).map(_._2)
     if (seed.length < PqKs)
-      seed = (seed ++ fit.orderBy("vec_id").limit(PqKs).collect()
-        .map(_.getSeq[Double](1).toArray)).take(PqKs)
+      seed = (seed ++ sample.take(PqKs).map(_._2)).take(PqKs)
     var books: Array[Array[Array[Double]]] =
       Array.tabulate(PqM)(m => seed.map(_.slice(m * PqSubDim, (m + 1) * PqSubDim)))
-    // per-iteration: explode to (m, sv) rows — 8 narrow 8-dim rows per
-    // FIT-SAMPLE vector, then ONE hash agg keyed (m, cell) updates
-    // every subspace's codebook together; the full corpus is only
-    // touched once, by the encode below
-    val sub = fit.select(explode(array((0 until PqM).map(m =>
-        struct(lit(m).as("m"), subv(col("v"), m).as("sv"))): _*)).as("s"))
-      .select(col("s.m").as("m"), col("s.sv").as("sv"))
     for (_ <- 0 until iters) {
-      val cellByM = (1 until PqM).foldLeft(pqCell(books(0), col("sv"))) {
-        (acc, m) => when(col("m") === m, pqCell(books(m), col("sv"))).otherwise(acc)
-      }
-      val fitted = sub.groupBy(col("m"), cellByM.as("cell"))
-        .agg(array((0 until PqSubDim).map(i => avg(element_at(col("sv"), i + 1))): _*).as("c"))
-        .collect()
       books = Array.tabulate(PqM) { m =>
-        val got = fitted.filter(_.getInt(0) == m)
-          .map(r => r.getInt(1) -> r.getSeq[Double](2).toArray).toMap
+        val book = books(m)
+        val cNorm2 = book.map(c => ddot(c, c))
+        val sums = Array.fill(PqKs)(new Array[Double](PqSubDim))
+        val counts = new Array[Long](PqKs)
+        sample.foreach { case (_, v) =>
+          val sv = v.slice(m * PqSubDim, (m + 1) * PqSubDim)
+          var bestCell = 0; var bestD = Double.MaxValue
+          var cell = 0
+          while (cell < PqKs) {
+            val d = cNorm2(cell) - 2.0 * ddot(sv, book(cell))
+            if (d < bestD) { bestD = d; bestCell = cell }
+            cell += 1
+          }
+          var i = 0
+          while (i < PqSubDim) { sums(bestCell)(i) += sv(i); i += 1 }
+          counts(bestCell) += 1
+        }
         // a cell can go empty during Lloyd: keep its previous centroid
-        Array.tabulate(PqKs)(cell => got.getOrElse(cell, books(m)(cell)))
+        Array.tabulate(PqKs)(cell =>
+          if (counts(cell) > 0) sums(cell).map(_ / counts(cell)) else book(cell))
       }
     }
+    books
+  }
+
+  /** Fit per-subspace codebooks ([[lloydPq]] over the bounded driver
+    * sample) and PQ-encode the corpus to `M` 4-bit codes — 8 bytes a
+    * vector instead of 256, the compression that lets a 100 TB
+    * corpus's index live in executor memory. The encode is the only
+    * corpus-sized pass. Returns the encoded corpus (vec_id, norm,
+    * codes — plus `cell` when the input is an [[ivfFit]]-assigned
+    * frame, so the IVF-PQ path can prune the ADC scan to probed
+    * cells) and the codebooks. */
+  private[analytics] def pqFitEncode(corpus: DataFrame, iters: Int = 3)
+      : (DataFrame, Array[Array[Array[Double]]]) = {
+    val books = lloydPq(localFitSample(corpus), iters)
     val codes = array((0 until PqM).map(m => pqCell(books(m), subv(col("v"), m))): _*)
     // cached: output-sized (8 ints + a norm per vector) AND a hard
     // materialization boundary — without it CollapseProject inlines the
-    // 8×16-dot code assignment through the non-equi ADC join and
-    // re-encodes every vector once per QUERY PAIR (measured 11 s vs
-    // ~2 s at sf0.1). At real scale, write the codes out once instead.
-    (e.select(col("vec_id"), col("norm"), codes.as("codes")).cache(), books)
+    // 8×16-dot code assignment through the ADC join and re-encodes
+    // every vector once per matched probe (measured 11 s vs ~2 s at
+    // sf0.1). At real scale, write the codes out once instead.
+    val keep = (Seq(col("vec_id"), col("norm")) ++
+      (if (corpus.columns.contains("cell")) Seq(col("cell")) else Nil)) :+ codes.as("codes")
+    (corpus.select(keep: _*).cache(), books)
   }
 
-  /** IVF-PQ approximate top-k: PQ-encoded corpus scored by asymmetric
-    * distance computation — each query precomputes an M×Ks lookup table
-    * of subvector·sub-centroid dots (a pure expression over the
-    * codebook literals, broadcast with the query row), and a corpus
-    * vector's approximate cosine is M table lookups instead of a
-    * 64-dim dot. The ADC pass shortlists `refine·k` candidates per
-    * query from the codes alone (8 bytes a vector); only the
-    * shortlist's full vectors are fetched for an exact re-rank — the
-    * FAISS refine pattern, and the reason the scan side can be 32×
-    * smaller than the raw corpus at 100 TB. Rows-only gate
-    * (approximate by construction). */
+  /** IVF-PQ approximate top-k — the full FAISS IVFPQ + refine shape:
+    * the [[ivfFit]] coarse quantizer partitions the corpus into cells,
+    * the PQ codebooks compress each vector to `M` 4-bit codes, and a
+    * query (a) probes its `nProbe` nearest cells, (b) ADC-scores ONLY
+    * the encoded vectors in those cells — each approximate cosine is M
+    * LUT lookups against the query's precomputed M×Ks table — and
+    * (c) exact-reranks a `refine·k` shortlist fetched by id. At 100 TB
+    * the corpus is stored partitioned by cell (PlanSpec's layout test),
+    * so the ADC pass reads nProbe/K of an index already 32× smaller
+    * than the raw vectors. Rows-only gate (approximate by
+    * construction). */
   def s04IvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = Dedup.normalizedVectors(spark, dir)
-    val (encoded, books) = pqFitEncode(e)
-    val queries = e.filter(col("vec_id") % 100 === 0)
+    val (assigned, centroids) = ivfFit(spark, dir)
+    val queries = assigned.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
-    pqTopK(encoded, e, books, queries, k = 10).orderBy("query_id", "rnk")
+    ivfPqTopK(assigned, centroids, queries, k = 10).orderBy("query_id", "rnk")
   }
 
-  private[analytics] def pqTopK(encoded: DataFrame, corpus: DataFrame,
-                                books: Array[Array[Array[Double]]],
-                                queries: DataFrame, k: Int,
-                                refine: Int = 5): DataFrame = {
+  /** IVF-PQ core over an [[ivfFit]]-assigned corpus
+    * (vec_id, v, norm, cell) — queries (query_id, qv, qnorm); same
+    * id-namespace rule as [[bruteTopK]]. */
+  private[analytics] def ivfPqTopK(assigned: DataFrame,
+                                   centroids: Array[(Int, Array[Double])],
+                                   queries: DataFrame, k: Int,
+                                   nProbe: Int = 6, refine: Int = 8): DataFrame = {
     import graft.functions.VectorFunctions._
+    val (encoded, books) = pqFitEncode(assigned)
     // per-query ADC lookup table: luts[m][cell] = q_sub(m) · codebook(m)(cell)
     val luts = array((0 until PqM).map { m =>
       array((0 until PqKs).map { cell =>
         array_dot(subv(col("qv"), m), typedLit(books(m)(cell).toSeq))
       }: _*)
     }: _*)
-    val q = queries.select(col("query_id"), col("qnorm"), luts.as("luts"))
+    // one probe row per (query, probed cell): the ADC join below is an
+    // EQUI join on cell, so a query only ever scores the nProbe/K
+    // probed fraction of the encoded corpus — the IVF stage the flat
+    // ADC scan lacked
+    val probes = queries.select(col("query_id"), col("qnorm"), luts.as("luts"),
+      explode(slice(array_sort(cellScores(centroids, col("qv"), col("qnorm"))),
+        1, nProbe).getField("cell")).as("cell"))
     // ADC sum as a fixed chain of element_at lookups — builtin,
     // codegen'd expressions only: an interpreted zip_with+aggregate
     // lambda pair here ran 5× slower than the 64-dim brute-force dot
@@ -341,28 +399,25 @@ object Similarity {
     val adcSum = (0 until PqM).map { m =>
       element_at(element_at(col("luts"), m + 1), element_at(col("codes"), m + 1) + 1)
     }.reduce(_ + _)
-    val adc = encoded.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val adc = encoded.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (adcSum / (col("qnorm") * col("norm"))).as("adc_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adc_sim").desc, col("neighbor_id").asc)
-    val shortlist = adc.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k * refine)
+    // shortlist through the bounded top-k aggregate: the post-ADC
+    // exchange carries ≤ refine·k entries per (query, partition) —
+    // query-bounded where the old row_number window shuffled every
+    // ADC-scored row into |queries| partitions
+    val shortlist = rankTopK(adc, k * refine, "adc_sim")
       .select(col("query_id"), col("neighbor_id"))
     // exact re-rank: fetch full vectors for shortlist rows only —
     // |queries|·refine·k of them, so everything after the ADC scan is
     // query-bounded, never corpus-bounded
     val exact = shortlist
-      .join(corpus.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .join(assigned.select(col("vec_id").as("neighbor_id"), col("v"), col("norm")), "neighbor_id")
       .join(broadcast(queries.select(col("query_id"), col("qv"), col("qnorm"))), "query_id")
       .select(col("query_id"), col("neighbor_id"),
         round(array_dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4).as("cos_sim"))
-    val wf = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    exact.withColumn("rnk", row_number().over(wf))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk").cast("bigint").as("rnk"),
-              col("neighbor_id"), col("cos_sim"))
+    rankTopK(exact, k)
   }
 
   /** User-facing ANN search over arbitrary frames: corpus
@@ -393,9 +448,8 @@ object Similarity {
         ivfTopK(assigned, centroids,
           normalized(queries, "query_id", "qv", "qnorm"), k)
       case "ivfpq" =>
-        val e = normalized(corpus, "vec_id", "v", "norm")
-        val (encoded, books) = pqFitEncode(e)
-        pqTopK(encoded, e, books,
+        val (assigned, centroids) = ivfFitOf(normalized(corpus, "vec_id", "v", "norm"))
+        ivfPqTopK(assigned, centroids,
           normalized(queries, "query_id", "qv", "qnorm"), k)
       case other => throw new IllegalArgumentException(
         s"unknown ANN method '$other' (brute | lsh | ivf | ivfpq)")

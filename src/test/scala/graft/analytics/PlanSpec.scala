@@ -73,6 +73,36 @@ class PlanSpec extends AnyFunSuite {
     assert(scanned == Seq(4), s"probe must scan exactly its 4 cells, got $scanned")
   }
 
+  test("ANN ranking never shuffles scored rows into per-query partitions (s02/s03/s04)") {
+    // the ranking step must be the bounded top-k aggregate (partial
+    // map-side reduction → query-sized exchange), never a row_number
+    // window (corpus-sized exchange into |queries| partitions)
+    for ((name, df) <- Seq(
+        ("s02", Similarity.s02LshTopK(spark, dir)),
+        ("s03", Similarity.s03IvfTopK(spark, dir)),
+        ("s04", Similarity.s04IvfPqTopK(spark, dir)))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name ranks through a window — corpus-sized shuffle:\n$plan")
+      assert(plan.contains("ObjectHashAggregate"),
+        s"$name lost the bounded top-k aggregate:\n$plan")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("s04 ADC scan is cell-pruned: the probe join is an equi join on cell") {
+    val plan = Similarity.s04IvfPqTopK(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the IVF stage: encoded corpus ⋈ broadcast probes keyed on cell —
+    // a non-equi (vec_id <> query_id) BroadcastNestedLoopJoin here
+    // would mean the flat corpus×queries ADC scan is back
+    assert("BroadcastHashJoin \\[cell".r.findFirstIn(plan).isDefined,
+      s"ADC join is not keyed on cell:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"flat corpus×queries ADC scan:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("fixed-size dims stay hint-broadcast in the star join (q02)") {
     // hint SET is exactly {nation, region}: matched on the hinted
     // subtrees' source files, not on node counts in a plan string

@@ -29,29 +29,31 @@ class SimilaritySpec extends AnyFunSuite {
     val rIvf = recall(ivf)
     val rLsh = recall(lsh)
     info(s"recall: ivf=$rIvf lsh=$rLsh")
-    assert(rIvf >= 0.3, s"IVF recall too low: $rIvf")
-    assert(rLsh >= 0.2, s"LSH recall too low: $rLsh")
+    // floors sit ~0.1 under the measured values (ivf 0.62, lsh 0.42 at
+    // 5 Lloyd iters) — high enough that a degenerate quantizer or a
+    // trimmed fit cannot pass, with headroom only for fixture drift
+    assert(rIvf >= 0.5, s"IVF recall too low: $rIvf")
+    assert(rLsh >= 0.3, s"LSH recall too low: $rLsh")
     // approximate results are always a subset of the scored universe
     // with correct per-query list sizes
     assert(ivf.values.forall(_.size <= 10))
   }
 
-  test("IVF-PQ scores every query over the full corpus with useful recall") {
+  test("IVF-PQ returns full top-10 lists per query with useful recall") {
     val exact = topSets(Similarity.s01BruteForceTopK(spark, dir))
     val pq = Similarity.s04IvfPqTopK(spark, dir)
     val sets = topSets(pq)
-    // ADC scores the whole corpus (no candidate pruning), so every
-    // query must return a full top-10 list
+    // nProbe=6 of K=16 cells always holds far more than 10 candidates,
+    // so every query must still return a full top-10 list
     assert(sets.keySet == exact.keySet)
     assert(sets.values.forall(_.size == 10))
     val per = exact.map { case (q, ex) =>
       sets(q).intersect(ex).size.toDouble / ex.size }
     val recall = per.sum / per.size
     info(s"recall: ivfpq=$recall")
-    // ADC alone lands ~0.26 on these near-random synthetic vectors;
-    // the exact refine of the 5k-deep shortlist lifts it to 0.6 —
-    // keep the bar above the no-refine level so the refine step
-    // cannot silently regress away
-    assert(recall >= 0.45, s"IVF-PQ recall too low: $recall")
+    // measured 0.66 at 5 IVF + 3 PQ Lloyd iters, nProbe 6, refine 8 —
+    // the floor keeps both the cell pruning and the exact refine
+    // honest: ADC alone lands ~0.26 on these near-random vectors
+    assert(recall >= 0.5, s"IVF-PQ recall too low: $recall")
   }
 }

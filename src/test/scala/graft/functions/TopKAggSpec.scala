@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.store.SparkTestSession
+
+/** The bounded top-k aggregate must agree bit-for-bit with the full
+  * sort it replaces, independent of partitioning, and bound its
+  * map-side state (the property that makes the exchange query-sized
+  * instead of corpus-sized). */
+class TopKAggSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def expected(rows: Seq[(Long, Double, Long)], k: Int): Map[Long, Seq[(Long, Double)]] =
+    rows.groupBy(_._1).view.mapValues(
+      _.map(r => (r._3, r._2)).sortBy { case (id, s) => (-s, id) }.take(k)).toMap
+
+  private def run(rows: Seq[(Long, Double, Long)], k: Int, parts: Int): Map[Long, Seq[(Long, Double)]] = {
+    import spark.implicits._
+    val df = rows.toDF("g", "score", "id").repartition(parts)
+    df.groupBy("g").agg(BoundedTopK.top_k_by(col("score"), col("id"), k).as("top"))
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[Row](1).map(e => (e.getLong(0), e.getDouble(1)))
+      }.toMap
+  }
+
+  test("matches a full sort + take(k) for every group, any partitioning") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(5000) { i =>
+      (rnd.nextInt(7).toLong, math.rint(rnd.nextDouble() * 100) / 10, i.toLong)
+    }
+    val want = expected(rows, 10)
+    assert(run(rows, 10, 1) == want, "single partition diverges")
+    assert(run(rows, 10, 32) == want, "32 partitions diverge")
+  }
+
+  test("ties break by id ascending, deterministically") {
+    val rows = Seq.tabulate(100)(i => (1L, 5.0, (100 - i).toLong)) ++
+      Seq((1L, 9.0, 50L))
+    val got = run(rows, 3, 8)(1L)
+    assert(got == Seq((50L, 9.0), (1L, 5.0), (2L, 5.0)))
+  }
+
+  test("groups smaller than k return all their rows; nulls are skipped") {
+    import spark.implicits._
+    val df = Seq((1L, Some(2.0), 7L), (1L, None, 8L), (2L, Some(1.0), 9L))
+      .toDF("g", "score", "id")
+    val got = df.groupBy("g")
+      .agg(BoundedTopK.top_k_by(col("score"), col("id"), 10).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Row](1).map(_.getLong(0))).toMap
+    assert(got(1L) == Seq(7L) && got(2L) == Seq(9L))
+  }
+
+  test("buffer stays bounded: serialized partial state is <= k entries") {
+    val buf = new TopKBuffer(5)
+    (1 to 100000).foreach(i => buf.add(i.toDouble, i.toLong))
+    import org.apache.spark.sql.GraftColumnShim.{expression => ex}
+    val agg = BoundedTopK(ex(lit(0.0)), ex(lit(0L)), 5)
+    val bytes = agg.serialize(buf)
+    assert(bytes.length <= 4 + 5 * 16, s"partial state is ${bytes.length} bytes")
+    val back = agg.deserialize(bytes).sortedTop()
+    assert(back.map(_._2).toSeq == Seq(100000L, 99999L, 99998L, 99997L, 99996L))
+  }
+}
