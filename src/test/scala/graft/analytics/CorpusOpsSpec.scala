@@ -92,6 +92,61 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"minhash recall too low: ${mh.size}/${exact.size}")
   }
 
+  test("d02 verify numerator: jaccard values equal d01's exact values pair-for-pair") {
+    // the LSH candidate SET has no SQL oracle, but the exact-Jaccard
+    // verify VALUES do: on every (i,j) both tiers report, d02's
+    // array_intersect/array_union score must equal d01's
+    // postings-count score bit-for-bit after rounding — the two
+    // independent formulations of the same set arithmetic
+    val exact = Dedup.d01NgramJaccardPairs(spark, dir)
+      .select(col("i"), col("j"), col("jaccard").as("j_exact"))
+    val mismatch = Dedup.d02MinHashPairs(spark, dir)
+      .join(exact, Seq("i", "j"))
+      .filter(col("jaccard") =!= col("j_exact"))
+      .collect()
+    assert(mismatch.isEmpty,
+      s"d02 jaccard diverges from d01 on: ${mismatch.mkString(", ")}")
+  }
+
+  test("d05 numerator: planted passages produce exactly the expected pairs, shared = |fp_i ∩ fp_j|") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    def prose(words: Int) =
+      Seq.fill(words)(Seq.fill(3 + rnd.nextInt(6))(('a' + rnd.nextInt(26)).toChar).mkString).mkString(" ")
+    val a = prose(80)
+    val b = prose(90)
+    val passage = a.substring(0, 200) // ≥ k+w-1 chars → guaranteed shared fingerprint
+    val docs = Seq(
+      (1L, a, "en"),                                  // donor
+      (2L, b, "en"),                                  // base
+      (3L, b + " " + passage, "en"),                  // contains 2 fully and 1's passage
+      (4L, prose(85), "en")                           // unrelated
+    ).toDF("doc_id", "text", "lang")
+    val got = Dedup.winnowPairsOf(docs).filter(col("shared") >= 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // passage structure alone dictates the pair set: (1,3) via the
+    // copied passage, (2,3) via full containment — never (1,2), (1,4),
+    // (2,4), (3,4)
+    assert(got.keySet == Set((1L, 3L), (2L, 3L)),
+      s"pair set diverges from planted passages: ${got.keySet}")
+    // doc 2 is wholly contained in doc 3: near-total fingerprint
+    // containment, so overlap ≈ 1 and far above the passage-only pair
+    assert(got((2L, 3L))._2 >= 0.8, s"containment overlap too low: ${got((2L, 3L))}")
+    assert(got((2L, 3L))._1 > got((1L, 3L))._1,
+      "full containment must share more fingerprints than one passage")
+    // the pair pipeline's `shared` numerator (postings index → i<j
+    // slice → count) must equal the direct per-doc fingerprint-set
+    // intersection, computed without the pair machinery
+    val sets = docs
+      .select(col("doc_id"),
+        graft.functions.WinnowFingerprints.winnow_fingerprints(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    got.foreach { case ((i, j), (shared, _)) =>
+      assert(shared == sets(i).intersect(sets(j)).size.toLong,
+        s"($i,$j): pipeline shared=$shared != direct ${sets(i).intersect(sets(j)).size}")
+    }
+  }
+
   test("d06: both endpoints of every d01 pair land in the same cluster") {
     val pairs = Dedup.d01NgramJaccardPairs(spark, dir)
       .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1)))
