@@ -296,8 +296,16 @@ object Dedup {
     * threshold as d04 so the two tiers are directly comparable
     * (recall vs d04 is asserted in CorpusOpsSpec). Rows-only gate
     * (LSH candidate generation has no SQL oracle). */
-  def d07EmbeddingLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+  def d07EmbeddingLshPairs(spark: SparkSession, dir: String): DataFrame =
+    embeddingLshPairsOf(Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding")))
+      .filter(col("cos_sim") >= 0.4)
+      .orderBy("i", "j")
+
+  /** LSH-bucketed embedding pair core over an arbitrary
+    * (vec_id, embedding) frame — exact-cosine-scored candidates,
+    * unfiltered/unordered; callers apply their own threshold
+    * ([[d07EmbeddingLshPairs]] and the curation `embedding` tier). */
+  private[analytics] def embeddingLshPairsOf(e: DataFrame): DataFrame = {
     // candidate generation on (band, sig, id) rows ONLY — a duplicate-
     // heavy corpus collides the same pair in all 16 bands, and carrying
     // the 64-float payload through every collision copy made the
@@ -317,8 +325,6 @@ object Dedup {
       .join(e.select(col("vec_id").as("j"), col("embedding").as("e_j")), "j")
       .select(col("i"), col("j"),
         Det.dround(cosine(col("e_i"), col("e_j")), 4).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.4)
-      .orderBy("i", "j")
   }
 
   /** Duplicate-cluster assignment — near-dup detection's missing last

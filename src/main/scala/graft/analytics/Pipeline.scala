@@ -23,13 +23,17 @@ object Pipeline {
     * survivor per component — the SemDeDup policy: a star of near-dups
     * keeps exactly its minimum, where pairwise dropping would keep
     * every spoke), `"winnow"` (rolling-hash passage near-dups sharing
-    * ≥ [[winnowShared]] fingerprints), `"none"`. */
+    * ≥ [[winnowShared]] fingerprints), `"embedding"` (semantic
+    * near-dups above [[embeddingCosine]] via LSH-bucketed candidates →
+    * connected components → one survivor per component — SemDeDup over
+    * vectors; needs the `embeddings` frame), `"none"`. */
   final case class CurationConfig(
       minTokens: Int = 20,
       minTtr: Double = 0.3,
       dedup: String = "exact",
       minhashJaccard: Double = 0.5,
       winnowShared: Int = 2,
+      embeddingCosine: Double = 0.4,
       holdoutModulus: Int = 5)
 
   /** Composable curation over any (doc_id, lang, text) corpus:
@@ -39,7 +43,8 @@ object Pipeline {
     * — the standard corpus-scale approximation of connected
     * components); everything stays one declarative plan, so Catalyst
     * prunes `text` out of every shuffle that doesn't need it. */
-  def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig()): DataFrame = {
+  def curate(docs: DataFrame, cfg: CurationConfig = CurationConfig(),
+             embeddings: Option[DataFrame] = None): DataFrame = {
     val t = split(trim(col("text")), "\\s+")
     val quality = docs
       .withColumn("n_tokens", size(t).cast("bigint"))
@@ -72,9 +77,27 @@ object Pipeline {
           .filter(col("shared") >= cfg.winnowShared)
           .select(col("j").as("doc_id")).distinct()
         quality.join(dropped, Seq("doc_id"), "left_anti")
+      case "embedding" =>
+        // SemDeDup over vectors — the d07→d08 production shape: LSH
+        // band candidates, exact-cosine verify, connected components,
+        // ONE survivor (the min doc_id) per semantic cluster. Only
+        // quality-surviving docs participate, matching the text tiers
+        // which shingle the filtered corpus.
+        val e = embeddings.getOrElse(throw new IllegalArgumentException(
+          "dedup tier 'embedding' needs an embeddings frame (vec_id, embedding); " +
+          "vec_id joins doc_id"))
+        val qe = e.select(col("vec_id"), col("embedding"))
+          .join(quality.select(col("doc_id").as("vec_id")), "vec_id")
+        val dropped = Dedup.dupClustersOf(
+            Dedup.embeddingLshPairsOf(qe)
+              .filter(col("cos_sim") >= cfg.embeddingCosine)
+              .select(col("i"), col("j")))
+          .filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id")).distinct()
+        quality.join(dropped, Seq("doc_id"), "left_anti")
       case "none" => quality
       case other => throw new IllegalArgumentException(
-        s"unknown dedup tier '$other' (exact | minhash | cluster | winnow | none)")
+        s"unknown dedup tier '$other' (exact | minhash | cluster | winnow | embedding | none)")
     }
     if (cfg.holdoutModulus > 0) deduped.filter(col("doc_id") % cfg.holdoutModulus =!= 0)
     else deduped

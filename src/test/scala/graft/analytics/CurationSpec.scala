@@ -51,6 +51,32 @@ class CurationSpec extends AnyFunSuite {
     assert(ids(CurationConfig(dedup = "cluster", minhashJaccard = 0.5)) == Set(1L, 4L))
   }
 
+  test("embedding tier keeps one survivor per semantic cluster") {
+    import spark.implicits._
+    // doc 2 is semantically (not textually) near doc 4: the embedding
+    // tier must cluster {2,4} and keep the min id, while text-identical
+    // 1/2/3 stay untouched — the case only vector dedup catches.
+    // Embeddings: 2 and 4 share a direction (cos ≈ 1), others orthogonal.
+    def unit(axis: Int, jitter: Double = 0.0): Array[Float] =
+      Array.tabulate(64)(d =>
+        (if (d == axis) 1.0f else 0.0f) + (if (d == 63) jitter.toFloat else 0.0f))
+    val emb = Seq(
+      (1L, unit(0)), (2L, unit(1)), (3L, unit(2)),
+      (4L, unit(1, jitter = 0.05)), (10L, unit(3))
+    ).toDF("vec_id", "embedding")
+    val got = curate(corpus(), CurationConfig(dedup = "embedding"), Some(emb))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // quality gate leaves {1,2,3,4,10}; cluster {2,4} keeps 2; holdout
+    // drops 10
+    assert(got == Set(1L, 2L, 3L))
+  }
+
+  test("embedding tier without an embeddings frame is a config error") {
+    intercept[IllegalArgumentException] {
+      curate(corpus(), CurationConfig(dedup = "embedding"))
+    }
+  }
+
   test("none tier keeps all quality-passing unheld docs") {
     assert(ids(CurationConfig(dedup = "none")) == Set(1L, 2L, 3L, 4L))
   }
