@@ -323,11 +323,17 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
   }
 
   /** Compact a table: rewrite with only the newest row per live key.
-    * Run periodically at scale to bound the append log. */
+    * Run periodically at scale to bound the append log. The rewrite
+    * keeps the (project, experiment) directory partitioning — losing
+    * it here would silently turn every post-compact point read from a
+    * one-partition scan into a full-table scan (TablePruningSpec pins
+    * pruning after compaction). */
   def compact(table: String): Unit = {
     liveRows(table).foreach { df =>
       val tmp = tablePath(table) + "_compacting"
-      df.drop("mtime").write.mode(SaveMode.Overwrite).parquet(tmp)
+      val parts = partitionCols(table)
+      val w = df.drop("mtime").write.mode(SaveMode.Overwrite)
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tmp)
       val dst = Paths.get(tablePath(table))
       import scala.jdk.CollectionConverters._
       Files.walk(dst).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))

@@ -29,6 +29,11 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
+    // SPARK_GRAFT_PROBE=store skips the replica build + query sweep
+    // and runs only the TableStore latency probe
+    val storeOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("store")
+
+    if (!storeOnly) {
     val big = java.nio.file.Files.createTempDirectory(s"graft-scale-x$rep").toString
     def reps = spark.range(rep).select(col("id").as("_rep"))
 
@@ -100,6 +105,46 @@ object ScaleProbe {
       val (t1, n1) = time(name, sfDir)
       val (tb, nb) = time(name, big)
       println(f"[scale] $name%-26s $t1%8.2f $tb%8.2f ${tb / t1}%6.1f  $n1 -> $nb")
+    }
+    }
+
+    // ---- TableStore: point-read latency vs append-log depth ----
+    // The 100 TB layout claim: point reads prune to one (project,
+    // experiment) directory, so latency must stay flat as the append
+    // log deepens REP× and return to baseline after compact() — if it
+    // grows with total store size, the partitioning is broken.
+    {
+      val db = new graft.store.TableStore(spark,
+        java.nio.file.Files.createTempDirectory("graft-scale-store").toString)
+      val projects = (0 until 8).map(i => s"p$i")
+      val experiments = (0 until 5).map(i => s"e$i")
+      for (p <- projects; e <- experiments)
+        db.putMenu(s"""{"p": "$p", "e": "$e", "v": 0}""", p, e)
+      db.flushAll()
+      def readLat(): Double = {
+        // median of 5 distinct point reads (each a fresh Spark job)
+        val ts = (0 until 5).map { i =>
+          val t0 = System.nanoTime()
+          db.getMenu(s"p${i % 8}", s"e${i % 5}")
+          (System.nanoTime() - t0) / 1e9
+        }
+        ts.sorted.apply(2)
+      }
+      readLat() // untimed warmup: first-read classload/codegen
+      val base = readLat()
+      // REP superseding versions per key, one flush (= one parquet
+      // file batch per partition dir) per version
+      for (v <- 1 to rep) {
+        for (p <- projects; e <- experiments)
+          db.putMenu(s"""{"p": "$p", "e": "$e", "v": $v}""", p, e)
+        db.flushAll()
+      }
+      val deep = readLat()
+      db.compact("menu")
+      val compacted = readLat()
+      println(f"[scale] store_point_read_s base=$base%.3f after_${rep}x_appends=$deep%.3f " +
+        f"after_compact=$compacted%.3f ratios=${deep / base}%.1f/${compacted / base}%.1f")
+      db.close()
     }
     spark.stop()
   }

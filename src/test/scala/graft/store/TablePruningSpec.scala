@@ -40,4 +40,31 @@ class TablePruningSpec extends AnyFunSuite {
       assert(files == Seq(1), s"expected exactly one partition scanned, got $files")
     } finally db.close()
   }
+
+  test("partition pruning survives compaction") {
+    val spark = SparkTestSession.spark
+    val db = new TableStore(spark, Files.createTempDirectory("graft-prune2").toString)
+    try {
+      // an append-heavy history: 4 superseding versions per key
+      for (v <- 1 to 4; p <- Seq("p1", "p2", "p3"); e <- Seq("e1", "e2"))
+        db.putMenu(s"""{"p": "$p", "e": "$e", "v": $v}""", p, e)
+      db.flushAll()
+      db.compact("menu")
+
+      // contents: newest version per key survives
+      assert(db.getMenu("p2", "e1") ==
+        graft.core.AssetValue.Json("""{"p": "p2", "e": "e1", "v": 4}"""))
+
+      // layout: the compacted rewrite is still directory-partitioned,
+      // so the point read scans 1 of 6 partitions
+      val df = db.readTable("menu").get
+        .filter(col("project") === "p2" && col("experiment") === "e1")
+      val files = df.queryExecution.executedPlan.collectLeaves().collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.selectedPartitions.partitionCount
+      }
+      assert(files == Seq(1),
+        s"compaction lost the partitioned layout: scanned $files of 6 partitions")
+    } finally db.close()
+  }
 }
