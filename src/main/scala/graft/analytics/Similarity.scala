@@ -158,7 +158,7 @@ object Similarity {
     * `cell` column is the partition key a 100 TB deployment writes the
     * corpus under (see the layout spec in PlanSpec). */
   private[analytics] def ivfFit(spark: SparkSession, dir: String,
-                                k: Int = 16, iters: Int = 5)
+                                k: Int = 16, iters: Int = 10)
       : (DataFrame, Array[(Int, Array[Double])]) =
     ivfFitOf(Dedup.normalizedVectors(spark, dir), k, iters)
 
@@ -224,7 +224,7 @@ object Similarity {
     * The corpus is cached through the whole query — the assignment
     * scan and the query projection both read it, and the Bench/Verify
     * runners clearCache() after each query. */
-  private[analytics] def ivfFitOf(corpus: DataFrame, k: Int = 16, iters: Int = 5)
+  private[analytics] def ivfFitOf(corpus: DataFrame, k: Int = 16, iters: Int = 10)
       : (DataFrame, Array[(Int, Array[Double])]) = {
     val e = corpus.cache()
     val centroids = lloydIvf(localFitSample(e), k, iters)
@@ -246,7 +246,7 @@ object Similarity {
   private[analytics] def ivfTopK(assigned: DataFrame,
                                  centroids: Array[(Int, Array[Double])],
                                  queries: DataFrame, k: Int,
-                                 nProbe: Int = 4): DataFrame = {
+                                 nProbe: Int = 6): DataFrame = {
     import graft.functions.VectorFunctions._
     // queries probe their nProbe nearest cells: sort the same K-struct
     // array per row and slice — again no crossJoin, no aggregation
@@ -338,7 +338,7 @@ object Similarity {
     * codes — plus `cell` when the input is an [[ivfFit]]-assigned
     * frame, so the IVF-PQ path can prune the ADC scan to probed
     * cells) and the codebooks. */
-  private[analytics] def pqFitEncode(corpus: DataFrame, iters: Int = 3)
+  private[analytics] def pqFitEncode(corpus: DataFrame, iters: Int = 8)
       : (DataFrame, Array[Array[Array[Double]]]) = {
     val books = lloydPq(localFitSample(corpus), iters)
     val codes = array((0 until PqM).map(m => pqCell(books(m), subv(col("v"), m))): _*)
@@ -376,7 +376,7 @@ object Similarity {
   private[analytics] def ivfPqTopK(assigned: DataFrame,
                                    centroids: Array[(Int, Array[Double])],
                                    queries: DataFrame, k: Int,
-                                   nProbe: Int = 6, refine: Int = 8): DataFrame = {
+                                   nProbe: Int = 8, refine: Int = 16): DataFrame = {
     import graft.functions.VectorFunctions._
     val (encoded, books) = pqFitEncode(assigned)
     // per-query ADC lookup table: luts[m][cell] = q_sub(m) · codebook(m)(cell)

@@ -29,10 +29,11 @@ class SimilaritySpec extends AnyFunSuite {
     val rIvf = recall(ivf)
     val rLsh = recall(lsh)
     info(s"recall: ivf=$rIvf lsh=$rLsh")
-    // floors sit ~0.1 under the measured values (ivf 0.62, lsh 0.42 at
-    // 5 Lloyd iters) — high enough that a degenerate quantizer or a
-    // trimmed fit cannot pass, with headroom only for fixture drift
-    assert(rIvf >= 0.5, s"IVF recall too low: $rIvf")
+    // floors sit well under the measured values (ivf 0.78, lsh 0.42
+    // at 10 Lloyd iters, nProbe 6) — high enough that a degenerate
+    // quantizer or a trimmed fit cannot pass, with headroom only for
+    // fixture drift
+    assert(rIvf >= 0.6, s"IVF recall too low: $rIvf")
     assert(rLsh >= 0.3, s"LSH recall too low: $rLsh")
     // approximate results are always a subset of the scored universe
     // with correct per-query list sizes
@@ -43,7 +44,7 @@ class SimilaritySpec extends AnyFunSuite {
     val exact = topSets(Similarity.s01BruteForceTopK(spark, dir))
     val pq = Similarity.s04IvfPqTopK(spark, dir)
     val sets = topSets(pq)
-    // nProbe=6 of K=16 cells always holds far more than 10 candidates,
+    // nProbe=8 of K=16 cells always holds far more than 10 candidates,
     // so every query must still return a full top-10 list
     assert(sets.keySet == exact.keySet)
     assert(sets.values.forall(_.size == 10))
@@ -51,9 +52,9 @@ class SimilaritySpec extends AnyFunSuite {
       sets(q).intersect(ex).size.toDouble / ex.size }
     val recall = per.sum / per.size
     info(s"recall: ivfpq=$recall")
-    // measured 0.66 at 5 IVF + 3 PQ Lloyd iters, nProbe 6, refine 8 —
-    // the floor keeps both the cell pruning and the exact refine
+    // measured 0.86 at 10 IVF + 8 PQ Lloyd iters, nProbe 8, refine
+    // 16 — the floor keeps both the cell pruning and the exact refine
     // honest: ADC alone lands ~0.26 on these near-random vectors
-    assert(recall >= 0.5, s"IVF-PQ recall too low: $recall")
+    assert(recall >= 0.6, s"IVF-PQ recall too low: $recall")
   }
 }
