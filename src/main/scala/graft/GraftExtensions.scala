@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BigramStats, CharTrigrams, DoubleArrayDot, MinHash64, SimHash64, WinnowFingerprints, WordShingles}
+import graft.functions.{BigramStats, BoundedTopK, CharTrigrams, DoubleArrayDot, MinHash64, SimHash64, WinnowFingerprints, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions so `spark.sql` users get them
@@ -69,6 +69,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           WinnowFingerprints(children.head,
             intArg(children(1), "k"), intArg(children(2), "window"))
         }
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("top_k_by"),
+      new ExpressionInfo(classOf[BoundedTopK].getName, "top_k_by"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "top_k_by(score, id, k) takes three arguments")
+        val k = children(2).eval() match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"top_k_by: k must be an integer literal, got $other")
+        }
+        BoundedTopK(children(0), children(1), k)
       }))
     ext.injectFunction((
       FunctionIdentifier("bigram_stats"),

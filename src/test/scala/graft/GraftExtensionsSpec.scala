@@ -32,6 +32,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == b)
   }
 
+  test("top_k_by is callable from SQL as a grouped aggregate") {
+    val spark = SparkTestSession.spark
+    val top = spark.sql(
+      """SELECT g, top_k_by(s, id, 2) AS top FROM VALUES
+           (1, 0.5d, 10L), (1, 0.9d, 11L), (1, 0.7d, 12L),
+           (2, 0.1d, 20L)
+         AS t(g, s, id) GROUP BY g ORDER BY g""").collect()
+    assert(top(0).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)) == Seq(11L, 12L))
+    assert(top(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)) == Seq(20L))
+  }
+
   test("bigram_stats is callable from SQL with exact counts") {
     val spark = SparkTestSession.spark
     val r = spark.sql("SELECT bigram_stats('a b a b c') AS s").head().getStruct(0)
