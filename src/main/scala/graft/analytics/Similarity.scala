@@ -226,9 +226,19 @@ object Similarity {
     * runners clearCache() after each query. */
   private[analytics] def ivfFitOf(corpus: DataFrame, k: Int = 16, iters: Int = 10)
       : (DataFrame, Array[(Int, Array[Double])]) = {
+    val (assigned, centroids, _) = ivfFitSampled(corpus, k, iters)
+    (assigned, centroids)
+  }
+
+  /** [[ivfFitOf]] that also returns the collected fit sample, so a
+    * composed consumer (IVF-PQ trains TWO quantizers) reuses one
+    * count + one collect instead of re-sampling the cached corpus. */
+  private[analytics] def ivfFitSampled(corpus: DataFrame, k: Int = 16, iters: Int = 10)
+      : (DataFrame, Array[(Int, Array[Double])], Array[(Long, Array[Double])]) = {
     val e = corpus.cache()
-    val centroids = lloydIvf(localFitSample(e), k, iters)
-    (e.withColumn("cell", cellOf(centroids, col("v"), col("norm"))), centroids)
+    val sample = localFitSample(e)
+    val centroids = lloydIvf(sample, k, iters)
+    (e.withColumn("cell", cellOf(centroids, col("v"), col("norm"))), centroids, sample)
   }
 
   def s03IvfTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -338,9 +348,10 @@ object Similarity {
     * codes — plus `cell` when the input is an [[ivfFit]]-assigned
     * frame, so the IVF-PQ path can prune the ADC scan to probed
     * cells) and the codebooks. */
-  private[analytics] def pqFitEncode(corpus: DataFrame, iters: Int = 8)
+  private[analytics] def pqFitEncode(corpus: DataFrame, iters: Int = 8,
+                                     sample: Option[Array[(Long, Array[Double])]] = None)
       : (DataFrame, Array[Array[Array[Double]]]) = {
-    val books = lloydPq(localFitSample(corpus), iters)
+    val books = lloydPq(sample.getOrElse(localFitSample(corpus)), iters)
     val codes = array((0 until PqM).map(m => pqCell(books(m), subv(col("v"), m))): _*)
     // cached: output-sized (8 ints + a norm per vector) AND a hard
     // materialization boundary — without it CollapseProject inlines the
@@ -364,10 +375,12 @@ object Similarity {
     * than the raw vectors. Rows-only gate (approximate by
     * construction). */
   def s04IvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
-    val (assigned, centroids) = ivfFit(spark, dir)
+    val (assigned, centroids, sample) =
+      ivfFitSampled(Dedup.normalizedVectors(spark, dir))
     val queries = assigned.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
-    ivfPqTopK(assigned, centroids, queries, k = 10).orderBy("query_id", "rnk")
+    ivfPqTopK(assigned, centroids, queries, k = 10, sample = Some(sample))
+      .orderBy("query_id", "rnk")
   }
 
   /** IVF-PQ core over an [[ivfFit]]-assigned corpus
@@ -376,9 +389,10 @@ object Similarity {
   private[analytics] def ivfPqTopK(assigned: DataFrame,
                                    centroids: Array[(Int, Array[Double])],
                                    queries: DataFrame, k: Int,
-                                   nProbe: Int = 8, refine: Int = 16): DataFrame = {
+                                   nProbe: Int = 8, refine: Int = 16,
+                                   sample: Option[Array[(Long, Array[Double])]] = None): DataFrame = {
     import graft.functions.VectorFunctions._
-    val (encoded, books) = pqFitEncode(assigned)
+    val (encoded, books) = pqFitEncode(assigned, sample = sample)
     // per-query ADC lookup table: luts[m][cell] = q_sub(m) · codebook(m)(cell)
     val luts = array((0 until PqM).map { m =>
       array((0 until PqKs).map { cell =>
@@ -448,9 +462,10 @@ object Similarity {
         ivfTopK(assigned, centroids,
           normalized(queries, "query_id", "qv", "qnorm"), k)
       case "ivfpq" =>
-        val (assigned, centroids) = ivfFitOf(normalized(corpus, "vec_id", "v", "norm"))
+        val (assigned, centroids, sample) =
+          ivfFitSampled(normalized(corpus, "vec_id", "v", "norm"))
         ivfPqTopK(assigned, centroids,
-          normalized(queries, "query_id", "qv", "qnorm"), k)
+          normalized(queries, "query_id", "qv", "qnorm"), k, sample = Some(sample))
       case other => throw new IllegalArgumentException(
         s"unknown ANN method '$other' (brute | lsh | ivf | ivfpq)")
     }

@@ -22,7 +22,8 @@ class TopKSpec extends AnyFunSuite {
     for ((method, gate) <- Seq(
         ("brute", Similarity.s01BruteForceTopK _),
         ("lsh", Similarity.s02LshTopK _),
-        ("ivf", Similarity.s03IvfTopK _))) {
+        ("ivf", Similarity.s03IvfTopK _),
+        ("ivfpq", Similarity.s04IvfPqTopK _))) {
       val api = Similarity.topK(corpus(), gateQueries(), k = 10, method = method)
         .orderBy("query_id", "rnk").collect().map(_.toSeq).toSeq
       val expected = gate(spark, dir).collect().map(_.toSeq).toSeq
