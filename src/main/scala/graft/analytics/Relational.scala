@@ -187,17 +187,30 @@ object Relational {
       .orderBy("day", "event_type")
   }
 
-  /** Aggregate-then-window top-k: top 5 users per event type by spend. */
+  /** Aggregate-then-rank top-k: top 5 users per event type by spend.
+    *
+    * NOT a window: `row_number() OVER (PARTITION BY event_type)` would
+    * shuffle every (type, user) aggregate into |event_types| = 5
+    * partitions — at scale that is billions of user rows crammed into
+    * 5 reducers. [[graft.functions.BoundedTopK.top_k_with]] ranks with
+    * map-side bounded state instead, carrying the exact decimal total
+    * and the count as payload so output is bit-identical to the
+    * window form (the double ranking key is exact for 2-decimal sums
+    * up to 2^53/100, far beyond any realistic per-user total; ties
+    * break on user_id exactly as the window did). */
   def q12TopUsersPerType(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BoundedTopK.top_k_with
     val e = Tables.events(spark, dir)
     val perUser = e.groupBy(col("event_type"), col("user_id"))
       .agg(Det.sumDec(col("value")).as("total_value"), count(lit(1)).as("n"))
-    val w = Window.partitionBy("event_type")
-      .orderBy(col("total_value").desc, col("user_id").asc)
-    perUser.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
-      .select(col("event_type"), col("rnk").cast("bigint").as("rnk"),
-              col("user_id"), Det.dround(col("total_value"), 2).as("total_value"), col("n"))
+    perUser.groupBy("event_type")
+      .agg(top_k_with(col("total_value").cast("double"), col("user_id"),
+        struct(col("total_value"), col("n")), 5).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("event_type"), (col("p") + 1).cast("bigint").as("rnk"),
+              col("t.id").as("user_id"),
+              Det.dround(col("t.payload.total_value"), 2).as("total_value"),
+              col("t.payload.n").as("n"))
       .orderBy("event_type", "rnk")
   }
 

@@ -163,4 +163,155 @@ object BoundedTopK {
     GraftColumnShim.column(
       BoundedTopK(GraftColumnShim.expression(score),
         GraftColumnShim.expression(id), k).toAggregateExpression())
+
+  /** [[top_k_by]] that carries an arbitrary `payload` column with each
+    * ranked entry — for top-N-per-group queries whose output needs
+    * more than the ranking score (exact decimals, counts, names):
+    * array&lt;struct&lt;id, score, payload&gt;&gt;, same (score desc,
+    * id asc) order and the same bounded map-side state. */
+  def top_k_with(score: Column, id: Column, payload: Column, k: Int): Column =
+    GraftColumnShim.column(
+      BoundedTopKPayload(GraftColumnShim.expression(score),
+        GraftColumnShim.expression(id),
+        GraftColumnShim.expression(payload), k).toAggregateExpression())
+}
+
+/** [[BoundedTopK]] with a payload column riding along each entry.
+  * The payload is evaluated once per surviving row and stored in the
+  * bounded buffer as UnsafeRow bytes (any DataType — decimals,
+  * structs, strings), so the aggregate stays a single pass with
+  * ≤ 4·k entries of state per group per partition. */
+case class BoundedTopKPayload(
+    scoreExpr: Expression,
+    idExpr: Expression,
+    payloadExpr: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKPayloadBuffer]
+    with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression] {
+
+  require(k > 0, s"top_k_with needs k > 0, got $k")
+
+  override def first: Expression = scoreExpr
+  override def second: Expression = idExpr
+  override def third: Expression = payloadExpr
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false),
+    StructField("payload", payloadExpr.dataType, payloadExpr.nullable))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  // one reusable projection per task: payload value → UnsafeRow bytes
+  @transient private lazy val toBytes =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      Array(payloadExpr.dataType))
+  private def payloadBytes(v: Any): Array[Byte] = {
+    val row = new GenericInternalRow(1)
+    row.update(0, v)
+    toBytes(row).getBytes
+  }
+
+  override def createAggregationBuffer(): TopKPayloadBuffer = new TopKPayloadBuffer(k)
+
+  override def update(buf: TopKPayloadBuffer, input: InternalRow): TopKPayloadBuffer = {
+    val s = scoreExpr.eval(input)
+    val i = idExpr.eval(input)
+    if (s != null && i != null)
+      buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long],
+        payloadBytes(payloadExpr.eval(input)))
+    buf
+  }
+
+  override def merge(a: TopKPayloadBuffer, b: TopKPayloadBuffer): TopKPayloadBuffer = {
+    a.addAll(b); a
+  }
+
+  override def eval(buf: TopKPayloadBuffer): Any = {
+    new GenericArrayData(buf.sortedTop().map { case (s, i, p) =>
+      val payloadRow = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(1)
+      payloadRow.pointTo(p, p.length)
+      val row = new GenericInternalRow(3)
+      row.update(0, i)
+      row.update(1, s)
+      row.update(2, payloadRow.get(0, payloadExpr.dataType))
+      row
+    })
+  }
+
+  override def serialize(buf: TopKPayloadBuffer): Array[Byte] = {
+    val top = buf.sortedTop()
+    val n = top.map(_._3.length + 20).sum
+    val bb = ByteBuffer.allocate(4 + n)
+    bb.putInt(top.length)
+    top.foreach { case (s, i, p) =>
+      bb.putDouble(s); bb.putLong(i); bb.putInt(p.length); bb.put(p)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKPayloadBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKPayloadBuffer(k)
+    var j = 0
+    while (j < n) {
+      val s = bb.getDouble; val i = bb.getLong
+      val p = new Array[Byte](bb.getInt)
+      bb.get(p)
+      buf.add(s, i, p)
+      j += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedTopKPayload =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedTopKPayload =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): BoundedTopKPayload =
+    copy(scoreExpr = newFirst, idExpr = newSecond, payloadExpr = newThird)
+}
+
+/** [[TopKBuffer]] with payload bytes per entry — same compaction
+  * strategy, same (score desc, id asc) total order. */
+final class TopKPayloadBuffer(val k: Int) {
+  private var entries = new Array[(Double, Long, Array[Byte])](math.min(4 * k, 64))
+  private var n = 0
+
+  private def lt(a: (Double, Long, Array[Byte]), b: (Double, Long, Array[Byte])): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  def add(score: Double, id: Long, payload: Array[Byte]): Unit = {
+    if (n == entries.length) {
+      if (n >= 4 * k) compact()
+      if (n == entries.length)
+        entries = java.util.Arrays.copyOf(entries, entries.length * 2)
+    }
+    entries(n) = (score, id, payload); n += 1
+  }
+
+  def addAll(other: TopKPayloadBuffer): Unit = {
+    var j = 0
+    while (j < other.n) {
+      val e = other.entries(j)
+      add(e._1, e._2, e._3)
+      j += 1
+    }
+  }
+
+  private def compact(): Unit = {
+    val sorted = entries.take(n).sortWith(lt)
+    n = math.min(n, k)
+    java.util.Arrays.fill(entries.asInstanceOf[Array[AnyRef]], null)
+    System.arraycopy(sorted, 0, entries, 0, n)
+  }
+
+  def sortedTop(): Array[(Double, Long, Array[Byte])] = {
+    compact()
+    entries.take(n)
+  }
 }

@@ -53,6 +53,45 @@ class TopKAggSpec extends AnyFunSuite {
     assert(got(1L) == Seq(7L) && got(2L) == Seq(9L))
   }
 
+  test("top_k_with carries exact payloads (decimal + count) through rank") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, BigDecimal("10.01"), 3L),
+      ("a", 2L, BigDecimal("10.02"), 5L),
+      ("a", 3L, BigDecimal("10.02"), 1L),
+      ("b", 9L, BigDecimal("-4.50"), 2L)
+    ).toDF("g", "id", "dec", "n").repartition(8)
+    val got = df.groupBy("g")
+      .agg(BoundedTopK.top_k_with(col("dec").cast("double"), col("id"),
+        struct(col("dec"), col("n")), 2).as("top"))
+      .select(col("g"), explode(col("top")).as("t"))
+      .select(col("g"), col("t.id"), col("t.payload.dec"), col("t.payload.n"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDecimal(2).stripTrailingZeros.toPlainString, r.getLong(3)))
+    // score desc, tie on id asc; payload decimals survive bit-exact
+    assert(got.toSeq == Seq(
+      ("a", 2L, "10.02", 5L), ("a", 3L, "10.02", 1L), ("b", 9L, "-4.5", 2L)))
+  }
+
+  test("q12 via top_k_with equals the row_number window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = "/root/testdata/sf0.001"
+    val agg = graft.analytics.Relational.q12TopUsersPerType(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val e = graft.analytics.Tables.events(spark, dir)
+    val perUser = e.groupBy(col("event_type"), col("user_id"))
+      .agg(graft.analytics.Det.sumDec(col("value")).as("total_value"), count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("total_value").desc, col("user_id").asc)
+    val win = perUser.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("event_type"), col("rnk").cast("bigint").as("rnk"), col("user_id"),
+        graft.analytics.Det.dround(col("total_value"), 2).as("total_value"), col("n"))
+      .orderBy("event_type", "rnk")
+      .collect().map(_.toSeq).toSeq
+    assert(agg == win)
+  }
+
   test("buffer stays bounded: serialized partial state is <= k entries") {
     val buf = new TopKBuffer(5)
     (1 to 100000).foreach(i => buf.add(i.toDouble, i.toLong))
