@@ -45,14 +45,18 @@ object Bench {
         .groupBy("lang").agg(sum("n"), sum("sh"), sum("mh"), sum("sim"),
           sum("tg"), sum("wf"), sum("bg")).count()
     } catch { case _: Throwable => () }
-    // vector expressions (array_dot) on an embeddings slice
+    // vector expressions (array_dot) + the bounded top-k aggregate
+    // (ObjectHashAggregate path) on an embeddings slice
     try {
       import org.apache.spark.sql.functions._
       import graft.functions.VectorFunctions.array_dot
+      import graft.functions.BoundedTopK.top_k_by
       graft.analytics.Tables.table(spark, sfDir, "embeddings").limit(256)
-        .select(col("embedding").cast("array<double>").as("v"))
-        .select(array_dot(col("v"), col("v")).as("d"))
-        .agg(sum("d")).count()
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .select(col("vec_id"), array_dot(col("v"), col("v")).as("d"))
+        .groupBy((col("vec_id") % 4).as("g"))
+        .agg(top_k_by(col("d"), col("vec_id"), 5).as("top"), sum("d"))
+        .count()
     } catch { case _: Throwable => () }
     // store machinery: one TableStore put/flush/get/list round trip in
     // a temp dir (parquet append write, newest-row window read) — the
