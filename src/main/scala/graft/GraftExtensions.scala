@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BigramStats, BoundedTopK, CharTrigrams, DoubleArrayDot, MinHash64, SimHash64, WinnowFingerprints, WordShingles}
+import graft.functions.{BigramStats, BoundedTopK, BoundedTopKPayload, CharTrigrams, DoubleArrayDot, MinHash64, SimHash64, WinnowFingerprints, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions so `spark.sql` users get them
@@ -81,6 +81,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"top_k_by: k must be an integer literal, got $other")
         }
         BoundedTopK(children(0), children(1), k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("top_k_with"),
+      new ExpressionInfo(classOf[BoundedTopKPayload].getName, "top_k_with"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "top_k_with(score, id, payload, k) takes four arguments")
+        val k = children(3).eval() match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"top_k_with: k must be an integer literal, got $other")
+        }
+        BoundedTopKPayload(children(0), children(1), children(2), k)
       }))
     ext.injectFunction((
       FunctionIdentifier("bigram_stats"),

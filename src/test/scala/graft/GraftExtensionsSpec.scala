@@ -41,6 +41,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
          AS t(g, s, id) GROUP BY g ORDER BY g""").collect()
     assert(top(0).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)) == Seq(11L, 12L))
     assert(top(1).getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)) == Seq(20L))
+    val withPayload = spark.sql(
+      """SELECT top_k_with(s, id, name, 1) AS top FROM VALUES
+           (0.5d, 10L, 'low'), (0.9d, 11L, 'high')
+         AS t(s, id, name)""").head().getSeq[org.apache.spark.sql.Row](0)
+    assert(withPayload.map(r => (r.getLong(0), r.getString(2))) == Seq((11L, "high")))
   }
 
   test("bigram_stats is callable from SQL with exact counts") {
