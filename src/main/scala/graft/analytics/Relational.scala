@@ -88,17 +88,24 @@ object Relational {
       .limit(10)
   }
 
-  /** Window function: top-3 customers by account balance per nation. */
+  /** Top-3 customers by account balance per nation — ranked via the
+    * bounded top-k aggregate, not a `row_number` window: a window
+    * partitioned by the 25 nation keys would shuffle EVERY customer
+    * row into 25 reducers; [[graft.functions.BoundedTopK.top_k_with]]
+    * reduces each scan partition to ≤ 3 entries per nation before the
+    * exchange (same (acctbal desc, custkey asc) total order, so
+    * output is bit-identical — TopKAggSpec pins the q12 analogue). */
   def q04CustomerRank(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BoundedTopK.top_k_with
     val c = Tables.customer(spark, dir)
-    val w = Window.partitionBy("c_nationkey")
-      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
-    c.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
+    c.groupBy(col("c_nationkey"))
+      .agg(top_k_with(col("c_acctbal").cast("double"), col("c_custkey"),
+        col("c_acctbal"), 3).as("top"))
       .select(col("c_nationkey").cast("bigint").as("nationkey"),
-              col("rnk").cast("bigint").as("rnk"),
-              col("c_custkey"),
-              round(col("c_acctbal"), 2).as("acctbal"))
+              posexplode(col("top")).as(Seq("p", "t")))
+      .select(col("nationkey"), (col("p") + 1).cast("bigint").as("rnk"),
+              col("t.id").as("c_custkey"),
+              round(col("t.payload"), 2).as("acctbal"))
       .orderBy("nationkey", "rnk")
   }
 

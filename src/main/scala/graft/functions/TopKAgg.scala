@@ -204,14 +204,25 @@ case class BoundedTopKPayload(
     containsNull = false)
   override def nullable: Boolean = false
 
-  // one reusable projection per task: payload value → UnsafeRow bytes
+  // one reusable projection per task: payload value → UnsafeRow bytes.
+  // The projection REUSES its result buffer across rows, and
+  // UnsafeRow.getBytes returns that shared array un-copied whenever the
+  // row exactly fills it — so the bytes MUST be copied out of the
+  // row's region here, or every buffered entry ends up aliasing the
+  // last-projected payload (caught by the many-rows-per-partition
+  // regression in TopKAggSpec).
   @transient private lazy val toBytes =
     org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
       Array(payloadExpr.dataType))
   private def payloadBytes(v: Any): Array[Byte] = {
     val row = new GenericInternalRow(1)
     row.update(0, v)
-    toBytes(row).getBytes
+    val u = toBytes(row)
+    val out = new Array[Byte](u.getSizeInBytes)
+    org.apache.spark.unsafe.Platform.copyMemory(
+      u.getBaseObject, u.getBaseOffset,
+      out, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, u.getSizeInBytes)
+    out
   }
 
   override def createAggregationBuffer(): TopKPayloadBuffer = new TopKPayloadBuffer(k)

@@ -73,6 +73,27 @@ class TopKAggSpec extends AnyFunSuite {
       ("a", 2L, "10.02", 5L), ("a", 3L, "10.02", 1L), ("b", 9L, "-4.5", 2L)))
   }
 
+  test("top_k_with payloads never alias under many rows per partition") {
+    import spark.implicits._
+    // thousands of rows per partition exercise the projection-buffer
+    // reuse path: each surviving entry's payload must still match ITS
+    // id, not the last row the task projected
+    val df = spark.range(0, 20000, 1, 4)
+      .select((col("id") % 7).as("g"), col("id"),
+        (col("id").cast("double") * 0.5).as("score"),
+        concat(lit("p"), col("id")).as("tag"))
+    val got = df.groupBy("g")
+      .agg(BoundedTopK.top_k_with(col("score"), col("id"), col("tag"), 3).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.id"), col("t.payload"))
+      .collect()
+    assert(got.length == 21)
+    got.foreach { r =>
+      assert(r.getString(1) == s"p${r.getLong(0)}",
+        s"payload aliased: id=${r.getLong(0)} tag=${r.getString(1)}")
+    }
+  }
+
   test("q12 via top_k_with equals the row_number window formulation") {
     import org.apache.spark.sql.expressions.Window
     val dir = "/root/testdata/sf0.001"
