@@ -90,6 +90,18 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("low-cardinality-group ranking (q04, q12) is the bounded aggregate, not a window") {
+    for ((name, df) <- Seq(
+        ("q04", Relational.q04CustomerRank(spark, dir)),
+        ("q12", Relational.q12TopUsersPerType(spark, dir)))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name ranks through a window — every row shuffles into a handful of reducers:\n$plan")
+      assert(plan.contains("ObjectHashAggregate"),
+        s"$name lost the bounded top-k aggregate:\n$plan")
+    }
+  }
+
   test("s04 ADC scan is cell-pruned: the probe join is an equi join on cell") {
     val plan = Similarity.s04IvfPqTopK(spark, dir)
       .queryExecution.executedPlan.toString
