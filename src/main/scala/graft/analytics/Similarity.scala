@@ -434,6 +434,78 @@ object Similarity {
     rankTopK(exact, k)
   }
 
+  // ---- k-NN graph: top-k neighbors for EVERY corpus vector ----
+
+  /** Exact k-NN graph (k=5) — the all-pairs labeled baseline, same
+    * role as d04/s01: every vector's top-5 cosine neighbors, from a
+    * full self-join. O(N²) by construction; the scale tier is
+    * [[s06KnnGraphIvf]]. Oracle-checked. */
+  def s05KnnGraph(spark: SparkSession, dir: String): DataFrame =
+    knnGraphExact(Dedup.normalizedVectors(spark, dir), k = 5)
+      .orderBy("vec_id", "rnk")
+
+  private[analytics] def knnGraphExact(e: DataFrame, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions._
+    // no broadcast hint: BOTH sides are the corpus — AQE promotes the
+    // build side only while it actually fits (the d04 rule)
+    val scored = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        Det.dround(array_dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")), 4).as("cos_sim"))
+    rankTopK(scored, k).withColumnRenamed("query_id", "vec_id")
+  }
+
+  /** IVF-bucketed k-NN graph — the scale tier every SemDeDup-style
+    * curation run builds before clustering: each vector probes its
+    * `nProbe` nearest cells and scores only those cells' members, so
+    * total pair work is ~N·(nProbe/K)·N/K·K = N²·nProbe/K instead of
+    * N², and the probe→corpus join is a shuffle EQUI join on cell —
+    * nothing is broadcast, because unlike the query-set paths BOTH
+    * sides grow with the corpus. At fixture scale K=16 keys make hot
+    * cells (AQE skew-split handles them); a real deployment sizes
+    * K ~ √N so cell cardinality grows with the data. Rows-only gate
+    * (approximate by construction; recall vs s05 floored in
+    * SimilaritySpec). */
+  def s06KnnGraphIvf(spark: SparkSession, dir: String): DataFrame = {
+    val (assigned, centroids, _) =
+      ivfFitSampled(Dedup.normalizedVectors(spark, dir))
+    knnGraphIvf(assigned, centroids, k = 5).orderBy("vec_id", "rnk")
+  }
+
+  private[analytics] def knnGraphIvf(assigned: DataFrame,
+                                     centroids: Array[(Int, Array[Double])],
+                                     k: Int, nProbe: Int = 4): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val probes = assigned.select(col("vec_id").as("query_id"),
+      col("v").as("qv"), col("norm").as("qnorm"),
+      explode(slice(array_sort(cellScores(centroids, col("v"), col("norm"))),
+        1, nProbe).getField("cell")).as("cell"))
+    val scored = probes
+      .join(assigned.select(col("cell"), col("vec_id").as("neighbor_id"),
+        col("v"), col("norm")), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(array_dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4).as("cos_sim"))
+    rankTopK(scored, k).withColumnRenamed("query_id", "vec_id")
+  }
+
+  /** User-facing k-NN graph over an arbitrary (vec_id, embedding)
+    * frame: top-`k` cosine neighbors for every vector, as
+    * (vec_id, rnk, neighbor_id, cos_sim). `method`: `"brute"` (exact
+    * O(N²) baseline) or `"ivf"` (cell-bucketed — the 100 TB path). */
+  def knnGraph(corpus: DataFrame, k: Int = 10, method: String = "ivf"): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val e = corpus.select(col("vec_id"), as_double_array(col("embedding")).as("v"))
+      .withColumn("norm", array_norm(col("v")))
+    method match {
+      case "brute" => knnGraphExact(e, k)
+      case "ivf" =>
+        val (assigned, centroids, _) = ivfFitSampled(e)
+        knnGraphIvf(assigned, centroids, k)
+      case other => throw new IllegalArgumentException(
+        s"unknown knnGraph method '$other' (brute | ivf)")
+    }
+  }
+
   /** User-facing ANN search over arbitrary frames: corpus
     * (vec_id, embedding) × queries (query_id, embedding) → top-`k`
     * cosine neighbors per query as (query_id, rnk, neighbor_id,
@@ -476,6 +548,8 @@ object Similarity {
     "s02_ann_lsh"        -> s02LshTopK _,
     "s03_ann_ivf"        -> s03IvfTopK _,
     "s04_ann_ivfpq"      -> s04IvfPqTopK _,
+    "s05_knn_graph"      -> s05KnnGraph _,
+    "s06_knn_graph_ivf"  -> s06KnnGraphIvf _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -492,5 +566,17 @@ object Similarity {
            FROM scored)
          SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cos_sim
          FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""",
+    "s05_knn_graph" ->
+      """WITH scored AS (SELECT a.vec_id, b.vec_id neighbor_id,
+            floor((list_aggregate(list_transform(range(1, len(a.embedding)+1),
+                k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)), 'sum')
+              / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))
+               * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')))) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+           FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+          ranked AS (SELECT vec_id, neighbor_id, cos_sim,
+            row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id ASC) rnk
+           FROM scored)
+         SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cos_sim
+         FROM ranked WHERE rnk <= 5 ORDER BY vec_id, rnk""",
   )
 }

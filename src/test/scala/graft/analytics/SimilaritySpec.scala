@@ -57,4 +57,39 @@ class SimilaritySpec extends AnyFunSuite {
     // honest: ADC alone lands ~0.26 on these near-random vectors
     assert(recall >= 0.6, s"IVF-PQ recall too low: $recall")
   }
+
+  test("k-NN graph: exact tier is complete, IVF tier has useful recall") {
+    val exact = Similarity.s05KnnGraph(spark, dir)
+    val n = Tables.embeddings(spark, dir).count()
+    // every vector gets a full top-5 list from the exact tier
+    assert(exact.count() == n * 5)
+    val exactSets = topSets(exact.withColumnRenamed("vec_id", "query_id"))
+    spark.catalog.clearCache()
+    val ivf = topSets(Similarity.s06KnnGraphIvf(spark, dir)
+      .withColumnRenamed("vec_id", "query_id"))
+    // the IVF tier covers every vector too (nProbe=4 cells always hold
+    // >= 5 candidates on this fixture)
+    assert(ivf.keySet == exactSets.keySet)
+    val per = exactSets.map { case (q, ex) =>
+      ivf(q).intersect(ex).size.toDouble / ex.size }
+    val recall = per.sum / per.size
+    info(s"recall: knn_ivf=$recall")
+    // measured 0.62 at sf0.001 (nProbe 4 of 16 cells)
+    assert(recall >= 0.5, s"IVF k-NN graph recall too low: $recall")
+  }
+
+  test("knnGraph facade reproduces both gate tiers") {
+    val corpus = Tables.embeddings(spark, dir)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+              org.apache.spark.sql.functions.col("embedding"))
+    for ((method, gate) <- Seq(
+        ("brute", Similarity.s05KnnGraph _),
+        ("ivf", Similarity.s06KnnGraphIvf _))) {
+      val api = Similarity.knnGraph(corpus, k = 5, method = method)
+        .orderBy("vec_id", "rnk").collect().map(_.toSeq).toSeq
+      val expected = gate(spark, dir).collect().map(_.toSeq).toSeq
+      assert(api == expected, s"$method: knnGraph facade diverges from gate")
+      spark.catalog.clearCache()
+    }
+  }
 }
