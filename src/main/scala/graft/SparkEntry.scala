@@ -17,14 +17,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ TextOps.queries ++ Dedup.queries ++
+    Relational.queries ++ RangeJoin.queries ++ TextOps.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ StreamingQueries.queries ++
       StoreQueries.queries ++ Pipeline.queries ++ LangId.queries ++ TextPrep.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ TextOps.oracleSql ++ Dedup.oracleSql ++
+    Relational.oracleSql ++ RangeJoin.oracleSql ++ TextOps.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++
       StreamingQueries.oracleSql ++ Pipeline.oracleSql ++ LangId.oracleSql ++
       TextPrep.oracleSql
