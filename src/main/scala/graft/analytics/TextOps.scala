@@ -329,6 +329,37 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Boilerplate fraction per document — the CCNet/C4 "shared passage"
+    * quality signal: a document's word-3-gram shingles that also occur
+    * in ≥ [[BoilerMinDf]] documents corpus-wide are boilerplate
+    * (headers, footers, templated spans); their fraction of the doc's
+    * shingle set scores how templated the doc is. The plan never
+    * builds per-shingle postings arrays or pair expansions (the d01
+    * shapes this signal replaces at scale): one shingle-keyed COUNT
+    * gives df, the boiler shingle set semi-joins back against the
+    * exploded corpus, and per-doc counts are bounded by doc length.
+    * The boiler set grows with the corpus, so nothing is broadcast —
+    * AQE decides (the d02 rule). Oracle-checked. */
+  private val BoilerMinDf = 3
+  def t18Boilerplate(spark: SparkSession, dir: String): DataFrame = {
+    // shingle arrays cached: read by the sizes branch and (exploded) by
+    // the df and join-back branches; output-sized (one array per doc)
+    val sh = Dedup.shinglesOf(Tables.documents(spark, dir))
+      .filter(size(col("s")) >= 1).cache()
+    val sizes = sh.select(col("doc_id"), size(col("s")).cast("long").as("n_shingles"))
+    val inv = sh.select(col("doc_id"), explode(col("s")).as("shingle"))
+    val boiler = inv.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= BoilerMinDf).select("shingle")
+    val counts = inv.join(boiler, "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+    sizes.join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        Det.dround(coalesce(col("n_boiler"), lit(0L)).cast("double") / col("n_shingles"), 4)
+          .as("boiler_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_distribution" -> t01LangDistribution _,
     "t02_token_counts"      -> t02TokenCounts _,
@@ -343,6 +374,7 @@ object TextOps {
     "t15_quality_filter"    -> t15QualityFilter _,
     "t16_mixture_sample"    -> t16MixtureSample _,
     "t17_pii_redaction"     -> t17PiiRedaction _,
+    "t18_boilerplate"       -> t18Boilerplate _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -510,5 +542,18 @@ object TextOps {
           CAST(sum(n_ip) AS BIGINT) AS n_ips,
           CAST(sum(n_residual) AS BIGINT) AS n_residual
          FROM r GROUP BY source ORDER BY source""",
+    "t18_boilerplate" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+          sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) s
+                 FROM toks WHERE len(t) >= 3),
+          ex AS (SELECT doc_id, unnest(s) shingle FROM sh),
+          boiler AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) >= 3),
+          bc AS (SELECT doc_id, count(*) n_boiler
+                 FROM ex JOIN boiler USING (shingle) GROUP BY 1)
+         SELECT sh.doc_id, CAST(len(sh.s) AS BIGINT) AS n_shingles,
+          CAST(coalesce(bc.n_boiler, 0) AS BIGINT) AS n_boiler,
+          floor((CAST(coalesce(bc.n_boiler, 0) AS DOUBLE) / len(sh.s)) * 10000.0 + 0.5) / 10000.0 AS boiler_frac
+         FROM sh LEFT JOIN bc ON sh.doc_id = bc.doc_id ORDER BY sh.doc_id""",
   )
 }
