@@ -360,6 +360,42 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Cross-source overlap matrix — pairwise shingle Jaccard between
+    * provenance sources, the curation signal for "which corpora copy
+    * from each other" (and the source-granular version of t14's
+    * train/holdout decontamination). `source` is a bounded corpus
+    * label (like event_type), NOT an open web-domain space: per-shingle
+    * source postings are capped by the label cardinality, so the lazy
+    * i<j slice expands at most |sources|²/2 pairs per shingle and the
+    * output is |sources|²-bounded however large the corpus grows. Two
+    * shuffles: the (source, shingle) distinct and the shingle-keyed
+    * postings agg; the final pair count is label-bounded. Nothing
+    * broadcast on the postings path. Oracle-checked. */
+  def t19SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.WordShingles.word_shingles
+    // distinct (source, shingle) incidence, cached: read by the
+    // per-source sizes and by the postings branch
+    val inv = Tables.documents(spark, dir)
+      .select(col("source"), explode(word_shingles(col("text"))).as("shingle"))
+      .distinct().cache()
+    val sizes = inv.groupBy("source").agg(count(lit(1)).as("n"))
+    val postings = inv.groupBy("shingle")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+    val pairs = postings
+      .select(col("srcs"), posexplode(col("srcs")).as(Seq("idx", "a")))
+      .select(col("a"), explode(slice(col("srcs"), col("idx") + lit(2), size(col("srcs")))).as("b"))
+      .groupBy(col("a").as("src_a"), col("b").as("src_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared"),
+        Det.dround(col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")), 4)
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_distribution" -> t01LangDistribution _,
     "t02_token_counts"      -> t02TokenCounts _,
@@ -375,6 +411,7 @@ object TextOps {
     "t16_mixture_sample"    -> t16MixtureSample _,
     "t17_pii_redaction"     -> t17PiiRedaction _,
     "t18_boilerplate"       -> t18Boilerplate _,
+    "t19_source_overlap"    -> t19SourceOverlap _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -555,5 +592,21 @@ object TextOps {
           CAST(coalesce(bc.n_boiler, 0) AS BIGINT) AS n_boiler,
           floor((CAST(coalesce(bc.n_boiler, 0) AS DOUBLE) / len(sh.s)) * 10000.0 + 0.5) / 10000.0 AS boiler_frac
          FROM sh LEFT JOIN bc ON sh.doc_id = bc.doc_id ORDER BY sh.doc_id""",
+    "t19_source_overlap" ->
+      """WITH toks AS (SELECT source, doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+          sh AS (SELECT source, doc_id, unnest(list_distinct(list_transform(range(1, len(t)-1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) shingle
+                 FROM toks WHERE len(t) >= 3),
+          inv AS (SELECT DISTINCT source, shingle FROM sh),
+          sizes AS (SELECT source, count(*) n FROM inv GROUP BY 1),
+          pairs AS (SELECT a.source src_a, b.source src_b, count(*) shared
+                    FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.source < b.source
+                    GROUP BY 1, 2)
+         SELECT src_a, src_b, CAST(shared AS BIGINT) AS shared,
+          floor((CAST(shared AS DOUBLE) / (sa.n + sb.n - shared)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+         FROM pairs
+         JOIN sizes sa ON src_a = sa.source
+         JOIN sizes sb ON src_b = sb.source
+         ORDER BY src_a, src_b""",
   )
 }
