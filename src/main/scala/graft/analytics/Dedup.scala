@@ -119,6 +119,18 @@ object Dedup {
       .filter(col("jaccard") >= 0.2)
       .orderBy("i", "j")
 
+  /** LSH band array for a 64-slot MinHash signature: one
+    * (band, bandhash) struct per band, the band hash an xxhash64 over
+    * that band's RowsPerBand signature slots — built inline as an
+    * expression (explode child, so no generate-filter inference).
+    * Shared by the batch pair generation and the streaming near-dup
+    * monitor (st07). */
+  private[analytics] def bandStructs(sig: Column): Column =
+    array((0 until NumBands).map { b =>
+      val slots = (0 until RowsPerBand).map(r => element_at(sig, b * RowsPerBand + r + 1))
+      struct(lit(b).as("band"), xxhash64(slots: _*).as("bh"))
+    }: _*)
+
   /** MinHash+LSH near-dup pairs over an arbitrary shingled corpus
     * (doc_id, s) — unfiltered/unordered core; callers apply their own
     * jaccard threshold. */
@@ -136,15 +148,8 @@ object Dedup {
     val sigs = sh.select(col("doc_id"), minhash64(col("s")).as("sig"))
       .filter(col("sig").isNotNull) // sub-3-token docs (see MinHash64)
       .cache()
-    // LSH: band hash over each group of RowsPerBand signature slots;
-    // the band array is built inline in the explode (expression child,
-    // so no generate-filter inference)
-    val bandCols = (0 until NumBands).map { b =>
-      val slots = (0 until RowsPerBand).map(r => element_at(col("sig"), b * RowsPerBand + r + 1))
-      struct(lit(b).as("band"), xxhash64(slots: _*).as("bh"))
-    }
     val buckets = sigs
-      .select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), explode(bandStructs(col("sig"))).as("bb"))
       .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     // candidate pairs: same (band, bandhash) bucket; dedup across bands.
     // Cached: output-sized (candidate pairs only, not corpus-sized);

@@ -70,6 +70,50 @@ object StreamingQueries {
     } finally db.close()
   }
 
+  /** Streaming near-duplicate monitor: MinHash-band collision state
+    * over an arriving document stream — the in-flight version of d02's
+    * candidate generation, detecting near-dup clusters as the crawl
+    * lands instead of in a nightly batch. Per document the stream
+    * computes the 64-slot MinHash signature and its 16 LSH band hashes
+    * (narrow per-row expressions, no corpus joins), then keeps ONE
+    * streaming aggregation keyed by (band, bandhash): bucket count +
+    * smallest doc_id. Count and min are commutative, so the state —
+    * and the gate output — is identical under any microbatch slicing
+    * or arrival order (StreamingSpec pins trickle == one-shot ==
+    * batch). The final per-band rollup of hot (≥ 2-doc) buckets runs
+    * as a batch step over the dedup-state snapshot. Rows-only gate
+    * (xxhash64/minhash are not SQL-expressible); the batch-parity spec
+    * is the semantic check. */
+  def st07StreamNeardup(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st07_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val buckets = EventStream.runToCompletion(spark,
+      nearDupBuckets(_, dir, None), name)
+    hotBucketRollup(buckets)
+  }
+
+  /** The streaming frame: (band, bh) bucket occupancy over the
+    * document stream. Public pieces so the spec drives the same plan
+    * through trickled multi-file sources. */
+  private[analytics] def nearDupBuckets(spark: SparkSession, dir: String,
+                                        maxFilesPerTrigger: Option[Int]): DataFrame = {
+    import graft.functions.MinHash64.minhash64
+    import graft.functions.WordShingles.word_shingles
+    EventStream.readDocumentsStream(spark, dir, maxFilesPerTrigger)
+      .select(col("doc_id"), minhash64(word_shingles(col("text"))).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), explode(Dedup.bandStructs(col("sig"))).as("bb"))
+      .groupBy(col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+  }
+
+  private[analytics] def hotBucketRollup(buckets: DataFrame): DataFrame =
+    buckets.filter(col("n_docs") >= 2)
+      .groupBy(col("band").cast("long").as("band"))
+      .agg(count(lit(1)).as("n_hot_buckets"),
+           sum("n_docs").as("n_docs_in_hot"),
+           min("first_doc").as("first_doc"))
+      .orderBy("band")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_daily" -> st01StreamDaily _,
     "st02_sessions"     -> st02Sessions _,
@@ -77,6 +121,7 @@ object StreamingQueries {
     "st04_stream_join"  -> st04StreamJoin _,
     "st05_stream_enrich" -> st05StreamEnrich _,
     "st06_stream_ingest" -> st06StreamIngest _,
+    "st07_stream_neardup" -> st07StreamNeardup _,
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -46,6 +46,25 @@ object EventStream {
     stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** documents schema for the file-source stream (an arriving-crawl
+    * analogue of the static table). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Stream the documents table through the file source — same
+    * two-layout handling (single fixture file vs production part-file
+    * directory) and rate-limit knob as [[readEvents]]. */
+  def readDocumentsStream(spark: SparkSession, dir: String,
+                          maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(documentsSchema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n.toString))
+    if (new java.io.File(s"$dir/documents.parquet").isDirectory)
+      r.parquet(s"$dir/documents.parquet")
+    else r.option("pathGlobFilter", "documents.parquet").parquet(dir)
+  }
+
   /** Event-time daily windowed aggregation with a 1-day watermark.
     * Complete output mode so a bounded drive emits every window —
     * making the result comparable with the batch oracle. */
