@@ -491,19 +491,55 @@ object Similarity {
   /** User-facing k-NN graph over an arbitrary (vec_id, embedding)
     * frame: top-`k` cosine neighbors for every vector, as
     * (vec_id, rnk, neighbor_id, cos_sim). `method`: `"brute"` (exact
-    * O(N²) baseline) or `"ivf"` (cell-bucketed — the 100 TB path). */
-  def knnGraph(corpus: DataFrame, k: Int = 10, method: String = "ivf"): DataFrame = {
+    * O(N²) baseline) or `"ivf"` (cell-bucketed — the 100 TB path).
+    * `cells` is the IVF codebook size: per-cell pair work is
+    * (N/cells)², so a growing corpus must grow cells ~ √N to keep
+    * total work linear — the gate fixes 16 for the fixture;
+    * ScaleProbe demonstrates the √N sizing at 10×. */
+  def knnGraph(corpus: DataFrame, k: Int = 10, method: String = "ivf",
+               cells: Int = 16): DataFrame = {
     import graft.functions.VectorFunctions._
     val e = corpus.select(col("vec_id"), as_double_array(col("embedding")).as("v"))
       .withColumn("norm", array_norm(col("v")))
     method match {
       case "brute" => knnGraphExact(e, k)
       case "ivf" =>
-        val (assigned, centroids, _) = ivfFitSampled(e)
+        val (assigned, centroids, _) = ivfFitSampled(e, k = cells)
         knnGraphIvf(assigned, centroids, k)
       case other => throw new IllegalArgumentException(
         s"unknown knnGraph method '$other' (brute | ivf)")
     }
+  }
+
+  /** Cluster balance + compactness stats over the fitted k-means
+    * cells — the health check every SemDeDup-style curation run does
+    * before trusting per-cluster dedup: per cell, member count, mean
+    * and minimum cosine to the assigned centroid. One narrow pass
+    * (the per-row centroid cosine is the same literal-array expression
+    * as the assignment itself — no join, no second scan) plus one
+    * 16-row aggregation. Rows-only gate (Lloyd isn't SQL-expressible);
+    * SimilaritySpec pins partition totality and determinism. */
+  def s07ClusterStats(spark: SparkSession, dir: String): DataFrame = {
+    val (assigned, centroids, _) =
+      ivfFitSampled(Dedup.normalizedVectors(spark, dir))
+    clusterStats(assigned, centroids).orderBy("cell")
+  }
+
+  private[analytics] def clusterStats(assigned: DataFrame,
+                                      centroids: Array[(Int, Array[Double])]): DataFrame = {
+    val cnorms = typedLit(centroids.map { case (c, v) => c -> math.sqrt(ddot(v, v)) }.toMap)
+    // cosine to the assigned centroid: -ns of the winning struct is
+    // dot/|v|; divide by the centroid norm looked up from the 16-entry
+    // map literal. Rounded per row so every downstream aggregate is
+    // order-independent.
+    val sim = Det.dround(
+      (-array_min(cellScores(centroids, col("v"), col("norm"))).getField("ns")) /
+        element_at(cnorms, col("cell")), 4)
+    assigned.select(col("cell").cast("long").as("cell"), sim.as("sim"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+           Det.avgDec9R(col("sim"), 4).as("avg_sim"),
+           min(col("sim")).as("min_sim"))
   }
 
   /** User-facing ANN search over arbitrary frames: corpus
@@ -550,6 +586,7 @@ object Similarity {
     "s04_ann_ivfpq"      -> s04IvfPqTopK _,
     "s05_knn_graph"      -> s05KnnGraph _,
     "s06_knn_graph_ivf"  -> s06KnnGraphIvf _,
+    "s07_cluster_stats"  -> s07ClusterStats _,
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -84,9 +84,12 @@ object ScaleProbe {
       "d05_winnow_pairs", "d06_dup_clusters", "d07_embedding_lsh_pairs",
       "t07_ngram_langid", "p01_curation_pipeline", "t11_bpe_tokens", "t12_repetition",
       "t13_tfidf", "t14_decontamination", "t15_quality_filter", "t16_mixture_sample",
-      "t17_pii_redaction", "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq",
+      "t17_pii_redaction", "t18_boilerplate", "t19_source_overlap",
+      "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq",
       "st02_sessions", "st05_stream_enrich", "st06_stream_ingest",
-      "q24_salted_agg", "q26_pivot", "q27_gapfill", "m04_image_dups")
+      "st07_stream_neardup",
+      "q24_salted_agg", "q26_pivot", "q27_gapfill", "q28_range_join",
+      "m04_image_dups")
     def time(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, dir).count()
@@ -105,6 +108,30 @@ object ScaleProbe {
       val (t1, n1) = time(name, sfDir)
       val (tb, nb) = time(name, big)
       println(f"[scale] $name%-26s $t1%8.2f $tb%8.2f ${tb / t1}%6.1f  $n1 -> $nb")
+    }
+
+    // k-NN graph IVF tier, probed through the API with the cell count
+    // sized ~√N as the operator's contract requires (the s06 gate
+    // fixes cells=16 for the fixture; holding 16 while the corpus
+    // grows REP× would make per-cell pair work grow REP² — the point
+    // of the knob, not a defect of the plan). Replica vectors are
+    // byte-identical, so the big graph is dominated by exact-dup
+    // neighbors — the SemDeDup worst case.
+    {
+      import graft.analytics.Similarity
+      def knnTime(dir: String, cells: Int): (Double, Long) = {
+        val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val t0 = System.nanoTime()
+        val n = Similarity.knnGraph(corpus, k = 5, method = "ivf", cells = cells).count()
+        spark.catalog.clearCache()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      knnTime("/root/testdata/sf0.001", 16) // untimed warmup
+      val (t1, n1) = knnTime(sfDir, 16)
+      val cellsBig = math.max(16, (16 * math.sqrt(rep)).round.toInt)
+      val (tb, nb) = knnTime(big, cellsBig)
+      println(f"[scale] knn_graph_ivf(cells 16->$cellsBig) $t1%8.2f $tb%8.2f ${tb / t1}%6.1f  $n1 -> $nb")
     }
     }
 

@@ -140,6 +140,20 @@ class PlanSpec extends AnyFunSuite {
       s"documents scan reads untouched columns:\n$plan")
   }
 
+  test("q28 range join is an equi join on the bucket key, never a nested loop") {
+    val plan = RangeJoin.q28RangeJoin(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the whole point of the operator: the interval predicate must ride
+    // an equi join keyed on (user_id, __bucket) — a BroadcastNestedLoop
+    // (or an equi join on user_id alone) would re-create the per-key
+    // cross product the bucketing exists to prevent
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to a nested loop:\n$plan")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[user_id[^\\]]*__bucket".r
+      .findFirstIn(plan).isDefined,
+      s"range join is not keyed on (user_id, __bucket):\n$plan")
+  }
+
   test("d07/t16 broadcast hints are all cardinality-bounded (never a raw corpus scan)") {
     // hyperplane literals (d07) and per-lang aggregates (t16) may be
     // hinted; a hint directly on a parquet relation would be a

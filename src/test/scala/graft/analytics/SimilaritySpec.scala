@@ -78,6 +78,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF k-NN graph recall too low: $recall")
   }
 
+  test("cluster stats cover the whole corpus deterministically") {
+    val n = Tables.embeddings(spark, dir).count()
+    val a = Similarity.s07ClusterStats(spark, dir).collect()
+    spark.catalog.clearCache()
+    val b = Similarity.s07ClusterStats(spark, dir).collect()
+    spark.catalog.clearCache()
+    assert(a.toSeq.map(_.toSeq) == b.toSeq.map(_.toSeq), "cluster stats nondeterministic")
+    assert(a.map(_.getAs[Long]("n_vecs")).sum == n, "cells must partition the corpus")
+    a.foreach { r =>
+      val avg = r.getAs[Double]("avg_sim"); val mn = r.getAs[Double]("min_sim")
+      assert(avg >= mn && avg <= 1.0001 && mn >= -1.0001,
+        s"cell ${r.getAs[Long]("cell")}: implausible sims avg=$avg min=$mn")
+    }
+  }
+
   test("knnGraph facade reproduces both gate tiers") {
     val corpus = Tables.embeddings(spark, dir)
       .select(org.apache.spark.sql.functions.col("vec_id"),
