@@ -470,6 +470,72 @@ object Dedup {
       .select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_size"))
       .orderBy("vec_id")
 
+  /** Gram length for [[d09ExactSubstr]] — the "minimum duplicated
+    * substring worth removing" threshold (Lee et al. use 50 BPE
+    * tokens; 40 chars plays that role on this fixture's ~300-char
+    * docs). */
+  private[analytics] val SubstrGramLen = 40
+
+  /** Exact duplicated-substring spans — the ExactSubstr dedup of
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al., 2022), re-expressed as relational passes instead of
+    * a suffix array: every length-40 character gram is keyed globally;
+    * an occurrence is DUPLICATED unless it is the corpus-wide first
+    * (smallest (doc_id, pos), the suffix-array keep-first policy);
+    * per document, duplicated gram intervals [pos, pos+40) merge into
+    * maximal spans (gaps-and-islands), so overlapping grams of one
+    * long repeated passage count its characters once. Output per
+    * affected document: span count, duplicated chars, duplicated
+    * fraction of the text.
+    *
+    * Scale shape: the gram table is ~len(text) rows per document; the
+    * keep-first marking is a partial-aggregating groupBy on the gram
+    * (min(k), count — map-side combined, so a boilerplate gram that
+    * appears a billion times still ships one (min, count) pair per
+    * partition) followed by an equi join back, which AQE skew-splits
+    * if a hot gram dominates — deliberately NOT a per-gram window,
+    * whose single partition per gram cannot be split. Span merging is
+    * windowed per doc_id, bounded by document length. At 100 TB the
+    * gram key would be the 8-byte xxhash64 of the gram rather than the
+    * 40-byte string (cf. `MinHash64`); the gate keys on the string so
+    * DuckDB reproduces it exactly. */
+  def d09ExactSubstr(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = SubstrGramLen
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .filter(col("len") >= L)
+    // k: global occurrence order in one comparable long (pos < 1e9)
+    val grams = docs.select(
+      col("doc_id"), col("len"),
+      explode(sequence(lit(1), col("len") - (L - 1))).as("pos"),
+      col("text"))
+      .select(col("doc_id"), col("len"), col("pos"),
+        col("text").substr(col("pos"), lit(L)).as("gram"),
+        (col("doc_id") * lit(1000000000L) + col("pos")).as("k"))
+    val firsts = grams.groupBy("gram")
+      .agg(min(col("k")).as("first_k"), count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+    val dup = grams.join(firsts, "gram")
+      .filter(col("k") =!= col("first_k"))
+      .select(col("doc_id"), col("len"), col("pos"), (col("pos") + L).as("e"))
+    val w = Window.partitionBy("doc_id").orderBy("pos", "e")
+    val pmax = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = dup
+      .withColumn("new_span", when(pmax.isNull || col("pos") > pmax, 1).otherwise(0))
+      .withColumn("island", sum(col("new_span")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("len"), col("island"))
+      .agg(min("pos").as("s"), max("e").as("e"))
+    spans.groupBy("doc_id", "len")
+      .agg(count(lit(1)).as("n_dup_spans"),
+           sum(col("e") - col("s")).as("dc"))
+      .select(col("doc_id"), col("n_dup_spans"),
+        col("dc").cast("bigint").as("dup_chars"),
+        Det.dround(col("dc").cast("double") / col("len"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_ngram_jaccard_pairs" -> d01NgramJaccardPairs _,
     "d02_minhash_pairs"       -> d02MinHashPairs _,
@@ -479,6 +545,7 @@ object Dedup {
     "d06_dup_clusters"        -> d06DupClusters _,
     "d07_embedding_lsh_pairs" -> d07EmbeddingLshPairs _,
     "d08_embedding_clusters"  -> d08EmbeddingDupClusters _,
+    "d09_exact_substr"        -> d09ExactSubstr _,
   )
 
   /** d02/d03 use Spark xxhash64 and d05 a u64 rolling hash — not
@@ -549,5 +616,27 @@ object Dedup {
          SELECT cc.node AS vec_id, cc.cluster_id, s.n AS cluster_size
          FROM cc JOIN (SELECT cluster_id, count(*) n FROM cc GROUP BY 1) s USING (cluster_id)
          ORDER BY vec_id""",
+    "d09_exact_substr" ->
+      """WITH docs AS (SELECT doc_id, text, strlen(text) len FROM documents WHERE strlen(text) >= 40),
+          g AS (SELECT doc_id, len, unnest(generate_series(1, len-39)) pos, text FROM docs),
+          gr AS (SELECT doc_id, len, pos, substr(text, pos, 40) gram,
+                  doc_id*1000000000 + pos AS k FROM g),
+          agg AS (SELECT gram, min(k) first_k, count(*) c FROM gr GROUP BY gram),
+          dup AS (SELECT gr.doc_id, gr.len, gr.pos, gr.pos + 40 AS e
+                  FROM gr JOIN agg USING (gram) WHERE agg.c > 1 AND gr.k <> agg.first_k),
+          w AS (SELECT doc_id, len, pos, e,
+                 max(e) OVER (PARTITION BY doc_id ORDER BY pos, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) pmax
+                FROM dup),
+          isl AS (SELECT doc_id, len, pos, e,
+                   sum(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY doc_id ORDER BY pos, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) island
+                  FROM w),
+          sp AS (SELECT doc_id, len, island, min(pos) s, max(e) e FROM isl GROUP BY 1, 2, 3)
+         SELECT doc_id, count(*) AS n_dup_spans,
+          CAST(sum(e - s) AS BIGINT) AS dup_chars,
+          floor((CAST(sum(e - s) AS DOUBLE) / len) * 10000.0 + 0.5) / 10000.0 AS dup_frac
+         FROM sp GROUP BY doc_id, len ORDER BY doc_id""",
   )
 }

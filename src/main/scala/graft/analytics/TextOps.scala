@@ -396,6 +396,83 @@ object TextOps {
       .orderBy("src_a", "src_b")
   }
 
+  /** Bloom-filtered decontamination — the 100 TB tier of [[t14Decontamination]].
+    * t14's probe side (the benchmark's distinct shingles) is fixed-size
+    * in production, but its LEFT SEMI join still shuffles every train
+    * shingle occurrence when the probe side outgrows the broadcast
+    * threshold. This tier builds a Bloom filter over the benchmark
+    * shingles (distributed `stat.bloomFilter` aggregation — the sketch
+    * is mergeable, so the build is one treeAggregate, never a collect
+    * of the shingles themselves), ships it to every task inside a
+    * [[graft.functions.BloomMightContain]] expression (a few MB for
+    * millions of entries at 1% FP), and pre-filters the corpus scan so
+    * only probable hits reach the exact semi join that removes the
+    * false positives. The corpus-side shuffle shrinks from "every
+    * shingle occurrence" to "true hits + 1% FP" — on a mostly-clean
+    * 100 TB corpus, effectively nothing. Output is IDENTICAL to t14
+    * (the exact join makes the Bloom stage invisible to correctness —
+    * false negatives are impossible), so it shares t14's oracle and
+    * the gate proves the equivalence at every SF. */
+  def t20BloomDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.WordShingles.word_shingles
+    import graft.functions.BloomMightContain.bloom_might_contain
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), word_shingles(col("text")).as("s"))
+    val evalSh = sh.filter(col("source") === "src0")
+      .select(explode(col("s")).as("shingle")).distinct()
+    val bloom = evalSh.stat.bloomFilter("shingle",
+      math.max(evalSh.count(), 1L), 0.01)
+    val train = sh.filter(col("source") =!= "src0")
+      .select(col("doc_id"), explode(transform(col("s"), x =>
+        struct(x.as("shingle"), size(col("s")).cast("long").as("n_sh")))).as("e"))
+      .select(col("doc_id"), col("e.shingle").as("shingle"), col("e.n_sh").as("n_shingles"))
+      .filter(bloom_might_contain(col("shingle"),
+        graft.functions.BloomMightContain.serialize(bloom)))
+    train.join(evalSh, Seq("shingle"), "left_semi")
+      .groupBy("doc_id", "n_shingles")
+      .agg(count(lit(1)).as("n_contaminated"))
+      .select(col("doc_id"), col("n_shingles"), col("n_contaminated"),
+        Det.dround(col("n_contaminated").cast("double") / col("n_shingles"), 4).as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  /** Character-trigram language-model perplexity — the CCNet-style
+    * quality signal: fit a trigram LM on the corpus itself (one
+    * groupBy over per-doc trigram counts), then score each document's
+    * mean negative log-likelihood and perplexity under it. Repetitive
+    * / boilerplate text scores LOW perplexity, rare-charset garbage
+    * scores HIGH — both tails are what a curation run cuts.
+    *
+    * Scale shape: per-doc trigram counts first (the shuffle carries
+    * (doc, tri, count), never per-occurrence rows), then the global
+    * count table — bounded by the charset³ vocabulary, not the corpus
+    * — joins back; AQE broadcasts it when it fits. The corpus total is
+    * the only driver scalar. Determinism: per-term contributions are
+    * rounded then decimal-summed (Det), so scores are independent of
+    * partitioning and merge order; the same ln-then-floor-round shape
+    * as t13's idf is already proven cross-engine. */
+  def t21LmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      .filter(col("len") >= 3)
+    val tf = docs
+      .select(col("doc_id"), explode(sequence(lit(1), col("len") - 2)).as("i"), col("text"))
+      .select(col("doc_id"), col("text").substr(col("i"), lit(3)).as("tri"))
+      .groupBy("doc_id", "tri").agg(count(lit(1)).as("tf"))
+    val global = tf.groupBy("tri").agg(sum(col("tf")).as("cnt"))
+    val total = global.agg(sum(col("cnt"))).first().getLong(0).toDouble
+    val scored = tf.join(global, "tri")
+      .select(col("doc_id"), col("tf"),
+        Det.dround(col("tf") * log(lit(total) / col("cnt")), 6).as("contrib"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tri"), Det.sumDec(col("contrib")).as("s"))
+    scored
+      .select(col("doc_id"), col("n_tri"),
+        Det.dround(col("s") / col("n_tri"), 4).as("avg_nll"))
+      .withColumn("ppl", Det.dround(exp(col("avg_nll")), 2))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_distribution" -> t01LangDistribution _,
     "t02_token_counts"      -> t02TokenCounts _,
@@ -412,9 +489,28 @@ object TextOps {
     "t17_pii_redaction"     -> t17PiiRedaction _,
     "t18_boilerplate"       -> t18Boilerplate _,
     "t19_source_overlap"    -> t19SourceOverlap _,
+    "t20_bloom_decontam"    -> t20BloomDecontam _,
+    "t21_lm_perplexity"     -> t21LmPerplexity _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+
+  /** Shared by t14 (exact semi join) and t20 (Bloom-pre-filtered) —
+    * the Bloom stage is correctness-invisible, so both gates hash
+    * against the same oracle. */
+  private val DecontamSql =
+    """WITH toks AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') t FROM documents),
+        sh AS (SELECT doc_id, source, list_distinct(list_transform(range(1, len(t)-1),
+                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) s
+               FROM toks WHERE len(t) >= 3),
+        ev AS (SELECT DISTINCT unnest(s) shingle FROM sh WHERE source = 'src0'),
+        tr AS (SELECT doc_id, CAST(len(s) AS BIGINT) n_shingles, unnest(s) shingle
+               FROM sh WHERE source <> 'src0'),
+        hit AS (SELECT doc_id, n_shingles, count(*) n_contaminated
+                FROM tr WHERE shingle IN (SELECT shingle FROM ev) GROUP BY 1, 2)
+       SELECT doc_id, n_shingles, n_contaminated,
+         floor((CAST(n_contaminated AS DOUBLE) / n_shingles) * 10000.0 + 0.5) / 10000.0 AS contamination
+       FROM hit ORDER BY doc_id"""
 
   val oracleSql: Map[String, String] = Map(
     "t01_lang_distribution" ->
@@ -498,19 +594,27 @@ object TextOps {
                 FROM sc)
          SELECT doc_id, rank, term, tf, df, tfidf
          FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
-    "t14_decontamination" ->
-      """WITH toks AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') t FROM documents),
-          sh AS (SELECT doc_id, source, list_distinct(list_transform(range(1, len(t)-1),
-                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) s
-                 FROM toks WHERE len(t) >= 3),
-          ev AS (SELECT DISTINCT unnest(s) shingle FROM sh WHERE source = 'src0'),
-          tr AS (SELECT doc_id, CAST(len(s) AS BIGINT) n_shingles, unnest(s) shingle
-                 FROM sh WHERE source <> 'src0'),
-          hit AS (SELECT doc_id, n_shingles, count(*) n_contaminated
-                  FROM tr WHERE shingle IN (SELECT shingle FROM ev) GROUP BY 1, 2)
-         SELECT doc_id, n_shingles, n_contaminated,
-           floor((CAST(n_contaminated AS DOUBLE) / n_shingles) * 10000.0 + 0.5) / 10000.0 AS contamination
-         FROM hit ORDER BY doc_id""",
+    "t14_decontamination" -> DecontamSql,
+    // t20 is t14's Bloom-pre-filtered scale tier; the exact semi join
+    // on the survivors removes every Bloom false positive, so the two
+    // share one oracle — the gate proves output identity at every SF.
+    "t20_bloom_decontam" -> DecontamSql,
+    "t21_lm_perplexity" ->
+      """WITH docs AS (SELECT doc_id, text, strlen(text) len FROM documents WHERE strlen(text) >= 3),
+          g AS (SELECT doc_id, unnest(generate_series(1, len-2)) i, text FROM docs),
+          tf AS (SELECT doc_id, substr(text, i, 3) tri, count(*) tf FROM g GROUP BY 1, 2),
+          gl AS (SELECT tri, sum(tf) cnt FROM tf GROUP BY tri),
+          tot AS (SELECT CAST(sum(cnt) AS DOUBLE) n FROM gl),
+          sc AS (SELECT doc_id, tf.tf,
+                  floor((tf.tf * ln((SELECT n FROM tot) / cnt)) * 1000000.0 + 0.5) / 1000000.0 contrib
+                 FROM tf JOIN gl USING (tri)),
+          per AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) n_tri,
+                   CAST(sum(CAST((contrib) AS DECIMAL(18,6))) AS DOUBLE) s
+                  FROM sc GROUP BY doc_id)
+         SELECT doc_id, n_tri,
+          floor((s / n_tri) * 10000.0 + 0.5) / 10000.0 AS avg_nll,
+          floor(exp(floor((s / n_tri) * 10000.0 + 0.5) / 10000.0) * 100.0 + 0.5) / 100.0 AS ppl
+         FROM per ORDER BY doc_id""",
     "t15_quality_filter" ->
       s"""WITH d AS (SELECT source, string_split_regex(trim(text), '\\s+') t FROM documents),
           m AS (SELECT source,

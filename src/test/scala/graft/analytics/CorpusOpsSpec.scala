@@ -223,6 +223,84 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("d09: planted passage copies are flagged, keep-first spares the earliest") {
+    import spark.implicits._
+    // flanks use per-doc disjoint alphabets so no gram straddling a
+    // passage boundary can collide across docs (a same-flank-char +
+    // passage-prefix gram IS a real 40-char duplicate, and random
+    // flanks hit that 1/26 coincidence)
+    val rnd = new scala.util.Random(47)
+    def prose(chars: Int, lo: Char, hi: Char) =
+      Seq.fill(chars)((lo + rnd.nextInt(hi - lo + 1)).toChar).mkString
+    val passage = prose(60, 'A', 'Z')
+    val docs = Seq(
+      (1L, prose(50, 'a', 'f') + passage + prose(50, 'a', 'f'), "en", "src0", 0L),  // global first
+      (2L, prose(80, 'g', 'm') + passage + prose(30, 'g', 'm'), "en", "src1", 0L),  // one copy
+      (3L, passage + prose(45, 'n', 't') + passage, "en", "src1", 0L),              // two copies, split spans
+      (4L, prose(200, 'u', 'z'), "en", "src1", 0L)                                  // untouched
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-d09").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = Dedup.d09ExactSubstr(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // doc 1 holds every passage gram's global first occurrence → absent;
+    // doc 4 shares nothing → absent
+    assert(got.keySet == Set(2L, 3L), s"flagged docs: ${got.keySet}")
+    // a 60-char copy = 21 overlapping 40-grams merging to one 60-char span
+    assert(got(2L) == ((1L, 60L)), s"doc 2 spans: ${got(2L)}")
+    // two copies 45 apart stay two spans (45 > 0 gap between [0,60) and [105,165))
+    assert(got(3L) == ((2L, 120L)), s"doc 3 spans: ${got(3L)}")
+  }
+
+  test("t20 output is byte-identical to t14 — the Bloom stage is correctness-invisible") {
+    val a = TextOps.t14Decontamination(spark, dir).collect().map(_.toSeq)
+    val b = TextOps.t20BloomDecontam(spark, dir).collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq, "bloom-tier decontamination diverges from the exact tier")
+  }
+
+  test("bloom_might_contain: no false negatives against a stat.bloomFilter build") {
+    import spark.implicits._
+    import graft.functions.BloomMightContain
+    val words = (0 until 5000).map(i => s"shingle token number $i")
+    val df = words.toDF("w")
+    val bytes = BloomMightContain.serialize(df.stat.bloomFilter("w", 5000L, 0.01))
+    val kept = df.filter(BloomMightContain.bloom_might_contain(col("w"), bytes)).count()
+    assert(kept == 5000L, s"bloom dropped ${5000 - kept} true members")
+    // false-positive rate on disjoint probes stays near the configured 1%
+    val fp = (0 until 5000).map(i => s"absent probe value $i").toDF("w")
+      .filter(BloomMightContain.bloom_might_contain(col("w"), bytes)).count()
+    assert(fp < 250, s"implausible false-positive count: $fp")
+  }
+
+  test("t21: repetitive text scores lower perplexity than diverse text") {
+    val got = TextOps.t21LmPerplexity(spark, dir).collect()
+    assert(got.length == Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 3).count().toInt)
+    got.foreach { r =>
+      val nll = r.getDouble(2); val ppl = r.getDouble(3)
+      assert(nll > 0 && ppl > 1, s"doc ${r.getLong(0)}: nll=$nll ppl=$ppl")
+      // ppl is exp(avg_nll) of the already-rounded nll, re-rounded
+      assert(math.abs(ppl - math.floor(math.exp(nll) * 100 + 0.5) / 100) < 1e-9)
+    }
+    // planted ordering: under a fit over both docs, text built from a
+    // handful of repeating trigrams scores far lower nll than text
+    // whose trigrams are mostly singletons
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val repetitive = "abc" * 100
+    val diverse = Seq.fill(300)(('a' + rnd.nextInt(26)).toChar).mkString
+    val planted = Seq(
+      (1L, repetitive, "en", "src0", 0L),
+      (2L, diverse, "en", "src0", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-t21").toString
+    planted.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val p = TextOps.t21LmPerplexity(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(p(1L) < p(2L) / 2,
+      s"repetitive text must score far lower nll: $p")
+  }
+
   test("t14: only train docs sharing benchmark shingles are flagged") {
     import spark.implicits._
     val passage = "the quick brown fox jumps over the lazy dog today"

@@ -154,6 +154,37 @@ class PlanSpec extends AnyFunSuite {
       s"range join is not keyed on (user_id, __bucket):\n$plan")
   }
 
+  test("d09 keep-first marking is a partial-aggregating equi join on the gram, never a window") {
+    val plan = Dedup.d09ExactSubstr(spark, dir).queryExecution.executedPlan.toString
+    // the gram-keyed min/count must map-side combine (a hot boilerplate
+    // gram ships one partial per partition, not its occurrence list) …
+    assert(plan.contains("partial_min"),
+      s"keep-first aggregation is not partial: \n$plan")
+    // … and the mark-back must be an equi join on the gram so AQE can
+    // skew-split it — a per-gram Window would pin each gram to one
+    // unsplittable partition
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"d09 fell back to a nested loop:\n$plan")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[gram".r
+      .findFirstIn(plan).isDefined,
+      s"keep-first mark-back is not an equi join on gram:\n$plan")
+    // the only Windows are the per-document island merges
+    assert(!"Window \\[[^\\]]*partitionby=\\[gram".r.findFirstIn(plan.toLowerCase).isDefined,
+      s"a window partitions by gram:\n$plan")
+  }
+
+  test("t20 probes the Bloom filter below the exact semi join") {
+    val plan = TextOps.t20BloomDecontam(spark, dir).queryExecution.executedPlan.toString
+    val bloomAt = plan.indexOf("bloom_might_contain")
+    val joinAt = plan.indexOf("LeftSemi")
+    assert(bloomAt >= 0, s"no bloom probe in plan:\n$plan")
+    assert(joinAt >= 0, s"no exact semi join in plan:\n$plan")
+    // executedPlan prints top-down: the filter must sit BELOW (after)
+    // the join so only probable hits are shuffled into it
+    assert(bloomAt > joinAt,
+      s"bloom probe is not below the semi join:\n$plan")
+  }
+
   test("d07/t16 broadcast hints are all cardinality-bounded (never a raw corpus scan)") {
     // hyperplane literals (d07) and per-lang aggregates (t16) may be
     // hinted; a hint directly on a parquet relation would be a
