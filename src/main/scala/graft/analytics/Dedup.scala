@@ -488,19 +488,23 @@ object Dedup {
     * affected document: span count, duplicated chars, duplicated
     * fraction of the text.
     *
-    * Scale shape: the gram table is ~len(text) rows per document; the
-    * keep-first marking is a partial-aggregating groupBy on the gram
+    * Scale shape: the gram table is ~len(text) rows per document, and
+    * its key is the 8-byte rolling hash from [[graft.functions.GramHashes]]
+    * (one O(len) pass, no gram string ever materialized — grouping and
+    * joining on fixed-width longs instead of 40-byte strings is what
+    * keeps the hash-aggregate and shuffle k× smaller; a collision
+    * over-marks a span at birthday-in-2^64 odds, and the oracle's
+    * string-keyed recomputation attests none materializes). The
+    * keep-first marking is a partial-aggregating groupBy on that key
     * (min(k), count — map-side combined, so a boilerplate gram that
     * appears a billion times still ships one (min, count) pair per
     * partition) followed by an equi join back, which AQE skew-splits
     * if a hot gram dominates — deliberately NOT a per-gram window,
     * whose single partition per gram cannot be split. Span merging is
-    * windowed per doc_id, bounded by document length. At 100 TB the
-    * gram key would be the 8-byte xxhash64 of the gram rather than the
-    * 40-byte string (cf. `MinHash64`); the gate keys on the string so
-    * DuckDB reproduces it exactly. */
+    * windowed per doc_id, bounded by document length. */
   def d09ExactSubstr(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import graft.functions.GramHashes.gram_hashes
     val L = SubstrGramLen
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
@@ -508,11 +512,10 @@ object Dedup {
     // k: global occurrence order in one comparable long (pos < 1e9)
     val grams = docs.select(
       col("doc_id"), col("len"),
-      explode(sequence(lit(1), col("len") - (L - 1))).as("pos"),
-      col("text"))
-      .select(col("doc_id"), col("len"), col("pos"),
-        col("text").substr(col("pos"), lit(L)).as("gram"),
-        (col("doc_id") * lit(1000000000L) + col("pos")).as("k"))
+      posexplode(gram_hashes(col("text"), L)))
+      .select(col("doc_id"), col("len"), (col("pos") + 1).as("pos"),
+        col("col").as("gram"),
+        (col("doc_id") * lit(1000000000L) + col("pos") + 1).as("k"))
     val firsts = grams.groupBy("gram")
       .agg(min(col("k")).as("first_k"), count(lit(1)).as("c"))
       .filter(col("c") > 1)

@@ -443,24 +443,29 @@ object TextOps {
     * / boilerplate text scores LOW perplexity, rare-charset garbage
     * scores HIGH — both tails are what a curation run cuts.
     *
-    * Scale shape: per-doc trigram counts first (the shuffle carries
-    * (doc, tri, count), never per-occurrence rows), then the global
-    * count table — bounded by the charset³ vocabulary, not the corpus
-    * — joins back; AQE broadcasts it when it fits. The corpus total is
-    * the only driver scalar. Determinism: per-term contributions are
-    * rounded then decimal-summed (Det), so scores are independent of
-    * partitioning and merge order; the same ln-then-floor-round shape
-    * as t13's idf is already proven cross-engine. */
+    * Scale shape: per-doc trigram counts come pre-aggregated from
+    * [[graft.functions.TrigramCounts]] (one O(len) pass per document —
+    * no per-occurrence rows exist anywhere in the plan, and the only
+    * corpus-sized shuffle carries (doc, tri, count) distinct entries),
+    * then the global count table — bounded by the charset³ vocabulary,
+    * not the corpus — joins back; AQE broadcasts it when it fits. The
+    * corpus total is the only driver scalar, and it needs no trigram
+    * pass at all: every char position past the second contributes
+    * exactly one trigram, so total = Σ(len − 2) off the raw doc scan.
+    * Determinism: per-term contributions are rounded then
+    * decimal-summed (Det), so scores are independent of partitioning
+    * and merge order; the same ln-then-floor-round shape as t13's idf
+    * is already proven cross-engine. */
   def t21LmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TrigramCounts.trigram_counts
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
       .filter(col("len") >= 3)
     val tf = docs
-      .select(col("doc_id"), explode(sequence(lit(1), col("len") - 2)).as("i"), col("text"))
-      .select(col("doc_id"), col("text").substr(col("i"), lit(3)).as("tri"))
-      .groupBy("doc_id", "tri").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), explode(trigram_counts(col("text"))))
+      .toDF("doc_id", "tri", "tf")
     val global = tf.groupBy("tri").agg(sum(col("tf")).as("cnt"))
-    val total = global.agg(sum(col("cnt"))).first().getLong(0).toDouble
+    val total = docs.agg(sum(col("len") - 2)).first().getLong(0).toDouble
     val scored = tf.join(global, "tri")
       .select(col("doc_id"), col("tf"),
         Det.dround(col("tf") * log(lit(total) / col("cnt")), 6).as("contrib"))

@@ -173,6 +173,18 @@ class PlanSpec extends AnyFunSuite {
       s"a window partitions by gram:\n$plan")
   }
 
+  test("d09/t21 gram tables come from the single-pass expressions, never substr explosion") {
+    // d09 keys grams on gram_hashes' 8-byte rolling hash; t21 tf rows
+    // come pre-counted from trigram_counts — neither plan may
+    // materialize per-occurrence gram/trigram STRINGS via substring
+    val d09 = Dedup.d09ExactSubstr(spark, dir).queryExecution.executedPlan.toString
+    assert(d09.contains("gram_hashes"), s"d09 lost the rolling-hash expression:\n$d09")
+    assert(!d09.toLowerCase.contains("substring"), s"d09 materializes gram strings:\n$d09")
+    val t21 = TextOps.t21LmPerplexity(spark, dir).queryExecution.executedPlan.toString
+    assert(t21.contains("trigram_counts"), s"t21 lost the counts expression:\n$t21")
+    assert(!t21.toLowerCase.contains("substring"), s"t21 materializes trigram strings:\n$t21")
+  }
+
   test("t20 probes the Bloom filter below the exact semi join") {
     val plan = TextOps.t20BloomDecontam(spark, dir).queryExecution.executedPlan.toString
     val bloomAt = plan.indexOf("bloom_might_contain")
