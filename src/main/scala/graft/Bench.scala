@@ -31,6 +31,11 @@ object Bench {
       import graft.functions.CharTrigrams.char_trigrams
       import graft.functions.WinnowFingerprints.winnow_fingerprints
       import graft.functions.BigramStats.bigram_stats
+      import graft.functions.GramHashes.gram_hashes
+      import graft.functions.TrigramCounts.trigram_counts
+      import graft.functions.BloomMightContain
+      val warmBloom = BloomMightContain.serialize(
+        org.apache.spark.util.sketch.BloomFilter.create(64, 0.01))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy("doc_id")
       graft.analytics.Tables.documents(spark, sfDir).limit(256)
@@ -41,9 +46,12 @@ object Bench {
         .withColumn("tg", size(char_trigrams(col("text"))))
         .withColumn("wf", size(winnow_fingerprints(col("text"))))
         .withColumn("bg", bigram_stats(col("text")).getField("n_bigrams"))
+        .withColumn("gh", size(gram_hashes(col("text"), 40)))
+        .withColumn("tc", size(map_keys(trigram_counts(col("text")))))
+        .withColumn("bm", BloomMightContain.bloom_might_contain(col("text"), warmBloom).cast("int"))
         .withColumn("rn", row_number().over(w))
         .groupBy("lang").agg(sum("n"), sum("sh"), sum("mh"), sum("sim"),
-          sum("tg"), sum("wf"), sum("bg")).count()
+          sum("tg"), sum("wf"), sum("bg"), sum("gh"), sum("tc"), sum("bm")).count()
     } catch { case _: Throwable => () }
     // vector expressions (array_dot) + the bounded top-k aggregate
     // (ObjectHashAggregate path) on an embeddings slice
