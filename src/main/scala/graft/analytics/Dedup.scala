@@ -502,7 +502,19 @@ object Dedup {
     * if a hot gram dominates — deliberately NOT a per-gram window,
     * whose single partition per gram cannot be split. Span merging is
     * windowed per doc_id, bounded by document length. */
-  def d09ExactSubstr(spark: SparkSession, dir: String): DataFrame = {
+  def d09ExactSubstr(spark: SparkSession, dir: String): DataFrame =
+    dupSpans(spark, dir).groupBy("doc_id", "len")
+      .agg(count(lit(1)).as("n_dup_spans"),
+           sum(col("e") - col("s")).as("dc"))
+      .select(col("doc_id"), col("n_dup_spans"),
+        col("dc").cast("bigint").as("dup_chars"),
+        Det.dround(col("dc").cast("double") / col("len"), 4).as("dup_frac"))
+      .orderBy("doc_id")
+
+  /** The d09/d10 core: maximal duplicated-character spans per document,
+    * as (doc_id, len, s, e) with e exclusive — see [[d09ExactSubstr]]
+    * for the algorithm and scale shape. */
+  private[analytics] def dupSpans(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.GramHashes.gram_hashes
     val L = SubstrGramLen
@@ -524,18 +536,58 @@ object Dedup {
       .select(col("doc_id"), col("len"), col("pos"), (col("pos") + L).as("e"))
     val w = Window.partitionBy("doc_id").orderBy("pos", "e")
     val pmax = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val spans = dup
+    dup
       .withColumn("new_span", when(pmax.isNull || col("pos") > pmax, 1).otherwise(0))
       .withColumn("island", sum(col("new_span")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("len"), col("island"))
       .agg(min("pos").as("s"), max("e").as("e"))
-    spans.groupBy("doc_id", "len")
-      .agg(count(lit(1)).as("n_dup_spans"),
-           sum(col("e") - col("s")).as("dc"))
-      .select(col("doc_id"), col("n_dup_spans"),
-        col("dc").cast("bigint").as("dup_chars"),
-        Det.dround(col("dc").cast("double") / col("len"), 4).as("dup_frac"))
+      .select(col("doc_id"), col("len"), col("s"), col("e"))
+  }
+
+  /** Exact-substring REMOVAL — the end product of [[d09ExactSubstr]]:
+    * cut every duplicated span out of every document (the corpus-wide
+    * first occurrence of each passage survives, so exactly one copy of
+    * every repeated passage remains in the cleaned corpus — Lee et
+    * al.'s ExactSubstr deduplication applied, not just measured).
+    * Output per document (ALL documents, untouched ones included):
+    * original/cleaned length, spans cut, and the md5 of the cleaned
+    * text — the digest keeps the gate narrow while pinning every byte
+    * of the reconstruction cross-engine.
+    *
+    * Scale shape: the span table is output-sized (only affected docs),
+    * sorted per doc into an array — bounded by doc length — and the
+    * cut itself is one `aggregate` higher-order fold per document over
+    * that array (each kept segment sliced once, no per-span join, no
+    * explode). The docs⋈spans join is an equi join on doc_id; nothing
+    * here is corpus×corpus. */
+  def d10ExactSubstrClean(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val spanList = dupSpans(spark, dir)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
+    val cleaned = docs.join(spanList, Seq("doc_id"), "left")
+      .withColumn("clean",
+        when(col("spans").isNull, col("text")).otherwise(
+          // fold over the sorted spans: emit the kept segment before
+          // each span, carry the cursor past it, then emit the tail
+          aggregate(
+            col("spans"),
+            struct(lit(1).as("p"), lit("").as("acc")),
+            (st, sp) => struct(
+              sp.getField("e").as("p"),
+              concat(st.getField("acc"),
+                col("text").substr(st.getField("p"),
+                  sp.getField("s") - st.getField("p"))).as("acc")),
+            st => concat(st.getField("acc"),
+              col("text").substr(st.getField("p"),
+                col("len") - st.getField("p") + 1)))))
+    cleaned.select(col("doc_id"),
+      col("len").cast("bigint").as("orig_len"),
+      length(col("clean")).cast("bigint").as("clean_len"),
+      coalesce(size(col("spans")), lit(0)).cast("bigint").as("n_cut_spans"),
+      md5(col("clean").cast("binary")).as("clean_md5"))
       .orderBy("doc_id")
   }
 
@@ -549,6 +601,7 @@ object Dedup {
     "d07_embedding_lsh_pairs" -> d07EmbeddingLshPairs _,
     "d08_embedding_clusters"  -> d08EmbeddingDupClusters _,
     "d09_exact_substr"        -> d09ExactSubstr _,
+    "d10_substr_clean"        -> d10ExactSubstrClean _,
   )
 
   /** d02/d03 use Spark xxhash64 and d05 a u64 rolling hash — not
@@ -619,8 +672,36 @@ object Dedup {
          SELECT cc.node AS vec_id, cc.cluster_id, s.n AS cluster_size
          FROM cc JOIN (SELECT cluster_id, count(*) n FROM cc GROUP BY 1) s USING (cluster_id)
          ORDER BY vec_id""",
-    "d09_exact_substr" ->
-      """WITH docs AS (SELECT doc_id, text, strlen(text) len FROM documents WHERE strlen(text) >= 40),
+    "d09_exact_substr" -> SpanSql(
+      """SELECT doc_id, count(*) AS n_dup_spans,
+          CAST(sum(e - s) AS BIGINT) AS dup_chars,
+          floor((CAST(sum(e - s) AS DOUBLE) / len) * 10000.0 + 0.5) / 10000.0 AS dup_frac
+         FROM sp GROUP BY doc_id, len ORDER BY doc_id"""),
+    "d10_substr_clean" -> SpanSql(
+      """seg AS (SELECT doc_id, docs.len AS len, text, s, e,
+                 lag(e, 1, 1) OVER (PARTITION BY doc_id ORDER BY s) pe
+                FROM sp JOIN docs USING (doc_id)),
+          sega AS (SELECT doc_id, any_value(len) AS len, any_value(text) AS text,
+                   string_agg(substr(text, pe, s - pe), '' ORDER BY s) pre,
+                   max(e) me, count(*) n
+                  FROM seg GROUP BY doc_id),
+          cl AS (SELECT doc_id, pre || substr(text, me, len - me + 1) clean, n FROM sega)
+         SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) orig_len,
+          CAST(coalesce(strlen(cl.clean), strlen(d.text)) AS BIGINT) clean_len,
+          CAST(coalesce(cl.n, 0) AS BIGINT) n_cut_spans,
+          md5(coalesce(cl.clean, d.text)) clean_md5
+         FROM documents d LEFT JOIN cl USING (doc_id) ORDER BY d.doc_id""",
+      extraCte = true),
+  )
+
+  /** The d09/d10 oracle's shared span derivation (DuckDB mirror of
+    * [[dupSpans]], computed on real gram STRINGS — which is what makes
+    * the string-free rolling-hash Spark side attestable): `docs` and
+    * `sp(doc_id, len, s, e)` CTEs, composed with a per-gate tail.
+    * `extraCte` appends the tail as further CTEs instead of a bare
+    * SELECT. */
+  private def SpanSql(tail: String, extraCte: Boolean = false): String =
+    """WITH docs AS (SELECT doc_id, text, strlen(text) len FROM documents WHERE strlen(text) >= 40),
           g AS (SELECT doc_id, len, unnest(generate_series(1, len-39)) pos, text FROM docs),
           gr AS (SELECT doc_id, len, pos, substr(text, pos, 40) gram,
                   doc_id*1000000000 + pos AS k FROM g),
@@ -636,10 +717,6 @@ object Dedup {
                      OVER (PARTITION BY doc_id ORDER BY pos, e
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) island
                   FROM w),
-          sp AS (SELECT doc_id, len, island, min(pos) s, max(e) e FROM isl GROUP BY 1, 2, 3)
-         SELECT doc_id, count(*) AS n_dup_spans,
-          CAST(sum(e - s) AS BIGINT) AS dup_chars,
-          floor((CAST(sum(e - s) AS DOUBLE) / len) * 10000.0 + 0.5) / 10000.0 AS dup_frac
-         FROM sp GROUP BY doc_id, len ORDER BY doc_id""",
-  )
+          sp AS (SELECT doc_id, len, island, min(pos) s, max(e) e FROM isl GROUP BY 1, 2, 3)""" +
+      (if (extraCte) ",\n          " else "\n         ") + tail
 }

@@ -250,6 +250,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got(2L) == ((1L, 60L)), s"doc 2 spans: ${got(2L)}")
     // two copies 45 apart stay two spans (45 > 0 gap between [0,60) and [105,165))
     assert(got(3L) == ((2L, 120L)), s"doc 3 spans: ${got(3L)}")
+
+    // d10 removes exactly those spans: cleaned text = original minus the
+    // duplicated chars, first occurrence (doc 1) byte-identical
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val clean = Dedup.d10ExactSubstrClean(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(clean.keySet == Set(1L, 2L, 3L, 4L))
+    def m(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    // untouched docs pass through byte-identically
+    assert(clean(1L) == ((160L, 160L, 0L, m(texts(1L)))))
+    assert(clean(4L) == ((200L, 200L, 0L, m(texts(4L)))))
+    // doc 2: the 60-char passage cut, flanks concatenated
+    val d2 = texts(2L)
+    assert(clean(2L) == ((170L, 110L, 1L, m(d2.substring(0, 80) + d2.substring(140)))))
+    // doc 3: both copies cut (the span covers [0,60) and [105,165))
+    val d3 = texts(3L)
+    assert(clean(3L) == ((165L, 45L, 2L, m(d3.substring(60, 105)))))
   }
 
   test("t20 output is byte-identical to t14 — the Bloom stage is correctness-invisible") {
