@@ -514,11 +514,21 @@ object Dedup {
   /** The d09/d10 core: maximal duplicated-character spans per document,
     * as (doc_id, len, s, e) with e exclusive — see [[d09ExactSubstr]]
     * for the algorithm and scale shape. */
-  private[analytics] def dupSpans(spark: SparkSession, dir: String): DataFrame = {
+  private[analytics] def dupSpans(spark: SparkSession, dir: String): DataFrame =
+    exactSubstrSpans(Tables.documents(spark, dir), SubstrGramLen)
+
+  /** User-facing ExactSubstr span detection over an arbitrary
+    * (doc_id, text) frame: maximal duplicated-character spans as
+    * (doc_id, len, s, e), 1-based, `e` exclusive; the corpus-wide
+    * first occurrence of each passage is never marked. `gramLen` is
+    * the minimum duplicated-substring length worth flagging (Lee et
+    * al. use ~50 BPE tokens; pick the char equivalent for your
+    * tokenizer). */
+  def exactSubstrSpans(corpus: DataFrame, gramLen: Int = SubstrGramLen): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.GramHashes.gram_hashes
-    val L = SubstrGramLen
-    val docs = Tables.documents(spark, dir)
+    val L = gramLen
+    val docs = corpus
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
       .filter(col("len") >= L)
     // k: global occurrence order in one comparable long (pos < 1e9)
@@ -561,10 +571,21 @@ object Dedup {
     * that array (each kept segment sliced once, no per-span join, no
     * explode). The docs⋈spans join is an equi join on doc_id; nothing
     * here is corpus×corpus. */
-  def d10ExactSubstrClean(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  def d10ExactSubstrClean(spark: SparkSession, dir: String): DataFrame =
+    exactSubstrClean(Tables.documents(spark, dir), SubstrGramLen)
+      .select(col("doc_id"), col("orig_len"), col("clean_len"),
+        col("n_cut_spans"), md5(col("clean_text").cast("binary")).as("clean_md5"))
+      .orderBy("doc_id")
+
+  /** User-facing ExactSubstr REMOVAL over an arbitrary (doc_id, text)
+    * frame: returns every document with its duplicated spans cut
+    * (first occurrence corpus-wide survives) as (doc_id, orig_len,
+    * clean_len, n_cut_spans, clean_text). See [[d10ExactSubstrClean]]
+    * for the gate form and scale shape. */
+  def exactSubstrClean(corpus: DataFrame, gramLen: Int = SubstrGramLen): DataFrame = {
+    val docs = corpus
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-    val spanList = dupSpans(spark, dir)
+    val spanList = exactSubstrSpans(corpus, gramLen)
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("spans"))
     val cleaned = docs.join(spanList, Seq("doc_id"), "left")
@@ -587,8 +608,7 @@ object Dedup {
       col("len").cast("bigint").as("orig_len"),
       length(col("clean")).cast("bigint").as("clean_len"),
       coalesce(size(col("spans")), lit(0)).cast("bigint").as("n_cut_spans"),
-      md5(col("clean").cast("binary")).as("clean_md5"))
-      .orderBy("doc_id")
+      col("clean").as("clean_text"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
