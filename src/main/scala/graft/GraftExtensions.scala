@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BigramStats, BoundedTopK, BoundedTopKPayload, CharTrigrams, DoubleArrayDot, MinHash64, SimHash64, WinnowFingerprints, WordShingles}
+import graft.functions.{BigramStats, BoundedTopK, BoundedTopKPayload, CharTrigrams, DoubleArrayDot, GramHashes, MinHash64, SimHash64, TrigramCounts, WinnowFingerprints, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions so `spark.sql` users get them
@@ -101,6 +101,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "bigram_stats(text) takes one argument")
         BigramStats(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("gram_hashes"),
+      new ExpressionInfo(classOf[GramHashes].getName, "gram_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "gram_hashes(text, k) takes two arguments")
+        val k = children(1).eval() match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"gram_hashes: k must be an integer literal, got $other")
+        }
+        GramHashes(children.head, k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("trigram_counts"),
+      new ExpressionInfo(classOf[TrigramCounts].getName, "trigram_counts"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "trigram_counts(text) takes one argument")
+        TrigramCounts(children.head)
       }))
   }
 }

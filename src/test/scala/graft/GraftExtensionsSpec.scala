@@ -48,6 +48,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(withPayload.map(r => (r.getLong(0), r.getString(2))) == Seq((11L, "high")))
   }
 
+  test("gram_hashes and trigram_counts are callable from SQL") {
+    val spark = SparkTestSession.spark
+    // two equal 4-grams ('abcd' at 1 and 6) hash equal; the middle ones differ
+    val gh = spark.sql("SELECT gram_hashes('abcdeabcd', 4) AS g").head().getSeq[Long](0)
+    assert(gh.length == 6 && gh(0) == gh(5) && gh.distinct.length == 5)
+    val tc = spark.sql("SELECT trigram_counts('abcabc') AS t").head().getMap[String, Long](0)
+    assert(tc == Map("abc" -> 2L, "bca" -> 1L, "cab" -> 1L))
+  }
+
   test("bigram_stats is callable from SQL with exact counts") {
     val spark = SparkTestSession.spark
     val r = spark.sql("SELECT bigram_stats('a b a b c') AS s").head().getStruct(0)
