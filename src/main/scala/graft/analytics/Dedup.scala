@@ -575,6 +575,12 @@ object Dedup {
     exactSubstrClean(Tables.documents(spark, dir), SubstrGramLen)
       .select(col("doc_id"), col("orig_len"), col("clean_len"),
         col("n_cut_spans"), md5(col("clean_text").cast("binary")).as("clean_md5"))
+      // always true (md5 hex is 32 chars), but not provably so to the
+      // optimizer: without it a bare count() eliminates the spans join
+      // (aggregated-on-key right side, no columns referenced) and
+      // "measures" d10 as a document scan — this pins every timed
+      // action to the real reconstruction the gate's parquet dump pays
+      .filter(length(col("clean_md5")) === 32)
       .orderBy("doc_id")
 
   /** User-facing ExactSubstr REMOVAL over an arbitrary (doc_id, text)

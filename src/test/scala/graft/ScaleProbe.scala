@@ -91,6 +91,9 @@ object ScaleProbe {
       "st07_stream_neardup",
       "q24_salted_agg", "q26_pivot", "q27_gapfill", "q28_range_join",
       "m04_image_dups")
+      // SPARK_GRAFT_ONLY=a,b,c restricts the sweep (dev iteration knob)
+      .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
+        .forall(_.split(",").contains(n)))
     def time(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, dir).count()
@@ -118,7 +121,7 @@ object ScaleProbe {
     // of the knob, not a defect of the plan). Replica vectors are
     // byte-identical, so the big graph is dominated by exact-dup
     // neighbors — the SemDeDup worst case.
-    {
+    if (sys.env.get("SPARK_GRAFT_ONLY").forall(_.contains("knn_graph_ivf"))) {
       import graft.analytics.Similarity
       def knnTime(dir: String, cells: Int): (Double, Long) = {
         val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
