@@ -375,8 +375,14 @@ object TextOps {
     import graft.functions.WordShingles.word_shingles
     // distinct (source, shingle) incidence, cached: read by the
     // per-source sizes and by the postings branch
+    // shingle identity, not content, is all the overlap math needs —
+    // key on xxhash64 so the distinct and the postings aggregate
+    // shuffle 8-byte longs instead of shingle strings (the d09 rule; a
+    // collision merges two shingles at birthday-in-2^64 odds, and the
+    // string-keyed oracle attests none materializes)
     val inv = Tables.documents(spark, dir)
-      .select(col("source"), explode(word_shingles(col("text"))).as("shingle"))
+      .select(col("source"), explode(word_shingles(col("text"))).as("sh"))
+      .select(col("source"), xxhash64(col("sh")).as("shingle"))
       .distinct().cache()
     val sizes = inv.groupBy("source").agg(count(lit(1)).as("n"))
     val postings = inv.groupBy("shingle")
