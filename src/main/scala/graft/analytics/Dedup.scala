@@ -470,6 +470,39 @@ object Dedup {
       .select(col("doc_id").as("vec_id"), col("cluster_id"), col("cluster_size"))
       .orderBy("vec_id")
 
+  /** Quality-aware survivor selection — the keep policy a production
+    * dedup actually runs: d06 told us WHICH documents form a duplicate
+    * group; this picks the one copy worth keeping, by quality, not by
+    * arrival order. Survivor = the cluster's max type-token ratio
+    * (distinct tokens / tokens — the t03 quality signal), ties broken
+    * to the smallest doc_id. Output per cluster: survivor id, its
+    * quality, cluster size, and how many copies the policy removes.
+    *
+    * Scale shape: the cluster table is OUTPUT-sized (only clustered
+    * docs), the per-doc quality is a narrow projection computed before
+    * the join (so the equi join on doc_id moves one double per doc,
+    * never token arrays), and the argmax is a partial-aggregating
+    * `max(struct(quality, -doc_id))` groupBy — struct ordering is
+    * lexicographic, so map-side combine already reduces every
+    * partition to one candidate per cluster and NO per-cluster window
+    * (single-partition-per-key shuffle) exists anywhere. */
+  def d11ClusterSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = d06DupClusters(spark, dir)
+    val toks = split(trim(col("text")), "\\s+")
+    val quality = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        Det.dround(size(array_distinct(toks)).cast("double") / size(toks), 4).as("q"))
+    clusters.join(quality, "doc_id")
+      .groupBy(col("cluster_id"), col("cluster_size"))
+      .agg(max(struct(col("q").as("q"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("cluster_id"),
+        (-col("best.nid")).as("survivor"),
+        col("best.q").as("quality"),
+        col("cluster_size"),
+        (col("cluster_size") - 1).as("n_removed"))
+      .orderBy("cluster_id")
+  }
+
   /** Gram length for [[d09ExactSubstr]] — the "minimum duplicated
     * substring worth removing" threshold (Lee et al. use 50 BPE
     * tokens; 40 chars plays that role on this fixture's ~300-char
@@ -628,6 +661,7 @@ object Dedup {
     "d08_embedding_clusters"  -> d08EmbeddingDupClusters _,
     "d09_exact_substr"        -> d09ExactSubstr _,
     "d10_substr_clean"        -> d10ExactSubstrClean _,
+    "d11_cluster_survivors"   -> d11ClusterSurvivors _,
   )
 
   /** d02/d03 use Spark xxhash64 and d05 a u64 rolling hash — not
@@ -680,6 +714,34 @@ object Dedup {
          SELECT cc.node AS doc_id, cc.cluster_id, s.n AS cluster_size
          FROM cc JOIN (SELECT cluster_id, count(*) n FROM cc GROUP BY 1) s USING (cluster_id)
          ORDER BY doc_id""",
+    "d11_cluster_survivors" ->
+      """WITH RECURSIVE
+          toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+          sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) s
+                 FROM toks WHERE len(t) >= 3),
+          ex AS (SELECT doc_id, unnest(s) shingle FROM sh),
+          cand AS (SELECT a.doc_id i, b.doc_id j, count(*) shared
+                   FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                   GROUP BY 1, 2),
+          pairs AS (SELECT i, j FROM cand
+                    JOIN (SELECT doc_id, len(s) ls FROM sh) sa ON i = sa.doc_id
+                    JOIN (SELECT doc_id, len(s) ls FROM sh) sb ON j = sb.doc_id
+                    WHERE floor((CAST(shared AS DOUBLE)/(sa.ls + sb.ls - shared)) * 10000.0 + 0.5) / 10000.0 >= 0.2),
+          edges AS (SELECT i a, j b FROM pairs UNION ALL SELECT j AS a, i AS b FROM pairs),
+          reach(node, lab) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+          cc AS (SELECT node, min(lab) cluster_id FROM reach GROUP BY node),
+          q AS (SELECT doc_id, floor((CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 10000.0 + 0.5) / 10000.0 q
+                FROM toks),
+          sz AS (SELECT cluster_id, count(*) n FROM cc GROUP BY 1),
+          r AS (SELECT cc.cluster_id, cc.node, q.q, sz.n,
+                  row_number() OVER (PARTITION BY cc.cluster_id ORDER BY q.q DESC, cc.node ASC) rn
+                FROM cc JOIN q ON cc.node = q.doc_id JOIN sz USING (cluster_id))
+         SELECT cluster_id, node AS survivor, q AS quality, n AS cluster_size, n - 1 AS n_removed
+         FROM r WHERE rn = 1 ORDER BY cluster_id""",
     "d08_embedding_clusters" ->
       """WITH RECURSIVE
           pairs AS (SELECT a.vec_id AS i, b.vec_id AS j,

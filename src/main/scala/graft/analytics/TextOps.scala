@@ -484,6 +484,43 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Top-of-vocabulary size for [[t22VocabCoverage]] — small enough
+    * that the ranked result is driver-trivial, large enough to read
+    * the coverage curve. */
+  private val VocabTopK = 100
+
+  /** Vocabulary coverage — the tokenizer-training signal: the corpus
+    * token-frequency table's top [[VocabTopK]] entries with each
+    * token's corpus share and the cumulative share of the vocabulary
+    * so far (how much of the corpus a k-entry vocab would cover).
+    *
+    * Scale shape: token counting is one partial-aggregating groupBy on
+    * the token string (map-side combine bounds the shuffle by vocab
+    * size per partition, not corpus size); the ranked cut uses
+    * `orderBy(...).limit(k)`, which Spark plans as TakeOrderedAndProject
+    * — a per-partition bounded top-k merged on the driver, NEVER a
+    * full vocabulary sort shuffle. The corpus total rides in as a
+    * one-row broadcast cross join, and the running-sum window runs
+    * over k rows, not the vocabulary. Ties rank alphabetically so the
+    * cut is deterministic cross-engine. */
+  def t22VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, dir).select(explode(tokens).as("token"))
+    val counts = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val totalDf = tok.groupBy().agg(count(lit(1)).cast("double").as("tot"))
+    val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(VocabTopK)
+    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+    top.crossJoin(broadcast(totalDf))
+      .select(
+        row_number().over(w).cast("bigint").as("rank"),
+        col("token"), col("cnt"),
+        Det.dround(col("cnt") / col("tot"), 6).as("frac"),
+        Det.dround(
+          sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            / col("tot"), 6).as("cum_frac"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_distribution" -> t01LangDistribution _,
     "t02_token_counts"      -> t02TokenCounts _,
@@ -502,6 +539,7 @@ object TextOps {
     "t19_source_overlap"    -> t19SourceOverlap _,
     "t20_bloom_decontam"    -> t20BloomDecontam _,
     "t21_lm_perplexity"     -> t21LmPerplexity _,
+    "t22_vocab_coverage"    -> t22VocabCoverage _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -626,6 +664,19 @@ object TextOps {
           floor((s / n_tri) * 10000.0 + 0.5) / 10000.0 AS avg_nll,
           floor(exp(floor((s / n_tri) * 10000.0 + 0.5) / 10000.0) * 100.0 + 0.5) / 100.0 AS ppl
          FROM per ORDER BY doc_id""",
+    "t22_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) token FROM documents),
+          c AS (SELECT token, count(*) cnt FROM tok GROUP BY 1),
+          tot AS (SELECT CAST(count(*) AS DOUBLE) t FROM tok),
+          top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token ASC LIMIT 100),
+          r AS (SELECT row_number() OVER (ORDER BY cnt DESC, token ASC) rank, token, cnt,
+                 sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum
+                FROM top)
+         SELECT rank, token, cnt,
+          floor((CAST(cnt AS DOUBLE) / t) * 1000000.0 + 0.5) / 1000000.0 AS frac,
+          floor((CAST(cum AS DOUBLE) / t) * 1000000.0 + 0.5) / 1000000.0 AS cum_frac
+         FROM r, tot ORDER BY rank""",
     "t15_quality_filter" ->
       s"""WITH d AS (SELECT source, string_split_regex(trim(text), '\\s+') t FROM documents),
           m AS (SELECT source,

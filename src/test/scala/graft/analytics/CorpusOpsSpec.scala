@@ -337,4 +337,44 @@ class CorpusOpsSpec extends AnyFunSuite {
     // all 8 shingles of the 10-token passage appear in doc 2
     assert(r.getLong(2) >= 8L && r.getLong(1) > r.getLong(2))
   }
+
+  test("d11: one survivor per d06 cluster, member of it, quality-argmax with min-id ties") {
+    val clusters = Dedup.d06DupClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCluster = clusters.groupBy(_._2)
+    val toks = split(trim(col("text")), "\\s+")
+    val quality = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        Det.dround(size(array_distinct(toks)).cast("double") / size(toks), 4).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = Dedup.d11ClusterSurvivors(spark, dir).collect()
+    assert(got.length == byCluster.size, "one row per cluster")
+    got.foreach { r =>
+      val (cid, survivor, q, size, removed) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getLong(4))
+      val members = byCluster(cid).map(_._1)
+      assert(members.contains(survivor), s"survivor $survivor not in cluster $cid")
+      assert(size == members.length && removed == size - 1)
+      val best = members.map(m => (quality(m), -m)).max
+      assert((q, -survivor) == best,
+        s"cluster $cid survivor $survivor q=$q is not the quality argmax $best")
+    }
+  }
+
+  test("t22: contiguous ranks, counts descending, cumulative share consistent") {
+    val rows = TextOps.t22VocabCoverage(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+    val cnts = rows.map(_.getLong(2))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, "counts must be non-increasing")
+    val cum = rows.map(_.getDouble(4))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b }, "cumulative share must be non-decreasing")
+    assert(cum.last <= 1.0 + 1e-9)
+    // each cum step equals the running frac sum within rounding slack
+    val fracs = rows.map(_.getDouble(3))
+    val run = fracs.scanLeft(0.0)(_ + _).tail
+    cum.zip(run).foreach { case (c, s) =>
+      assert(math.abs(c - s) < 1e-3, s"cum_frac $c drifted from frac sum $s")
+    }
+  }
 }
