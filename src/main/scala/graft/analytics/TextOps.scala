@@ -521,6 +521,33 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** Deterministic stratified train/val/test split — the holdout
+    * assignment a training run needs before anything else. The split
+    * key is md5 of the CONTENT (t09's hex-prefix gate: < 'cc' ≈ 80 %
+    * train, < 'e6' ≈ 10 % val, else test), which buys two properties
+    * row-number assignment cannot give at scale: the split is stable
+    * under any re-partitioning/re-ordering of the corpus, and exact
+    * duplicates land in the SAME split — a duplicated document can
+    * never leak from train into the holdout. Stratified per language:
+    * the narrow per-doc projection (lang, token count, 2 hex chars)
+    * feeds one partial-aggregating groupBy; the per-stratum share
+    * window runs over ≤3 rows per language, bounded by the label
+    * space, never the corpus. */
+  def t23StratifiedSplit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = substring(md5(col("text")), 1, 2)
+    val split = when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    val agg = Tables.documents(spark, dir)
+      .select(col("lang"), split.as("split"), size(tokens).cast("bigint").as("n_tok"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val w = Window.partitionBy("lang")
+    agg
+      .withColumn("doc_share",
+        Det.dround(col("n_docs").cast("double") / sum(col("n_docs")).over(w), 4))
+      .orderBy("lang", "split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_distribution" -> t01LangDistribution _,
     "t02_token_counts"      -> t02TokenCounts _,
@@ -540,6 +567,7 @@ object TextOps {
     "t20_bloom_decontam"    -> t20BloomDecontam _,
     "t21_lm_perplexity"     -> t21LmPerplexity _,
     "t22_vocab_coverage"    -> t22VocabCoverage _,
+    "t23_stratified_split"  -> t23StratifiedSplit _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -677,6 +705,18 @@ object TextOps {
           floor((CAST(cnt AS DOUBLE) / t) * 1000000.0 + 0.5) / 1000000.0 AS frac,
           floor((CAST(cum AS DOUBLE) / t) * 1000000.0 + 0.5) / 1000000.0 AS cum_frac
          FROM r, tot ORDER BY rank""",
+    "t23_stratified_split" ->
+      """WITH d AS (SELECT lang,
+                 CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+                      WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+                      ELSE 'test' END AS split,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n_tok
+               FROM documents),
+          agg AS (SELECT lang, split, count(*) n_docs, sum(n_tok) n_tokens
+                  FROM d GROUP BY 1, 2)
+         SELECT lang, split, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+          floor((CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang)) * 10000.0 + 0.5) / 10000.0 AS doc_share
+         FROM agg ORDER BY lang, split""",
     "t15_quality_filter" ->
       s"""WITH d AS (SELECT source, string_split_regex(trim(text), '\\s+') t FROM documents),
           m AS (SELECT source,

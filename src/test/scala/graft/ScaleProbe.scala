@@ -86,6 +86,7 @@ object ScaleProbe {
       "t13_tfidf", "t14_decontamination", "t15_quality_filter", "t16_mixture_sample",
       "t17_pii_redaction", "t18_boilerplate", "t19_source_overlap",
       "t20_bloom_decontam", "t21_lm_perplexity", "d09_exact_substr", "d10_substr_clean",
+      "d11_cluster_survivors", "t22_vocab_coverage", "t23_stratified_split",
       "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq",
       "st02_sessions", "st05_stream_enrich", "st06_stream_ingest",
       "st07_stream_neardup",

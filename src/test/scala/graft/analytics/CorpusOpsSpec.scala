@@ -361,6 +361,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("t23: content-keyed split — duplicates stay together, shares sum to 1 per stratum") {
+    import spark.implicits._
+    // two identical texts (dup pair) + distinct fillers, one stratum
+    val dup = "alpha beta gamma delta epsilon zeta"
+    val docs = (Seq((1L, dup), (2L, dup)) ++
+      (3L to 40L).map(i => (i, s"filler text number $i with token $i")))
+      .map { case (id, tx) => (id, tx, "en", "src0", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-t23").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // per-doc split assignment mirrors the operator's content-hash gate
+    val h = substring(md5(col("text")), 1, 2)
+    val assign = Tables.documents(spark, tmp)
+      .select(col("doc_id"),
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(assign(1L) == assign(2L), "identical docs must land in the same split")
+    val shares = TextOps.t23StratifiedSplit(spark, tmp).collect()
+      .groupBy(_.getString(0)).map { case (lang, rs) => lang -> rs.map(_.getDouble(4)).sum }
+    shares.foreach { case (lang, s) =>
+      assert(math.abs(s - 1.0) < 0.001, s"stratum $lang shares sum to $s, not 1")
+    }
+  }
+
   test("t22: contiguous ranks, counts descending, cumulative share consistent") {
     val rows = TextOps.t22VocabCoverage(spark, dir).collect()
     assert(rows.nonEmpty && rows.length <= 100)
