@@ -87,7 +87,13 @@ object Dedup {
       .select(col("doc_id"),
         explode(transform(col("s"), x =>
           struct(x.as("shingle"), size(col("s")).cast("long").as("n_sh")))).as("e"))
-      .select(col("doc_id"), col("e.shingle").as("shingle"), col("e.n_sh").as("n_sh"))
+      // shingle identity, not content, is all the pair math needs — key
+      // the postings on xxhash64 so the aggregate shuffles 8-byte longs
+      // instead of shingle strings (the d09 rule; a collision merges two
+      // shingles at birthday-in-2^64 odds, and the string-keyed oracles
+      // of d01/d06/d11/p01 attest none materializes)
+      .select(col("doc_id"), xxhash64(col("e.shingle")).as("shingle"),
+        col("e.n_sh").as("n_sh"))
     val postings = inv.groupBy("shingle")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("docs"))
       .filter(size(col("docs")).between(2, MaxShingleDf))

@@ -197,6 +197,25 @@ class PlanSpec extends AnyFunSuite {
       s"bloom probe is not below the semi join:\n$plan")
   }
 
+  test("d11 survivor argmax is a partial aggregate, not a per-cluster window") {
+    val plan = Dedup.d11ClusterSurvivors(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"d11 ranks through a window — single-partition-per-cluster shuffle:\n$plan")
+  }
+
+  test("t22 vocabulary cut is TakeOrderedAndProject; coverage window sits above it") {
+    val plan = TextOps.t22VocabCoverage(spark, dir)
+      .queryExecution.executedPlan.toString
+    val cutAt = plan.indexOf("TakeOrderedAndProject")
+    assert(cutAt >= 0, s"top-k cut lost TakeOrderedAndProject (full vocab sort?):\n$plan")
+    // executedPlan prints top-down: the k-row coverage window must sit
+    // ABOVE the cut, so it runs over k rows, never the vocabulary
+    val winAt = plan.indexOf("Window")
+    assert(winAt >= 0 && winAt < cutAt,
+      s"coverage window is not above the top-k cut:\n$plan")
+  }
+
   test("d07/t16 broadcast hints are all cardinality-bounded (never a raw corpus scan)") {
     // hyperplane literals (d07) and per-lang aggregates (t16) may be
     // hinted; a hint directly on a parquet relation would be a
