@@ -53,6 +53,41 @@ object Bench {
         .groupBy("lang").agg(sum("n"), sum("sh"), sum("mh"), sum("sim"),
           sum("tg"), sum("wf"), sum("bg"), sum("gh"), sum("tc"), sum("bm")).count()
     } catch { case _: Throwable => () }
+    // pair-generation machinery (the d01/d02/d05/d09/t19 shape):
+    // hash-keyed postings (ObjectHashAggregate of collect_list),
+    // posexplode+slice i<j expansion, running-max window + islands
+    // groupBy, a forced sort-merge self-join, array set ops and a
+    // zip_with lambda, and the d10 aggregate() fold — each class's
+    // one-time classload + JIT otherwise lands on the first dedup
+    // query that runs
+    try {
+      import org.apache.spark.sql.functions._
+      import graft.functions.WordShingles.word_shingles
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy("i").orderBy("pos")
+      val sh = graft.analytics.Tables.documents(spark, sfDir).limit(256)
+        .select(col("doc_id"), word_shingles(col("text")).as("s"))
+      val inv = sh.select(col("doc_id"), posexplode(col("s")))
+        .select(col("doc_id"), col("pos"), xxhash64(col("col")).as("k"))
+      val pairs = inv
+        .groupBy("k").agg(sort_array(collect_list(struct(col("doc_id"), col("pos")))).as("docs"))
+        .filter(size(col("docs")).between(2, 50))
+        .select(col("docs"), posexplode(col("docs")).as(Seq("idx", "a")))
+        .select(col("a.doc_id").as("i"), col("a.pos").as("pos"),
+          explode(slice(col("docs"), col("idx") + lit(2), size(col("docs")))).as("b"))
+      pairs
+        .withColumn("pm", max(col("pos")).over(w.rowsBetween(W.unboundedPreceding, -1)))
+        .withColumn("isl", sum(when(col("pm").isNull, 1).otherwise(0)).over(
+          w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .groupBy("i", "isl").agg(min("pos").as("s"), max("pos").as("e"))
+        .count()
+      sh.as("a").hint("merge").join(sh.as("b"), col("a.doc_id") === col("b.doc_id"))
+        .select(size(array_intersect(col("a.s"), col("b.s"))).as("x"),
+          size(array_union(col("a.s"), col("b.s"))).as("u"),
+          size(filter(zip_with(col("a.s"), col("b.s"), (x, y) => x === y), b => b)).as("z"),
+          aggregate(col("a.s"), lit(0), (acc, x) => acc + length(x)).as("f"))
+        .agg(sum("x"), sum("u"), sum("z"), sum("f")).count()
+    } catch { case _: Throwable => () }
     // vector expressions (array_dot) + the bounded top-k aggregate
     // (ObjectHashAggregate path) on an embeddings slice
     try {
