@@ -20,15 +20,26 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  /** The events table is written with TIMESTAMP(NANOS) which Spark's
-    * vectorized parquet reader rejects; read nanos as long (legacy
-    * conf) and truncate to microseconds — the same ns→us truncation
-    * DuckDB applies, so oracle comparisons line up. */
+  /** The events fixtures have shipped with two physical `ts` types:
+    * TIMESTAMP(NANOS) — which Spark's vectorized reader only surfaces
+    * as a nanosecond LONG under the legacy conf — and plain
+    * `timestamp[us]` with isAdjustedToUTC=false, which Spark reads as
+    * TIMESTAMP_NTZ. Normalize either to a session-TZ (UTC everywhere
+    * in this project) TimestampType at microsecond precision, the one
+    * type every downstream query and oracle comparison assumes. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType        => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _               => df
+    }
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    import org.apache.spark.sql.functions._
-    table(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeEventTs(table(spark, dir, "events"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
