@@ -18,20 +18,36 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events schema (readStream needs it declared; ts arrives as
-    * nanosecond parquet which Spark surfaces as LongType under
-    * `nanosAsLong`, converted here to a proper timestamp). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** events schema with the given physical `ts` type — readStream
+    * needs the schema declared up front, and the fixture has shipped
+    * `ts` as TIMESTAMP(NANOS) (which Spark surfaces as LongType under
+    * `nanosAsLong`) AND as `timestamp[us]` isAdjustedToUTC=false
+    * (TIMESTAMP_NTZ). A mis-declared type silently corrupts event time
+    * (the reader coerces the raw INT64 into whatever was declared), so
+    * [[readEvents]] probes the footer via a batch read and declares
+    * what is actually on disk, then normalizes. */
+  def eventsSchemaWith(tsType: DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** The physical type the events fixture's `ts` column reads as —
+    * one footer read, no data scan. */
+  def probeEventsTsType(spark: SparkSession, dir: String): DataType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch =
+      if (new java.io.File(s"$dir/events.parquet").isDirectory)
+        spark.read.parquet(s"$dir/events.parquet")
+      else spark.read.option("pathGlobFilter", "events.parquet").parquet(dir)
+    batch.schema("ts").dataType
+  }
 
   private def readEvents(spark: SparkSession, dir: String,
                          maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // maxFilesPerTrigger is the production rate-limiting knob: bound
     // per-microbatch input instead of swallowing a backlog in one batch.
-    val r = spark.readStream.schema(eventsSchema)
+    val r = spark.readStream.schema(eventsSchemaWith(probeEventsTsType(spark, dir)))
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n.toString))
     // two physical layouts, both real: a single `events.parquet` FILE
     // (the sf fixtures) vs an `events.parquet/` DIRECTORY of part
@@ -43,7 +59,7 @@ object EventStream {
       if (new java.io.File(s"$dir/events.parquet").isDirectory)
         r.parquet(s"$dir/events.parquet")
       else r.option("pathGlobFilter", "events.parquet").parquet(dir)
-    stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.analytics.Tables.normalizeEventTs(stream)
   }
 
   /** documents schema for the file-source stream (an arriving-crawl
@@ -301,10 +317,12 @@ object EventStream {
     * detection + session aggregation) — the oracle-checkable twin of
     * [[sessionize]], and the shape to prefer for backfills. */
   def sessionizeBatch(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val gapMs = gapMinutes * 60000L
-    val events = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_ms", expr("ts div 1000000"))
+    // Tables.events handles both fixture generations (nanos-long and
+    // timestamp[us]); unix_millis matches the streaming twin's
+    // Timestamp.getTime millisecond resolution exactly.
+    val events = graft.analytics.Tables.events(spark, dir)
+      .withColumn("ts_ms", expr("unix_millis(ts)"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("ts_ms", "event_id")
     events

@@ -20,13 +20,15 @@ class RecoverySpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
   test("restart from checkpoint neither duplicates nor loses windows") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val tmp = Files.createTempDirectory("graft-recovery")
 
     // split events into 3 TIME-CONTIGUOUS single-file batches: files
     // must arrive roughly in event-time order or the watermark from an
-    // early batch legitimately drops later files' events as late data
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    // early batch legitimately drops later files' events as late data.
+    // Tables.events normalizes ts to TimestampType, so the staged
+    // files are written as adjusted-to-UTC timestamp[us] and the
+    // stream below declares exactly that.
+    val ev = graft.analytics.Tables.events(spark, dir)
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy("ts", "event_id")))
     val total = ev.count()
@@ -44,11 +46,10 @@ class RecoverySpec extends AnyFunSuite {
     // append-mode daily aggregation: windows emit when the watermark
     // closes them, so output accumulates monotonically in the sink
     def agg(s: org.apache.spark.sql.SparkSession) = {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.readStream.schema(EventStream.eventsSchema)
+      s.readStream.schema(EventStream.eventsSchemaWith(
+          org.apache.spark.sql.types.TimestampType))
         .option("maxFilesPerTrigger", "1")
         .parquet(s"$tmp/src")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ts", "1 day")
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         .agg(count(lit(1)).as("n_events"))
@@ -77,8 +78,7 @@ class RecoverySpec extends AnyFunSuite {
       "restart duplicated emitted windows")
     // equals the batch result for every closed (emitted) window, and
     // covers all but the final unclosed day
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = graft.analytics.Tables.events(spark, dir)
       .select(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
               col("event_type"))
       .groupBy("day", "event_type").agg(count(lit(1)).as("n_events"))

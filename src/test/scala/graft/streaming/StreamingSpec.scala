@@ -16,14 +16,43 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = EventStream.runToCompletion(spark,
       EventStream.dailyCounts(_, dir), "stream_spec_daily")
       .orderBy("day", "event_type").collect().toSeq
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = graft.analytics.Tables.events(spark, dir)
       .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
                col("event_type"))
       .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
       .orderBy("day", "event_type").collect().toSeq
     assert(streamed == batch)
+  }
+
+  test("stream reader handles both fixture ts generations (nanos-long and timestamp[us])") {
+    // the events fixture has changed physical ts type twice
+    // (TIMESTAMP(NANOS) → timestamp[us]); the streaming reader must
+    // produce identical results over either encoding of the same data.
+    // Materialize both from the canonical fixture and drive st01's
+    // daily aggregation through each.
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft-ts-generations")
+    val canonical = graft.analytics.Tables.events(spark, dir)
+    // micros generation: TIMESTAMP_NTZ writes as timestamp[us],
+    // isAdjustedToUTC=false — the round-6 fixture shape
+    canonical
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.parquet(s"$tmp/micros/events.parquet")
+    // nanos generation: an INT64 of epoch-nanoseconds — exactly what
+    // the nanosAsLong surface of the original TIMESTAMP(NANOS) fixture
+    // hands the reader
+    canonical
+      .withColumn("ts", expr("unix_micros(ts) * 1000"))
+      .write.parquet(s"$tmp/nanos/events.parquet")
+    def drive(d: String, name: String) =
+      EventStream.runToCompletion(spark, EventStream.dailyCounts(_, d), name)
+        .orderBy("day", "event_type").collect().toSeq
+    val expected = drive(dir, "spec_gen_canonical")
+    assert(expected.nonEmpty)
+    assert(drive(s"$tmp/micros", "spec_gen_micros") == expected,
+      "timestamp[us] fixture generation diverged from canonical")
+    assert(drive(s"$tmp/nanos", "spec_gen_nanos") == expected,
+      "nanos-long fixture generation diverged from canonical")
   }
 
   test("file-source incremental ingestion equals the single-batch result") {
