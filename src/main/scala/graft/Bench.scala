@@ -163,8 +163,13 @@ object Bench {
     // output and extracts the line containing "metric", so the primary
     // line must stay last (fully inside the tail window) and unique
     val warmTotal = BigDecimal(totalWarm).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    // errored queries (negative durations) ALSO listed by name, so a
+    // consumer skimming the JSON can never read a failure as a fast
+    // query; the union covers both passes
+    val errors = (results ++ warm).filter(_._2 < 0).map(_._1).distinct.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"warm_total":$warmTotal,"queries_warm":${fmt(warm, 3)},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -53,12 +53,16 @@ object Pipeline {
       .filter(col("n_tokens") >= cfg.minTokens && col("ttr") >= cfg.minTtr)
     val deduped = cfg.dedup match {
       case "exact" =>
+        // t06's shape (TextOps.t06DedupExact): groupBy(fp) + min_by of
+        // the whole row — partial aggregation combines duplicates
+        // map-side, vs a row_number window which would shuffle every
+        // full row into per-fp partitions before dropping any
+        val cols = quality.columns
         quality
           .withColumn("fp", md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
-          .withColumn("keep", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy("fp").orderBy("doc_id")) === 1)
-          .filter(col("keep"))
-          .drop("fp", "keep")
+          .groupBy("fp")
+          .agg(min_by(struct(cols.map(col): _*), col("doc_id")).as("__doc"))
+          .select(cols.map(c => col(s"__doc.$c")): _*)
       case "minhash" =>
         val dropped = Dedup.minHashPairsOf(Dedup.shinglesOf(quality))
           .filter(col("jaccard") >= cfg.minhashJaccard)

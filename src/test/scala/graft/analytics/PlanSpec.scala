@@ -216,6 +216,18 @@ class PlanSpec extends AnyFunSuite {
       s"coverage window is not above the top-k cut:\n$plan")
   }
 
+  test("p01 exact dedup is a partial aggregate, never a window over fp") {
+    // the curation pipeline's exact tier must share t06's min_by
+    // groupBy shape: map-side combine on the fingerprint, no
+    // row_number window shuffling full rows into per-fp partitions
+    val plan = Pipeline.p01CurationPipeline(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"p01 dedups through a window over fp:\n$plan")
+    assert(plan.contains("min_by") || plan.contains("ObjectHashAggregate"),
+      s"p01 lost the min_by partial aggregate:\n$plan")
+  }
+
   test("d07/t16 broadcast hints are all cardinality-bounded (never a raw corpus scan)") {
     // hyperplane literals (d07) and per-lang aggregates (t16) may be
     // hinted; a hint directly on a parquet relation would be a
