@@ -28,7 +28,15 @@ object Catalog {
 
   /** Tree listing WITHOUT parsing: (src_path, mtime_ms, size_bytes).
     * binaryFile gives path/mtime/size; the unread `content` column is
-    * pruned, so no file bytes move. */
+    * pruned, so no file bytes move.
+    *
+    * The `path` column is a Hadoop `Path.toString` — the DECODED form,
+    * not an RFC URI — so it must be parsed back with Hadoop's own
+    * `Path` (which round-trips its string form exactly), never
+    * `java.net.URI`: a raw space throws there, and a filename's
+    * literal `%41` (which the store's ArgCodec can emit) would either
+    * throw or double-decode to `A`, silently detaching the catalog row
+    * from its file. */
   def listing(spark: SparkSession, basedir: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
@@ -38,7 +46,7 @@ object Catalog {
       .select(col("path"), col("modificationTime"), col("length"))
       .as[(String, java.sql.Timestamp, Long)]
       .map { case (rawPath, mtime, size) =>
-        (java.nio.file.Paths.get(new java.net.URI(rawPath).getPath).toString,
+        (new org.apache.hadoop.fs.Path(rawPath).toUri.getPath,
           mtime.getTime, size)
       }
       .toDF("src_path", "mtime_ms", "size_bytes")

@@ -75,4 +75,51 @@ class CatalogSpec extends AnyFunSuite {
     assert(expectedChanged < prior.count()) // strictly fewer than a full re-parse
     refreshed.unpersist()
   }
+
+  test("listing round-trips filesystem paths with URI-hostile characters") {
+    // binaryFile surfaces paths as URI strings; the decode back to a
+    // filesystem path must survive every character the store's
+    // ArgCodec can emit into a filename — spaces, percent-escapes
+    // (both literal '%' and codec-produced '%XX'), '+', unicode,
+    // parens. A double decode would corrupt '%41' into 'A'; a naive
+    // java.net.URI parse throws on a raw space.
+    val dir = Files.createTempDirectory("graft-catalog-paths")
+    val names = Seq(
+      "plain.json",
+      "with space.json",
+      "percent%41.json",   // literal %41 — must NOT decode to 'A'
+      "raw%sign.json",     // bare % not followed by hex
+      "plus+sign.json",
+      "at@eq=sign.json",
+      "parens(1).json",
+      "comma,semi;.json")
+    names.foreach(n => Files.writeString(dir.resolve(n), "{}"))
+    val spark = SparkTestSession.spark
+    val listed = Catalog.listing(spark, dir.toString)
+      .select("src_path").collect().map(_.getString(0)).toSet
+    val expected = names.map(n => dir.resolve(n).toString).toSet
+    assert(listed == expected,
+      s"path round trip corrupted:\n  extra=${listed.diff(expected)}\n  missing=${expected.diff(listed)}")
+  }
+
+  test("catalog ingest parses assets whose encoded args land odd bytes in filenames") {
+    // end-to-end: args that the codec percent-encodes (space, slash,
+    // percent) must survive store-write → binaryFile listing →
+    // executor reverse-parse → catalog row, and the catalog's meta
+    // must equal the original DECODED args
+    val dir = Files.createTempDirectory("graft-catalog-oddargs")
+    val spark = SparkTestSession.spark
+    val store = new JsonFileStore(dir.toString)
+    val odd = Seq("loc with space", "pct%41", "a/b slash", "plus+and=eq")
+    odd.zipWithIndex.foreach { case (loc, i) =>
+      store.putTimeseries(s"""{"i": $i}""", "proj", "exp", loc, "net", "var", "layer")
+    }
+    val catalog = Catalog.ingest(spark, dir.toString)
+    val got = Catalog.entries(
+        Catalog.query(catalog, Seq(Route.Timeseries), Map("project" -> "proj")))
+      .flatMap(_.meta.get("location")).toSet
+    assert(got == odd.toSet,
+      s"odd-arg round trip corrupted: extra=${got.diff(odd.toSet)}, missing=${odd.toSet.diff(got)}")
+    store.close()
+  }
 }
