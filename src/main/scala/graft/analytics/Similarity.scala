@@ -542,6 +542,90 @@ object Similarity {
            min(col("sim")).as("min_sim"))
   }
 
+  /** Per-cell squared-distance scores for classic (Euclidean) k-means:
+    * argmin ||v−c||² = argmin (|c|² − 2·v·c) since |v|² is constant
+    * per row — same literal-centroid narrow-map shape as [[cellScores]]
+    * (no join, no shuffle for assignment), ties broken by cell asc. */
+  private def kmeansScores(cents: Array[(Int, Array[Double])], v: Column): Column = {
+    import graft.functions.VectorFunctions._
+    array(cents.toIndexedSeq.map { case (cell, c) =>
+      struct((lit(ddot(c, c)) - lit(2.0) * array_dot(v, typedLit(c))).as("d2"),
+        lit(cell).as("cell"))
+    }: _*)
+  }
+
+  /** Fully-distributed k-means (Lloyd) — the tier above
+    * [[ivfFitSampled]]'s bounded-driver-sample fit, for when the
+    * codebook must reflect the WHOLE corpus (the SemDeDup clustering
+    * precursor) rather than a 20k sample. Per iteration:
+    *  - assignment is a narrow map against the centroid literals
+    *    (no join, no shuffle — the only assignment shape that
+    *    survives a Lloyd iteration at 100 TB);
+    *  - the update is ONE partial-aggregating groupBy on
+    *    (cell, component): every task pre-reduces its partition to
+    *    ≤ k·d rows before the exchange, so the shuffle carries
+    *    k·d·partitions rows however large the corpus is, and only the
+    *    k·d centroid table ever reaches the driver.
+    * Component sums are DECIMAL, so the updated centroids are
+    * bit-identical under any partitioning/merge order — with double
+    * sums, boundary vectors' assignments (and thus the whole
+    * clustering) would vary run to run.
+    *
+    * Init: the k lowest-vec_id vectors (deterministic). An emptied
+    * cell drops out, like [[lloydIvf]]. Returns the assigned corpus
+    * (with per-row squared distance), the centroids, and the
+    * per-iteration mean squared distance BEFORE each update — Lloyd
+    * guarantees this trace is non-increasing, and KmeansSpec pins it. */
+  private[analytics] def kmeansFit(corpus: DataFrame, k: Int = 16, iters: Int = 5)
+      : (DataFrame, Array[(Int, Array[Double])], Seq[Double]) = {
+    val e = corpus.cache()
+    var cents: Array[(Int, Array[Double])] = e.orderBy("vec_id").limit(k)
+      .select(col("v")).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+    val trace = Seq.newBuilder[Double]
+    for (_ <- 0 until iters) {
+      val best = array_min(kmeansScores(cents, col("v")))
+      val assigned = e.select(col("v"),
+        best.getField("cell").as("cell"),
+        // |v|² + (|c|² − 2·v·c) = ||v−c||²; rounded per row so the
+        // objective aggregate is merge-order-independent
+        Det.dround(col("norm") * col("norm") + best.getField("d2"), 6).as("sqdist"))
+      trace += assigned.agg(Det.avgDec9R(col("sqdist"), 6)).first().getDouble(0)
+      val sums = assigned
+        .select(col("cell"), posexplode(col("v")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("col").cast("decimal(28,12)")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      cents = sums.groupBy(_.getInt(0)).toArray.sortBy(_._1).map { case (cell, rows) =>
+        val dim = rows.map(_.getInt(1)).max + 1
+        val c = new Array[Double](dim)
+        rows.foreach(r => c(r.getInt(1)) = r.getDecimal(2).doubleValue() / r.getLong(3))
+        (cell, c)
+      }
+    }
+    val best = array_min(kmeansScores(cents, col("v")))
+    (e.select(col("vec_id"), col("v"), col("norm"),
+        best.getField("cell").as("cell"),
+        Det.dround(col("norm") * col("norm") + best.getField("d2"), 6).as("sqdist")),
+      cents, trace.result())
+  }
+
+  /** Distributed-k-means gate: per-cluster size, mean/max squared
+    * distance to the centroid, and the smallest member id. Rows-only
+    * (iterative Lloyd isn't SQL-expressible); KmeansSpec pins the
+    * semantic contract — monotone objective, corpus partition
+    * totality, and partitioning-independence of the whole result. */
+  def s08KmeansClusters(spark: SparkSession, dir: String): DataFrame = {
+    val (assigned, _, _) = kmeansFit(Dedup.normalizedVectors(spark, dir))
+    assigned
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+           Det.avgDec9R(col("sqdist"), 4).as("avg_sqdist"),
+           max(col("sqdist")).as("max_sqdist"),
+           min(col("vec_id")).as("first_vec"))
+      .orderBy("cell")
+  }
+
   /** User-facing ANN search over arbitrary frames: corpus
     * (vec_id, embedding) × queries (query_id, embedding) → top-`k`
     * cosine neighbors per query as (query_id, rnk, neighbor_id,
@@ -587,6 +671,7 @@ object Similarity {
     "s05_knn_graph"      -> s05KnnGraph _,
     "s06_knn_graph_ivf"  -> s06KnnGraphIvf _,
     "s07_cluster_stats"  -> s07ClusterStats _,
+    "s08_kmeans_clusters" -> s08KmeansClusters _,
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -114,6 +114,49 @@ object StreamingQueries {
            min("first_doc").as("first_doc"))
       .orderBy("band")
 
+  /** Streaming decontamination — t20's Bloom-tiered benchmark scrub
+    * applied as documents ARRIVE instead of in a nightly batch: the
+    * eval set's (static, fixed-size) distinct shingles build one Bloom
+    * filter before the stream starts; each arriving train document's
+    * shingles probe the filter per-row (no state, no shuffle), only
+    * probable hits reach the stream-static LEFT SEMI join that removes
+    * the ~1% false positives (stateless — the static side is the same
+    * every microbatch), and the only stateful operators are the
+    * contaminated-doc dedup + the |sources|-bounded count. State is
+    * proportional to CONTAMINATED docs — on a mostly-clean stream,
+    * almost nothing. Oracle-checked: the bounded drive must equal the
+    * batch count of distinct contaminated docs per source, which also
+    * proves the Bloom stage is correctness-invisible in-flight. */
+  def st08StreamDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st08_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    EventStream.runToCompletion(spark,
+      decontamStream(_, dir, dir, None), name).orderBy("source")
+  }
+
+  /** The st08 streaming frame, split out so the spec can drive the
+    * same plan through a trickled multi-file source: eval shingles and
+    * the Bloom filter come from `evalDir` (static), the train stream
+    * from `streamDir`. */
+  private[analytics] def decontamStream(s: SparkSession, streamDir: String,
+                                        evalDir: String,
+                                        maxFilesPerTrigger: Option[Int]): DataFrame = {
+    import graft.functions.WordShingles.word_shingles
+    import graft.functions.BloomMightContain.bloom_might_contain
+    val evalSh = Tables.documents(s, evalDir).filter(col("source") === "src0")
+      .select(explode(word_shingles(col("text"))).as("shingle")).distinct()
+    val bloom = graft.functions.BloomMightContain.serialize(
+      evalSh.stat.bloomFilter("shingle", math.max(evalSh.count(), 1L), 0.01))
+    EventStream.readDocumentsStream(s, streamDir, maxFilesPerTrigger)
+      .filter(col("source") =!= "src0")
+      .select(col("doc_id"), col("source"),
+        explode(word_shingles(col("text"))).as("shingle"))
+      .filter(bloom_might_contain(col("shingle"), bloom))
+      .join(evalSh, Seq("shingle"), "left_semi")
+      .dropDuplicates("doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_contaminated"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_daily" -> st01StreamDaily _,
     "st02_sessions"     -> st02Sessions _,
@@ -122,6 +165,7 @@ object StreamingQueries {
     "st05_stream_enrich" -> st05StreamEnrich _,
     "st06_stream_ingest" -> st06StreamIngest _,
     "st07_stream_neardup" -> st07StreamNeardup _,
+    "st08_stream_decontam" -> st08StreamDecontam _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -168,5 +212,18 @@ object StreamingQueries {
     "st06_stream_ingest" ->
       """SELECT event_type AS experiment, count(DISTINCT user_id) AS n_assets
          FROM events GROUP BY 1 ORDER BY experiment""",
+    // distinct contaminated train docs per source — the batch truth the
+    // bounded streaming drive must land on exactly
+    "st08_stream_decontam" ->
+      """WITH toks AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') t FROM documents),
+          sh AS (SELECT doc_id, source, list_distinct(list_transform(range(1, len(t)-1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) s
+                 FROM toks WHERE len(t) >= 3),
+          ev AS (SELECT DISTINCT unnest(s) shingle FROM sh WHERE source = 'src0'),
+          tr AS (SELECT doc_id, source, unnest(s) shingle FROM sh WHERE source <> 'src0'),
+          hit AS (SELECT DISTINCT doc_id, source FROM tr
+                  WHERE shingle IN (SELECT shingle FROM ev))
+         SELECT source, count(*) AS n_contaminated
+         FROM hit GROUP BY source ORDER BY source""",
   )
 }

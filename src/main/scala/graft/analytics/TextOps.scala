@@ -548,6 +548,47 @@ object TextOps {
       .orderBy("lang", "split")
   }
 
+  /** Token budget the epoch math in [[t24MixtureWeights]] is quoted
+    * against — the "one pass of the re-balanced mixture" size. */
+  private val MixtureBudget = 1000000.0
+
+  /** Temperature-scaled source mixture weights (α = 1/2, i.e. T = 2
+    * sampling) — the DoReMi/LLaMA-style re-balancing a training run
+    * applies so small high-quality sources are not drowned by bulk
+    * crawl: w_s ∝ (n_tokens_s)^α, normalized over sources. Output per
+    * source: doc/token counts, raw corpus share, the temperature
+    * weight, and effective epochs at a fixed [[MixtureBudget]]
+    * (w_s·B / n_s — how often the source repeats in one pass of the
+    * re-balanced mixture; > 1 means up-sampling).
+    *
+    * α is exactly 1/2 because `sqrt` is the one power IEEE 754
+    * requires correctly rounded in BOTH engines — the Det determinism
+    * rule extended to the exponent itself (`pow`'s 1-ulp slack would
+    * make the oracle flaky at round boundaries). The normalizer sums
+    * the sqrt terms in DECIMAL so it is merge-order-independent.
+    *
+    * Scale shape: one partial-aggregating groupBy down to |sources|
+    * rows; the normalizing window runs over the label space, never
+    * the corpus. */
+  def t24MixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    val per = Tables.documents(spark, dir)
+      .select(col("source"), size(tokens).cast("bigint").as("n_tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    per
+      .withColumn("raw_share",
+        Det.dround(col("n_tokens") / sum(col("n_tokens")).over(w), 6))
+      .withColumn("weight", Det.dround(
+        sqrt(col("n_tokens").cast("double")) /
+          sum(sqrt(col("n_tokens").cast("double")).cast("decimal(18,6)"))
+            .over(w).cast("double"), 6))
+      .withColumn("epochs",
+        Det.dround(col("weight") * MixtureBudget / col("n_tokens"), 4))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_distribution" -> t01LangDistribution _,
     "t02_token_counts"      -> t02TokenCounts _,
@@ -568,6 +609,7 @@ object TextOps {
     "t21_lm_perplexity"     -> t21LmPerplexity _,
     "t22_vocab_coverage"    -> t22VocabCoverage _,
     "t23_stratified_split"  -> t23StratifiedSplit _,
+    "t24_mixture_weights"   -> t24MixtureWeights _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -717,6 +759,20 @@ object TextOps {
          SELECT lang, split, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
           floor((CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang)) * 10000.0 + 0.5) / 10000.0 AS doc_share
          FROM agg ORDER BY lang, split""",
+    "t24_mixture_weights" ->
+      """WITH per AS (SELECT source, count(*) AS n_docs,
+                 CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source),
+          tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) tot_tok,
+                   CAST(sum(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) tot_scaled
+                  FROM per),
+          m AS (SELECT source, n_docs, n_tokens,
+                 floor((CAST(n_tokens AS DOUBLE) / tot_tok) * 1000000.0 + 0.5) / 1000000.0 AS raw_share,
+                 floor((sqrt(CAST(n_tokens AS DOUBLE)) / tot_scaled) * 1000000.0 + 0.5) / 1000000.0 AS weight
+                FROM per, tot)
+         SELECT source, n_docs, n_tokens, raw_share, weight,
+          floor((weight * 1000000.0 / n_tokens) * 10000.0 + 0.5) / 10000.0 AS epochs
+         FROM m ORDER BY source""",
     "t15_quality_filter" ->
       s"""WITH d AS (SELECT source, string_split_regex(trim(text), '\\s+') t FROM documents),
           m AS (SELECT source,

@@ -56,5 +56,15 @@ class StreamNeardupSpec extends AnyFunSuite {
     val oneShot = StreamingQueries.st07StreamNeardup(spark, dir)
       .collect().map(_.toSeq).toSeq
     assert(trickled.nonEmpty && trickled == oneShot)
+
+    // st08 rides the same commutative-state argument (semi-join hits →
+    // doc dedup → count): the trickled drive must equal one-shot too
+    val st08Trickled = EventStream.runToCompletion(spark,
+        StreamingQueries.decontamStream(_, s"$tmp/split*", dir, Some(1)),
+        "spec_trickle_decontam")
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    val st08OneShot = StreamingQueries.st08StreamDecontam(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(st08Trickled.nonEmpty && st08Trickled == st08OneShot)
   }
 }
