@@ -82,11 +82,11 @@ object Pipeline {
           .select(col("j").as("doc_id")).distinct()
         quality.join(dropped, Seq("doc_id"), "left_anti")
       case "embedding" =>
-        // SemDeDup over vectors — the d07→d08 production shape: LSH
-        // band candidates, exact-cosine verify, connected components,
-        // ONE survivor (the min doc_id) per semantic cluster. Only
-        // quality-surviving docs participate, matching the text tiers
-        // which shingle the filtered corpus.
+        // semantic near-dup via LSH — the d07→d08 production shape:
+        // LSH band candidates, exact-cosine verify, connected
+        // components, ONE survivor (the min doc_id) per semantic
+        // cluster. Only quality-surviving docs participate, matching
+        // the text tiers which shingle the filtered corpus.
         val e = embeddings.getOrElse(throw new IllegalArgumentException(
           "dedup tier 'embedding' needs an embeddings frame (vec_id, embedding); " +
           "vec_id joins doc_id"))
@@ -99,9 +99,45 @@ object Pipeline {
           .filter(col("doc_id") =!= col("cluster_id"))
           .select(col("doc_id")).distinct()
         quality.join(dropped, Seq("doc_id"), "left_anti")
+      case "semdedup" =>
+        // SemDeDup proper (Abbas et al. 2023): k-means the embeddings
+        // (the fully-distributed [[Similarity.kmeansFit]]), then score
+        // pairwise cosine WITHIN each cluster only — the candidate
+        // join keys on the cluster id, so pair work is Σ|cluster|²
+        // (bounded by cell sizing at √N cells), never corpus². Each
+        // near-dup component keeps its min doc_id, like the other
+        // tiers. Complements 'embedding': LSH candidates find
+        // high-cosine pairs anywhere; SemDeDup's clusters make the
+        // cost model explicit and give the curation run the cluster
+        // structure for free (cluster-balance stats, per-cluster
+        // thresholds).
+        import graft.functions.VectorFunctions._
+        val e = embeddings.getOrElse(throw new IllegalArgumentException(
+          "dedup tier 'semdedup' needs an embeddings frame (vec_id, embedding); " +
+          "vec_id joins doc_id"))
+        val qe = e.select(col("vec_id"), as_double_array(col("embedding")).as("v"))
+          .join(quality.select(col("doc_id").as("vec_id")), "vec_id")
+          .withColumn("norm", array_norm(col("v")))
+        // √N cell sizing (the s06 discipline): k must stay well below N
+        // or every vector seeds its own cluster and no pair is ever
+        // compared; √N balances cluster count against Σ|cluster|² pair
+        // work (capped at 16 — the fixture-scale codebook size)
+        val k = math.max(1, math.min(16,
+          math.ceil(math.sqrt(qe.count().toDouble)).toInt))
+        val (assigned, _, _) = Similarity.kmeansFit(qe, k = k)
+        val pairs = assigned.as("a").join(assigned.as("b"),
+            col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+            (array_dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
+              .as("cos_sim"))
+          .filter(col("cos_sim") >= cfg.embeddingCosine)
+        val dropped = Dedup.dupClustersOf(pairs.select(col("i"), col("j")))
+          .filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id")).distinct()
+        quality.join(dropped, Seq("doc_id"), "left_anti")
       case "none" => quality
       case other => throw new IllegalArgumentException(
-        s"unknown dedup tier '$other' (exact | minhash | cluster | winnow | embedding | none)")
+        s"unknown dedup tier '$other' (exact | minhash | cluster | winnow | embedding | semdedup | none)")
     }
     if (cfg.holdoutModulus > 0) deduped.filter(col("doc_id") % cfg.holdoutModulus =!= 0)
     else deduped
@@ -120,8 +156,19 @@ object Pipeline {
   def p01CurationPipeline(spark: SparkSession, dir: String): DataFrame =
     curationStats(curate(Tables.documents(spark, dir)))
 
+  /** The SemDeDup end-to-end gate: same pipeline with the
+    * cluster-then-dedup-within-cluster tier over the embeddings.
+    * Rows-only (k-means isn't SQL-expressible); CurationSpec pins the
+    * tier's semantics (survivors ⊆ quality set, min-id survivor per
+    * component, holdout applied). */
+  def p02SemdedupPipeline(spark: SparkSession, dir: String): DataFrame =
+    curationStats(curate(Tables.documents(spark, dir),
+      CurationConfig(dedup = "semdedup"),
+      Some(Tables.embeddings(spark, dir))))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_curation_pipeline" -> p01CurationPipeline _,
+    "p02_semdedup_pipeline" -> p02SemdedupPipeline _,
   )
 
   val oracleSql: Map[String, String] = Map(

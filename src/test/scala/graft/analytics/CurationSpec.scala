@@ -71,6 +71,35 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Set(1L, 2L, 3L))
   }
 
+  test("semdedup tier dedups within k-means clusters and keeps the min id") {
+    import spark.implicits._
+    // same semantic structure as the embedding-tier case: {2,4} share a
+    // direction, everyone else orthogonal. k-means puts co-directional
+    // vectors in one cell; the within-cell cosine pass must then catch
+    // the pair and keep the min id — while never comparing across cells.
+    def unit(axis: Int, jitter: Double = 0.0): Array[Float] =
+      Array.tabulate(64)(d =>
+        (if (d == axis) 1.0f else 0.0f) + (if (d == 63) jitter.toFloat else 0.0f))
+    val emb = Seq(
+      (1L, unit(0)), (2L, unit(1)), (3L, unit(2)),
+      (4L, unit(1, jitter = 0.05)), (10L, unit(3))
+    ).toDF("vec_id", "embedding")
+    val got = curate(corpus(), CurationConfig(dedup = "semdedup"), Some(emb))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L))
+  }
+
+  test("p02 gate equals curate(semdedup) + stats on the real table") {
+    val dir = "/root/testdata/sf0.001"
+    val viaApi = Pipeline.curationStats(
+      curate(Tables.documents(spark, dir),
+        CurationConfig(dedup = "semdedup"),
+        Some(Tables.embeddings(spark, dir)))).collect().map(_.toSeq).toSeq
+    val gate = Pipeline.p02SemdedupPipeline(spark, dir).collect().map(_.toSeq).toSeq
+    assert(viaApi == gate && gate.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("embedding tier without an embeddings frame is a config error") {
     intercept[IllegalArgumentException] {
       curate(corpus(), CurationConfig(dedup = "embedding"))
