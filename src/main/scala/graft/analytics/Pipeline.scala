@@ -125,13 +125,8 @@ object Pipeline {
         val k = math.max(1, math.min(16,
           math.ceil(math.sqrt(qe.count().toDouble)).toInt))
         val (assigned, _, _) = Similarity.kmeansFit(qe, k = k)
-        val pairs = assigned.as("a").join(assigned.as("b"),
-            col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
-            (array_dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
-              .as("cos_sim"))
-          .filter(col("cos_sim") >= cfg.embeddingCosine)
-        val dropped = Dedup.dupClustersOf(pairs.select(col("i"), col("j")))
+        val dropped = Dedup.dupClustersOf(
+            semdedupPairs(assigned, cfg.embeddingCosine).select(col("i"), col("j")))
           .filter(col("doc_id") =!= col("cluster_id"))
           .select(col("doc_id")).distinct()
         quality.join(dropped, Seq("doc_id"), "left_anti")
@@ -141,6 +136,21 @@ object Pipeline {
     }
     if (cfg.holdoutModulus > 0) deduped.filter(col("doc_id") % cfg.holdoutModulus =!= 0)
     else deduped
+  }
+
+  /** SemDeDup's within-cluster pair stage over a k-means-assigned
+    * frame (vec_id, v, norm, cell): exact cosine for every same-cell
+    * id-ordered pair above `minCos`. The join keys on the cluster id
+    * — pair work is Σ|cluster|², bounded by cell sizing, and AQE can
+    * skew-split a hot cell (PlanSpec pins the equi-join shape). */
+  private[analytics] def semdedupPairs(assigned: DataFrame, minCos: Double): DataFrame = {
+    import graft.functions.VectorFunctions._
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        (array_dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= minCos)
   }
 
   /** Per-language token-budget accounting over a curated corpus. */

@@ -228,6 +228,32 @@ class PlanSpec extends AnyFunSuite {
       s"p01 lost the min_by partial aggregate:\n$plan")
   }
 
+  test("s08 k-means gate is one narrow assignment pass — no join, no window") {
+    // assignment is a centroid-literal map; the gate plan must be
+    // scan → project → partial agg → exchange → final agg, nothing else
+    val plan = Similarity.s08KmeansClusters(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"s08 gained a join:\n$plan")
+    assert(!plan.contains("Window"), s"s08 gained a window:\n$plan")
+    spark.catalog.clearCache()
+  }
+
+  test("semdedup within-cluster pairs ride an equi join on cell, never a nested loop") {
+    // the end-to-end curate() plan hides this join (the hybrid CC
+    // collects the output-sized pair list eagerly), so assert on the
+    // pair stage itself
+    val (assigned, _, _) =
+      Similarity.kmeansFit(Dedup.normalizedVectors(spark, dir), k = 8, iters = 2)
+    val plan = Pipeline.semdedupPairs(assigned, 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"semdedup pair generation is a cross product:\n$plan")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cell".r
+      .findFirstIn(plan).isDefined,
+      s"semdedup pairs are not keyed on the cluster id:\n$plan")
+    spark.catalog.clearCache()
+  }
+
   test("d07/t16 broadcast hints are all cardinality-bounded (never a raw corpus scan)") {
     // hyperplane literals (d07) and per-lang aggregates (t16) may be
     // hinted; a hint directly on a parquet relation would be a
