@@ -573,16 +573,20 @@ object Similarity {
     *
     * Init: the k lowest-vec_id vectors (deterministic). An emptied
     * cell drops out, like [[lloydIvf]]. Returns the assigned corpus
-    * (with per-row squared distance), the centroids, and the
-    * per-iteration mean squared distance BEFORE each update — Lloyd
-    * guarantees this trace is non-increasing, and KmeansSpec pins it. */
-  private[analytics] def kmeansFit(corpus: DataFrame, k: Int = 16, iters: Int = 5)
+    * (with per-row squared distance), the centroids, and — when
+    * `trace` is set — the per-iteration mean squared distance BEFORE
+    * each update; Lloyd guarantees that trace is non-increasing, and
+    * KmeansSpec pins it. The trace costs one extra aggregation job
+    * per iteration, so production callers (the s08/p02 gates) leave
+    * it off. */
+  private[analytics] def kmeansFit(corpus: DataFrame, k: Int = 16, iters: Int = 5,
+                                   trace: Boolean = false)
       : (DataFrame, Array[(Int, Array[Double])], Seq[Double]) = {
     val e = corpus.cache()
     var cents: Array[(Int, Array[Double])] = e.orderBy("vec_id").limit(k)
       .select(col("v")).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
-    val trace = Seq.newBuilder[Double]
+    val traceB = Seq.newBuilder[Double]
     for (_ <- 0 until iters) {
       val best = array_min(kmeansScores(cents, col("v")))
       val assigned = e.select(col("v"),
@@ -590,7 +594,8 @@ object Similarity {
         // |v|² + (|c|² − 2·v·c) = ||v−c||²; rounded per row so the
         // objective aggregate is merge-order-independent
         Det.dround(col("norm") * col("norm") + best.getField("d2"), 6).as("sqdist"))
-      trace += assigned.agg(Det.avgDec9R(col("sqdist"), 6)).first().getDouble(0)
+      if (trace)
+        traceB += assigned.agg(Det.avgDec9R(col("sqdist"), 6)).first().getDouble(0)
       val sums = assigned
         .select(col("cell"), posexplode(col("v")))
         .groupBy("cell", "pos")
@@ -607,7 +612,7 @@ object Similarity {
     (e.select(col("vec_id"), col("v"), col("norm"),
         best.getField("cell").as("cell"),
         Det.dround(col("norm") * col("norm") + best.getField("d2"), 6).as("sqdist")),
-      cents, trace.result())
+      cents, traceB.result())
   }
 
   /** Distributed-k-means gate: per-cluster size, mean/max squared

@@ -14,7 +14,8 @@ class KmeansSpec extends AnyFunSuite {
 
   test("objective trace is monotone non-increasing") {
     val (_, _, trace) =
-      Similarity.kmeansFit(Dedup.normalizedVectors(spark, dir), k = 16, iters = 5)
+      Similarity.kmeansFit(Dedup.normalizedVectors(spark, dir), k = 16, iters = 5,
+        trace = true)
     assert(trace.length == 5)
     trace.sliding(2).foreach { case Seq(a, b) =>
       // per-row rounding at 1e-6 bounds the FP slack of the comparison
