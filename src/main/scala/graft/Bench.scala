@@ -156,8 +156,11 @@ object Bench {
       rs.map { case (k, v) =>
         s"\"" + k + "\":" + BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP)
       }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val totalWarm = if (warm.nonEmpty) warm.map(_._2).sum else 0.0
+    // totals sum SUCCESSFUL queries only: adding an errored query's
+    // negative marker would make a failing round read FASTER than a
+    // clean one; the errors list below carries the failures
+    val total = results.collect { case (_, t) if t > 0 => t }.sum
+    val totalWarm = warm.collect { case (_, t) if t > 0 => t }.sum
     // warm pass on its own line, BEFORE the primary line and without
     // the substring "metric": the driver keeps only the tail of the
     // output and extracts the line containing "metric", so the primary

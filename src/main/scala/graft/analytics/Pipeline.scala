@@ -115,21 +115,28 @@ object Pipeline {
         val e = embeddings.getOrElse(throw new IllegalArgumentException(
           "dedup tier 'semdedup' needs an embeddings frame (vec_id, embedding); " +
           "vec_id joins doc_id"))
+        // cached up front: read by the √N count, kmeansFit's init +
+        // iterations, and the pair join — without it the embeddings ⋈
+        // quality join would run once per consumer
         val qe = e.select(col("vec_id"), as_double_array(col("embedding")).as("v"))
           .join(quality.select(col("doc_id").as("vec_id")), "vec_id")
           .withColumn("norm", array_norm(col("v")))
-        // √N cell sizing (the s06 discipline): k must stay well below N
-        // or every vector seeds its own cluster and no pair is ever
-        // compared; √N balances cluster count against Σ|cluster|² pair
-        // work (capped at 16 — the fixture-scale codebook size)
-        val k = math.max(1, math.min(16,
-          math.ceil(math.sqrt(qe.count().toDouble)).toInt))
-        val (assigned, _, _) = Similarity.kmeansFit(qe, k = k)
-        val dropped = Dedup.dupClustersOf(
-            semdedupPairs(assigned, cfg.embeddingCosine).select(col("i"), col("j")))
-          .filter(col("doc_id") =!= col("cluster_id"))
-          .select(col("doc_id")).distinct()
-        quality.join(dropped, Seq("doc_id"), "left_anti")
+          .cache()
+        val n = qe.count()
+        if (n == 0) quality // no embeddable docs → nothing to dedup
+        else {
+          // √N cell sizing (the s06 discipline): k must stay well below
+          // N or every vector seeds its own cluster and no pair is ever
+          // compared; √N balances cluster count against Σ|cluster|² pair
+          // work (capped at 16 — the fixture-scale codebook size)
+          val k = math.max(1, math.min(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+          val (assigned, _, _) = Similarity.kmeansFit(qe, k = k)
+          val dropped = Dedup.dupClustersOf(
+              semdedupPairs(assigned, cfg.embeddingCosine).select(col("i"), col("j")))
+            .filter(col("doc_id") =!= col("cluster_id"))
+            .select(col("doc_id")).distinct()
+          quality.join(dropped, Seq("doc_id"), "left_anti")
+        }
       case "none" => quality
       case other => throw new IllegalArgumentException(
         s"unknown dedup tier '$other' (exact | minhash | cluster | winnow | embedding | semdedup | none)")
@@ -145,7 +152,12 @@ object Pipeline {
     * skew-split a hot cell (PlanSpec pins the equi-join shape). */
   private[analytics] def semdedupPairs(assigned: DataFrame, minCos: Double): DataFrame = {
     import graft.functions.VectorFunctions._
-    assigned.as("a").join(assigned.as("b"),
+    // zero-norm vectors carry no similarity signal; without the guard
+    // their cosine is 0/0 = NaN, which Spark orders ABOVE every double,
+    // so two unrelated zero vectors in one cell would silently pass any
+    // threshold and one of their documents would be deleted as a "dup"
+    val nz = assigned.filter(col("norm") > 0)
+    nz.as("a").join(nz.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
         (array_dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm")))

@@ -142,8 +142,13 @@ object StreamingQueries {
                                         maxFilesPerTrigger: Option[Int]): DataFrame = {
     import graft.functions.WordShingles.word_shingles
     import graft.functions.BloomMightContain.bloom_might_contain
+    // cached: the bounded distinct-shingle set is read three+ times —
+    // count, Bloom build, and the static side of the semi join EVERY
+    // microbatch; uncached, each arriving file would pay a full
+    // eval-corpus scan + distinct shuffle
     val evalSh = Tables.documents(s, evalDir).filter(col("source") === "src0")
       .select(explode(word_shingles(col("text"))).as("shingle")).distinct()
+      .cache()
     val bloom = graft.functions.BloomMightContain.serialize(
       evalSh.stat.bloomFilter("shingle", math.max(evalSh.count(), 1L), 0.01))
     EventStream.readDocumentsStream(s, streamDir, maxFilesPerTrigger)

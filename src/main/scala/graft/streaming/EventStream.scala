@@ -32,14 +32,23 @@ object EventStream {
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** The physical type the events fixture's `ts` column reads as —
-    * one footer read, no data scan. */
+    * one footer read, no data scan. When no files exist yet (an
+    * arriving-file stream started over an empty directory — schema
+    * inference has nothing to read), fall back to TIMESTAMP_NTZ, the
+    * current fixture generation: the stream must still be able to
+    * START before the first file lands, and a wrong fallback fails
+    * loudly on first read (schema mismatch) rather than corrupting. */
   def probeEventsTsType(spark: SparkSession, dir: String): DataType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val batch =
-      if (new java.io.File(s"$dir/events.parquet").isDirectory)
-        spark.read.parquet(s"$dir/events.parquet")
-      else spark.read.option("pathGlobFilter", "events.parquet").parquet(dir)
-    batch.schema("ts").dataType
+    try {
+      val batch =
+        if (new java.io.File(s"$dir/events.parquet").isDirectory)
+          spark.read.parquet(s"$dir/events.parquet")
+        else spark.read.option("pathGlobFilter", "events.parquet").parquet(dir)
+      batch.schema("ts").dataType
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => TimestampNTZType
+    }
   }
 
   private def readEvents(spark: SparkSession, dir: String,

@@ -100,6 +100,31 @@ class CurationSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("semdedup tier degrades to a no-op when no embeddings cover the corpus") {
+    import spark.implicits._
+    // vec_ids disjoint from the quality docs: nothing is embeddable,
+    // so nothing may be dropped (and nothing may crash)
+    val emb = Seq((900L, Array.fill(64)(1.0f))).toDF("vec_id", "embedding")
+    val got = curate(corpus(), CurationConfig(dedup = "semdedup"), Some(emb))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 4L))
+  }
+
+  test("semdedup tier never pairs zero-norm vectors (NaN cosine guard)") {
+    import spark.implicits._
+    // docs 2 and 4 get all-zero embeddings: no similarity signal, so
+    // NEITHER may be deleted — without the norm>0 guard their NaN
+    // cosine orders above every threshold and 4 would vanish
+    val zero = Array.fill(64)(0.0f)
+    def unit(axis: Int): Array[Float] = Array.tabulate(64)(d => if (d == axis) 1.0f else 0.0f)
+    val emb = Seq(
+      (1L, unit(0)), (2L, zero), (3L, unit(2)), (4L, zero), (10L, unit(3))
+    ).toDF("vec_id", "embedding")
+    val got = curate(corpus(), CurationConfig(dedup = "semdedup"), Some(emb))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 4L))
+  }
+
   test("embedding tier without an embeddings frame is a config error") {
     intercept[IllegalArgumentException] {
       curate(corpus(), CurationConfig(dedup = "embedding"))

@@ -55,6 +55,30 @@ class StreamingSpec extends AnyFunSuite {
       "nanos-long fixture generation diverged from canonical")
   }
 
+  test("stream starts over an empty source directory and picks up arriving files") {
+    // the production arriving-file mode: the directory exists but the
+    // first file lands AFTER the stream starts — the footer probe must
+    // fall back to a declared schema instead of refusing to start
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft-stream-empty")
+    Files.createDirectories(tmp.resolve("events.parquet"))
+    val s = spark.newSession()
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val q = EventStream.dailyCounts(s, tmp.toString).writeStream
+      .outputMode("complete").format("memory")
+      .queryName("spec_empty_start").start()
+    q.processAllAvailable()
+    assert(s.table("spec_empty_start").count() == 0)
+    // first file arrives (current fixture generation: timestamp[us])
+    graft.analytics.Tables.events(spark, dir)
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .coalesce(1).write.mode("append").parquet(s"$tmp/events.parquet")
+    q.processAllAvailable()
+    q.stop()
+    assert(s.table("spec_empty_start").count() > 0,
+      "arriving file was not picked up by the already-running stream")
+  }
+
   test("file-source incremental ingestion equals the single-batch result") {
     // the same events split over 3 files and trickled one file per
     // microbatch must aggregate to the single-batch (and batch-oracle)
