@@ -82,7 +82,8 @@ object ScaleProbe {
     // CC core over d07's LSH pairs, both probed here)
     val names = Seq("d01_ngram_jaccard_pairs", "d02_minhash_pairs", "d03_simhash_pairs",
       "d05_winnow_pairs", "d06_dup_clusters", "d07_embedding_lsh_pairs",
-      "t07_ngram_langid", "p01_curation_pipeline", "t11_bpe_tokens", "t12_repetition",
+      "t07_ngram_langid", "p01_curation_pipeline", "p02_semdedup_pipeline",
+      "t11_bpe_tokens", "t12_repetition",
       "t13_tfidf", "t14_decontamination", "t15_quality_filter", "t16_mixture_sample",
       "t17_pii_redaction", "t18_boilerplate", "t19_source_overlap",
       "t20_bloom_decontam", "t21_lm_perplexity", "d09_exact_substr", "d10_substr_clean",
