@@ -281,6 +281,26 @@ object Relational {
       .orderBy("status", "priority")
   }
 
+  /** Asymmetric GROUPING SETS — the form neither rollup (q05) nor cube
+    * (q17) covers: the two single-dimension marginals plus the full
+    * cross, WITHOUT the grand total. Same partial-agg expansion as
+    * cube, so one pass over orders. The fixture has no NULL
+    * status/priority, so the coalesce('ALL') sentinel is unambiguous
+    * (q17's convention). */
+  def q29GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")),
+            Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), Det.sumDecR(col("o_totalprice"), 2).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+              coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+              col("n_orders"), col("total"))
+      .orderBy("status", "priority")
+  }
+
   /** Window frames: running sum (rows unbounded-preceding), 7-row
     * moving average, lag delta — per supplier over ship dates. */
   def q18WindowFrames(spark: SparkSession, dir: String): DataFrame = {
@@ -483,6 +503,7 @@ object Relational {
     "q25_approx_percentiles"-> q25ApproxPercentiles _,
     "q26_pivot"             -> q26Pivot _,
     "q27_gapfill"           -> q27GapFill _,
+    "q29_grouping_sets"     -> q29GroupingSets _,
   )
 
   /** DuckDB oracle SQL, column-name- and order-aligned with the Spark
@@ -613,6 +634,13 @@ object Relational {
          coalesce(o_orderpriority,'ALL') AS priority,
          count(*) AS n_orders, floor((CAST(sum(CAST((o_totalprice) AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS total
          FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
+    "q29_grouping_sets" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+         coalesce(o_orderpriority,'ALL') AS priority,
+         count(*) AS n_orders, floor((CAST(sum(CAST((o_totalprice) AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS total
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority))
          ORDER BY status, priority""",
     "q18_window_frames" ->
       """SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

@@ -162,6 +162,40 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_contaminated"))
   }
 
+  /** Streaming vector ingest with IVF cell assignment — the FAISS
+    * train/add split in streaming form: the coarse quantizer trains on
+    * the STATIC corpus once (bounded driver sample, before the stream
+    * starts), and every ARRIVING vector is assigned to its nearest
+    * cell by the same narrow centroid-literal expression the batch
+    * path uses — per-row, stateless, no join; the only streaming
+    * state is the |cells|-bounded count table. This is how a 100 TB
+    * vector pipeline ingests continuously: cells are the partition
+    * key the corpus lands under, so downstream IVF probes stay
+    * partition-pruned while data keeps arriving. Rows-only gate;
+    * StreamingVecSpec pins exact parity with the batch assignment. */
+  def st09StreamVectorIngest(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st09_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    EventStream.runToCompletion(spark,
+      vectorIngestStream(_, dir, dir, None), name).orderBy("cell")
+  }
+
+  /** The st09 streaming frame — quantizer from `fitDir` (static),
+    * vectors from `streamDir`; split out for the spec's trickle and
+    * parity drives. */
+  private[analytics] def vectorIngestStream(s: SparkSession, streamDir: String,
+                                            fitDir: String,
+                                            maxFilesPerTrigger: Option[Int]): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val (_, centroids) = Similarity.ivfFit(s, fitDir)
+    s.catalog.clearCache() // the fit's corpus cache; the stream re-reads nothing from it
+    EventStream.readEmbeddingsStream(s, streamDir, maxFilesPerTrigger)
+      .select(col("vec_id"), as_double_array(col("embedding")).as("v"))
+      .withColumn("norm", array_norm(col("v")))
+      .withColumn("cell", Similarity.cellOf(centroids, col("v"), col("norm")))
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("first_vec"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_daily" -> st01StreamDaily _,
     "st02_sessions"     -> st02Sessions _,
@@ -171,6 +205,7 @@ object StreamingQueries {
     "st06_stream_ingest" -> st06StreamIngest _,
     "st07_stream_neardup" -> st07StreamNeardup _,
     "st08_stream_decontam" -> st08StreamDecontam _,
+    "st09_stream_vec_ingest" -> st09StreamVectorIngest _,
   )
 
   val oracleSql: Map[String, String] = Map(

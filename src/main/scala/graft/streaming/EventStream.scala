@@ -90,6 +90,23 @@ object EventStream {
     else r.option("pathGlobFilter", "documents.parquet").parquet(dir)
   }
 
+  /** embeddings schema for the file-source stream (an arriving-vector
+    * ingest analogue of the static table). */
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** Stream the embeddings table through the file source — same
+    * two-layout handling and rate-limit knob as [[readEvents]]. */
+  def readEmbeddingsStream(spark: SparkSession, dir: String,
+                           maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(embeddingsSchema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n.toString))
+    if (new java.io.File(s"$dir/embeddings.parquet").isDirectory)
+      r.parquet(s"$dir/embeddings.parquet")
+    else r.option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+  }
+
   /** Event-time daily windowed aggregation with a 1-day watermark.
     * Complete output mode so a bounded drive emits every window —
     * making the result comparable with the batch oracle. */
