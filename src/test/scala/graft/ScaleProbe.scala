@@ -90,7 +90,8 @@ object ScaleProbe {
       "d11_cluster_survivors", "t22_vocab_coverage", "t23_stratified_split",
       "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq", "s08_kmeans_clusters",
       "st02_sessions", "st05_stream_enrich", "st06_stream_ingest",
-      "st07_stream_neardup", "st08_stream_decontam", "t24_mixture_weights",
+      "st07_stream_neardup", "st08_stream_decontam", "st09_stream_vec_ingest",
+      "t24_mixture_weights",
       "q24_salted_agg", "q26_pivot", "q27_gapfill", "q28_range_join",
       "m04_image_dups")
       // SPARK_GRAFT_ONLY=a,b,c restricts the sweep (dev iteration knob)
