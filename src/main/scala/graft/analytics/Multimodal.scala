@@ -345,11 +345,86 @@ object Multimodal {
       .select(col("group_rep"), col("n_images"))
       .orderBy("group_rep")
 
+  // ---- perceptual audio hashing (energy contour) → audio dedup ----
+
+  /** 64-bit energy-contour hash of a PCM-style signed-byte waveform:
+    * frame the samples into 64 equal windows, set bit i when window
+    * i's mean energy (sum of squared samples) exceeds the global mean
+    * energy. Gain-INVARIANT by construction — scaling every sample by
+    * g scales every window energy by g², which cancels against the
+    * global mean — the audio analogue of [[aHash64]]'s brightness
+    * invariance. Pure integer/double arithmetic → deterministic. The
+    * decode stand-in for real codecs (not in this container): with a
+    * real decoder only this function's input changes. */
+  def audioHash64(samples: Array[Byte]): Long = {
+    val n = samples.length
+    if (n < 64) return 0L
+    val sums = new Array[Long](64); val counts = new Array[Long](64)
+    var i = 0
+    while (i < n) {
+      val w = math.min(i * 64 / n, 63)
+      val s = samples(i).toLong
+      sums(w) += s * s; counts(w) += 1
+      i += 1
+    }
+    val means = Array.tabulate(64)(w =>
+      if (counts(w) == 0) 0.0 else sums(w).toDouble / counts(w))
+    val global = means.sum / 64
+    var bits = 0L; var w = 0
+    while (w < 64) { if (means(w) > global) bits |= (1L << w); w += 1 }
+    bits
+  }
+
+  /** (doc_id, audiohash) per payload — partition-wise, one 8-byte
+    * fingerprint per blob, same shape as [[imageHashes]]. */
+  def audioHashes(blobs: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame = {
+    import blobs.sparkSession.implicits._
+    blobs.map { case (docId, bytes) => (docId, audioHash64(bytes)) }
+      .toDF("doc_id", "audiohash")
+  }
+
+  /** Deterministic synthetic audio corpus: an LCG random-walk waveform
+    * per pattern (doc_id % 8), amplified by a per-doc gain (1–3×) —
+    * same pattern at different gains must collapse to one fingerprint,
+    * different patterns must not. Amplitudes stay within ±40·3 so the
+    * signed-byte range never clips (clipping would break the gain
+    * invariance being planted). */
+  private[analytics] def syntheticAudio(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long].map { docId =>
+      var state = (docId % 8) * 2654435761L + 99991L
+      val gain = (docId % 3 + 1).toInt
+      val out = new Array[Byte](1024)
+      var level = 0
+      var i = 0
+      while (i < 1024) {
+        state = state * 6364136223846793005L + 1442695040888963407L
+        level = math.max(-13, math.min(13, level + ((state >>> 33) % 7).toInt - 3))
+        out(i) = (level * gain).toByte
+        i += 1
+      }
+      (docId, out)
+    }
+  }
+
+  /** Gate: synthesize → fingerprint → exact-hash dup groups (8 planted
+    * waveform patterns, gain variants collapsing into them). Rows-only
+    * (the fingerprint math has no SQL oracle); MultimodalSpec pins the
+    * gain invariance and pattern separation. */
+  def m05AudioDupGroups(spark: SparkSession, dir: String): DataFrame =
+    audioHashes(syntheticAudio(spark, dir))
+      .groupBy("audiohash")
+      .agg(min("doc_id").as("group_rep"), count(lit(1)).as("n_blobs"))
+      .select(col("group_rep"), col("n_blobs"))
+      .orderBy("group_rep")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_blob_meta"    -> m01BlobMeta _,
     "m02_frame_stats"  -> m02FrameStats _,
     "m03_resize_stats" -> m03ResizeStats _,
     "m04_image_dups"   -> m04ImageDupGroups _,
+    "m05_audio_dups"   -> m05AudioDupGroups _,
   )
 
   /** m01 is byte-exact SQL (UTF-8 length); m02's stub decode is

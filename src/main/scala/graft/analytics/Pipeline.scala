@@ -188,9 +188,47 @@ object Pipeline {
       CurationConfig(dedup = "semdedup"),
       Some(Tables.embeddings(spark, dir))))
 
+  /** Per-source dataset report — the datasheet a curation run publishes
+    * before training: docs, token budget, exact-dup count, quality-gate
+    * failures, and benchmark contamination, per provenance source in
+    * one frame. Composes the t02/t05/t15/t14 signals into the single
+    * table a data card quotes. Two corpus passes, both in shapes this
+    * repo already audits at scale: one partial-aggregating groupBy for
+    * the per-doc metrics, and the shingle semi-join against the
+    * (fixed-size) eval set for contamination. Oracle-checked. */
+  def p03DatasetReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.WordShingles.word_shingles
+    val t = split(trim(col("text")), "\\s+")
+    val fp = substring(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")), 1, 16)
+    val m = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"), fp.as("fp"),
+      size(t).cast("bigint").as("n_tok"),
+      (size(array_distinct(t)).cast("double") / size(t)).as("ttr"))
+    val base = m.groupBy("source").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_tok").as("total_tokens"),
+      countDistinct(col("fp")).as("n_distinct_fp"),
+      sum(when(col("n_tok") < 20 || col("ttr") < 0.3, 1L).otherwise(0L))
+        .as("n_quality_fail"))
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), explode(word_shingles(col("text"))).as("shingle"))
+    val evalSh = sh.filter(col("source") === "src0").select("shingle").distinct()
+    val contaminated = sh.filter(col("source") =!= "src0")
+      .join(evalSh, Seq("shingle"), "left_semi")
+      .select("doc_id", "source").distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_contaminated"))
+    base.join(contaminated, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        (col("n_docs") - col("n_distinct_fp")).as("n_exact_dups"),
+        col("n_quality_fail"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_curation_pipeline" -> p01CurationPipeline _,
     "p02_semdedup_pipeline" -> p02SemdedupPipeline _,
+    "p03_dataset_report"    -> p03DatasetReport _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -210,5 +248,28 @@ object Pipeline {
          SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS token_budget,
            floor((CAST(sum(CAST((ttr) AS DECIMAL(18,9))) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS avg_ttr
          FROM s GROUP BY lang ORDER BY lang""",
+    "p03_dataset_report" ->
+      """WITH d AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') t,
+                 substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) fp
+               FROM documents),
+          m AS (SELECT doc_id, source, fp, CAST(len(t) AS BIGINT) n_tok,
+                 CAST(len(list_distinct(t)) AS DOUBLE)/len(t) ttr FROM d),
+          base AS (SELECT source, count(*) n_docs, sum(n_tok) total_tokens,
+                    count(DISTINCT fp) n_distinct_fp,
+                    sum(CASE WHEN n_tok < 20 OR ttr < 0.3 THEN 1 ELSE 0 END) n_quality_fail
+                   FROM m GROUP BY source),
+          sh AS (SELECT doc_id, source, list_distinct(list_transform(range(1, len(t)-1),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) s
+                 FROM d WHERE len(t) >= 3),
+          ev AS (SELECT DISTINCT unnest(s) shingle FROM sh WHERE source = 'src0'),
+          tr AS (SELECT doc_id, source, unnest(s) shingle FROM sh WHERE source <> 'src0'),
+          hit AS (SELECT DISTINCT doc_id, source FROM tr
+                  WHERE shingle IN (SELECT shingle FROM ev)),
+          c AS (SELECT source, count(*) n_contaminated FROM hit GROUP BY source)
+         SELECT b.source, n_docs, CAST(total_tokens AS BIGINT) AS total_tokens,
+          CAST(n_docs - n_distinct_fp AS BIGINT) AS n_exact_dups,
+          CAST(n_quality_fail AS BIGINT) AS n_quality_fail,
+          CAST(coalesce(c.n_contaminated, 0) AS BIGINT) AS n_contaminated
+         FROM base b LEFT JOIN c USING (source) ORDER BY source""",
   )
 }

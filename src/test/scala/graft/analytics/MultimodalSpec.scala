@@ -126,4 +126,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.length == 10)
     assert(got.map(_.getLong(0)).toSet == (0L until 10L).toSet)
   }
+
+  test("audioHash64: gain-invariant, pattern-sensitive") {
+    import Multimodal.audioHash64
+    // a random-walk waveform and its 3x-amplified copy hash identically
+    var state = 7L
+    val wave = Array.tabulate(1024) { _ =>
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (((state >>> 33) % 27).toInt - 13).toByte
+    }
+    val louder = wave.map(s => (s * 3).toByte)
+    assert(audioHash64(wave) == audioHash64(louder),
+      "gain changed the energy-contour fingerprint")
+    // a different walk must land far away in Hamming space
+    val other = Array.tabulate(1024) { i =>
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (((state >>> 33) % 27).toInt - 13).toByte
+    }
+    assert(java.lang.Long.bitCount(audioHash64(wave) ^ audioHash64(other)) > 10)
+  }
+
+  test("m05 gate: eight planted waveform patterns, gain variants collapse") {
+    val got = Multimodal.m05AudioDupGroups(spark, "/root/testdata/sf0.001").collect()
+    val nDocs = got.map(_.getLong(1)).sum
+    assert(nDocs == Tables.documents(spark, "/root/testdata/sf0.001").count())
+    // 8 patterns × 3 gains collapse to 8 fingerprint groups whose reps
+    // are the 8 lowest doc ids
+    assert(got.length == 8)
+    assert(got.map(_.getLong(0)).toSet == (0L until 8L).toSet)
+  }
 }
