@@ -222,6 +222,12 @@ object Pipeline {
         (col("n_docs") - col("n_distinct_fp")).as("n_exact_dups"),
         col("n_quality_fail"),
         coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      // always true, but not provably so to the optimizer: the
+      // contamination side is aggregated on the join key, so a bare
+      // count() would ELIMINATE the left join and "measure" p03 as the
+      // base aggregation alone (the d10 trap) — this pins every timed
+      // action to the real two-pass report the gate's dump pays
+      .filter(col("n_contaminated") >= 0)
       .orderBy("source")
   }
 
