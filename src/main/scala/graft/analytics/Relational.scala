@@ -301,6 +301,56 @@ object Relational {
       .orderBy("status", "priority")
   }
 
+  /** Wide→long UNPIVOT (q26's inverse): per-segment metric columns
+    * melted into (segment, metric, value) rows — the Dataset `unpivot`
+    * operator, planned as one Expand over the |segments|-row aggregate
+    * (no shuffle beyond the aggregation). */
+  def q30Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).cast("double").as("n_customers"),
+           Det.dround(sum(col("c_acctbal").cast("decimal(18,6)")).cast("double")
+             / count(lit(1)), 2).as("avg_acctbal"))
+    wide.unpivot(Array(col("c_mktsegment")),
+        Array(col("n_customers"), col("avg_acctbal")), "metric", "value")
+      .orderBy("c_mktsegment", "metric")
+  }
+
+  /** Sessionization via the BUILT-IN `session_window` aggregation —
+    * the Spark-native twin of the hand-rolled gaps-and-islands batch
+    * sessionizer (st02) and the flatMapGroupsWithState streaming path:
+    * one groupBy, merged-on-overlap session windows, no window
+    * functions. Window end is last-event-ts + gap by definition, which
+    * the oracle reproduces as max(ts)+gap. Events exactly `gap` apart
+    * merge (closed-interval semantics) in both engines. */
+  def q31SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), Det.sumDecR(col("value"), 2).as("total_value"))
+      .select(col("user_id"),
+        expr("unix_millis(session_window.start)").as("start_ms"),
+        expr("unix_millis(session_window.end)").as("end_ms"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "start_ms")
+
+  /** Recursive CTE (WITH RECURSIVE — new SQL surface in Spark 4):
+    * walk every customer's ancestor chain under the id/10 hierarchy
+    * (strictly shrinking, so UNION ALL recursion terminates in ≤7
+    * rounds) and count chain rows per depth. Each round is one
+    * self-join the engine plans like any other; DuckDB replays the
+    * same recursion for the oracle. */
+  def q32RecursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("q32_customer")
+    spark.sql(
+      """WITH RECURSIVE chain(custkey, anc, depth) AS (
+           SELECT c_custkey, c_custkey, 0 FROM q32_customer
+           UNION ALL
+           SELECT custkey, anc div 10, depth + 1 FROM chain WHERE anc > 0
+         )
+         SELECT depth, count(*) AS n_nodes, sum(anc) AS sum_anc
+         FROM chain GROUP BY depth ORDER BY depth""")
+  }
+
   /** Window frames: running sum (rows unbounded-preceding), 7-row
     * moving average, lag delta — per supplier over ship dates. */
   def q18WindowFrames(spark: SparkSession, dir: String): DataFrame = {
@@ -504,6 +554,9 @@ object Relational {
     "q26_pivot"             -> q26Pivot _,
     "q27_gapfill"           -> q27GapFill _,
     "q29_grouping_sets"     -> q29GroupingSets _,
+    "q30_unpivot"           -> q30Unpivot _,
+    "q31_session_window"    -> q31SessionWindow _,
+    "q32_recursive_cte"     -> q32RecursiveCte _,
   )
 
   /** DuckDB oracle SQL, column-name- and order-aligned with the Spark
@@ -642,6 +695,34 @@ object Relational {
          FROM orders
          GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), (o_orderpriority))
          ORDER BY status, priority""",
+    "q30_unpivot" ->
+      """WITH w AS (SELECT c_mktsegment, CAST(count(*) AS DOUBLE) n_customers,
+           floor((CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*)) * 100.0 + 0.5) / 100.0 avg_acctbal
+          FROM customer GROUP BY c_mktsegment)
+         SELECT c_mktsegment, 'avg_acctbal' AS metric, avg_acctbal AS value FROM w
+         UNION ALL
+         SELECT c_mktsegment, 'n_customers' AS metric, n_customers AS value FROM w
+         ORDER BY c_mktsegment, metric""",
+    "q31_session_window" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, value FROM events),
+          l AS (SELECT *, lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) prev_ts FROM e),
+          s AS (SELECT *, sum(CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > 1800000
+                                   THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM l)
+         SELECT user_id, min(ts_ms) AS start_ms, max(ts_ms) + 1800000 AS end_ms,
+          count(*) AS n_events, floor((CAST(sum(CAST((value) AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS total_value
+         FROM s GROUP BY user_id, session_id ORDER BY user_id, start_ms""",
+    "q32_recursive_cte" ->
+      """WITH RECURSIVE chain(custkey, anc, depth) AS (
+           SELECT c_custkey, c_custkey, 0 FROM customer
+           UNION ALL
+           SELECT custkey, anc // 10, depth + 1 FROM chain WHERE anc > 0
+         )
+         SELECT CAST(depth AS INT) AS depth, count(*) AS n_nodes,
+          CAST(sum(anc) AS BIGINT) AS sum_anc
+         FROM chain GROUP BY depth ORDER BY depth""",
     "q18_window_frames" ->
       """SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
          round(sum(l_quantity) OVER (PARTITION BY l_suppkey
