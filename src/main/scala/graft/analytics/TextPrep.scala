@@ -94,6 +94,29 @@ object TextPrep {
     assigned.sparkSession.read.parquet(outDir).count()
   }
 
+  /** Materialize packed shards as JSONL — the line-delimited format
+    * trainer data loaders consume directly (webdataset/HF-style):
+    * same (lang, shard_id) packing and one-file-per-shard layout as
+    * [[writeShards]], each line one `{"doc_id":…,"lang":…,"text":…}`
+    * object via `to_json` (NaN→null per the engine-wide JSON rule),
+    * sorted by doc_id inside each shard. Spark's text writer emits one
+    * compressed-splittable line file per partition, so the export
+    * stays one shuffle at any corpus size. Returns the line count
+    * read back (the write-then-count verification the copy ETL also
+    * uses). */
+  def writeJsonlShards(docs: DataFrame, outDir: String, budget: Long = 4000L): Long = {
+    val assigned = shardAssignments(docs, budget)
+    assigned
+      .repartition(col("lang"), col("shard_id"))
+      .sortWithinPartitions("lang", "shard_id", "doc_id")
+      .select(col("lang"), col("shard_id"),
+        to_json(struct(col("doc_id"), col("lang"), col("text"),
+          col("n_tokens"))).as("value"))
+      .write.partitionBy("lang", "shard_id")
+      .mode("overwrite").text(outDir)
+    assigned.sparkSession.read.textFile(outDir).count()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t08_chunking"      -> t08Chunking _,
     "t09_deterministic_sample" -> t09DeterministicSample _,

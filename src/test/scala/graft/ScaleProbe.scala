@@ -93,6 +93,7 @@ object ScaleProbe {
       "st07_stream_neardup", "st08_stream_decontam", "st09_stream_vec_ingest",
       "t24_mixture_weights",
       "q24_salted_agg", "q26_pivot", "q27_gapfill", "q28_range_join",
+      "q31_session_window", "p03_dataset_report",
       "m04_image_dups")
       // SPARK_GRAFT_ONLY=a,b,c restricts the sweep (dev iteration knob)
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")

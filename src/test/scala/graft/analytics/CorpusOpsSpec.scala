@@ -223,6 +223,28 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("writeJsonlShards round-trips every document through the trainer format") {
+    val docs = Tables.documents(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val written = TextPrep.writeJsonlShards(docs, out, budget = 2000L)
+    assert(written == docs.count())
+    // read back as JSON: every doc's text survives byte-for-byte
+    val back = spark.read.json(out)
+      .select(col("doc_id"), col("text").as("back_text"))
+    val mismatched = docs.select(col("doc_id"), col("text"))
+      .join(back, "doc_id")
+      .filter(col("text") =!= col("back_text")).count()
+    assert(mismatched == 0L, "JSONL round trip corrupted text")
+    // one line file per shard directory, like the parquet writer
+    val shardDirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).filter(_.isDirectory)
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.startsWith("part-"))
+      assert(parts.length == 1, s"${d.getName} has ${parts.length} files")
+    }
+  }
+
   test("d09: planted passage copies are flagged, keep-first spares the earliest") {
     import spark.implicits._
     // flanks use per-doc disjoint alphabets so no gram straddling a
