@@ -117,6 +117,28 @@ object TextPrep {
     assigned.sparkSession.read.textFile(outDir).count()
   }
 
+  /** Ingest a JSONL corpus (the format crawls and HF datasets arrive
+    * in) into the engine's documents shape. The schema is DECLARED,
+    * not inferred — at 100 TB, schema inference is a full extra pass
+    * over the corpus; a declared schema makes the read one pass, and
+    * `columnNameOfCorruptRecord` quarantines malformed lines into
+    * `_corrupt` instead of failing the job. To split clean/quarantine
+    * streams, materialize (cache or write) the parsed frame first —
+    * Spark rejects queries that reference ONLY the corrupt column off
+    * a raw JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN). */
+  def readJsonlCorpus(spark: SparkSession, path: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_corrupt", org.apache.spark.sql.types.StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t08_chunking"      -> t08Chunking _,
     "t09_deterministic_sample" -> t09DeterministicSample _,

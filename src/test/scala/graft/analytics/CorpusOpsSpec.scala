@@ -245,6 +245,30 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("readJsonlCorpus: declared-schema ingest, corrupt lines quarantined not fatal") {
+    val docs = Tables.documents(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("graft-jsonl-in").toString
+    TextPrep.writeJsonlShards(docs, out, budget = 2000L)
+    // plant a malformed line among the shards
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/lang=en/shard_id=0/part-corrupt.txt"),
+      "{not valid json\n")
+    // cache first: Spark disallows querying ONLY the corrupt column
+    // off a raw JSON scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    val back = TextPrep.readJsonlCorpus(spark, out).cache()
+    back.count()
+    val clean = back.filter(col("_corrupt").isNull)
+    val quarantined = back.filter(col("_corrupt").isNotNull)
+    assert(clean.count() == docs.count(), "clean-line count drifted")
+    assert(quarantined.count() == 1L, "corrupt line was not quarantined")
+    // full fidelity: ingest joins back to the source corpus byte-for-byte
+    val mismatched = docs.select(col("doc_id"), col("text"))
+      .join(clean.select(col("doc_id"), col("text").as("in_text")), "doc_id")
+      .filter(col("text") =!= col("in_text")).count()
+    assert(mismatched == 0L)
+    back.unpersist()
+  }
+
   test("d09: planted passage copies are flagged, keep-first spares the earliest") {
     import spark.implicits._
     // flanks use per-doc disjoint alphabets so no gram straddling a
