@@ -358,11 +358,22 @@ object Multimodal {
     * real decoder only this function's input changes. */
   def audioHash64(samples: Array[Byte]): Long = {
     val n = samples.length
-    if (n < 64) return 0L
+    // under 64 samples there is no contour to frame: fall back to a
+    // byte-content hash (FNV-1a) so distinct short blobs dedup
+    // byte-exact instead of all collapsing into one 0L group —
+    // gain-invariance genuinely needs ≥ 1 sample per window
+    if (n < 64) {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < n) { h = (h ^ (samples(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+      return h
+    }
     val sums = new Array[Long](64); val counts = new Array[Long](64)
     var i = 0
     while (i < n) {
-      val w = math.min(i * 64 / n, 63)
+      // Long arithmetic: i * 64 overflows Int for blobs ≥ ~33.5M
+      // samples (≈ 12 min of 44.1 kHz PCM — in scope for real audio)
+      val w = math.min((i.toLong * 64L / n).toInt, 63)
       val s = samples(i).toLong
       sums(w) += s * s; counts(w) += 1
       i += 1

@@ -162,6 +162,20 @@ object Similarity {
       : (DataFrame, Array[(Int, Array[Double])]) =
     ivfFitOf(Dedup.normalizedVectors(spark, dir), k, iters)
 
+  /** Codebook-only fit: [[lloydIvf]] over the bounded driver sample,
+    * with the corpus cache released before returning — for callers
+    * that never read the assignment frame (streaming ingest assigns
+    * ARRIVING vectors per-row against the returned centroid literals,
+    * so holding the fit corpus cached would leak executor storage for
+    * the stream's whole lifetime). */
+  private[analytics] def ivfCentroids(spark: SparkSession, dir: String,
+                                      k: Int = 16, iters: Int = 10)
+      : Array[(Int, Array[Double])] = {
+    val e = Dedup.normalizedVectors(spark, dir).cache()
+    try lloydIvf(localFitSample(e), k, iters)
+    finally e.unpersist()
+  }
+
   /** Vectors the quantizer trains on: a deterministic id-strided
     * sample capped at [[MaxFitVectors]] (~10 MB at the cap), collected
     * to the driver and sorted by vec_id. Codebook quality needs
@@ -582,7 +596,16 @@ object Similarity {
   private[analytics] def kmeansFit(corpus: DataFrame, k: Int = 16, iters: Int = 5,
                                    trace: Boolean = false)
       : (DataFrame, Array[(Int, Array[Double])], Seq[Double]) = {
-    val e = corpus.cache()
+    // cache for the iteration scans — unless the caller already cached
+    // this frame (p02 shares its qe cache and owns its lifetime). An
+    // OWNED cache is released after the last iteration: the returned
+    // assignment frame is one narrow pass, so its consumer re-reads
+    // the source once instead of pinning corpus-sized executor storage
+    // until someone remembers to clearCache (at 100 TB the corpus
+    // wouldn't fit storage anyway — the iterations are what the cache
+    // is for).
+    val ownsCache = corpus.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val e = if (ownsCache) corpus.cache() else corpus
     var cents: Array[(Int, Array[Double])] = e.orderBy("vec_id").limit(k)
       .select(col("v")).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
@@ -608,6 +631,7 @@ object Similarity {
         (cell, c)
       }
     }
+    if (ownsCache) e.unpersist()
     val best = array_min(kmeansScores(cents, col("v")))
     (e.select(col("vec_id"), col("v"), col("norm"),
         best.getField("cell").as("cell"),
@@ -629,6 +653,93 @@ object Similarity {
            max(col("sqdist")).as("max_sqdist"),
            min(col("vec_id")).as("first_vec"))
       .orderBy("cell")
+  }
+
+  // ---- IVF corpus persistence: the cell-partitioned 100 TB layout ----
+
+  /** Fit the IVF quantizer and persist the assigned corpus PARTITIONED
+    * BY CELL — the layout a 100 TB deployment stores vectors under, so
+    * a probe reads nProbe/K of the directories instead of the corpus
+    * (the FAISS add phase, landed as a Hive-style partitioned table).
+    * `repartition(cell)` before the write: `partitionBy` alone emits
+    * one file per (task × cell) — 32 tasks × K cells of small files —
+    * while hashing by cell lands each cell in one task → one file per
+    * cell directory at fixture scale (a real deployment repartitions
+    * to ~file-sized splits per cell instead). The codebook is written
+    * next to the data under `_codebook`: underscore-prefixed paths are
+    * invisible to Spark's file index, so the corpus read stays clean
+    * while probe sessions skip the refit. The fit cache is released as
+    * soon as the write (its last reader) finishes. */
+  def writeIvfCorpus(spark: SparkSession, dir: String, out: String,
+                     k: Int = 16, iters: Int = 10): Array[(Int, Array[Double])] = {
+    val e = Dedup.normalizedVectors(spark, dir).cache()
+    val centroids =
+      try {
+        val cents = lloydIvf(localFitSample(e), k, iters)
+        e.withColumn("cell", cellOf(cents, col("v"), col("norm")))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(out)
+        cents
+      } finally e.unpersist()
+    val spark2 = spark
+    import spark2.implicits._
+    centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/_codebook")
+    centroids
+  }
+
+  /** The codebook persisted by [[writeIvfCorpus]] — K rows, one
+    * driver-side collect. */
+  def readIvfCodebook(spark: SparkSession, out: String): Array[(Int, Array[Double])] =
+    spark.read.parquet(s"$out/_codebook")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+
+  /** Probe a [[writeIvfCorpus]] layout: collect the query set's probed
+    * cells first (≤ K distinct values — driver-bounded however large
+    * the query set), then scan the stored corpus with the cell set as
+    * a PARTITION filter, so only nProbe/K of the directories are ever
+    * listed or read — the probe cost a 100 TB deployment actually
+    * pays, demonstrated against bytes on disk rather than asserted of
+    * a cached frame. PlanSpec pins `PartitionFilters` on the scan;
+    * ScaleProbe prices the nProbe proportionality. Downstream is
+    * [[ivfTopK]]'s shape unchanged: broadcast probes ⋈ corpus on cell,
+    * exact rerank, bounded top-k. */
+  def ivfStoredTopK(spark: SparkSession, out: String,
+                    queries: DataFrame, k: Int, nProbe: Int = 6): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val centroids = readIvfCodebook(spark, out)
+    def probesOf(q: DataFrame) = q.select(col("query_id"), col("qv"), col("qnorm"),
+      explode(slice(array_sort(cellScores(centroids, col("qv"), col("qnorm"))),
+        1, nProbe).getField("cell")).as("cell"))
+    val probedCells = probesOf(queries).select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val pruned = spark.read.parquet(out)
+      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+    val scored = broadcast(probesOf(queries)).join(pruned, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(array_dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4).as("cos_sim"))
+    rankTopK(scored, k)
+  }
+
+  /** s09 gate: write → read back → pruned probe, end to end over a
+    * real partitioned layout on a scratch dir. Same quantizer (same
+    * deterministic fit), same query set, and same probe/rerank
+    * semantics as s03, so the result must EQUAL s03's exactly — Verify
+    * emits the equality as a differential invariant. What s03's plan
+    * audit asserts about the 100 TB layout, this gate demonstrates:
+    * the probe scan carries the probed cells as partition filters
+    * against directories on disk. */
+  def s09IvfStoredProbe(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-ivf-corpus")
+      .resolve("corpus").toString
+    writeIvfCorpus(spark, dir, out)
+    val stored = spark.read.parquet(out)
+    val queries = stored.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    ivfStoredTopK(spark, out, queries, k = 10)
+      .orderBy("query_id", "rnk")
   }
 
   /** User-facing ANN search over arbitrary frames: corpus
@@ -677,6 +788,7 @@ object Similarity {
     "s06_knn_graph_ivf"  -> s06KnnGraphIvf _,
     "s07_cluster_stats"  -> s07ClusterStats _,
     "s08_kmeans_clusters" -> s08KmeansClusters _,
+    "s09_ivf_stored"     -> s09IvfStoredProbe _,
   )
 
   val oracleSql: Map[String, String] = Map(

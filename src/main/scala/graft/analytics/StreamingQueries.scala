@@ -129,17 +129,35 @@ object StreamingQueries {
     * proves the Bloom stage is correctness-invisible in-flight. */
   def st08StreamDecontam(spark: SparkSession, dir: String): DataFrame = {
     val name = "st08_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    EventStream.runToCompletion(spark,
-      decontamStream(_, dir, dir, None), name).orderBy("source")
+    // the eval-shingle cache outlives the drive (every microbatch's
+    // semi join reads it) and is released the moment the drive ends —
+    // the memory sink holds the result, so nothing downstream re-reads
+    // the cached frame
+    var evalCache: Option[DataFrame] = None
+    try EventStream.runToCompletion(spark,
+        { s =>
+          val (frame, cached) = decontamStreamCached(s, dir, dir, None)
+          evalCache = Some(cached)
+          frame
+        }, name).orderBy("source")
+    finally evalCache.foreach(_.unpersist())
   }
 
   /** The st08 streaming frame, split out so the spec can drive the
     * same plan through a trickled multi-file source: eval shingles and
     * the Bloom filter come from `evalDir` (static), the train stream
-    * from `streamDir`. */
+    * from `streamDir`. Callers own the returned cache's lifetime (it
+    * must survive the whole drive); [[st08StreamDecontam]] releases it
+    * when its drive completes. */
   private[analytics] def decontamStream(s: SparkSession, streamDir: String,
                                         evalDir: String,
-                                        maxFilesPerTrigger: Option[Int]): DataFrame = {
+                                        maxFilesPerTrigger: Option[Int]): DataFrame =
+    decontamStreamCached(s, streamDir, evalDir, maxFilesPerTrigger)._1
+
+  private[analytics] def decontamStreamCached(s: SparkSession, streamDir: String,
+                                              evalDir: String,
+                                              maxFilesPerTrigger: Option[Int])
+      : (DataFrame, DataFrame) = {
     import graft.functions.WordShingles.word_shingles
     import graft.functions.BloomMightContain.bloom_might_contain
     // cached: the bounded distinct-shingle set is read three+ times —
@@ -151,7 +169,7 @@ object StreamingQueries {
       .cache()
     val bloom = graft.functions.BloomMightContain.serialize(
       evalSh.stat.bloomFilter("shingle", math.max(evalSh.count(), 1L), 0.01))
-    EventStream.readDocumentsStream(s, streamDir, maxFilesPerTrigger)
+    val frame = EventStream.readDocumentsStream(s, streamDir, maxFilesPerTrigger)
       .filter(col("source") =!= "src0")
       .select(col("doc_id"), col("source"),
         explode(word_shingles(col("text"))).as("shingle"))
@@ -160,6 +178,7 @@ object StreamingQueries {
       .dropDuplicates("doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_contaminated"))
+    (frame, evalSh)
   }
 
   /** Streaming vector ingest with IVF cell assignment — the FAISS
@@ -186,8 +205,10 @@ object StreamingQueries {
                                             fitDir: String,
                                             maxFilesPerTrigger: Option[Int]): DataFrame = {
     import graft.functions.VectorFunctions._
-    val (_, centroids) = Similarity.ivfFit(s, fitDir)
-    s.catalog.clearCache() // the fit's corpus cache; the stream re-reads nothing from it
+    // codebook-only fit: releases ITS OWN corpus cache instead of
+    // clearCache()-ing the whole session (which would also evict e.g.
+    // a concurrent st08 drive's eval-shingle cache)
+    val centroids = Similarity.ivfCentroids(s, fitDir)
     EventStream.readEmbeddingsStream(s, streamDir, maxFilesPerTrigger)
       .select(col("vec_id"), as_double_array(col("embedding")).as("v"))
       .withColumn("norm", array_norm(col("v")))

@@ -59,7 +59,13 @@ object Tables {
   }
 
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // footer probe (memoized, on a cloned session) instead of an
+    // unconditional global conf set: the current NTZ fixture mutates
+    // nothing; only a nanos-generation fixture — whose scan genuinely
+    // requires the legacy conf on THIS session — sets it
+    if (graft.streaming.EventStream.probeEventsTsType(spark, dir) ==
+        org.apache.spark.sql.types.LongType)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     normalizeEventTs(table(spark, dir, "events"))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")

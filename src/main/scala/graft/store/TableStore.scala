@@ -306,12 +306,19 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
     * columns are added here. One partitioned write, no driver loop. */
   def bulkAppend(table: String, rows: DataFrame): Unit = {
     val keys = tableKeys(table)
+    // one counter-issued seq per bulk batch (the rmExperimentData
+    // pattern): successive batches in the same millisecond still
+    // resolve newest-wins in APPEND ORDER — a per-row
+    // monotonically_increasing_id would overlap across batches and
+    // leave the winner partition-layout-dependent. Duplicate keys
+    // WITHIN one batch have no defined "newest" (append semantics).
+    val batchSeq = TableStore.seqCounter.getAndIncrement()
     val withMeta = rows
       .select((keys.map(k => col(k).cast("string").as(k)) ++ Seq(
         col("json").cast("string").as("json"),
         col("blob").cast("binary").as("blob"))): _*)
       .withColumn("put_time", lit(System.currentTimeMillis()))
-      .withColumn("seq", monotonically_increasing_id())
+      .withColumn("seq", lit(batchSeq))
       .withColumn("op", lit("put"))
     val parts = partitionCols(table)
     // same per-table monitor as flush(): two writers into one table

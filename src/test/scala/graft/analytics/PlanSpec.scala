@@ -57,10 +57,10 @@ class PlanSpec extends AnyFunSuite {
   test("IVF cell layout: a probe reads only its nProbe partition directories") {
     // the s03 scale story: store the corpus partitioned by cell, and a
     // query's probe scan prunes to nProbe of K directories — proven at
-    // the plan level, like the TableStore point-read pruning
-    val (assigned, _) = Similarity.ivfFit(spark, dir)
+    // the plan level, like the TableStore point-read pruning. Uses the
+    // production writer (s09's layout), not an ad-hoc write.
     val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-layout")
-    assigned.write.partitionBy("cell").parquet(s"$tmp/corpus")
+    Similarity.writeIvfCorpus(spark, dir, s"$tmp/corpus")
     val stored = spark.read.parquet(s"$tmp/corpus")
     val cells = stored.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted.take(4)
@@ -71,6 +71,51 @@ class PlanSpec extends AnyFunSuite {
         s.selectedPartitions.partitionCount
     }
     assert(scanned == Seq(4), s"probe must scan exactly its 4 cells, got $scanned")
+  }
+
+  test("s09 stored-corpus probe scan carries PartitionFilters for exactly its probed cells") {
+    // the end-to-end contract the 100 TB claim rests on: ivfStoredTopK's
+    // corpus scan must be partition-pruned to the query's nProbe cells —
+    // not filtered post-scan, not a full-layout read
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-stored-plan")
+    val out = s"$tmp/corpus"
+    Similarity.writeIvfCorpus(spark, dir, out)
+    // one query vector, supplied as a LOCAL frame so the ONLY scan of
+    // the stored layout in the plan is the probe scan itself
+    val one = spark.read.parquet(out).orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("v"), col("norm")).collect().head
+    val spark2 = spark
+    import spark2.implicits._
+    val queries = Seq((one.getLong(0), one.getSeq[Double](1), one.getDouble(2)))
+      .toDF("query_id", "qv", "qnorm")
+    val df = Similarity.ivfStoredTopK(spark, out, queries, k = 5, nProbe = 2)
+    // the probe plan is adaptive (joins + aggregates), and
+    // AdaptiveSparkPlanExec is a leaf — inspect the printed tree, the
+    // same contract style as the rest of this suite
+    val plan = df.queryExecution.executedPlan.toString
+    val corpusScans = plan.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("corpus")).toList
+    assert(corpusScans.length == 1,
+      s"expected exactly one stored-corpus scan, got ${corpusScans.length}:\n$plan")
+    val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(corpusScans.head).map(_.group(1)).toList
+    assert(partFilters.length == 1 && partFilters.head.contains("cell") &&
+        partFilters.head.contains("IN"),
+      s"stored-corpus scan lost its cell PartitionFilters — the probe would " +
+        s"read every cell directory: ${corpusScans.head}")
+    // and the pruning is real, not just printed: the pruned frame alone
+    // (no AQE wrapper) must select exactly the probed directories
+    val probedCells = "IN \\(([^)]*)\\)".r.findFirstMatchIn(partFilters.head)
+      .map(_.group(1).split(",").map(_.trim.toInt).toSeq).getOrElse(Seq.empty)
+    assert(probedCells.length == 2, s"nProbe=2 probe must carry 2 cells, got $probedCells")
+    val pruned = spark.read.parquet(out)
+      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+    val scanned = pruned.queryExecution.executedPlan.collectLeaves().collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.partitionCount
+    }
+    assert(scanned == Seq(2), s"probed cells must select exactly 2 directories, got $scanned")
   }
 
   test("ANN ranking never shuffles scored rows into per-query partitions (s02/s03/s04)") {

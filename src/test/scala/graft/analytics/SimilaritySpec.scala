@@ -107,4 +107,36 @@ class SimilaritySpec extends AnyFunSuite {
       spark.catalog.clearCache()
     }
   }
+
+  test("s09 stored-corpus probe equals s03 exactly (write → read back → pruned probe)") {
+    // same deterministic quantizer, queries, and rerank — the parquet
+    // round trip and the partition-pruned scan must be semantically
+    // invisible. This is the equality Verify emits as an invariant.
+    val viaStore = Similarity.s09IvfStoredProbe(spark, dir).collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    val inMemory = Similarity.s03IvfTopK(spark, dir).collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    assert(viaStore.nonEmpty)
+    assert(viaStore == inMemory, "stored-layout probe diverged from the in-memory IVF path")
+  }
+
+  test("writeIvfCorpus persists every vector exactly once, partitioned by its assigned cell") {
+    val out = java.nio.file.Files.createTempDirectory("graft-ivf-roundtrip")
+      .resolve("corpus").toString
+    val centroids = Similarity.writeIvfCorpus(spark, dir, out)
+    assert(Similarity.readIvfCodebook(spark, out).map(_._1).toSeq ==
+      centroids.map(_._1).toSeq, "codebook round trip lost cells")
+    val stored = spark.read.parquet(out)
+    val n = Tables.embeddings(spark, dir).count()
+    assert(stored.count() == n, "stored corpus dropped or duplicated vectors")
+    assert(stored.select("vec_id").distinct().count() == n)
+    // each cell directory holds exactly the vectors assigned to it
+    import org.apache.spark.sql.functions.col
+    val (assigned, _) = Similarity.ivfFit(spark, dir)
+    val mismatches = stored.select(col("vec_id"), col("cell").as("stored_cell"))
+      .join(assigned.select(col("vec_id"), col("cell")), "vec_id")
+      .filter(col("stored_cell") =!= col("cell")).count()
+    spark.catalog.clearCache()
+    assert(mismatches == 0, s"$mismatches vectors landed in the wrong cell partition")
+  }
 }

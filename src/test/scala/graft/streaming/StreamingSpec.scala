@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 import graft.store.SparkTestSession
 
@@ -211,5 +212,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty, "streaming emitted no closed sessions")
     assert(got.subsetOf(batch),
       s"streamed sessions not found in batch: ${got.diff(batch).take(3)}")
+  }
+
+  test("streaming ingest stores cumulative stats: trickle == one-shot byte-identical; compaction bounds the log") {
+    // the round-7 defect: per-batch partial aggregates meant a
+    // multi-batch drive left each asset holding only the LAST batch's
+    // (n, total). Update-mode aggregation must make the stored payload
+    // the CUMULATIVE totals under any slicing — byte-identical to the
+    // one-shot drive — and in-line compaction must keep the append
+    // log's live-file count bounded as batches accumulate.
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft-ingest-cumulative")
+    val staging = s"$tmp/staging"
+    spark.read.parquet(s"$dir/events.parquet").repartition(4)
+      .write.parquet(staging)
+    val parts = Files.list(Paths.get(staging)).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).sorted
+    assert(parts.length == 4)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val d = Paths.get(s"$tmp/split$i")
+      Files.createDirectories(d)
+      Files.move(Paths.get(p), d.resolve("events.parquet"))
+    }
+    // stored truth per key, straight from the table's append log with
+    // the store's own resolution order (newest put_time, then seq)
+    def payloadMap(basedir: String): Map[(String, String), String] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("project", "experiment", "location", "network", "obsvar", "layer")
+        .orderBy(col("put_time").desc, col("seq").desc)
+      spark.read.parquet(s"$basedir/timeseries")
+        .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("_rn") === 1 && col("op") === "put")
+        .select("experiment", "location", "json").collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getString(2))).toMap
+    }
+    def dataFiles(basedir: String): Int = {
+      val walk = Files.walk(Paths.get(basedir, "timeseries"))
+      try walk.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      finally walk.close()
+    }
+    def drive(src: String, mfpt: Option[Int], compactEvery: Int): (String, Map[(String, String), String], Int) = {
+      val base = Files.createTempDirectory("graft-ingest-store").toString
+      val db = new graft.store.TableStore(spark, base)
+      try {
+        EventStream.ingestEventsToStore(spark, src, db, mfpt, compactEvery)
+        (base, payloadMap(base), dataFiles(base))
+      } finally db.close()
+    }
+    val (_, oneShot, _) = drive(dir, None, 0)
+    val (_, trickled, trickledFiles) = drive(s"$tmp/split*", Some(1), 0)
+    val (_, compacted, compactedFiles) = drive(s"$tmp/split*", Some(1), 2)
+    assert(oneShot.nonEmpty)
+    assert(trickled == oneShot,
+      "trickled drive stored per-batch partials, not cumulative totals")
+    assert(compacted == oneShot, "in-line compaction changed stored payloads")
+    assert(compactedFiles < trickledFiles,
+      s"compaction did not bound the append log: $compactedFiles vs $trickledFiles live files")
+    // a sampled key's n must equal the batch event count — guards
+    // against both drives storing identically-wrong values
+    val ((exp, loc), payload) = oneShot.head
+    val expected = graft.analytics.Tables.events(spark, dir)
+      .filter(col("event_type") === exp && col("user_id") === loc.toLong)
+      .count()
+    assert(payload.contains(s""""n":$expected"""),
+      s"stored payload $payload does not carry the cumulative n=$expected for ($exp, $loc)")
   }
 }
