@@ -35,7 +35,10 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # production layout: a directory of part files per table
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{p}/**/*.parquet')")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(os.path.basename(d) for d in glob.glob(f"{out_dir}/*")
@@ -69,6 +72,9 @@ def main(sf_dir, out_dir):
             print("  duck :", e[bad].head(3).to_dict("records"))
             n_fail += 1; continue
         print(f"PASS  {name}: rows={len(g)}"); n_pass += 1
+    inv = f"{out_dir}/invariants.json"
+    if os.path.exists(inv):
+        print("invariants:", json.load(open(inv)))
     print(f"\n{n_pass} pass, {n_fail} fail, {len(names)} total")
     sys.exit(1 if n_fail else 0)
 

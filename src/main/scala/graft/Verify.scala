@@ -39,6 +39,49 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    // Differential invariants for rows-only gates — semantic checks the
+    // DuckDB oracle can't express (hash functions, k-means, ANN tiers),
+    // computed from the dumped results themselves so the rows-only rows
+    // in the correctness report carry weight without a spec run:
+    //  - s09_eq_s03: the cell-partitioned stored-corpus probe must equal
+    //    the in-memory IVF path exactly;
+    //  - d07_subset_d04: LSH candidate pairs are a subset of the exact
+    //    cosine pairs (same threshold);
+    //  - *_recall: micro-averaged recall of each ANN tier against its
+    //    exact baseline (floors asserted in SimilaritySpec: s03 ≥ 0.6,
+    //    s02 ≥ 0.3, s04 ≥ 0.5, s06 ≥ 0.5).
+    import org.apache.spark.sql.functions.col
+    def read(name: String) = spark.read.parquet(s"$outDir/$name")
+    def recall(approx: String, exact: String, idCol: String): Double = {
+      val ex = read(exact).select(col(idCol).as("q"), col("neighbor_id"))
+      val hits = ex.join(read(approx).select(col(idCol).as("q"), col("neighbor_id")),
+        Seq("q", "neighbor_id"), "left_semi").count().toDouble
+      math.floor(hits / ex.count() * 10000 + 0.5) / 10000
+    }
+    val invariants: Seq[(String, String)] =
+      try {
+        val s03 = read("s03_ann_ivf"); val s09 = read("s09_ivf_stored")
+        val s09eq = s09.count() == s03.count() &&
+          s09.exceptAll(s03).isEmpty && s03.exceptAll(s09).isEmpty
+        val d07sub = read("d07_embedding_lsh_pairs").select("i", "j")
+          .join(read("d04_embedding_neardup").select("i", "j"),
+            Seq("i", "j"), "left_anti").isEmpty
+        Seq(
+          "s09_eq_s03" -> s09eq.toString,
+          "d07_subset_d04" -> d07sub.toString,
+          "s02_recall10" -> recall("s02_ann_lsh", "s01_ann_bruteforce", "query_id").toString,
+          "s03_recall10" -> recall("s03_ann_ivf", "s01_ann_bruteforce", "query_id").toString,
+          "s04_recall10" -> recall("s04_ann_ivfpq", "s01_ann_bruteforce", "query_id").toString,
+          "s06_recall5"  -> recall("s06_knn_graph_ivf", "s05_knn_graph", "vec_id").toString)
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] invariants failed: ${e.getMessage}")
+        Seq("error" -> q(e.getMessage))
+      }
+    val invJson = invariants.map { case (k, v) => s"${q(k)}: $v" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/invariants.json"), invJson)
+    println(s"[verify] invariants: $invJson")
     spark.stop()
   }
 }

@@ -89,6 +89,7 @@ object ScaleProbe {
       "t20_bloom_decontam", "t21_lm_perplexity", "d09_exact_substr", "d10_substr_clean",
       "d11_cluster_survivors", "t22_vocab_coverage", "t23_stratified_split",
       "s02_ann_lsh", "s03_ann_ivf", "s04_ann_ivfpq", "s08_kmeans_clusters",
+      "s09_ivf_stored",
       "st02_sessions", "st05_stream_enrich", "st06_stream_ingest",
       "st07_stream_neardup", "st08_stream_decontam", "st09_stream_vec_ingest",
       "t24_mixture_weights",
@@ -141,6 +142,33 @@ object ScaleProbe {
       val (tb, nb) = knnTime(big, cellsBig)
       println(f"[scale] knn_graph_ivf(cells 16->$cellsBig) $t1%8.2f $tb%8.2f ${tb / t1}%6.1f  $n1 -> $nb")
     }
+    }
+
+    // s09's stored layout: probe cost must scale with nProbe/|cells|,
+    // NOT with corpus size — the receipt behind "a query touches
+    // nProbe/K of a 100 TB corpus". One write, then the same query set
+    // probed at increasing nProbe: time should grow roughly linearly
+    // in nProbe (each step scans proportionally more cell dirs).
+    if (!storeOnly && sys.env.get("SPARK_GRAFT_ONLY").forall(_.contains("ivf_stored"))) {
+      import graft.analytics.Similarity
+      val out = java.nio.file.Files.createTempDirectory("graft-ivf-probe")
+        .resolve("corpus").toString
+      Similarity.writeIvfCorpus(spark, sfDir, out)
+      val queries = spark.read.parquet(out)
+        .filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+        .cache()
+      queries.count()
+      def probeTime(nProbe: Int): Double = {
+        val t0 = System.nanoTime()
+        Similarity.ivfStoredTopK(spark, out, queries, k = 10, nProbe = nProbe).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      probeTime(2) // untimed warmup
+      val times = Seq(2, 4, 8, 16).map(np => np -> probeTime(np))
+      println("[scale] ivf_stored_probe " +
+        times.map { case (np, t) => f"nProbe=$np:$t%.2fs" }.mkString(" "))
+      queries.unpersist()
     }
 
     // ---- TableStore: point-read latency vs append-log depth ----
