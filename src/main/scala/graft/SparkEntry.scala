@@ -19,7 +19,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ RangeJoin.queries ++ TextOps.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ StreamingQueries.queries ++
-      StoreQueries.queries ++ Pipeline.queries ++ LangId.queries ++ TextPrep.queries
+      StoreQueries.queries ++ Pipeline.queries ++ LangId.queries ++ TextPrep.queries ++
+      BpeTrain.queries ++ QualityModel.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -27,5 +28,5 @@ object SparkEntry {
     Relational.oracleSql ++ RangeJoin.oracleSql ++ TextOps.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++
       StreamingQueries.oracleSql ++ Pipeline.oracleSql ++ LangId.oracleSql ++
-      TextPrep.oracleSql
+      TextPrep.oracleSql ++ BpeTrain.oracleSql ++ QualityModel.oracleSql
 }

@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [comma-separated query subset for local iteration]
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(',').toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,7 +18,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -60,7 +65,8 @@ object Verify {
       math.floor(hits / ex.count() * 10000 + 0.5) / 10000
     }
     val invariants: Seq[(String, String)] =
-      try {
+      if (only.isDefined) Seq.empty
+      else try {
         val s03 = read("s03_ann_ivf"); val s09 = read("s09_ivf_stored")
         val s09eq = s09.count() == s03.count() &&
           s09.exceptAll(s03).isEmpty && s03.exceptAll(s09).isEmpty
@@ -73,7 +79,32 @@ object Verify {
           "s02_recall10" -> recall("s02_ann_lsh", "s01_ann_bruteforce", "query_id").toString,
           "s03_recall10" -> recall("s03_ann_ivf", "s01_ann_bruteforce", "query_id").toString,
           "s04_recall10" -> recall("s04_ann_ivfpq", "s01_ann_bruteforce", "query_id").toString,
-          "s06_recall5"  -> recall("s06_knn_graph_ivf", "s05_knn_graph", "vec_id").toString)
+          "s06_recall5"  -> recall("s06_knn_graph_ivf", "s05_knn_graph", "vec_id").toString) ++ {
+          // t27: the distributed BPE merge table must equal a single-node
+          // re-learn from the same fixture, exactly (order included)
+          import org.apache.spark.sql.functions.{count, explode, lit, lower, split, trim}
+          val vocab = graft.analytics.Tables.documents(spark, sfDir)
+            .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+            .filter(col("tok") =!= "")
+            .select(lower(col("tok")).as("word"))
+            .groupBy("word").agg(count(lit(1)).as("freq"))
+            .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+          val want = graft.analytics.BpeTrain
+            .referenceMerges(vocab, graft.analytics.BpeTrain.NumMerges)
+            .map { case (r, a, b, c) => (r.toLong, a, b, c) }
+          val got = read("t27_bpe_merges").collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+            .toSeq.sortBy(_._1)
+          // t28: full-batch GD loss curve must strictly descend and the
+          // final model must actually separate the planted label
+          val t28 = read("t28_quality_classifier").collect()
+            .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+          val descending = t28.sliding(2).forall(p => p(1)._2 < p(0)._2)
+          Seq(
+            "t27_parity_singlenode" -> (got == want).toString,
+            "t28_loss_decreasing" -> descending.toString,
+            "t28_final_acc" -> t28.last._3.toString)
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[verify] invariants failed: ${e.getMessage}")
         Seq("error" -> q(e.getMessage))

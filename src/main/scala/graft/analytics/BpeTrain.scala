@@ -1,0 +1,159 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE merge learning (Sennrich et al. 2016) — the
+  * tokenizer-training step of an LLM data pipeline: learn the first K
+  * byte-pair merges of the corpus, exactly, with the corpus touched
+  * ONCE.
+  *
+  * Scale shape — the reason this is feasible at 100 TB: classic BPE
+  * trains on the word-frequency table, not the corpus. The single
+  * corpus pass is a partial-aggregating groupBy down to distinct
+  * (word, freq) rows (map-side combine bounds the shuffle by
+  * per-partition vocabulary, not token count); every Lloyd-style
+  * iteration after that runs over the |vocab|-row table. Per
+  * iteration:
+  *  - adjacent-pair counting is a narrow higher-order transform +
+  *    one partial-aggregating groupBy (pairs per word ≤ symbols−1,
+  *    and the pair space is bounded by the evolving symbol
+  *    vocabulary);
+  *  - the argmax pair is `orderBy(count desc, pair asc).limit(1)` —
+  *    Spark plans TakeOrderedAndProject, a per-partition top-1
+  *    merged on the driver, never a full sort shuffle;
+  *  - the merge itself is a left-to-right greedy fold
+  *    (`aggregate` higher-order function); each iteration's symbol
+  *    table is eagerly `localCheckpoint`ed — materialized AND
+  *    lineage-truncated — so iteration k's plan never nests its k
+  *    predecessors (cache-on-cache would, and Catalyst's per-action
+  *    plan handling grows superlinearly in that nesting depth).
+  * Driver state is exactly the learned merge table (K rows) — the
+  * same bounded-driver-state contract as s08's k-means.
+  *
+  * Determinism: pair counts are integer sums (exact, associative);
+  * ties break lexicographically on (left, right) — the result is
+  * bit-identical under any partitioning, which is what lets the
+  * Verify invariant compare it against a single-node reference
+  * ([[referenceMerges]]) exactly.
+  */
+object BpeTrain {
+
+  /** Merges learned by the t27 gate — enough to see real structure
+    * (multi-char subwords emerge) while keeping the gate cheap. */
+  val NumMerges = 20
+
+  /** End-of-word marker symbol (kept distinct from any 1-char
+    * symbol so merged subwords never collide with raw text). */
+  private val Eow = "</w>"
+
+  /** Greedy left-to-right application of one merge (a,b)→ab over a
+    * symbol array — the standard BPE apply order, as a codegen'd
+    * fold (no UDF). "aaa" under (a,a) becomes ["aa","a"]: a freshly
+    * merged element never re-merges within the same pass. */
+  private def applyMerge(symbols: Column, a: String, b: String): Column =
+    aggregate(symbols, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 &&
+           element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Learn `k` merges from a (word, freq) vocabulary frame. Returns
+    * the merge table rows (rank, left, right, pair frequency at merge
+    * time). Stops early when no pair occurs at least twice. */
+  private[analytics] def learnMerges(vocab: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {
+    // split(_, "") keeps a trailing "" (Java split limit -1) — drop it
+    val base = vocab.select(col("freq"),
+      concat(array_remove(split(col("word"), ""), ""), array(lit(Eow))).as("syms"))
+    // localCheckpoint TRUNCATES lineage each iteration — with plain
+    // cache-on-cache, iteration k's plan nests all k predecessors'
+    // InMemoryRelations and Spark's plan-string/optimizer work grows
+    // superlinearly (observed: minutes by merge ~15). The checkpointed
+    // table is vocab-sized, so executor storage stays bounded and the
+    // ContextCleaner reclaims dropped iterations.
+    var cur = base.localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var done = false
+    var rank = 1
+    while (rank <= k && !done) {
+      val top = cur
+        .select(col("freq"), explode(
+          transform(slice(col("syms"), lit(1), size(col("syms")) - 1),
+            (x, i) => struct(x.as("left"), element_at(col("syms"), i + 2).as("right")))).as("p"))
+        .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("left").asc, col("right").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < 2L) done = true
+      else {
+        val a = top(0).getString(0); val b = top(0).getString(1)
+        val cnt = top(0).getLong(2)
+        merges += ((rank, a, b, cnt))
+        val next = cur.select(col("freq"), applyMerge(col("syms"), a, b).as("syms"))
+          .localCheckpoint(true) // eager: materialized now, lineage cut
+        cur.unpersist()
+        cur = next
+        rank += 1
+      }
+    }
+    cur.unpersist()
+    merges.result()
+  }
+
+  /** Single-node reference implementation — the parity oracle for the
+    * spec and the Verify invariant (DuckDB cannot express the loop). */
+  private[graft] def referenceMerges(wordFreq: Seq[(String, Long)], k: Int): Seq[(Int, String, String, Long)] = {
+    var words: Seq[(List[String], Long)] =
+      wordFreq.map { case (w, f) => (w.map(_.toString).toList :+ Eow, f) }
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var done = false
+    var rank = 1
+    while (rank <= k && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      val best = counts.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.headOption
+      best match {
+        case Some(((a, b), cnt)) if cnt >= 2L =>
+          merges += ((rank, a, b, cnt))
+          words = words.map { case (syms, f) =>
+            val out = scala.collection.mutable.ListBuffer.empty[String]
+            syms.foreach { x =>
+              if (out.nonEmpty && out.last == a && x == b)
+                out(out.length - 1) = a + b
+              else out += x
+            }
+            (out.toList, f)
+          }
+          rank += 1
+        case _ => done = true
+      }
+    }
+    merges.result()
+  }
+
+  /** BPE merge-learning gate: the first [[NumMerges]] merges of the
+    * lowercased whitespace vocabulary, with each pair's corpus
+    * frequency at merge time. Rows-only (iterative training isn't
+    * SQL-expressible); the Verify invariant `t27_parity_singlenode`
+    * re-learns the table single-node from the same fixture and
+    * requires exact equality. */
+  def t27BpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(lower(col("tok")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    learnMerges(vocab, NumMerges)
+      .toDF("rank", "left", "right", "freq")
+      .select(col("rank").cast("bigint"), col("left"), col("right"), col("freq"))
+      .orderBy("rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_bpe_merges" -> t27BpeMerges _)
+
+  val oracleSql: Map[String, String] = Map.empty
+}

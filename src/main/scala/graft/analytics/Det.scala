@@ -31,6 +31,9 @@ object Det {
   /** Deterministic half-up rounding: floor(x·10^k + 0.5)/10^k. */
   def dround(c: Column, k: Int): Column = floor(c * p10(k) + lit(0.5)) / p10(k)
 
+  /** Driver-side scalar twin of [[dround]] (same IEEE arithmetic). */
+  def droundD(x: Double, k: Int): Double = math.floor(x * p10(k) + 0.5) / p10(k)
+
   /** Exact decimal sum, surfaced as double. */
   def sumDec(e: Column): Column = sum(e.cast("decimal(18,6)")).cast("double")
 

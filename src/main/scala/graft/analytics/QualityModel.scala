@@ -1,0 +1,126 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed quality-classifier training — the fasttext-style step
+  * of an LLM curation pipeline, re-expressed as Spark-native
+  * full-batch logistic regression. The label is the t15 rule
+  * battery's pass/fail (in a real pipeline the teacher signal comes
+  * from human ratings or a large model; the fixture's only
+  * content-derived quality label is the rule battery, so it plays
+  * the teacher) — the trained model DISTILLS the rule conjunction
+  * into one linear scorer that ranks an unlabeled corpus at scan
+  * speed, with smooth scores instead of a hard gate. The feature set
+  * deliberately omits the r5 input (max token length), so the model
+  * must generalize, not transcribe.
+  *
+  * Scale shape — the s08 k-means contract applied to SGD:
+  *  - the feature frame is ONE narrow projection of the corpus
+  *    (token count, mean token length, stopword ratio, type-token
+  *    ratio — all codegen'd column expressions), cached for the
+  *    iteration scans and released after the last;
+  *  - each iteration is ONE partial-aggregating job: the margin
+  *    w·x is a literal-weight column expression (no join, no
+  *    broadcast — the weights ride in the plan the way kmeansScores'
+  *    centroids do), and the gradient reduce carries d+1 scalars per
+  *    partition to the driver, independent of corpus size;
+  *  - driver state is the weight vector (d+1 doubles) and the
+  *    K-row iteration trace. Nothing else leaves the executors.
+  *
+  * Determinism: per-row gradient/loss contributions are rounded
+  * (Det.dround at 9 decimals) then DECIMAL-summed, so the learned
+  * weights — and therefore every downstream score — are bit-identical
+  * under any partitioning or merge order. QualityModelSpec pins
+  * monotone loss descent, partitioning-independence, and that the
+  * learned model actually separates the planted label. */
+object QualityModel {
+
+  /** Full-batch GD iterations for the t28 gate — enough for the loss
+    * curve to flatten visibly at the fixture scale. */
+  val NumIters = 12
+
+  /** Step size. Features are O(1)-scaled, so a unit step is stable. */
+  val LearnRate = 1.0
+
+  private val stopwords = Seq("the", "a", "of", "and", "is", "in", "to")
+
+  /** Per-document features: bias, token count/100, mean token
+    * length/10, stopword ratio, type-token ratio — plus the t15
+    * teacher label y. One narrow pass; every column is a codegen'd
+    * expression over the token array. */
+  private[analytics] def features(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(trim(col("text")), "\\s+")
+    val meanLen = length(concat_ws("", col("t"))).cast("double") / size(col("t"))
+    val pass = size(col("t")) >= 20 &&
+      meanLen >= 2.0 && meanLen <= 12.0 &&
+      size(filter(col("t"), x => x.isin(stopwords: _*))) > 0 &&
+      (size(array_distinct(col("t"))).cast("double") / size(col("t"))) >= 0.2 &&
+      array_max(transform(col("t"), x => length(x))) <= 40
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"),
+        when(pass, 1.0).otherwise(0.0).as("y"),
+        lit(1.0).as("x0"),
+        (size(col("t")).cast("double") / 100.0).as("x1"),
+        (length(concat_ws("", col("t"))).cast("double") / size(col("t")) / 10.0).as("x2"),
+        (size(filter(col("t"), x => x.isin(stopwords: _*))).cast("double") / size(col("t"))).as("x3"),
+        (size(array_distinct(col("t"))).cast("double") / size(col("t"))).as("x4"))
+  }
+
+  private val Dim = 5
+
+  /** One iteration's aggregate row: d gradient sums, loss sum,
+    * correct-prediction count, row count. */
+  private def margin(w: Array[Double]): Column =
+    (0 until Dim).map(j => lit(w(j)) * col(s"x$j")).reduce(_ + _)
+
+  /** Train on a feature frame; returns (weights, per-iteration
+    * (loss, accuracy) trace). The caller owns the frame; an uncached
+    * input is cached for the iterations and released before return. */
+  private[analytics] def train(feat: DataFrame, iters: Int = NumIters,
+                               lr: Double = LearnRate): (Array[Double], Seq[(Double, Double)]) = {
+    val ownsCache = feat.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    val f = if (ownsCache) feat.cache() else feat
+    var w = Array.fill(Dim)(0.0)
+    val trace = Seq.newBuilder[(Double, Double)]
+    for (_ <- 0 until iters) {
+      val p0 = lit(1.0) / (lit(1.0) + exp(-margin(w)))
+      // clamp away from {0,1} so log never produces -Inf
+      val p = least(greatest(p0, lit(1e-12)), lit(1.0) - lit(1e-12))
+      val err = p - col("y")
+      val aggs =
+        (0 until Dim).map(j => Det.sumDec9(Det.dround(err * col(s"x$j"), 9))) ++ Seq(
+          Det.sumDec9(Det.dround(-(col("y") * log(p) + (lit(1.0) - col("y")) * log(lit(1.0) - p)), 9)),
+          sum(when((p > 0.5).cast("int") === col("y").cast("int"), 1L).otherwise(0L)),
+          count(lit(1)))
+      val r = f.agg(aggs.head, aggs.tail: _*).first()
+      val n = r.getLong(Dim + 2).toDouble
+      trace += ((r.getDouble(Dim) / n, r.getLong(Dim + 1) / n))
+      w = w.zipWithIndex.map { case (wj, j) => wj - lr * r.getDouble(j) / n }
+    }
+    if (ownsCache) f.unpersist()
+    (w, trace.result())
+  }
+
+  /** Quality-classifier training gate: the per-iteration loss /
+    * accuracy curve (loss BEFORE each update, so row 1 is the
+    * w=0 baseline ln 2 ≈ 0.6931). Rows-only (iterative training
+    * isn't SQL-expressible); Verify emits `t28_loss_decreasing` and
+    * `t28_final_acc` invariants off this dump, and QualityModelSpec
+    * pins the semantics. */
+  def t28QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, trace) = train(features(spark, dir))
+    trace.zipWithIndex
+      .map { case ((loss, acc), i) =>
+        (i + 1L, Det.droundD(loss, 9), Det.droundD(acc, 9)) }
+      .toDF("iter", "loss", "accuracy")
+      .orderBy("iter")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t28_quality_classifier" -> t28QualityClassifier _)
+
+  val oracleSql: Map[String, String] = Map.empty
+}

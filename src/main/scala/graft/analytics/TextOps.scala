@@ -589,6 +589,54 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every document by how much
+    * more likely it is under a bag-of-unigrams model of the TARGET
+    * domain than under the raw-corpus model — here the `lang = 'en'`
+    * slice plays the high-quality target. Per term, the log-likelihood
+    * ratio ln(p_t(w)/p_r(w)) with add-one smoothing over the joint
+    * vocabulary; per document, the tf-weighted sum of ratios and its
+    * per-token mean. `selected` is the principled zero-threshold cut
+    * (document more target-like than raw-like), which is a LOCAL
+    * predicate — no global sort or quantile pass touches the corpus,
+    * unlike a top-N% cut.
+    *
+    * Scale shape: term statistics are one partial-aggregating groupBy
+    * bounded by vocabulary size (the target/raw counts ride in the
+    * same aggregate — one pass, not two); the three model scalars
+    * (N_t, N_r, |V|) reduce off that vocab table; the per-term ratio
+    * table joins back to per-doc tfs vocabulary-sized, so AQE
+    * broadcasts it when it fits. Determinism: per-term contributions
+    * are rounded then decimal-summed (Det), so scores are independent
+    * of partitioning and merge order — the t13/t21 ln-then-floor shape.
+    */
+  def t25DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(tokens).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), col("lang"), lower(col("tok")).as("term"))
+    val cnt = toks.groupBy("term").agg(
+      count(lit(1)).as("c_r"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"))
+    val g = cnt.agg(
+      sum(col("c_r")).cast("double"), sum(col("c_t")).cast("double"),
+      count(lit(1)).cast("double")).first()
+    val (nR, nT, v) = (g.getDouble(0), g.getDouble(1), g.getDouble(2))
+    val lr = cnt.select(col("term"),
+      log(((col("c_t") + lit(1.0)) * lit(nR + v)) /
+          ((col("c_r") + lit(1.0)) * lit(nT + v))).as("lr"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    tf.join(lr, "term")
+      .select(col("doc_id"), col("tf"),
+        Det.dround(col("tf") * col("lr"), 6).as("contrib"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"), Det.sumDec(col("contrib")).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        Det.dround(col("s") / col("n_tokens"), 4).as("dsir_score"),
+        (col("s") > 0.0).as("selected"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_distribution" -> t01LangDistribution _,
     "t02_token_counts"      -> t02TokenCounts _,
@@ -610,6 +658,7 @@ object TextOps {
     "t22_vocab_coverage"    -> t22VocabCoverage _,
     "t23_stratified_split"  -> t23StratifiedSplit _,
     "t24_mixture_weights"   -> t24MixtureWeights _,
+    "t25_dsir_weights"      -> t25DsirWeights _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -773,6 +822,30 @@ object TextOps {
          SELECT source, n_docs, n_tokens, raw_share, weight,
           floor((weight * 1000000.0 / n_tokens) * 10000.0 + 0.5) / 10000.0 AS epochs
          FROM m ORDER BY source""",
+    "t25_dsir_weights" ->
+      """WITH t AS (SELECT doc_id, lang,
+                     lower(unnest(string_split_regex(trim(text), '\s+'))) term
+                    FROM documents),
+          tk AS (SELECT doc_id, lang, term FROM t WHERE term <> ''),
+          cnt AS (SELECT term, count(*) c_r,
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) c_t
+                  FROM tk GROUP BY term),
+          g AS (SELECT CAST(sum(c_r) AS DOUBLE) n_r, CAST(sum(c_t) AS DOUBLE) n_t,
+                 CAST(count(*) AS DOUBLE) v FROM cnt),
+          lr AS (SELECT term,
+                  ln(((c_t + 1.0) * (n_r + v)) / ((c_r + 1.0) * (n_t + v))) lr
+                 FROM cnt, g),
+          tf AS (SELECT doc_id, term, count(*) tf FROM tk GROUP BY 1, 2),
+          sc AS (SELECT doc_id, tf.tf,
+                  floor((tf.tf * lr) * 1000000.0 + 0.5) / 1000000.0 contrib
+                 FROM tf JOIN lr USING (term)),
+          per AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) n_tokens,
+                   CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) s
+                  FROM sc GROUP BY doc_id)
+         SELECT doc_id, n_tokens,
+          floor((s / n_tokens) * 10000.0 + 0.5) / 10000.0 AS dsir_score,
+          s > 0.0 AS selected
+         FROM per ORDER BY doc_id""",
     "t15_quality_filter" ->
       s"""WITH d AS (SELECT source, string_split_regex(trim(text), '\\s+') t FROM documents),
           m AS (SELECT source,

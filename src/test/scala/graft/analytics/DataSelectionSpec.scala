@@ -1,0 +1,50 @@
+package graft.analytics
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.store.SparkTestSession
+
+/** Round-8 data-selection operators: DSIR importance weights (t25).
+  * Planted-input semantics plus directional checks on the fixture. */
+class DataSelectionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def writeDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dsel").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("t25: target-exclusive vocabulary selects, off-target vocabulary rejects") {
+    // target model = lang 'en'; docs 1-2 define the target vocabulary,
+    // doc 3 reuses it (should score > 0 even though labeled 'de'),
+    // doc 4 shares no token with the target (score < 0, not selected)
+    val tmp = writeDocs(Seq(
+      (1L, "alpha beta gamma alpha", "en", "s", 0L),
+      (2L, "alpha beta delta", "en", "s", 0L),
+      (3L, "alpha beta gamma", "de", "s", 0L),
+      (4L, "zork quux blarg zork", "de", "s", 0L)))
+    val got = TextOps.t25DsirWeights(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(got(3)._1 > 0.0 && got(3)._2, s"target-like doc rejected: ${got(3)}")
+    assert(got(4)._1 < 0.0 && !got(4)._2, s"off-target doc selected: ${got(4)}")
+    // the target docs themselves must be the most target-like
+    assert(got(1)._1 > got(4)._1 && got(2)._1 > got(4)._1)
+  }
+
+  test("t25 fixture: en documents average a higher DSIR score than non-en") {
+    val docs = Tables.documents(spark, dir).select("doc_id", "lang")
+    val scored = TextOps.t25DsirWeights(spark, dir).join(docs, "doc_id")
+    val byLang = scored.groupBy(col("lang") === "en")
+      .agg(avg("dsir_score")).collect()
+      .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(byLang(true) > byLang(false),
+      s"en mean ${byLang(true)} should exceed non-en mean ${byLang(false)}")
+    // every document of the corpus is scored
+    assert(scored.count() == Tables.documents(spark, dir).count())
+  }
+}
