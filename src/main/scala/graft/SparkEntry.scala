@@ -20,7 +20,7 @@ object SparkEntry {
     Relational.queries ++ RangeJoin.queries ++ TextOps.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ StreamingQueries.queries ++
       StoreQueries.queries ++ Pipeline.queries ++ LangId.queries ++ TextPrep.queries ++
-      BpeTrain.queries ++ QualityModel.queries
+      BpeTrain.queries ++ QualityModel.queries ++ Rag.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -28,5 +28,6 @@ object SparkEntry {
     Relational.oracleSql ++ RangeJoin.oracleSql ++ TextOps.oracleSql ++ Dedup.oracleSql ++
       Similarity.oracleSql ++ Multimodal.oracleSql ++
       StreamingQueries.oracleSql ++ Pipeline.oracleSql ++ LangId.oracleSql ++
-      TextPrep.oracleSql ++ BpeTrain.oracleSql ++ QualityModel.oracleSql
+      TextPrep.oracleSql ++ BpeTrain.oracleSql ++ QualityModel.oracleSql ++
+      Rag.oracleSql
 }

@@ -430,12 +430,122 @@ object Multimodal {
       .select(col("group_rep"), col("n_blobs"))
       .orderBy("group_rep")
 
+  // ---- video: temporal frame sampling → keyframe fingerprints → dedup ----
+
+  /** Fixed frame size of the video decode stand-in: a "video" blob is
+    * a sequence of raw 16×16 grayscale frames (256 bytes each). A real
+    * codec only changes how frames are EXTRACTED from the blob — the
+    * sampling, hashing, and join plumbing below is format-agnostic. */
+  val VideoFrameBytes = 256
+
+  /** Partition-wise temporal frame sampling + per-frame content
+    * fingerprint: every `sampleEvery`-th frame is hashed (FNV-1a over
+    * the frame's pixels) into an 8-byte keyframe fingerprint — the
+    * shape real video dedup pipelines use (sampled keyframes, not
+    * every frame, so a 2-hour video contributes hundreds of rows, not
+    * hundreds of thousands). Output: (doc_id, frame_idx, fhash). */
+  def videoFrameHashes(videos: org.apache.spark.sql.Dataset[(Long, Array[Byte])],
+                       sampleEvery: Int = 1): DataFrame = {
+    import videos.sparkSession.implicits._
+    videos.mapPartitions { it =>
+      it.flatMap { case (docId, bytes) =>
+        val nFrames = bytes.length / VideoFrameBytes
+        (0 until nFrames by sampleEvery).iterator.map { f =>
+          var h = 0xcbf29ce484222325L
+          var i = f * VideoFrameBytes
+          val until = i + VideoFrameBytes
+          while (i < until) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += 1 }
+          (docId, f, h)
+        }
+      }
+    }.toDF("doc_id", "frame_idx", "fhash")
+  }
+
+  /** Near-dup video pairs by shared-keyframe containment: videos i<j
+    * sharing ≥ `minContainment` of the smaller video's distinct
+    * keyframes. The join is an equi join on the 8-byte fingerprint —
+    * near-linear in corpus size like the d03/m04 band joins — and
+    * `maxDf` drops fingerprints appearing in more than that many
+    * videos (black frames, station idents: the video analogue of d01's
+    * df-cap, without which one boilerplate frame would quadratically
+    * pair everything that contains it). */
+  def videoDupPairs(frameHashes: DataFrame, minContainment: Double = 0.5,
+                    maxDf: Int = 100): DataFrame = {
+    val distinctFh = frameHashes.select(col("doc_id"), col("fhash")).distinct()
+    val rare = distinctFh.groupBy("fhash")
+      .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+    val fh = distinctFh.join(rare.select("fhash"), "fhash")
+    val perVideo = distinctFh.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+    val shared = fh.as("a").join(fh.as("b"),
+        col("a.fhash") === col("b.fhash") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("shared_frames"))
+    shared
+      .join(perVideo.withColumnRenamed("doc_id", "i")
+                    .withColumnRenamed("n_frames", "n_i"), "i")
+      .join(perVideo.withColumnRenamed("doc_id", "j")
+                    .withColumnRenamed("n_frames", "n_j"), "j")
+      .withColumn("containment",
+        Det.dround(col("shared_frames").cast("double") / least(col("n_i"), col("n_j")), 4))
+      .filter(col("containment") >= minContainment)
+      .select(col("i"), col("j"), col("shared_frames"), col("containment"))
+  }
+
+  /** Deterministic synthetic video corpus: 12 frames per video, each
+    * frame an LCG bitmap keyed by its SHOT id; shots are unique to
+    * each GROUP of 3 consecutive doc_ids (so the planted pair
+    * structure stays linear in corpus size — a corpus-wide shared
+    * pattern would quadratically pair every like video):
+    *   doc_id % 3 == 0: the 12-shot base cut;
+    *   doc_id % 3 == 1: the first 2 shots trimmed (a re-cut intro:
+    *     containment vs the base must be 1.0);
+    *   doc_id % 3 == 2: the last 4 shots replaced by doc-unique ones
+    *     (a re-edit: 8 of 12 shots shared with the base). */
+  private[analytics] def syntheticVideos(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long].map { docId =>
+      val group = docId / 3
+      val variant = (docId % 3).toInt
+      val shots: Seq[Long] = variant match {
+        case 1 => (2 until 12).map(f => group * 32L + f)
+        case 2 => (0 until 8).map(f => group * 32L + f) ++
+                  (8 until 12).map(f => -(docId * 16L + f) - 1L)
+        case _ => (0 until 12).map(f => group * 32L + f)
+      }
+      val out = new Array[Byte](shots.length * VideoFrameBytes)
+      shots.zipWithIndex.foreach { case (shot, f) =>
+        var state = shot * 2654435761L + 7919L
+        var i = 0
+        while (i < VideoFrameBytes) {
+          state = state * 6364136223846793005L + 1442695040888963407L
+          out(f * VideoFrameBytes + i) = ((state >>> 33) & 0xFF).toByte
+          i += 1
+        }
+      }
+      (docId, out)
+    }
+  }
+
+  /** Gate: synthesize → sample keyframes → fingerprint → containment
+    * pairs, rolled up per containment level so the output is bounded
+    * by the variant structure, not the pair count. Rows-only (the
+    * frame plumbing has no SQL oracle); MultimodalSpec pins the
+    * planted trim/re-edit relationships. */
+  def m06VideoDupStats(spark: SparkSession, dir: String): DataFrame =
+    videoDupPairs(videoFrameHashes(syntheticVideos(spark, dir)))
+      .groupBy("containment")
+      .agg(count(lit(1)).as("n_pairs"),
+           sum("shared_frames").as("total_shared"))
+      .orderBy("containment")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_blob_meta"    -> m01BlobMeta _,
     "m02_frame_stats"  -> m02FrameStats _,
     "m03_resize_stats" -> m03ResizeStats _,
     "m04_image_dups"   -> m04ImageDupGroups _,
     "m05_audio_dups"   -> m05AudioDupGroups _,
+    "m06_video_dups"   -> m06VideoDupStats _,
   )
 
   /** m01 is byte-exact SQL (UTF-8 length); m02's stub decode is

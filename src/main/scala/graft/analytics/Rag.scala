@@ -1,0 +1,151 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Retrieval pipeline (the serving-side counterpart of the curation
+  * operators): chunk documents into passages, embed each passage,
+  * retrieve top passages per query with per-document deduplication —
+  * the exact workflow a RAG system runs over a curated corpus.
+  *
+  * The passage EMBEDDER is the stub slot (no model ships in this
+  * container, same convention as the multimodal decode stubs): a
+  * passage's vector is its document's fixture embedding rotated by
+  * chunk_id positions — deterministic, norm-preserving, distinct per
+  * chunk, and expressible in both engines, so the whole pipeline is
+  * oracle-checkable end to end. A real embedder changes ONE column
+  * expression; every downstream shape (scoring join, per-doc dedup
+  * window, bounded top-k) is embedder-agnostic.
+  *
+  * Scale shape: the brute scorer below is the labeled exact baseline
+  * tier (queries are bounded, so the score join is broadcast-query ×
+  * corpus-scan — one pass, no shuffle of the corpus). The production
+  * tier swaps the scorer for the IVF probe over the cell-partitioned
+  * stored layout ([[Similarity.ivfStoredTopK]] / [[ragRetrieve]] with
+  * `method="ivf"`): RagSpec pins that tier's doc-level recall against
+  * the exact path. The dedup window partitions by (query, doc) — key
+  * cardinality ≤ candidate count, never corpus-sized. */
+object Rag {
+
+  private val Stride = 24 // t08's chunk stride (32-token chunks, 8 overlap)
+  private val TopK = 5
+  private val PidBase = 1000000L // passage-id namespace, disjoint from query ids
+
+  /** Passages with stub embeddings: one row per (doc, chunk) with the
+    * rotated document vector and its (rotation-invariant) norm. */
+  private[analytics] def passageStore(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("n_tok"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0),
+          greatest(floor((col("n_tok") - 1) / Stride), lit(0)).cast("int"))).as("chunk_id"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), as_double_array(col("embedding")).as("v"))
+      .withColumn("norm", array_norm(col("v")))
+    docs.join(emb, "doc_id")
+      .withColumn("shift", pmod(col("chunk_id"), size(col("v"))))
+      // rotation by `shift`: pv[i] = v[(i + shift) mod d] — 0-based []
+      .withColumn("pv",
+        expr("transform(sequence(1, size(v)), k -> v[(k - 1 + shift) % size(v)])"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("doc_id") * 1000L + col("chunk_id") + PidBase).as("pid"),
+        col("pv"), col("norm"))
+  }
+
+  /** Deterministic query set: every 50th fixture embedding, as-is. */
+  private def querySet(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), as_double_array(col("embedding")).as("qv"))
+      .withColumn("qnorm", array_norm(col("qv")))
+  }
+
+  /** Per-document dedup + final ranking over scored passages: keep
+    * each document's best passage (ties to the lowest chunk), then the
+    * top [[TopK]] documents per query (ties to lowest doc, then
+    * chunk). Both windows are candidate-bounded, never corpus-sized. */
+  private def dedupRank(scored: DataFrame): DataFrame = {
+    val perDoc = Window.partitionBy("query_id", "doc_id")
+      .orderBy(col("cos_sim").desc, col("chunk_id").asc)
+    val perQuery = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("doc_id").asc, col("chunk_id").asc)
+    scored
+      .withColumn("rn", row_number().over(perDoc)).filter(col("rn") === 1)
+      .withColumn("rnk", row_number().over(perQuery).cast("bigint"))
+      .filter(col("rnk") <= TopK)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("chunk_id").cast("bigint"),
+        col("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Retrieval with a chosen scoring tier: `"brute"` scores every
+    * passage exactly (the oracle-checked baseline); `"ivf"` probes the
+    * in-memory IVF index for candidates first ([[Similarity.topK]]) —
+    * the 100 TB tier, recall-pinned in RagSpec. */
+  def ragRetrieve(spark: SparkSession, dir: String, method: String = "brute"): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val passages = passageStore(spark, dir)
+    val queries = querySet(spark, dir)
+    val scored = method match {
+      case "brute" =>
+        broadcast(queries).join(passages, col("query_id") =!= col("doc_id"))
+          .select(col("query_id"), col("doc_id"), col("chunk_id"),
+            Det.dround(array_dot(col("qv"), col("pv")) / (col("qnorm") * col("norm")), 4)
+              .as("cos_sim"))
+      case "ivf" =>
+        val corpus = passages.select(col("pid").as("vec_id"), col("pv").as("embedding"))
+        val cands = Similarity.topK(corpus,
+          queries.select(col("query_id"), col("qv").as("embedding")),
+          k = TopK * 5, method = "ivf")
+        cands
+          .select(col("query_id"),
+            ((col("neighbor_id") - PidBase) / 1000L).cast("long").as("doc_id"),
+            pmod(col("neighbor_id") - PidBase, lit(1000L)).as("chunk_id"),
+            col("cos_sim"))
+          .filter(col("query_id") =!= col("doc_id"))
+      case other => throw new IllegalArgumentException(
+        s"unknown retrieval method '$other' (brute | ivf)")
+    }
+    dedupRank(scored)
+  }
+
+  /** RAG retrieval gate — the exact tier, oracle-checked end to end
+    * (chunking, rotation embedder, cosine, per-doc dedup, top-5). */
+  def p04RagRetrieval(spark: SparkSession, dir: String): DataFrame =
+    ragRetrieve(spark, dir, "brute")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p04_rag_retrieval" -> p04RagRetrieval _)
+
+  val oracleSql: Map[String, String] = Map(
+    "p04_rag_retrieval" ->
+      """WITH ch AS (SELECT doc_id,
+             unnest(range(0, greatest((len(string_split_regex(trim(text), '\s+')) - 1) // 24, 0) + 1)) chunk_id
+            FROM documents),
+          emb AS (SELECT vec_id doc_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v,
+             sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')) nrm
+            FROM embeddings),
+          p AS (SELECT ch.doc_id, ch.chunk_id,
+             list_transform(range(1, len(v)+1), k -> v[((k - 1 + (chunk_id % len(v))) % len(v)) + 1]) pv,
+             nrm
+            FROM ch JOIN emb ON ch.doc_id = emb.doc_id),
+          q AS (SELECT vec_id query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) qv,
+             sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')) qnrm
+            FROM embeddings WHERE vec_id % 50 = 0),
+          sc AS (SELECT q.query_id, p.doc_id, p.chunk_id,
+             floor((list_aggregate(list_transform(range(1, len(qv)+1),
+                 k -> qv[k] * pv[k]), 'sum') / (qnrm * nrm)) * 10000.0 + 0.5) / 10000.0 cos_sim
+            FROM q JOIN p ON p.doc_id <> q.query_id),
+          best AS (SELECT *, row_number() OVER (PARTITION BY query_id, doc_id
+                     ORDER BY cos_sim DESC, chunk_id ASC) rn FROM sc),
+          ranked AS (SELECT query_id, doc_id, chunk_id, cos_sim,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos_sim DESC, doc_id ASC, chunk_id ASC) rnk
+                     FROM best WHERE rn = 1)
+         SELECT query_id, CAST(rnk AS BIGINT) rnk, doc_id,
+          CAST(chunk_id AS BIGINT) chunk_id, cos_sim
+         FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""")
+}

@@ -155,4 +155,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.length == 8)
     assert(got.map(_.getLong(0)).toSet == (0L until 8L).toSet)
   }
+
+  test("videoDupPairs: planted trim/re-edit relationships within each triplet") {
+    import spark.implicits._
+    val fh = Multimodal.videoFrameHashes(
+      Multimodal.syntheticVideos(spark, "/root/testdata/sf0.001"))
+    // every video contributed one fingerprint per frame (12, or 10 trimmed)
+    val perDoc = fh.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perDoc(0L) == 12L && perDoc(1L) == 10L && perDoc(2L) == 12L)
+    val pairs = Multimodal.videoDupPairs(fh).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    // trim keeps every remaining shot: containment 1.0 against the base
+    assert(pairs((0L, 1L)) == 1.0)
+    // re-edit shares 8 of 12 shots with the base
+    assert(pairs((0L, 2L)) == 0.6667)
+    // trimmed vs re-edit share shots 2..7: 6 of min(10,12)
+    assert(pairs((1L, 2L)) == 0.6)
+    // no pair crosses a triplet boundary (shots are group-unique)
+    assert(pairs.keys.forall { case (i, j) => i / 3 == j / 3 })
+  }
+
+  test("m06 gate: containment rollup bounded by the variant structure") {
+    val got = Multimodal.m06VideoDupStats(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    // exactly the three planted containment levels appear
+    assert(got.keySet == Set(0.6, 0.6667, 1.0), s"levels: ${got.keySet}")
+    // one pair per level per complete triplet; the trailing partial
+    // triplet (500 docs = 166 triplets + a base/trim pair) adds one 1.0
+    val triplets = 500L / 3
+    assert(got(0.6) == triplets && got(0.6667) == triplets)
+    assert(got(1.0) == triplets + 1)
+  }
 }
