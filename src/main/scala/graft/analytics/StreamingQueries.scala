@@ -217,6 +217,40 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("first_vec"))
   }
 
+  /** Streaming mixture sampler — t16's fair-share re-balancing
+    * applied as documents ARRIVE: the per-language rates fit on the
+    * STATIC corpus before the stream starts (a |languages|-row table,
+    * broadcast against every microbatch — the stream-static join is
+    * stateless), each arriving document passes the deterministic
+    * md5-gate per row, and the only streaming state is the
+    * |languages|-bounded rollup. Because the gate is content-hashed
+    * (no RNG) and the aggregates are commutative, the drive equals
+    * the batch rollup under any microbatch slicing — so the gate is
+    * ORACLE-CHECKED against t16's batch SQL. This is how a crawl
+    * front-end holds a target language mix in-flight instead of
+    * re-balancing in a nightly batch. */
+  def st10StreamMixture(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st10_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    EventStream.runToCompletion(spark,
+      mixtureStream(_, dir, dir, None), name).orderBy("lang")
+  }
+
+  /** The st10 streaming frame — rates from `fitDir` (static), the
+    * document stream from `streamDir`; split out for the spec's
+    * trickle and parity drives. */
+  private[analytics] def mixtureStream(s: SparkSession, streamDir: String,
+                                       fitDir: String,
+                                       maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val fit = Tables.documents(s, fitDir)
+      .select(col("lang"), col("text"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val rates = TextOps.mixtureRates(fit)
+    val stream = EventStream.readDocumentsStream(s, streamDir, maxFilesPerTrigger)
+      .select(col("lang"), col("text"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    TextOps.mixtureRollup(stream.join(broadcast(rates), "lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_daily" -> st01StreamDaily _,
     "st02_sessions"     -> st02Sessions _,
@@ -227,9 +261,30 @@ object StreamingQueries {
     "st07_stream_neardup" -> st07StreamNeardup _,
     "st08_stream_decontam" -> st08StreamDecontam _,
     "st09_stream_vec_ingest" -> st09StreamVectorIngest _,
+    "st10_stream_mixture" -> st10StreamMixture _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // st10 streams the same corpus its rates were fit on, with a
+    // content-hashed gate and commutative rollup — so the batch SQL of
+    // t16 is its exact oracle (the streaming tier must reproduce the
+    // nightly batch bit for bit)
+    "st10_stream_mixture" ->
+      """WITH d AS (SELECT doc_id, lang, text,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n_tokens
+                    FROM documents),
+          lt AS (SELECT lang, sum(n_tokens) lang_tokens FROM d GROUP BY lang),
+          g AS (SELECT CAST(sum(lang_tokens) AS DOUBLE) total_tokens, count(*) n_langs FROM lt),
+          r AS (SELECT lang, least(1.0, (total_tokens / n_langs) / lang_tokens) rate FROM lt, g),
+          s AS (SELECT d.*, r.rate,
+                 (r.rate >= 1.0 OR substr(md5(d.text), 1, 8) <
+                   lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))), 8, '0')) sampled
+                FROM d JOIN r USING (lang))
+         SELECT lang, count(*) AS n_docs,
+          CAST(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+          CAST(sum(CASE WHEN sampled THEN n_tokens ELSE 0 END) AS BIGINT) AS sampled_tokens,
+          floor(min(rate) * 10000.0 + 0.5) / 10000.0 AS rate
+         FROM s GROUP BY lang ORDER BY lang""",
     "st01_stream_daily" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
          count(*) AS n_events, floor((CAST(sum(CAST((value) AS DECIMAL(18,6))) AS DOUBLE)) * 100.0 + 0.5) / 100.0 AS sum_value

@@ -262,13 +262,28 @@ object TextOps {
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text"),
         size(tokens).cast("long").as("n_tokens"))
+    mixtureRollup(d.join(broadcast(mixtureRates(d)), "lang"))
+      .orderBy("lang")
+  }
+
+  /** Per-language fair-share sampling rates (t16's fit) — a
+    * |languages|-row table, shared with the streaming tier (st10)
+    * which broadcasts it against the arriving stream. */
+  private[analytics] def mixtureRates(d: DataFrame): DataFrame = {
     val langTotals = d.groupBy("lang").agg(sum("n_tokens").as("lang_tokens"))
     val global = langTotals.agg(sum("lang_tokens").cast("double").as("total_tokens"),
       count(lit(1)).as("n_langs"))
-    val rates = langTotals.crossJoin(broadcast(global))
+    langTotals.crossJoin(broadcast(global))
       .select(col("lang"),
         least(lit(1.0), (col("total_tokens") / col("n_langs")) / col("lang_tokens")).as("rate"))
-    d.join(broadcast(rates), "lang")
+  }
+
+  /** The deterministic md5-gate + per-language rollup over a
+    * rate-joined document frame — stateless per row, commutative
+    * aggregates, so the SAME code runs batch (t16) and streaming
+    * (st10) with identical results under any microbatch slicing. */
+  private[analytics] def mixtureRollup(withRate: DataFrame): DataFrame =
+    withRate
       // 8-hex-digit threshold: floor(rate·2³²) printed as zero-padded
       // lowercase hex, compared lexicographically against the md5
       // prefix — the same cross-engine trick as t09, with the rate==1
@@ -281,8 +296,6 @@ object TextOps {
            sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
            sum(when(col("sampled"), col("n_tokens")).otherwise(0L)).as("sampled_tokens"),
            Det.dround(min(col("rate")), 4).as("rate"))
-      .orderBy("lang")
-  }
 
   /** PII patterns shared by detection and redaction — no lookarounds,
     * so Java regex (Spark) and RE2 (DuckDB) match identically. */
