@@ -120,6 +120,24 @@ object Bench {
       javax.imageio.ImageIO.write(img, "png", bos)
       javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
     } catch { case _: Throwable => () }
+    // k-means machinery (centroid-literal struct arrays, decimal
+    // partial sums, cell self-join with array_dot): its one-time
+    // classload/JIT otherwise lands on whichever of p02/s08/s09 runs
+    // first — a 64-vector fit prices it out of every timed query
+    try {
+      import org.apache.spark.sql.functions._
+      import graft.functions.VectorFunctions._
+      val vecs = spark.range(64).selectExpr("id as vec_id",
+        "transform(sequence(1, 8), k -> cast(id % 7 + k as double)) as v")
+        .withColumn("norm", array_norm(col("v")))
+      val (assigned, _, _) = graft.analytics.Similarity.kmeansFit(vecs, k = 4, iters = 2)
+      val nz = assigned.filter(col("norm") > 0)
+      nz.as("a").join(nz.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .select((array_dot(col("a.v"), col("b.v")) / (col("a.norm") * col("b.norm"))).as("c"))
+        .agg(sum("c")).count()
+      spark.catalog.clearCache()
+    } catch { case _: Throwable => () }
     // incremental-execution stack (state store, microbatch planner)
     try {
       import spark.implicits._

@@ -131,8 +131,14 @@ object Pipeline {
           // work (capped at 16 — the fixture-scale codebook size)
           val k = math.max(1, math.min(16, math.ceil(math.sqrt(n.toDouble)).toInt))
           val (assigned, _, _) = Similarity.kmeansFit(qe, k = k)
-          val dropped = Dedup.dupClustersOf(
-              semdedupPairs(assigned, cfg.embeddingCosine).select(col("i"), col("j")))
+          val clusters = Dedup.dupClustersOf(
+            semdedupPairs(assigned, cfg.embeddingCosine).select(col("i"), col("j")))
+          // dupClustersOf is eager in both paths (driver union-find
+          // collects; the distributed loop localCheckpoints every
+          // round), so nothing downstream re-reads qe — release the
+          // cache here instead of leaking it into a long-lived session
+          qe.unpersist()
+          val dropped = clusters
             .filter(col("doc_id") =!= col("cluster_id"))
             .select(col("doc_id")).distinct()
           quality.join(dropped, Seq("doc_id"), "left_anti")

@@ -593,7 +593,7 @@ object Similarity {
     * KmeansSpec pins it. The trace costs one extra aggregation job
     * per iteration, so production callers (the s08/p02 gates) leave
     * it off. */
-  private[analytics] def kmeansFit(corpus: DataFrame, k: Int = 16, iters: Int = 5,
+  private[graft] def kmeansFit(corpus: DataFrame, k: Int = 16, iters: Int = 5,
                                    trace: Boolean = false)
       : (DataFrame, Array[(Int, Array[Double])], Seq[Double]) = {
     // cache for the iteration scans — unless the caller already cached

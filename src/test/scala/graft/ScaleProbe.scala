@@ -95,7 +95,14 @@ object ScaleProbe {
       "t24_mixture_weights",
       "q24_salted_agg", "q26_pivot", "q27_gapfill", "q28_range_join",
       "q31_session_window", "p03_dataset_report",
-      "m04_image_dups")
+      "m04_image_dups",
+      // round-8 additions: DSIR weights (vocab-bounded aggs), BPE merge
+      // learning (vocab-table iterations), classifier training (fixed
+      // iteration count over a narrow scan), video keyframe dedup
+      // (df-capped fingerprint join), RAG retrieval (bounded query set),
+      // streaming mixture (stateless gate + label-bounded state)
+      "t25_dsir_weights", "t27_bpe_merges", "t28_quality_classifier",
+      "m06_video_dups", "p04_rag_retrieval", "st10_stream_mixture")
       // SPARK_GRAFT_ONLY=a,b,c restricts the sweep (dev iteration knob)
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").contains(n)))

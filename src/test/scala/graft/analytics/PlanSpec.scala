@@ -309,4 +309,50 @@ class PlanSpec extends AnyFunSuite {
         s"hinted subtree looks corpus-sized:\n$h")
     }
   }
+
+  test("t25 scores with vocab-bounded aggregates — no window, no global sort below the output") {
+    // DSIR selection is a LOCAL zero-threshold predicate; a top-N% cut
+    // would need a corpus-wide sort or quantile window. The ratio join
+    // is left unhinted so AQE broadcasts the vocab side only when it
+    // actually fits.
+    val df = TextOps.t25DsirWeights(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"t25 gained a window:\n$plan")
+    assert(hintedRelations(df).isEmpty, "t25 hints a growing side")
+  }
+
+  test("p04 scoring broadcasts only the bounded query set; windows are candidate-sized") {
+    // the passage corpus must never be the broadcast side; the dedup
+    // and ranking windows partition by query_id (bounded by the query
+    // set), never by anything corpus-sized
+    val df = Rag.p04RagRetrieval(spark, dir)
+    hintedRelations(df).foreach { h =>
+      assert(h.contains("vec_id") && !h.contains("documents"),
+        s"hinted subtree is not the query set:\n$h")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"p04 scoring degenerated to a cartesian product:\n$plan")
+  }
+
+  test("m06 video pair generation is an equi join on the fingerprint, never a nested loop") {
+    val fh = Multimodal.videoFrameHashes(Multimodal.syntheticVideos(spark, dir))
+    val plan = Multimodal.videoDupPairs(fh)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"m06 pair generation is a cross product:\n$plan")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[fhash".r
+      .findFirstIn(plan).isDefined,
+      s"m06 pairs are not keyed on the fingerprint:\n$plan")
+  }
+
+  test("t28 feature pass is narrow and each training iteration is one aggregate job") {
+    // the gradient reduce must be a plain aggregate over the feature
+    // scan — a join or window in this plan would multiply per-iteration
+    // cost at scale
+    val plan = QualityModel.features(spark, dir)
+      .groupBy().count().queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"t28 features gained a join:\n$plan")
+    assert(!plan.contains("Window"), s"t28 features gained a window:\n$plan")
+  }
 }
