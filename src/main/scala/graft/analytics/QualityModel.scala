@@ -36,9 +36,10 @@ import org.apache.spark.sql.functions._
   * learned model actually separates the planted label. */
 object QualityModel {
 
-  /** Full-batch GD iterations for the t28 gate — enough for the loss
-    * curve to flatten visibly at the fixture scale. */
-  val NumIters = 12
+  /** Full-batch GD iterations for the t28 gate — enough for the
+    * standardized problem to separate and the loss curve to flatten
+    * visibly at the fixture scale. */
+  val NumIters = 25
 
   /** Step size. Features are O(1)-scaled, so a unit step is stable. */
   val LearnRate = 1.0
@@ -70,18 +71,39 @@ object QualityModel {
 
   private val Dim = 5
 
-  /** One iteration's aggregate row: d gradient sums, loss sum,
-    * correct-prediction count, row count. */
-  private def margin(w: Array[Double]): Column =
-    (0 until Dim).map(j => lit(w(j)) * col(s"x$j")).reduce(_ + _)
-
-  /** Train on a feature frame; returns (weights, per-iteration
-    * (loss, accuracy) trace). The caller owns the frame; an uncached
-    * input is cached for the iterations and released before return. */
+  /** Train on a feature frame; returns (weights over STANDARDIZED
+    * features, per-iteration (loss, accuracy) trace). One extra
+    * deterministic aggregate standardizes x1..x4 to zero mean / unit
+    * variance first — full-batch GD on raw correlated features stalls
+    * at the majority-class plateau (observed: accuracy pinned at the
+    * base rate for any iteration budget), while the standardized
+    * problem separates in a handful of steps. The moments are
+    * decimal-summed and Det-rounded, so the standardization — and
+    * therefore the whole training run — stays bit-identical under any
+    * partitioning. The caller owns the frame; an uncached input is
+    * cached for the iterations and released before return. */
   private[analytics] def train(feat: DataFrame, iters: Int = NumIters,
                                lr: Double = LearnRate): (Array[Double], Seq[(Double, Double)]) = {
     val ownsCache = feat.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     val f = if (ownsCache) feat.cache() else feat
+    // per-feature mean and std (x0 is the bias: left as-is)
+    val mAggs = (1 until Dim).flatMap(j => Seq(
+      Det.sumDec9(Det.dround(col(s"x$j"), 9)),
+      Det.sumDec9(Det.dround(col(s"x$j") * col(s"x$j"), 9)))) :+ count(lit(1))
+    val mRow = f.agg(mAggs.head, mAggs.tail: _*).first()
+    val nAll = mRow.getLong(2 * (Dim - 1)).toDouble
+    val mu = new Array[Double](Dim); val sd = new Array[Double](Dim)
+    mu(0) = 0.0; sd(0) = 1.0
+    for (j <- 1 until Dim) {
+      mu(j) = Det.droundD(mRow.getDouble(2 * (j - 1)) / nAll, 9)
+      val ex2 = mRow.getDouble(2 * (j - 1) + 1) / nAll
+      val v = math.max(ex2 - mu(j) * mu(j), 1e-12)
+      sd(j) = Det.droundD(math.sqrt(v), 9)
+    }
+    def feature(j: Int): Column =
+      if (j == 0) col("x0") else (col(s"x$j") - mu(j)) / sd(j)
+    def margin(w: Array[Double]): Column =
+      (0 until Dim).map(j => lit(w(j)) * feature(j)).reduce(_ + _)
     var w = Array.fill(Dim)(0.0)
     val trace = Seq.newBuilder[(Double, Double)]
     for (_ <- 0 until iters) {
@@ -90,7 +112,7 @@ object QualityModel {
       val p = least(greatest(p0, lit(1e-12)), lit(1.0) - lit(1e-12))
       val err = p - col("y")
       val aggs =
-        (0 until Dim).map(j => Det.sumDec9(Det.dround(err * col(s"x$j"), 9))) ++ Seq(
+        (0 until Dim).map(j => Det.sumDec9(Det.dround(err * feature(j), 9))) ++ Seq(
           Det.sumDec9(Det.dround(-(col("y") * log(p) + (lit(1.0) - col("y")) * log(lit(1.0) - p)), 9)),
           sum(when((p > 0.5).cast("int") === col("y").cast("int"), 1L).otherwise(0L)),
           count(lit(1)))

@@ -21,8 +21,9 @@ class QualityModelSpec extends AnyFunSuite {
     rows.sliding(2).foreach { case Array(a, b) =>
       assert(b._2 < a._2, s"loss rose: $a -> $b")
     }
-    // the fixture's en label is learnable from the token statistics
-    assert(rows.last._3 >= 0.75, s"final accuracy ${rows.last._3}")
+    // the rule label must be genuinely learned, not majority-guessed:
+    // the pass-rate base line sits near 0.86, the model near 0.94
+    assert(rows.last._3 >= 0.9, s"final accuracy ${rows.last._3}")
   }
 
   test("training is bit-identical under repartitioning") {
