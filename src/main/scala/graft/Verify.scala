@@ -100,8 +100,33 @@ object Verify {
           val t28 = read("t28_quality_classifier").collect()
             .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
           val descending = t28.sliding(2).forall(p => p(1)._2 < p(0)._2)
+          // t29: re-encode the corpus single-node with the same
+          // rank-priority encoder and the reference merge table; the
+          // distributed per-source stats must match exactly
+          val ranksMap = want.map { case (r, a, b, _) => (a, b) -> r.toInt }.toMap
+          val srcWord = graft.analytics.Tables.documents(spark, sfDir)
+            .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+            .filter(col("tok") =!= "")
+            .select(col("source"), lower(col("tok")).as("word"))
+            .groupBy("source", "word").agg(count(lit(1)).as("n"))
+            .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          val encLen = srcWord.map(_._2).distinct
+            .map(w => w -> graft.analytics.BpeTrain.encodeWord(w, ranksMap).length.toLong)
+            .toMap
+          val wantT29 = srcWord.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rows) =>
+            val nWords = rows.map(_._3).sum
+            val nSym = rows.map(r => r._3 * encLen(r._2)).sum
+            val nChars = rows.map(r => r._3 * r._2.length).sum
+            (src, nWords, nSym,
+              graft.analytics.Det.droundD(nSym.toDouble / nWords, 4),
+              graft.analytics.Det.droundD(nChars.toDouble / nSym, 4))
+          }
+          val gotT29 = read("t29_bpe_encode").collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+              r.getDouble(3), r.getDouble(4))).toSeq.sortBy(_._1)
           Seq(
             "t27_parity_singlenode" -> (got == want).toString,
+            "t29_parity_singlenode" -> (gotT29 == wantT29).toString,
             "t28_loss_decreasing" -> descending.toString,
             "t28_final_acc" -> t28.last._3.toString)
         }

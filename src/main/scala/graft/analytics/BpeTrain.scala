@@ -152,8 +152,71 @@ object BpeTrain {
       .orderBy("rank")
   }
 
+  /** Canonical BPE ENCODE of one word under a learned merge table:
+    * start from chars + [[Eow]], repeatedly merge the present pair
+    * with the LOWEST rank (left-to-right within a pass) until no
+    * learned pair remains — the standard rank-priority apply order
+    * (GPT-2 style), shared verbatim by the distributed encoder and
+    * the parity invariant. Pure function → deterministic anywhere. */
+  private[graft] def encodeWord(word: String, ranks: Map[(String, String), Int]): List[String] = {
+    var syms = word.map(_.toString).toList :+ Eow
+    var done = false
+    while (!done && syms.lengthCompare(1) > 0) {
+      val present = syms.zip(syms.tail).flatMap(p => ranks.get(p).map(r => (r, p)))
+      if (present.isEmpty) done = true
+      else {
+        val (_, (a, b)) = present.minBy(_._1)
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        syms.foreach { x =>
+          if (out.nonEmpty && out.last == a && x == b) out(out.length - 1) = a + b
+          else out += x
+        }
+        syms = out.toList
+      }
+    }
+    syms
+  }
+
+  /** BPE encoding gate — the APPLY step that completes t27's training
+    * story: tokenize the corpus under the learned merge table and
+    * report the per-source compression it buys. The expensive part
+    * never touches the corpus: encoding runs once per DISTINCT word
+    * (`mapPartitions` over the vocab table with the K-row merge table
+    * as a task literal — genuine per-partition imperative logic, the
+    * documented mapPartitions exception), and per-source accounting
+    * joins the (source, word, count) table — bounded by |sources|×|vocab|
+    * — against those encoded lengths; AQE broadcasts the vocab side
+    * when it fits. Rows-only (the merge loop isn't SQL-expressible);
+    * Verify's `t29_parity_singlenode` invariant re-encodes the corpus
+    * single-node with the same [[encodeWord]] and requires equality,
+    * which pins the distributed word-split/join plumbing. */
+  def t29BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ranks = t27BpeMerges(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getLong(0).toInt).toMap
+    val sourceWords = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("source"), lower(col("tok")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("n"))
+    val encoded = sourceWords.select("word").distinct().as[String]
+      .mapPartitions { it =>
+        it.map(w => (w, encodeWord(w, ranks).length.toLong, w.length.toLong))
+      }.toDF("word", "n_sym", "n_chars")
+    sourceWords.join(encoded, "word")
+      .groupBy("source")
+      .agg(sum(col("n")).as("n_words"),
+           sum(col("n") * col("n_sym")).as("n_symbols"),
+           Det.dround(sum(col("n") * col("n_sym")).cast("double") /
+                      sum(col("n")), 4).as("symbols_per_word"),
+           Det.dround(sum(col("n") * col("n_chars")).cast("double") /
+                      sum(col("n") * col("n_sym")), 4).as("chars_per_symbol"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "t27_bpe_merges" -> t27BpeMerges _)
+    "t27_bpe_merges" -> t27BpeMerges _,
+    "t29_bpe_encode" -> t29BpeEncode _)
 
   val oracleSql: Map[String, String] = Map.empty
 }

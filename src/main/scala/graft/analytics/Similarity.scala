@@ -72,6 +72,47 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Rank window for [[s10HardNegatives]]: everything up to rank
+    * [[HardNegSkip]] is a presumed positive (retrieval would surface
+    * it as an answer — training against it risks a false negative);
+    * the [[HardNegTake]] ranks after that are the near misses that
+    * actually sharpen a contrastive margin. The absolute ceiling
+    * still applies: a cosine ≥ [[NearDupCeiling]] "negative" is
+    * almost surely a duplicate mislabeled. */
+  private val HardNegSkip = 10
+  private val HardNegTake = 5
+  private val NearDupCeiling = 0.95
+
+  /** Hard-negative mining — the training-data op behind every
+    * contrastive embedding run (SimCSE/DPR-style): for each anchor,
+    * skip the top-[[HardNegSkip]] neighbors (presumed positives) and
+    * mine the next [[HardNegTake]] ranks, excluding near-duplicates.
+    * The rank window, unlike an absolute similarity band, adapts to
+    * the corpus's score distribution — the standard guard against
+    * false negatives among top retrieval hits. Exact tier,
+    * oracle-checked: one corpus scan against the broadcast anchor
+    * set, ranking via the bounded map-side top-k (15 entries per
+    * anchor per partition reach the exchange — never a per-anchor
+    * shuffle of all scored rows). At 100 TB the same skip-and-take
+    * composes over [[ivfTopK]]'s probe shortlist instead of the full
+    * scan, exactly the brute→IVF swap every other similarity gate
+    * makes. */
+  def s10HardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val e = Dedup.normalizedVectors(spark, dir)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Det.dround(array_dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4).as("cos_sim"))
+      .filter(col("cos_sim") < NearDupCeiling)
+    rankTopK(scored, HardNegSkip + HardNegTake)
+      .filter(col("rnk") > HardNegSkip)
+      .select(col("query_id"), (col("rnk") - HardNegSkip).as("rnk"),
+        col("neighbor_id"), col("cos_sim"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** LSH-bucketed approximate top-k: same output shape as s01 but only
     * candidates sharing an LSH band bucket with the query are scored.
     * Rows-only check (approximate by construction). */
@@ -789,6 +830,7 @@ object Similarity {
     "s07_cluster_stats"  -> s07ClusterStats _,
     "s08_kmeans_clusters" -> s08KmeansClusters _,
     "s09_ivf_stored"     -> s09IvfStoredProbe _,
+    "s10_hard_negatives" -> s10HardNegatives _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -817,5 +859,19 @@ object Similarity {
            FROM scored)
          SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cos_sim
          FROM ranked WHERE rnk <= 5 ORDER BY vec_id, rnk""",
+    "s10_hard_negatives" ->
+      """WITH q AS (SELECT vec_id query_id, embedding q_emb FROM embeddings WHERE vec_id % 100 = 0),
+          scored AS (SELECT q.query_id, e.vec_id neighbor_id,
+            floor((list_aggregate(list_transform(range(1, len(q.q_emb)+1),
+                k -> CAST(q.q_emb[k] AS DOUBLE) * CAST(e.embedding[k] AS DOUBLE)), 'sum')
+              / (sqrt(list_aggregate(list_transform(q.q_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))
+               * sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')))) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+           FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+          banded AS (SELECT * FROM scored WHERE cos_sim < 0.95),
+          ranked AS (SELECT query_id, neighbor_id, cos_sim,
+            row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rnk
+           FROM banded)
+         SELECT query_id, CAST(rnk - 10 AS BIGINT) AS rnk, neighbor_id, cos_sim
+         FROM ranked WHERE rnk > 10 AND rnk <= 15 ORDER BY query_id, rnk""",
   )
 }

@@ -43,6 +43,46 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(got.isEmpty)
   }
 
+  test("encodeWord applies merges rank-first and stops when none remain") {
+    val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val ranks = BpeTrain.referenceMerges(vocab, 10)
+      .map { case (r, a, b, _) => (a, b) -> r }.toMap
+    // a training word re-encodes into few long subwords
+    val newest = BpeTrain.encodeWord("newest", ranks)
+    assert(newest.length <= 3 && newest.mkString == "newest</w>")
+    // an unseen word with a learned suffix reuses it
+    val tallest = BpeTrain.encodeWord("tallest", ranks)
+    assert(tallest.mkString == "tallest</w>")
+    assert(tallest.contains("est</w>") || tallest.contains("est"),
+      s"learned 'est' subword unused: $tallest")
+    // no learned pair applies → pure characters + marker
+    assert(BpeTrain.encodeWord("zq", ranks) == List("z", "q", "</w>"))
+  }
+
+  test("t29 gate: distributed encode equals a single-node re-encode") {
+    val ranks = BpeTrain.t27BpeMerges(spark, dir).collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getLong(0).toInt).toMap
+    val srcWord = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("source"), lower(col("tok")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val encLen = srcWord.map(_._2).distinct
+      .map(w => w -> BpeTrain.encodeWord(w, ranks).length.toLong).toMap
+    val want = srcWord.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rows) =>
+      val nWords = rows.map(_._3).sum
+      val nSym = rows.map(r => r._3 * encLen(r._2)).sum
+      (src, nWords, nSym)
+    }
+    val got = BpeTrain.t29BpeEncode(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // merges actually compress: fewer symbols-per-word than chars+1
+    val spw = BpeTrain.t29BpeEncode(spark, dir).collect().map(_.getDouble(3))
+    assert(spw.forall(_ >= 1.0))
+  }
+
   test("t27 gate: fixture parity with the single-node reference") {
     val vocab = Tables.documents(spark, dir)
       .select(explode(split(trim(col("text")), "\\s+")).as("tok"))

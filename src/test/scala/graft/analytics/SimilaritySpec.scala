@@ -139,4 +139,24 @@ class SimilaritySpec extends AnyFunSuite {
     spark.catalog.clearCache()
     assert(mismatches == 0, s"$mismatches vectors landed in the wrong cell partition")
   }
+
+  test("s10 hard negatives sit strictly below each anchor's presumed positives") {
+    val hn = Similarity.s10HardNegatives(spark, dir).collect()
+    assert(hn.nonEmpty)
+    // at most 5 per anchor, ranks contiguous from 1, no near-dups
+    hn.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+    assert(hn.forall(_.getDouble(3) < 0.95))
+    // the mined window is DISJOINT from the s01 top-10 (the presumed
+    // positives a contrastive run must not train against) and scores
+    // at or below each anchor's rank-10 score
+    val top10 = Similarity.s01BruteForceTopK(spark, dir).collect()
+    val topSet = top10.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(hn.forall(r => !topSet.contains((r.getLong(0), r.getLong(2)))))
+    val floor10 = top10.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getDouble(3)).min }
+    assert(hn.forall(r => r.getDouble(3) <= floor10(r.getLong(0))))
+  }
 }
