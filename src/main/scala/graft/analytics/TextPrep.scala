@@ -139,10 +139,51 @@ object TextPrep {
       .json(path)
   }
 
+  /** Training-sequence length for [[t30SequencePacking]] — fixture-
+    * scale stand-in for the 2k/4k/8k context a trainer packs to. */
+  private val SeqLen = 256L
+
+  /** Sequence packing — the concatenate-and-chop step that turns a
+    * document stream into fixed-[[SeqLen]]-token training rows
+    * (GPT-style packing: documents are laid end to end in doc_id
+    * order and the stream is cut every SeqLen tokens, so documents
+    * can span sequence boundaries). Reported per language: sequence
+    * count, token total, mean documents touched per sequence (the
+    * attention-fragmentation signal packing pipelines watch), and how
+    * many documents straddle a boundary.
+    *
+    * Scale shape: packing is inherently a running sum, so it runs per
+    * LANGUAGE partition (the same per-stream discipline as t10's
+    * shard budgets — production packs per shard/stream, never one
+    * global sequence space). Each document's sequence span comes from
+    * its cumulative offset arithmetic alone — no explode, no join;
+    * the per-language rollup is one partial-aggregating groupBy over
+    * label-bounded keys. */
+  def t30SequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .withColumn("start", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("first_seq", floor(col("start") / SeqLen).cast("long"))
+      .withColumn("last_seq",
+        floor((col("start") + col("n_tok") - 1L) / SeqLen).cast("long"))
+    d.groupBy("lang")
+      .agg((max("last_seq") + 1L).as("n_seqs"),
+           sum("n_tok").as("n_tokens"),
+           Det.dround(sum(col("last_seq") - col("first_seq") + 1L).cast("double") /
+                      (max("last_seq") + 1L), 4).as("avg_docs_per_seq"),
+           sum(when(col("last_seq") > col("first_seq"), 1L).otherwise(0L))
+             .as("n_spanning_docs"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t08_chunking"      -> t08Chunking _,
     "t09_deterministic_sample" -> t09DeterministicSample _,
     "t10_shard_packing" -> t10ShardPacking _,
+    "t30_sequence_packing" -> t30SequencePacking _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -170,5 +211,21 @@ object TextPrep {
          SELECT lang, CAST((cum - 1) // 4000 AS BIGINT) AS shard_id,
           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
          FROM c GROUP BY 1, 2 ORDER BY lang, shard_id""",
+    "t30_sequence_packing" ->
+      """WITH d AS (SELECT doc_id, lang,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+                    FROM documents),
+          c AS (SELECT *, COALESCE(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+                FROM d),
+          s AS (SELECT lang, n_tok,
+                 CAST(start // 256 AS BIGINT) first_seq,
+                 CAST((start + n_tok - 1) // 256 AS BIGINT) last_seq
+                FROM c)
+         SELECT lang, CAST(max(last_seq) + 1 AS BIGINT) AS n_seqs,
+          CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+          floor((CAST(sum(last_seq - first_seq + 1) AS DOUBLE) / (max(last_seq) + 1)) * 10000.0 + 0.5) / 10000.0 AS avg_docs_per_seq,
+          CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning_docs
+         FROM s GROUP BY lang ORDER BY lang""",
   )
 }

@@ -102,6 +102,7 @@ object ScaleProbe {
       // (df-capped fingerprint join), RAG retrieval (bounded query set),
       // streaming mixture (stateless gate + label-bounded state)
       "t25_dsir_weights", "t27_bpe_merges", "t28_quality_classifier",
+      "t29_bpe_encode", "s10_hard_negatives",
       "m06_video_dups", "p04_rag_retrieval", "st10_stream_mixture")
       // SPARK_GRAFT_ONLY=a,b,c restricts the sweep (dev iteration knob)
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")

@@ -36,6 +36,24 @@ class DataSelectionSpec extends AnyFunSuite {
     assert(got(1)._1 > got(4)._1 && got(2)._1 > got(4)._1)
   }
 
+  test("t30: planted token counts pack into the expected sequence spans") {
+    def words(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // 100+100+100 tokens at SeqLen 256: doc 3 (start 200, end 300)
+    // straddles the seq 0/1 boundary; 2 sequences total
+    val tmp = writeDocs(Seq(
+      (1L, words(100), "xx", "s", 0L),
+      (2L, words(100), "xx", "s", 0L),
+      (3L, words(100), "xx", "s", 0L)))
+    val r = TextPrep.t30SequencePacking(spark, tmp).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(1) == 2L, s"n_seqs ${row.getLong(1)}")
+    assert(row.getLong(2) == 300L)
+    // docs-per-seq: docs 1,2 touch seq 0; doc 3 touches 0 and 1 → 4/2
+    assert(row.getDouble(3) == 2.0)
+    assert(row.getLong(4) == 1L, "exactly one spanning doc expected")
+  }
+
   test("t25 fixture: en documents average a higher DSIR score than non-en") {
     val docs = Tables.documents(spark, dir).select("doc_id", "lang")
     val scored = TextOps.t25DsirWeights(spark, dir).join(docs, "doc_id")
