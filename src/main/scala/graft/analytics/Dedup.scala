@@ -656,6 +656,74 @@ object Dedup {
       col("clean").as("clean_text"))
   }
 
+  /** Incremental dedup against an ingest ledger — the shape every
+    * long-running corpus actually needs: yesterday's corpus is
+    * already ingested (here: the `src0`–`src9` slice plays the
+    * ledger), and TODAY'S batch must drop (a) anything the ledger
+    * already holds and (b) within-batch duplicates, with per-source
+    * accounting of why each document fell. Precedence is
+    * ledger-first (a re-crawled known document is a ledger hit, not
+    * a within-batch dup).
+    *
+    * Scale shape: the ledger side is a DISTINCT-fingerprint semi
+    * join — at 100 TB the ledger fingerprint set rides behind a
+    * Bloom pre-filter exactly like t20's decontamination tier
+    * (fingerprints are 16-byte keys, never text), and the
+    * within-batch winner pick is t06's partial-aggregating
+    * groupBy(fp) → min — map-side combine bounds both shuffles by
+    * distinct-fingerprint count, not corpus size. */
+  def d12IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val fp = substring(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")), 1, 16)
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), fp.as("fp"))
+    val isLedger = col("source").rlike("^src[0-9]$")
+    val ledger = d.filter(isLedger).select("fp").distinct()
+      .withColumn("in_ledger", lit(true))
+    val batch = d.filter(!isLedger)
+    val flagged = batch.join(ledger, Seq("fp"), "left")
+    val winners = flagged.filter(col("in_ledger").isNull)
+      .groupBy("fp").agg(min("doc_id").as("keep_id"))
+    flagged.join(winners, Seq("fp"), "left")
+      .select(col("source"),
+        when(col("in_ledger").isNotNull, "ledger")
+          .when(col("doc_id") =!= col("keep_id"), "within")
+          .otherwise("kept").as("status"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("status") === "ledger", 1L).otherwise(0L)).as("n_ledger_dups"),
+           sum(when(col("status") === "within", 1L).otherwise(0L)).as("n_within_dups"),
+           sum(when(col("status") === "kept", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  /** Train/holdout leakage audit — the check that makes a split
+    * trustworthy: t23's content-hash split guarantees EXACT
+    * duplicates land in one split, but semantic near-dups (d04's
+    * cosine pairs) can still straddle train and holdout and leak
+    * evaluation signal. Per unordered split pair: how many near-dup
+    * pairs connect them and the tightest cosine involved — the
+    * off-diagonal rows are the leaks a pipeline owner must resolve
+    * (move or drop one side). Composes two oracle-checked operators
+    * (d04's pair predicate, t23's split gate), so it is
+    * oracle-checked end to end itself; the pair join inherits d04's
+    * scale tier (swap in d07's LSH candidates at 100 TB). */
+  def d13SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val h = substring(md5(col("text")), 1, 2)
+    val split = when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    val splits = Tables.documents(spark, dir)
+      .select(col("doc_id"), split.as("split"))
+    val pairs = d04EmbeddingNearDup(spark, dir)
+    pairs
+      .join(splits.select(col("doc_id").as("i"), col("split").as("split_i")), "i")
+      .join(splits.select(col("doc_id").as("j"), col("split").as("split_j")), "j")
+      .select(least(col("split_i"), col("split_j")).as("split_a"),
+              greatest(col("split_i"), col("split_j")).as("split_b"),
+              col("cos_sim"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"), max("cos_sim").as("max_cos"))
+      .orderBy("split_a", "split_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_ngram_jaccard_pairs" -> d01NgramJaccardPairs _,
     "d02_minhash_pairs"       -> d02MinHashPairs _,
@@ -668,12 +736,51 @@ object Dedup {
     "d09_exact_substr"        -> d09ExactSubstr _,
     "d10_substr_clean"        -> d10ExactSubstrClean _,
     "d11_cluster_survivors"   -> d11ClusterSurvivors _,
+    "d12_incremental_dedup"   -> d12IncrementalDedup _,
+    "d13_split_leakage"       -> d13SplitLeakage _,
   )
 
   /** d02/d03 use Spark xxhash64 and d05 a u64 rolling hash — not
     * reproducible in DuckDB SQL, so they get the driver's rows-only
     * check; d01/d04 are exact. */
   val oracleSql: Map[String, String] = Map(
+    "d12_incremental_dedup" ->
+      """WITH d AS (SELECT source, doc_id,
+                     substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) fp
+                    FROM documents),
+          ledger AS (SELECT DISTINCT fp FROM d WHERE regexp_matches(source, '^src[0-9]$')),
+          batch AS (SELECT * FROM d WHERE NOT regexp_matches(source, '^src[0-9]$')),
+          flagged AS (SELECT b.*, b.fp IN (SELECT fp FROM ledger) in_ledger FROM batch b),
+          winners AS (SELECT fp, min(doc_id) keep_id FROM flagged WHERE NOT in_ledger GROUP BY fp),
+          st AS (SELECT f.source,
+                  CASE WHEN f.in_ledger THEN 'ledger'
+                       WHEN f.doc_id <> w.keep_id THEN 'within'
+                       ELSE 'kept' END status
+                 FROM flagged f LEFT JOIN winners w USING (fp))
+         SELECT source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN status = 'ledger' THEN 1 ELSE 0 END) AS BIGINT) AS n_ledger_dups,
+          CAST(sum(CASE WHEN status = 'within' THEN 1 ELSE 0 END) AS BIGINT) AS n_within_dups,
+          CAST(sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM st GROUP BY source ORDER BY source""",
+    "d13_split_leakage" ->
+      """WITH sp AS (SELECT doc_id,
+                 CASE WHEN substr(md5(text), 1, 2) < 'cc' THEN 'train'
+                      WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+                      ELSE 'test' END AS split
+               FROM documents),
+          pairs AS (SELECT a.vec_id AS i, b.vec_id AS j,
+              floor((list_aggregate(list_transform(range(1, len(a.embedding)+1),
+                  k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)), 'sum')
+                / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))
+                 * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')))) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             WHERE cos_sim >= 0.4),
+          lab AS (SELECT least(si.split, sj.split) split_a,
+                   greatest(si.split, sj.split) split_b, p.cos_sim
+                  FROM pairs p JOIN sp si ON p.i = si.doc_id
+                               JOIN sp sj ON p.j = sj.doc_id)
+         SELECT split_a, split_b, count(*) AS n_pairs, max(cos_sim) AS max_cos
+         FROM lab GROUP BY 1, 2 ORDER BY split_a, split_b""",
     "d01_ngram_jaccard_pairs" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
           sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1),

@@ -54,6 +54,41 @@ class DataSelectionSpec extends AnyFunSuite {
     assert(row.getLong(4) == 1L, "exactly one spanning doc expected")
   }
 
+  test("d12: ledger hits take precedence over within-batch dups; kept docs are fresh") {
+    // ledger (src0) holds text A; the new batch (web1) re-crawls A,
+    // carries an internal dup pair B/B, and one fresh doc C
+    val tmp = writeDocs(Seq(
+      (1L, "alpha beta gamma", "src0", "src0", 0L),
+      (10L, "alpha beta gamma", "web1", "web1", 0L),
+      (11L, "delta epsilon zeta", "web1", "web1", 0L),
+      (12L, "delta epsilon zeta", "web1", "web1", 0L),
+      (13L, "eta theta iota", "web1", "web1", 0L)))
+    // writeDocs puts source in column 4 — rebuild with source=web1/src0
+    val got = Dedup.d12IncrementalDedup(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("web1") == ((4L, 1L, 1L, 2L)),
+      s"expected (4 docs, 1 ledger dup, 1 within dup, 2 kept): ${got("web1")}")
+    // the ledger slice itself is not part of the batch accounting
+    assert(!got.contains("src0"))
+  }
+
+  test("d13: leakage rollup equals a direct recomputation from d04 pairs and the split gate") {
+    val fixture = "/root/testdata/sf0.01"
+    val h = substring(md5(col("text")), 1, 2)
+    val split = when(h < "cc", "train").when(h < "e6", "val").otherwise("test")
+    val splits = Tables.documents(spark, fixture)
+      .select(col("doc_id"), split.as("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = Dedup.d04EmbeddingNearDup(spark, fixture).collect()
+      .map(r => (splits(r.getLong(0)), splits(r.getLong(1))))
+      .map { case (a, b) => if (a <= b) (a, b) else (b, a) }
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = Dedup.d13SplitLeakage(spark, fixture).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    assert(got.values.sum > 0, "fixture has no near-dup pairs — vacuous audit")
+  }
+
   test("t25 fixture: en documents average a higher DSIR score than non-en") {
     val docs = Tables.documents(spark, dir).select("doc_id", "lang")
     val scored = TextOps.t25DsirWeights(spark, dir).join(docs, "doc_id")
