@@ -251,6 +251,66 @@ object StreamingQueries {
     TextOps.mixtureRollup(stream.join(broadcast(rates), "lang"))
   }
 
+  /** Streaming incremental dedup — d12's ingest-ledger shape applied
+    * as documents ARRIVE, structured like st07: the stream keeps ONE
+    * aggregation keyed on (source, fingerprint) — count + min doc_id,
+    * both commutative, state bounded by distinct (source, fp) — and
+    * the d12 accounting (ledger hits first, then within-batch winner
+    * per fingerprint, then survivors) runs as a BATCH rollup over the
+    * state snapshot, joining the static ledger on 16-byte keys. A
+    * multi-branch streaming plan (three aggregations + joins) is not
+    * expressible in Structured Streaming; the snapshot-rollup split
+    * is, and it keeps the in-flight state minimal. Shares d12's
+    * DuckDB oracle verbatim — the drive must reproduce the batch
+    * accounting bit for bit (trickle parity spec-pinned). */
+  def st11StreamIncDedup(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st11_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val snapshot = EventStream.runToCompletion(spark,
+      incDedupStream(_, dir, None), name)
+    incDedupRollup(snapshot, ledgerOf(spark, dir)).orderBy("source")
+  }
+
+  private def docFp =
+    substring(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")), 1, 16)
+  private def isLedgerSource = col("source").rlike("^src[0-9]$")
+
+  /** The already-ingested corpus's distinct fingerprint set. */
+  private[analytics] def ledgerOf(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).filter(isLedgerSource)
+      .select(docFp.as("fp")).distinct()
+
+  /** The st11 streaming frame: (source, fp) → (cnt, min_doc) over the
+    * arriving batch. */
+  private[analytics] def incDedupStream(s: SparkSession, streamDir: String,
+                                        maxFilesPerTrigger: Option[Int]): DataFrame =
+    EventStream.readDocumentsStream(s, streamDir, maxFilesPerTrigger)
+      .filter(!isLedgerSource)
+      .select(col("source"), col("doc_id"), docFp.as("fp"))
+      .groupBy("source", "fp")
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_doc"))
+
+  /** d12's accounting over a (source, fp, cnt, min_doc) snapshot:
+    * ledger fingerprints' whole counts are ledger dups; for the rest,
+    * the fingerprint's global min doc (d12's winner rule) is kept by
+    * its source and every other occurrence is a within-batch dup. */
+  private[analytics] def incDedupRollup(snapshot: DataFrame, ledger: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flagged = snapshot.join(
+      ledger.withColumn("in_ledger", lit(true)), Seq("fp"), "left")
+    // winner resolution runs over the fp-keyed snapshot (output-sized);
+    // doc ids are unique so min(min_doc) names exactly one source
+    val w = Window.partitionBy("fp")
+    val resolved = flagged
+      .withColumn("winner", !coalesce(col("in_ledger"), lit(false)) &&
+        col("min_doc") === min(col("min_doc")).over(w))
+    resolved.groupBy("source")
+      .agg(sum(col("cnt")).as("n_docs"),
+           sum(when(col("in_ledger").isNotNull, col("cnt")).otherwise(0L)).as("n_ledger_dups"),
+           sum(when(col("in_ledger").isNull,
+             col("cnt") - when(col("winner"), 1L).otherwise(0L)).otherwise(0L)).as("n_within_dups"),
+           sum(when(col("winner"), 1L).otherwise(0L)).as("n_kept"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_daily" -> st01StreamDaily _,
     "st02_sessions"     -> st02Sessions _,
@@ -262,9 +322,31 @@ object StreamingQueries {
     "st08_stream_decontam" -> st08StreamDecontam _,
     "st09_stream_vec_ingest" -> st09StreamVectorIngest _,
     "st10_stream_mixture" -> st10StreamMixture _,
+    "st11_stream_inc_dedup" -> st11StreamIncDedup _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // st11 is d12's accounting computed from a streaming (source, fp)
+    // state snapshot — the drive must reproduce the batch ledger
+    // precedence and winner rule bit for bit, so it shares d12's SQL
+    "st11_stream_inc_dedup" ->
+      """WITH d AS (SELECT source, doc_id,
+                     substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) fp
+                    FROM documents),
+          ledger AS (SELECT DISTINCT fp FROM d WHERE regexp_matches(source, '^src[0-9]$')),
+          batch AS (SELECT * FROM d WHERE NOT regexp_matches(source, '^src[0-9]$')),
+          flagged AS (SELECT b.*, b.fp IN (SELECT fp FROM ledger) in_ledger FROM batch b),
+          winners AS (SELECT fp, min(doc_id) keep_id FROM flagged WHERE NOT in_ledger GROUP BY fp),
+          st AS (SELECT f.source,
+                  CASE WHEN f.in_ledger THEN 'ledger'
+                       WHEN f.doc_id <> w.keep_id THEN 'within'
+                       ELSE 'kept' END status
+                 FROM flagged f LEFT JOIN winners w USING (fp))
+         SELECT source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN status = 'ledger' THEN 1 ELSE 0 END) AS BIGINT) AS n_ledger_dups,
+          CAST(sum(CASE WHEN status = 'within' THEN 1 ELSE 0 END) AS BIGINT) AS n_within_dups,
+          CAST(sum(CASE WHEN status = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM st GROUP BY source ORDER BY source""",
     // st10 streams the same corpus its rates were fit on, with a
     // content-hashed gate and commutative rollup — so the batch SQL of
     // t16 is its exact oracle (the streaming tier must reproduce the

@@ -102,8 +102,10 @@ object ScaleProbe {
       // (df-capped fingerprint join), RAG retrieval (bounded query set),
       // streaming mixture (stateless gate + label-bounded state)
       "t25_dsir_weights", "t27_bpe_merges", "t28_quality_classifier",
-      "t29_bpe_encode", "s10_hard_negatives",
-      "m06_video_dups", "p04_rag_retrieval", "st10_stream_mixture")
+      "t29_bpe_encode", "s10_hard_negatives", "t30_sequence_packing",
+      "d12_incremental_dedup", "d13_split_leakage",
+      "m06_video_dups", "p04_rag_retrieval", "st10_stream_mixture",
+      "st11_stream_inc_dedup")
       // SPARK_GRAFT_ONLY=a,b,c restricts the sweep (dev iteration knob)
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").contains(n)))

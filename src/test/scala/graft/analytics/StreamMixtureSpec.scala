@@ -40,5 +40,25 @@ class StreamMixtureSpec extends AnyFunSuite {
     val oneShot = StreamingQueries.st10StreamMixture(spark, dir)
       .collect().map(_.toSeq).toSeq
     assert(trickled.nonEmpty && trickled == oneShot)
+
+    // st11 rides the same commutative-state argument ((source, fp)
+    // counts + min doc): trickled arrival must equal one-shot
+    val st11Trickled = StreamingQueries.incDedupRollup(
+        EventStream.runToCompletion(spark,
+          StreamingQueries.incDedupStream(_, s"$tmp/split*", Some(1)),
+          "spec_trickle_incdedup"),
+        StreamingQueries.ledgerOf(spark, dir))
+      .orderBy("source").collect().map(_.toSeq).toSeq
+    val st11OneShot = StreamingQueries.st11StreamIncDedup(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(st11Trickled.nonEmpty && st11Trickled == st11OneShot)
+  }
+
+  test("streaming incremental dedup equals the d12 batch accounting") {
+    val batch = Dedup.d12IncrementalDedup(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val streamed = StreamingQueries.st11StreamIncDedup(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(batch.nonEmpty && streamed == batch)
   }
 }
