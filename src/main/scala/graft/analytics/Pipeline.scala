@@ -237,13 +237,132 @@ object Pipeline {
       .orderBy("source")
   }
 
+  /** The pretraining data FUNNEL — the per-stage accounting every
+    * corpus build publishes: raw training candidates → quality gate
+    * (p01's rule) → exact dedup (first doc_id per fingerprint wins) →
+    * benchmark decontamination (≥ 50% contaminated shingles drops the
+    * doc) → DSIR selection (t25's zero-threshold cut) → packed
+    * training sequences. One row per funnel outcome with doc and
+    * token counts, plus the final packed-sequence row.
+    *
+    * Scale shape: the whole funnel is ONE corpus pass that labels
+    * each document with its terminal stage (a CASE over precomputed
+    * flags) followed by a label-bounded groupBy — never one scan per
+    * stage. The flags themselves reuse the audited shapes: the dedup
+    * winner is t06's partial-agg groupBy(fp)→min join, the
+    * contamination set is t14's semi join against the fixed-size
+    * benchmark shingles, and the DSIR flag joins t25's vocab-bounded
+    * score table. Oracle-checked end to end — the staged CASE, the
+    * 50% integer-arithmetic contamination cut, and the packing ceil
+    * all replay exactly in DuckDB. */
+  def p05DataFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.WordShingles.word_shingles
+    val t = split(trim(col("text")), "\\s+")
+    val fp = substring(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")), 1, 16)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"), fp.as("fp"),
+        size(t).cast("long").as("n_tok"),
+        (size(array_distinct(t)).cast("double") / size(t)).as("ttr"))
+    val raw = docs.filter(col("source") =!= "src0")
+    val quality = raw.filter(col("n_tok") >= 20 && col("ttr") >= 0.3)
+    val winners = quality.groupBy("fp").agg(min("doc_id").as("keep_id"))
+    // contaminated set: ≥ half of a doc's shingles appear in the
+    // benchmark slice (integer arithmetic — no float compare)
+    val sh = raw.select(col("doc_id"), word_shingles(col("text")).as("s"))
+      .select(col("doc_id"), explode(transform(col("s"), x =>
+        struct(x.as("shingle"), size(col("s")).cast("long").as("n_sh")))).as("e"))
+      .select(col("doc_id"), col("e.shingle").as("shingle"), col("e.n_sh").as("n_sh"))
+    val evalSh = docs.filter(col("source") === "src0")
+      .select(explode(word_shingles(col("text"))).as("shingle")).distinct()
+    val contaminated = sh.join(evalSh, Seq("shingle"), "left_semi")
+      .groupBy("doc_id", "n_sh").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") * 2 >= col("n_sh"))
+      .select(col("doc_id")).withColumn("is_contam", lit(true))
+    val selected = TextOps.t25DsirWeights(spark, dir)
+      .filter(col("selected")).select(col("doc_id")).withColumn("is_sel", lit(true))
+    val labeled = quality
+      .join(winners, Seq("fp"))
+      .join(contaminated, Seq("doc_id"), "left")
+      .join(selected, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        when(col("doc_id") =!= col("keep_id"), "2_exact_dup")
+          .when(col("is_contam").isNotNull, "3_contaminated")
+          .when(col("is_sel").isNull, "4_unselected")
+          .otherwise("5_kept").as("stage"))
+    val qualityFail = raw.join(quality.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(lit("1_quality_fail").as("stage"), col("n_tok"))
+    val stages = labeled.select(col("stage"), col("n_tok"))
+      .unionByName(qualityFail)
+      .groupBy("stage")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val packed = stages.filter(col("stage") === "5_kept")
+      .select(lit("6_packed_seqs").as("stage"),
+        floor((col("n_tokens") + 255L) / 256L).cast("long").as("n_docs"),
+        col("n_tokens"))
+    stages.unionByName(packed).orderBy("stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_curation_pipeline" -> p01CurationPipeline _,
     "p02_semdedup_pipeline" -> p02SemdedupPipeline _,
     "p03_dataset_report"    -> p03DatasetReport _,
+    "p05_data_funnel"       -> p05DataFunnel _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "p05_data_funnel" ->
+      """WITH d AS (SELECT doc_id, source, text,
+                 substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) fp,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n_tok,
+                 CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+                   / len(string_split_regex(trim(text), '\s+')) ttr
+                FROM documents),
+          raw AS (SELECT * FROM d WHERE source <> 'src0'),
+          q AS (SELECT * FROM raw WHERE n_tok >= 20 AND ttr >= 0.3),
+          winners AS (SELECT fp, min(doc_id) keep_id FROM q GROUP BY fp),
+          toks AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') t FROM documents),
+          shl AS (SELECT doc_id, source, list_distinct(list_transform(range(1, len(t)-1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) s
+                  FROM toks WHERE len(t) >= 3),
+          ev AS (SELECT DISTINCT unnest(s) shingle FROM shl WHERE source = 'src0'),
+          tr AS (SELECT doc_id, CAST(len(s) AS BIGINT) n_sh, unnest(s) shingle
+                 FROM shl WHERE source <> 'src0'),
+          contam AS (SELECT doc_id FROM (
+                   SELECT doc_id, n_sh, count(*) hits FROM tr
+                   WHERE shingle IN (SELECT shingle FROM ev) GROUP BY 1, 2)
+                 WHERE hits * 2 >= n_sh),
+          tk AS (SELECT doc_id, lang, lower(unnest(string_split_regex(trim(text), '\s+'))) term
+                 FROM documents),
+          tkn AS (SELECT doc_id, lang, term FROM tk WHERE term <> ''),
+          cnt AS (SELECT term, count(*) c_r,
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) c_t FROM tkn GROUP BY term),
+          g AS (SELECT CAST(sum(c_r) AS DOUBLE) n_r, CAST(sum(c_t) AS DOUBLE) n_t,
+                 CAST(count(*) AS DOUBLE) v FROM cnt),
+          lr AS (SELECT term, ln(((c_t + 1.0) * (n_r + v)) / ((c_r + 1.0) * (n_t + v))) lr
+                 FROM cnt, g),
+          tf AS (SELECT doc_id, term, count(*) tf FROM tkn GROUP BY 1, 2),
+          sc AS (SELECT doc_id, tf.tf,
+                  floor((tf.tf * lr) * 1000000.0 + 0.5) / 1000000.0 contrib
+                 FROM tf JOIN lr USING (term)),
+          sel AS (SELECT doc_id FROM (
+                   SELECT doc_id, CAST(sum(CAST(contrib AS DECIMAL(18,6))) AS DOUBLE) s
+                   FROM sc GROUP BY doc_id) WHERE s > 0.0),
+          lab AS (SELECT q.doc_id, q.n_tok,
+                   CASE WHEN q.doc_id <> w.keep_id THEN '2_exact_dup'
+                        WHEN q.doc_id IN (SELECT doc_id FROM contam) THEN '3_contaminated'
+                        WHEN q.doc_id NOT IN (SELECT doc_id FROM sel) THEN '4_unselected'
+                        ELSE '5_kept' END stage
+                  FROM q JOIN winners w USING (fp)),
+          qf AS (SELECT '1_quality_fail' stage, n_tok FROM raw
+                 WHERE doc_id NOT IN (SELECT doc_id FROM q)),
+          stages AS (SELECT stage, count(*) n_docs, CAST(sum(n_tok) AS BIGINT) n_tokens
+                     FROM (SELECT stage, n_tok FROM lab UNION ALL SELECT * FROM qf)
+                     GROUP BY stage),
+          packed AS (SELECT '6_packed_seqs' stage,
+                      CAST((n_tokens + 255) // 256 AS BIGINT) n_docs, n_tokens
+                     FROM stages WHERE stage = '5_kept')
+         SELECT stage, n_docs, n_tokens FROM stages
+         UNION ALL SELECT * FROM packed ORDER BY stage""",
     "p01_curation_pipeline" ->
       """WITH q AS (
            SELECT doc_id, lang, text,

@@ -89,6 +89,26 @@ class DataSelectionSpec extends AnyFunSuite {
     assert(got.values.sum > 0, "fixture has no near-dup pairs — vacuous audit")
   }
 
+  test("p05 funnel: stages partition the raw candidates; packing row is consistent") {
+    val fixture = "/root/testdata/sf0.01"
+    val rows = Pipeline.p05DataFunnel(spark, fixture).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val nRaw = Tables.documents(spark, fixture)
+      .filter(col("source") =!= "src0").count()
+    val stageNames = Seq("1_quality_fail", "2_exact_dup", "3_contaminated",
+      "4_unselected", "5_kept")
+    // the five outcome stages partition the raw candidate set exactly
+    assert(stageNames.map(s => rows.get(s).map(_._1).getOrElse(0L)).sum == nRaw)
+    // something survives, something falls — a funnel, not a pass-through
+    assert(rows("5_kept")._1 > 0 && rows("5_kept")._1 < nRaw)
+    // the packed row covers exactly the kept tokens at 256/seq
+    val (keptDocs, keptTok) = rows("5_kept")
+    val (nSeqs, packedTok) = rows("6_packed_seqs")
+    assert(packedTok == keptTok)
+    assert(nSeqs == (keptTok + 255) / 256)
+    assert(keptDocs > 0)
+  }
+
   test("t25 fixture: en documents average a higher DSIR score than non-en") {
     val docs = Tables.documents(spark, dir).select("doc_id", "lang")
     val scored = TextOps.t25DsirWeights(spark, dir).join(docs, "doc_id")
