@@ -311,6 +311,16 @@ object StreamingQueries {
            sum(when(col("winner"), 1L).otherwise(0L)).as("n_kept"))
   }
 
+  /** Streaming anomaly monitor — stateless z-score scoring against a
+    * batch-fit per-type profile, |event_type|-bounded rollup
+    * ([[EventStream.anomalyCounts]]); oracle-checked against the batch
+    * SQL computing the same exact-decimal profile. */
+  def st12StreamAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st12_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    EventStream.runToCompletion(spark,
+      EventStream.anomalyCounts(_, dir), name).orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_daily" -> st01StreamDaily _,
     "st02_sessions"     -> st02Sessions _,
@@ -323,9 +333,26 @@ object StreamingQueries {
     "st09_stream_vec_ingest" -> st09StreamVectorIngest _,
     "st10_stream_mixture" -> st10StreamMixture _,
     "st11_stream_inc_dedup" -> st11StreamIncDedup _,
+    "st12_stream_anomaly"   -> st12StreamAnomaly _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // st12's profile is fit from exact decimal sums, so the batch SQL
+    // reproduces the streamed z-score flags bit for bit
+    "st12_stream_anomaly" ->
+      """WITH st AS (SELECT event_type, count(*) n,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) s1,
+                 CAST(sum(CAST(value*value AS DECIMAL(28,12))) AS DOUBLE) s2
+               FROM events GROUP BY 1),
+          p AS (SELECT event_type, s1/n AS mean,
+                 sqrt(greatest(s2/n - (s1/n)*(s1/n), 0)) AS std FROM st),
+          f AS (SELECT e.event_type,
+                 CASE WHEN p.std = 0 THEN 0 ELSE abs(e.value - p.mean)/p.std END AS z
+                FROM events e JOIN p USING (event_type))
+         SELECT event_type, count(*) AS n_events,
+          CAST(sum(CASE WHEN z > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+          floor(max(z) * 10000.0 + 0.5) / 10000.0 AS max_abs_z
+         FROM f GROUP BY 1 ORDER BY event_type""",
     // st11 is d12's accounting computed from a streaming (source, fp)
     // state snapshot — the drive must reproduce the batch ledger
     // precedence and winner rule bit for bit, so it shares d12's SQL

@@ -650,6 +650,52 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** n-gram size / cut for [[t26TopkNgrams]] — 5-grams are long
+    * enough to be distinctive (the unit contamination lists and
+    * memorization audits are built from) and the top-50 cut keeps the
+    * ranked result driver-trivial. */
+  private val NgramN = 5
+  private val NgramTopK = 50
+
+  /** Corpus-wide top-K most frequent word 5-grams — the miner behind
+    * decontamination block-lists and memorization audits: the grams a
+    * corpus repeats most are the first candidates for boilerplate
+    * strip-lists and eval-overlap checks (t14/t20 consume exactly such
+    * shingle sets). Reports each gram's total occurrence count, its
+    * document frequency, and the df share of the corpus.
+    *
+    * Scale shape: gram explosion is narrow (per-row transform over the
+    * token array, no joins); counting is TWO partial-aggregating
+    * groupBys — per-(doc, gram) first, so the second stage's map-side
+    * combine is bounded by DISTINCT grams per partition and doc_freq
+    * falls out as a count instead of a corpus-wide count(DISTINCT)
+    * shuffle. The ranked cut is `orderBy(...).limit(k)` →
+    * TakeOrderedAndProject (per-partition bounded top-k merged on the
+    * driver, never a full gram-table sort); the corpus doc count rides
+    * in as a one-row broadcast. Ties rank lexicographically so the cut
+    * is deterministic cross-engine. */
+  def t26TopkNgrams(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val grams = docs
+      .select(col("doc_id"), tokens.as("t"))
+      .filter(size(col("t")) >= NgramN)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("t")) - (NgramN - 1)),
+          i => concat_ws(" ", slice(col("t"), i, lit(NgramN))))).as("gram"))
+    val perDoc = grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+    val counts = perDoc.groupBy("gram")
+      .agg(sum("c").as("n_occ"), count(lit(1)).as("doc_freq"))
+    val nDocs = docs.groupBy().agg(count(lit(1)).cast("double").as("n_corpus_docs"))
+    val top = counts.orderBy(col("n_occ").desc, col("gram").asc).limit(NgramTopK)
+    val w = Window.orderBy(col("n_occ").desc, col("gram").asc)
+    top.crossJoin(broadcast(nDocs))
+      .select(row_number().over(w).cast("bigint").as("rank"),
+              col("gram"), col("n_occ"), col("doc_freq"),
+              Det.dround(col("doc_freq") / col("n_corpus_docs"), 6).as("df_share"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_distribution" -> t01LangDistribution _,
     "t02_token_counts"      -> t02TokenCounts _,
@@ -672,6 +718,7 @@ object TextOps {
     "t23_stratified_split"  -> t23StratifiedSplit _,
     "t24_mixture_weights"   -> t24MixtureWeights _,
     "t25_dsir_weights"      -> t25DsirWeights _,
+    "t26_topk_ngrams"       -> t26TopkNgrams _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -694,6 +741,19 @@ object TextOps {
        FROM hit ORDER BY doc_id"""
 
   val oracleSql: Map[String, String] = Map(
+    "t26_topk_ngrams" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
+          g AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-3),
+                  i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])) gram
+                FROM toks WHERE len(t) >= 5),
+          pd AS (SELECT doc_id, gram, count(*) c FROM g GROUP BY 1, 2),
+          c AS (SELECT gram, CAST(sum(c) AS BIGINT) n_occ, count(*) doc_freq FROM pd GROUP BY 1),
+          nd AS (SELECT CAST(count(*) AS DOUBLE) n FROM documents),
+          top AS (SELECT gram, n_occ, doc_freq FROM c ORDER BY n_occ DESC, gram ASC LIMIT 50)
+         SELECT row_number() OVER (ORDER BY n_occ DESC, gram ASC) AS rank, gram, n_occ,
+          CAST(doc_freq AS BIGINT) AS doc_freq,
+          floor((CAST(doc_freq AS DOUBLE) / n) * 1000000.0 + 0.5) / 1000000.0 AS df_share
+         FROM top, nd ORDER BY rank""",
     "t01_lang_distribution" ->
       """SELECT lang, count(*) AS n_docs,
          floor((CAST(sum(n_chars) AS DOUBLE) / count(*)) * 100.0 + 0.5) / 100.0 AS avg_chars,

@@ -201,6 +201,59 @@ object EventStream {
            graft.analytics.Det.sumDecR(col("value"), 2).as("sum_value"))
   }
 
+  /** Batch-fit per-event-type value profile for [[anomalyCounts]]:
+    * mean and population σ from exact DECIMAL sums (Σv, Σv²), so the
+    * profile — and every downstream z-score compare — is bit-identical
+    * across engines, partition counts, and shuffle merge order (the
+    * Det pattern; double accumulation would drift in the last ulp and
+    * flip threshold-boundary flags between Spark and the oracle). One
+    * partial-aggregating pass, |event_type|-bounded output. */
+  private[graft] def eventStats(spark: SparkSession, dir: String): DataFrame = {
+    val m = col("s1").cast("double") / col("n")
+    graft.analytics.Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,6)")).as("s1"),
+           sum((col("value") * col("value")).cast("decimal(28,12)")).as("s2"))
+      .select(col("event_type"), m.as("mean"),
+        sqrt(greatest(col("s2").cast("double") / col("n") - m * m, lit(0.0))).as("std"))
+  }
+
+  /** z-score anomaly rollup shared by the batch twin and the stream:
+    * score each event against its type's (mean, σ) profile, flag
+    * |z| > `zThreshold`, and roll up per type. Works identically on a
+    * batch or streaming `events` frame — the stream side is a
+    * stateless broadcast probe per row (no streaming join state) and
+    * ONE complete-mode aggregation whose key space is the event-type
+    * set; count/sum/max are commutative, so the result is invariant to
+    * microbatch slicing (trickle == one-shot == batch, spec-pinned). */
+  private[graft] def anomalyRollup(events: DataFrame, stats: DataFrame,
+                                   zThreshold: Double): DataFrame =
+    events
+      .join(broadcast(stats), "event_type")
+      .withColumn("z", when(col("std") === 0.0, lit(0.0))
+        .otherwise(abs(col("value") - col("mean")) / col("std")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+           sum(when(col("z") > zThreshold, 1L).otherwise(0L)).as("n_anomalies"),
+           max(col("z")).as("mz"))
+      .select(col("event_type"), col("n_events"), col("n_anomalies"),
+              graft.analytics.Det.dround(col("mz"), 4).as("max_abs_z"))
+
+  /** Streaming anomaly monitor — the production health check on an
+    * event firehose: per-event-type z-score scoring of arriving values
+    * against a batch-fit (mean, σ) profile, rolled up to anomaly
+    * counts per type. The profile is static and broadcast (a nightly
+    * fit in production); the stream keeps NO per-event state — scoring
+    * is a narrow per-row expression and the only stateful operator is
+    * the |event_type|-bounded complete-mode rollup, so state is O(1)
+    * in stream length at any scale. */
+  def anomalyCounts(spark: SparkSession, dir: String,
+                    maxFilesPerTrigger: Option[Int] = None,
+                    zThreshold: Double = 2.0): DataFrame =
+    anomalyRollup(readEvents(spark, dir, maxFilesPerTrigger),
+                  eventStats(spark, dir), zThreshold)
+
   /** Continuous ingestion from the event stream INTO the asset store —
     * the streaming ETL that feeds the reference's database in
     * production. The per-(user, event_type) aggregation runs INSIDE

@@ -447,4 +447,33 @@ class CorpusOpsSpec extends AnyFunSuite {
       assert(math.abs(c - s) < 1e-3, s"cum_frac $c drifted from frac sum $s")
     }
   }
+
+  test("t26: ranked 5-gram cut — counts non-increasing, df ≤ occurrences, numerator on a planted gram") {
+    val rows = TextOps.t26TopkNgrams(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+    val occ = rows.map(_.getLong(2))
+    assert(occ.zip(occ.tail).forall { case (a, b) => a >= b }, "n_occ must be non-increasing")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "doc_freq cannot exceed total occurrences")
+      assert(r.getString(1).split(" ").length == 5, "gram must be exactly 5 tokens")
+    }
+    // numerator: a corpus where one 5-gram is planted in 3 of 4 docs
+    // (twice in one of them) must rank it first with exact counts
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-t26").toString
+    val planted = "alpha beta gamma delta epsilon"
+    Seq(
+      (0L, s"$planted one two three four five six", "en", "src0", 1L),
+      (1L, s"zz yy $planted xx ww vv uu tt ss", "en", "src0", 1L),
+      (2L, s"$planted qq rr $planted", "en", "src1", 1L),
+      (3L, "one two three four five six seven eight nine", "en", "src1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$tmp/documents.parquet")
+    val top = TextOps.t26TopkNgrams(spark, tmp).collect()
+    assert(top.head.getString(1) == planted)
+    assert(top.head.getLong(2) == 4L, "planted gram occurs 4 times")
+    assert(top.head.getLong(3) == 3L, "planted gram appears in 3 docs")
+    assert(top.head.getDouble(4) == 0.75)
+  }
 }

@@ -261,6 +261,34 @@ class PlanSpec extends AnyFunSuite {
       s"coverage window is not above the top-k cut:\n$plan")
   }
 
+  test("t26 gram cut is TakeOrderedAndProject over partial aggregates; no count-distinct shuffle") {
+    val plan = TextOps.t26TopkNgrams(spark, dir)
+      .queryExecution.executedPlan.toString
+    val cutAt = plan.indexOf("TakeOrderedAndProject")
+    assert(cutAt >= 0, s"top-k cut lost TakeOrderedAndProject (full gram-table sort?):\n$plan")
+    val winAt = plan.indexOf("Window")
+    assert(winAt >= 0 && winAt < cutAt,
+      s"rank window is not above the top-k cut:\n$plan")
+    // doc_freq must come from the two-stage (doc,gram)→gram aggregate,
+    // never a corpus-wide count(DISTINCT doc_id) expand
+    assert(!plan.contains("Expand"), s"count-distinct expand crept in:\n$plan")
+  }
+
+  test("st12 anomaly rollup: profile side is hint-broadcast, scoring adds no extra shuffle") {
+    // batch twin of the streaming frame — same plan shape the stream
+    // runs per microbatch: one broadcast probe + one bounded aggregate
+    val df = graft.streaming.EventStream.anomalyRollup(
+      Tables.events(spark, dir),
+      graft.streaming.EventStream.eventStats(spark, dir), 2.0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("broadcasthashjoin"),
+      s"profile join is not broadcast:\n$plan")
+    // events-side scoring must not shuffle below the rollup aggregate:
+    // exchanges = profile fit (1) + rollup (1) + broadcast distribution
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"scoring path gained a shuffle, got $exchanges:\n$plan")
+  }
+
   test("p01 exact dedup is a partial aggregate, never a window over fp") {
     // the curation pipeline's exact tier must share t06's min_by
     // groupBy shape: map-side combine on the fingerprint, no
