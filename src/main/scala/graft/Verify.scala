@@ -79,7 +79,10 @@ object Verify {
           "s02_recall10" -> recall("s02_ann_lsh", "s01_ann_bruteforce", "query_id").toString,
           "s03_recall10" -> recall("s03_ann_ivf", "s01_ann_bruteforce", "query_id").toString,
           "s04_recall10" -> recall("s04_ann_ivfpq", "s01_ann_bruteforce", "query_id").toString,
-          "s06_recall5"  -> recall("s06_knn_graph_ivf", "s05_knn_graph", "vec_id").toString) ++ {
+          "s06_recall5"  -> recall("s06_knn_graph_ivf", "s05_knn_graph", "vec_id").toString,
+          // half-corpus codebook + appended other half: the grown
+          // layout must still retrieve like an IVF index
+          "s11_recall10" -> recall("s11_ivf_append", "s01_ann_bruteforce", "query_id").toString) ++ {
           // t27: the distributed BPE merge table must equal a single-node
           // re-learn from the same fixture, exactly (order included)
           import org.apache.spark.sql.functions.{count, explode, lit, lower, split, trim}

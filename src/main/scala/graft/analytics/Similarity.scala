@@ -712,8 +712,15 @@ object Similarity {
     * while probe sessions skip the refit. The fit cache is released as
     * soon as the write (its last reader) finishes. */
   def writeIvfCorpus(spark: SparkSession, dir: String, out: String,
-                     k: Int = 16, iters: Int = 10): Array[(Int, Array[Double])] = {
-    val e = Dedup.normalizedVectors(spark, dir).cache()
+                     k: Int = 16, iters: Int = 10): Array[(Int, Array[Double])] =
+    writeIvfLayout(Dedup.normalizedVectors(spark, dir), out, k, iters)
+
+  /** [[writeIvfCorpus]] over an arbitrary normalized (vec_id, v, norm)
+    * frame — the corpus-subset entry the incremental-ingest spec and
+    * gate build their base layout from. */
+  private[analytics] def writeIvfLayout(corpus: DataFrame, out: String,
+                                        k: Int, iters: Int): Array[(Int, Array[Double])] = {
+    val e = corpus.cache()
     val centroids =
       try {
         val cents = lloydIvf(localFitSample(e), k, iters)
@@ -722,12 +729,36 @@ object Similarity {
           .write.mode("overwrite").partitionBy("cell").parquet(out)
         cents
       } finally e.unpersist()
-    val spark2 = spark
+    val spark2 = corpus.sparkSession
     import spark2.implicits._
     centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$out/_codebook")
     centroids
+  }
+
+  /** Append new vectors into an existing [[writeIvfCorpus]] layout
+    * WITHOUT refitting — the incremental add phase of a vector index,
+    * as a nightly/streaming ingest would run it: assign cells with the
+    * STORED codebook (a K-row read), so assignments equal what a
+    * one-shot write under that codebook would have produced, then
+    * append cell-partitioned part files. Append mode only ADDS files
+    * inside the touched cell directories — existing data is never
+    * rewritten, probes immediately see old + new rows, and partition
+    * pruning is untouched (same directory keys). Cost is one narrow
+    * assignment pass + a write bounded by the BATCH, never the stored
+    * corpus — the property that makes the layout maintainable at
+    * 100 TB (periodic refit/rebalance is a separate offline
+    * [[writeIvfCorpus]] run). `vecs` is (vec_id, embedding). */
+  def appendIvfCorpus(spark: SparkSession, out: String, vecs: DataFrame): Unit = {
+    import graft.functions.VectorFunctions._
+    val cents = readIvfCodebook(spark, out)
+    vecs
+      .select(col("vec_id"), as_double_array(col("embedding")).as("v"))
+      .withColumn("norm", array_norm(col("v")))
+      .withColumn("cell", cellOf(cents, col("v"), col("norm")))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(out)
   }
 
   /** The codebook persisted by [[writeIvfCorpus]] — K rows, one
@@ -783,6 +814,29 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** s11 gate: incremental-ingest round trip — write a base layout
+    * from the even vec_ids (the "already-indexed" corpus), APPEND the
+    * odd half with [[appendIvfCorpus]] (stored-codebook assignment, no
+    * refit), then probe the grown layout with the standard query set.
+    * Rows-only (k-means fit isn't SQL-expressible); Verify emits
+    * micro-averaged recall against s01's exact baseline as the
+    * `s11_recall10` invariant, and IvfAppendSpec pins append ==
+    * one-shot-under-the-same-codebook equality plus the partition-
+    * pruned probe surviving the append. */
+  def s11IvfAppend(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-ivf-append")
+      .resolve("corpus").toString
+    val all = Dedup.normalizedVectors(spark, dir)
+    writeIvfLayout(all.filter(col("vec_id") % 2 === 0), out, k = 16, iters = 10)
+    appendIvfCorpus(spark, out,
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 2 =!= 0))
+    val stored = spark.read.parquet(out)
+    val queries = stored.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    ivfStoredTopK(spark, out, queries, k = 10)
+      .orderBy("query_id", "rnk")
+  }
+
   /** User-facing ANN search over arbitrary frames: corpus
     * (vec_id, embedding) × queries (query_id, embedding) → top-`k`
     * cosine neighbors per query as (query_id, rnk, neighbor_id,
@@ -831,6 +885,7 @@ object Similarity {
     "s08_kmeans_clusters" -> s08KmeansClusters _,
     "s09_ivf_stored"     -> s09IvfStoredProbe _,
     "s10_hard_negatives" -> s10HardNegatives _,
+    "s11_ivf_append"     -> s11IvfAppend _,
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -105,7 +105,11 @@ object ScaleProbe {
       "t29_bpe_encode", "s10_hard_negatives", "t30_sequence_packing",
       "d12_incremental_dedup", "d13_split_leakage",
       "m06_video_dups", "p04_rag_retrieval", "st10_stream_mixture",
-      "st11_stream_inc_dedup")
+      "st11_stream_inc_dedup",
+      // t26: two partial-aggregating stages + driver-bounded top-k;
+      // st12: stateless broadcast probe + |event_type|-bounded rollup;
+      // s11: append cost ∝ batch, probe cost ∝ nProbe/|cells|
+      "t26_topk_ngrams", "st12_stream_anomaly", "s11_ivf_append")
       // SPARK_GRAFT_ONLY=a,b,c restricts the sweep (dev iteration knob)
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").contains(n)))
