@@ -750,9 +750,15 @@ object Similarity {
     * corpus — the property that makes the layout maintainable at
     * 100 TB (periodic refit/rebalance is a separate offline
     * [[writeIvfCorpus]] run). `vecs` is (vec_id, embedding). */
-  def appendIvfCorpus(spark: SparkSession, out: String, vecs: DataFrame): Unit = {
+  def appendIvfCorpus(spark: SparkSession, out: String, vecs: DataFrame): Unit =
+    appendIvfCorpusWith(readIvfCodebook(spark, out), out, vecs)
+
+  /** [[appendIvfCorpus]] with a pre-collected codebook — the per-batch
+    * entry a streaming ingest loop uses so the K-row codebook read
+    * happens once per stream, not once per microbatch. */
+  private[analytics] def appendIvfCorpusWith(cents: Array[(Int, Array[Double])],
+                                             out: String, vecs: DataFrame): Unit = {
     import graft.functions.VectorFunctions._
-    val cents = readIvfCodebook(spark, out)
     vecs
       .select(col("vec_id"), as_double_array(col("embedding")).as("v"))
       .withColumn("norm", array_norm(col("v")))

@@ -311,6 +311,54 @@ object StreamingQueries {
            sum(when(col("winner"), 1L).otherwise(0L)).as("n_kept"))
   }
 
+  /** Streaming ingestion INTO the stored IVF layout — st09's cell
+    * assignment plus the persistence s11 adds offline, closed into the
+    * full production loop: each microbatch is assigned under the
+    * STORED codebook (one K-row read per stream) and appended
+    * cell-partitioned to the index on disk, so the layout grows as
+    * vectors arrive and stays probe-ready between batches. Per-batch
+    * cost ∝ the microbatch, never the stored corpus; the gate reports
+    * per-cell occupancy read back FROM DISK, which must equal the
+    * one-shot batch assignment of the full corpus under the base
+    * codebook (trickle == one-shot == batch pinned in
+    * StreamVecAppendSpec). Rows-only gate (k-means fit isn't
+    * SQL-expressible). */
+  def st13StreamVecAppend(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-vec-append")
+      .resolve("corpus").toString
+    // base index: the already-ingested even half, fit + written offline
+    Similarity.writeIvfLayout(
+      Dedup.normalizedVectors(spark, dir).filter(col("vec_id") % 2 === 0),
+      out, k = 16, iters = 10)
+    vecAppendDrive(spark, dir, out, None)
+    spark.read.parquet(out)
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("first_vec"))
+      .orderBy("cell")
+  }
+
+  /** The st13 drive: stream the odd vec_ids and append each microbatch
+    * into the layout at `out`; split out for the spec's trickle
+    * drives. The foreachBatch side effect is idempotent-per-content
+    * (append of deterministic assignments), and the codebook is
+    * collected once per stream. */
+  private[analytics] def vecAppendDrive(spark: SparkSession, streamDir: String,
+                                        out: String,
+                                        maxFilesPerTrigger: Option[Int]): Unit = {
+    val s = EventStream.boundedDriveSession(spark)
+    val cents = Similarity.readIvfCodebook(s, out)
+    val q = EventStream.readEmbeddingsStream(s, streamDir, maxFilesPerTrigger)
+      .filter(col("vec_id") % 2 =!= 0)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Similarity.appendIvfCorpusWith(cents, out, batch)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Streaming anomaly monitor — stateless z-score scoring against a
     * batch-fit per-type profile, |event_type|-bounded rollup
     * ([[EventStream.anomalyCounts]]); oracle-checked against the batch
@@ -334,6 +382,7 @@ object StreamingQueries {
     "st10_stream_mixture" -> st10StreamMixture _,
     "st11_stream_inc_dedup" -> st11StreamIncDedup _,
     "st12_stream_anomaly"   -> st12StreamAnomaly _,
+    "st13_stream_vec_append" -> st13StreamVecAppend _,
   )
 
   val oracleSql: Map[String, String] = Map(

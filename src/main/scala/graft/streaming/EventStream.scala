@@ -317,7 +317,7 @@ object EventStream {
     * shared session. Queries that DO emit on watermark advance
     * (event-time timeouts, append-mode aggregation) must not use these
     * helpers. */
-  private def boundedDriveSession(spark: SparkSession): SparkSession = {
+  private[graft] def boundedDriveSession(spark: SparkSession): SparkSession = {
     val s = spark.newSession()
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     // a streaming query's state-store partition count is frozen at

@@ -109,7 +109,8 @@ object ScaleProbe {
       // t26: two partial-aggregating stages + driver-bounded top-k;
       // st12: stateless broadcast probe + |event_type|-bounded rollup;
       // s11: append cost ∝ batch, probe cost ∝ nProbe/|cells|
-      "t26_topk_ngrams", "st12_stream_anomaly", "s11_ivf_append")
+      "t26_topk_ngrams", "st12_stream_anomaly", "s11_ivf_append",
+      "st13_stream_vec_append")
       // SPARK_GRAFT_ONLY=a,b,c restricts the sweep (dev iteration knob)
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").contains(n)))
