@@ -820,6 +820,35 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** Compact a [[writeIvfCorpus]] layout: rewrite each cell's
+    * accumulated append files into one file per cell, so the probe's
+    * per-cell read amplification stays bounded however long an ingest
+    * stream runs (every [[appendIvfCorpus]] microbatch adds a part
+    * file per touched cell; without maintenance a year of microbatches
+    * is a year of files). Same shape as the TableStore compactor:
+    * snapshot → rewrite to a sibling `_compacting` dir → swap, with
+    * the codebook carried over byte-for-byte — content, partition
+    * keys, and pruning are untouched (IvfAppendSpec pins all three).
+    * Single-writer maintenance step, like the offline refit. */
+  def compactIvfCorpus(spark: SparkSession, out: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val tmp = out + "_compacting"
+    spark.read.parquet(out)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val srcBook = Paths.get(s"$out/_codebook")
+    val dstBook = Paths.get(s"$tmp/_codebook")
+    Files.createDirectories(dstBook)
+    Files.list(srcBook).iterator().asScala.filter(Files.isRegularFile(_)).foreach { p =>
+      Files.copy(p, dstBook.resolve(p.getFileName.toString),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val dst = Paths.get(out)
+    Files.walk(dst).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    Files.move(Paths.get(tmp), dst)
+  }
+
   /** s11 gate: incremental-ingest round trip — write a base layout
     * from the even vec_ids (the "already-indexed" corpus), APPEND the
     * odd half with [[appendIvfCorpus]] (stored-codebook assignment, no

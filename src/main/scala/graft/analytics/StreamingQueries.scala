@@ -344,15 +344,23 @@ object StreamingQueries {
     * collected once per stream. */
   private[analytics] def vecAppendDrive(spark: SparkSession, streamDir: String,
                                         out: String,
-                                        maxFilesPerTrigger: Option[Int]): Unit = {
+                                        maxFilesPerTrigger: Option[Int],
+                                        compactEvery: Int = 8): Unit = {
     val s = EventStream.boundedDriveSession(spark)
     val cents = Similarity.readIvfCodebook(s, out)
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = EventStream.readEmbeddingsStream(s, streamDir, maxFilesPerTrigger)
       .filter(col("vec_id") % 2 =!= 0)
       .writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         Similarity.appendIvfCorpusWith(cents, out, batch)
+        // in-line maintenance, same knob as the event-store ingest:
+        // every compactEvery batches the cell dirs are rewritten to one
+        // file each, so probe read amplification is bounded by the
+        // compaction interval, not the stream's lifetime
+        if (compactEvery > 0 && nBatches.incrementAndGet() % compactEvery == 0)
+          Similarity.compactIvfCorpus(batch.sparkSession, out)
       }
       .start()
     q.processAllAvailable()

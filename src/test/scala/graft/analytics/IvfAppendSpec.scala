@@ -36,7 +36,8 @@ class IvfAppendSpec extends AnyFunSuite {
     // 1. base part files survive byte-for-byte untouched (append adds,
     //    never rewrites)
     assert(baseFiles.subsetOf(dataFiles()), "append rewrote existing part files")
-    assert(dataFiles().size > baseFiles.size, "append added no files")
+    val dataFilesBeforeCompact = dataFiles().size
+    assert(dataFilesBeforeCompact > baseFiles.size, "append added no files")
 
     // 2. every appended vector sits in the cell the stored codebook
     //    assigns — i.e. the grown layout equals a one-shot assignment
@@ -58,7 +59,31 @@ class IvfAppendSpec extends AnyFunSuite {
     val plan = probe.queryExecution.executedPlan.toString
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
       s"probe scan lost its cell PartitionFilters after append:\n$plan")
-    assert(probe.count() > 0)
+    val probeRows = probe.collect().map(_.toSeq).toSeq
+    assert(probeRows.nonEmpty)
+
+    // 4. compaction rewrites the accumulated files to one per cell
+    //    without changing content, and the probe stays pruned
+    Similarity.compactIvfCorpus(spark, out)
+    val compactedFiles = dataFiles()
+    val cellCount = spark.read.parquet(out).select("cell").distinct().count()
+    assert(compactedFiles.size <= cellCount,
+      s"compaction left ${compactedFiles.size} files for $cellCount cells")
+    assert(compactedFiles.size < dataFilesBeforeCompact,
+      "compaction did not reduce the live file count")
+    val storedAfter = spark.read.parquet(out).select(col("vec_id"), col("cell"))
+    assert(storedAfter.exceptAll(expected).isEmpty && expected.exceptAll(storedAfter).isEmpty,
+      "compaction changed the stored content")
+    // re-derive the query frame: the pre-compaction one holds a stale
+    // file index over the swapped-out part files
+    val queriesAfter = spark.read.parquet(out).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val probeAfter = Similarity.ivfStoredTopK(spark, out, queriesAfter, k = 5, nProbe = 2)
+    assert("PartitionFilters: \\[[^\\]]*cell".r
+      .findFirstIn(probeAfter.queryExecution.executedPlan.toString).isDefined,
+      "probe scan lost its cell PartitionFilters after compaction")
+    assert(probeAfter.collect().map(_.toSeq).toSeq == probeRows,
+      "compaction changed probe results")
   }
 
   test("s11 gate recall floor vs the exact baseline") {

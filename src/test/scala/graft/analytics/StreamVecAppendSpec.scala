@@ -59,8 +59,20 @@ class StreamVecAppendSpec extends AnyFunSuite {
     val trickleOut = s"$tmp/trickled"
     Similarity.writeIvfLayout(all.filter(col("vec_id") % 2 === 0), trickleOut,
       k = 16, iters = 10)
-    StreamingQueries.vecAppendDrive(spark, s"$tmp/split*", trickleOut, Some(1))
+    // compact after every microbatch: the harshest maintenance cadence
+    // must leave content untouched AND bound the live file count
+    StreamingQueries.vecAppendDrive(spark, s"$tmp/split*", trickleOut, Some(1),
+      compactEvery = 1)
     assert(layoutCells(trickleOut) == batch,
       "trickled append diverges from the one-shot layout")
+    val files = Files.walk(Paths.get(trickleOut)).iterator()
+    var n = 0
+    files.forEachRemaining { p =>
+      val s = p.toString
+      if (s.endsWith(".parquet") && !s.contains("_codebook")) n += 1
+    }
+    val cells = batch.size
+    assert(n <= cells,
+      s"in-stream compaction left $n live files for $cells cells")
   }
 }
