@@ -820,6 +820,33 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** s12 gate: FILTERED vector search — top-k restricted to the
+    * corpus slice passing a metadata predicate (here: vectors whose
+    * paired document is English), the retrieval shape every
+    * vector-store query with a WHERE clause needs. Pre-filter then
+    * rank: the predicate lands as a semi join on the bounded id set
+    * BEFORE any scoring, so the search never scores (or at 100 TB,
+    * never reads) vectors the filter excludes — the opposite of
+    * post-filtering top-k lists, which silently returns short lists
+    * when the filter is selective. Exact tier (one filtered scan +
+    * bounded top-k) is the oracle-checked gate; the same pre-filtered
+    * corpus drops into [[topK]]'s IVF tier unchanged for the scale
+    * path (recall-floored in SimilaritySpec), and a stored-layout
+    * deployment would denormalize the filter columns into the
+    * cell-partitioned files so the predicate pushes into the pruned
+    * probe scan. */
+  def s12FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val en = Tables.documents(spark, dir)
+      .filter(col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    val corpus = Tables.embeddings(spark, dir).join(en, Seq("vec_id"), "left_semi")
+    val queries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    topK(corpus, queries, k = 10, method = "brute")
+      .orderBy("query_id", "rnk")
+  }
+
   /** Compact a [[writeIvfCorpus]] layout: rewrite each cell's
     * accumulated append files into one file per cell, so the probe's
     * per-cell read amplification stays bounded however long an ingest
@@ -921,9 +948,25 @@ object Similarity {
     "s09_ivf_stored"     -> s09IvfStoredProbe _,
     "s10_hard_negatives" -> s10HardNegatives _,
     "s11_ivf_append"     -> s11IvfAppend _,
+    "s12_filtered_ann"   -> s12FilteredAnn _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // s12 = s01's exact scorer over the metadata-filtered corpus slice
+    "s12_filtered_ann" ->
+      """WITH q AS (SELECT vec_id query_id, embedding q_emb FROM embeddings WHERE vec_id % 100 = 0),
+          scored AS (SELECT q.query_id, e.vec_id neighbor_id,
+            floor((list_aggregate(list_transform(range(1, len(q.q_emb)+1),
+                k -> CAST(q.q_emb[k] AS DOUBLE) * CAST(e.embedding[k] AS DOUBLE)), 'sum')
+              / (sqrt(list_aggregate(list_transform(q.q_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))
+               * sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')))) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+           FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+           WHERE e.vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')),
+          ranked AS (SELECT query_id, neighbor_id, cos_sim,
+            row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rnk
+           FROM scored)
+         SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id, cos_sim
+         FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""",
     "s01_ann_bruteforce" ->
       """WITH q AS (SELECT vec_id query_id, embedding q_emb FROM embeddings WHERE vec_id % 100 = 0),
           scored AS (SELECT q.query_id, e.vec_id neighbor_id,

@@ -159,4 +159,43 @@ class SimilaritySpec extends AnyFunSuite {
       .map { case (q, rs) => q -> rs.map(_.getDouble(3)).min }
     assert(hn.forall(r => r.getDouble(3) <= floor10(r.getLong(0))))
   }
+
+  test("s12 filtered search honors the predicate; IVF tier on the filtered corpus keeps recall") {
+    import org.apache.spark.sql.functions._
+    val en = Tables.documents(spark, dir).filter(col("lang") === "en")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val rows = Similarity.s12FilteredAnn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // every neighbor passes the filter, and the filter actually bites
+    // (excluded vectors exist, so this differs from unfiltered s01)
+    assert(rows.forall(r => en.contains(r.getLong(2))),
+      "a neighbor outside the filtered slice leaked into the results")
+    val nVecs = Tables.embeddings(spark, dir).count()
+    assert(en.size < nVecs, "fixture filter excludes nothing — test is vacuous")
+    // full lists as long as the filtered corpus allows (a query inside
+    // the slice excludes itself from its own candidates)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val candidates = en.size - (if (en.contains(q)) 1 else 0)
+      assert(rs.length == math.min(10, candidates),
+        s"query $q returned ${rs.length} of ${math.min(10, candidates)} expected")
+    }
+    // scale tier: the same pre-filtered corpus through the IVF path
+    val corpus = Tables.embeddings(spark, dir)
+      .join(Tables.documents(spark, dir).filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id")), Seq("vec_id"), "left_semi")
+    val queries = Tables.embeddings(spark, dir).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val ivf = Similarity.topK(corpus, queries, k = 10, method = "ivf").collect()
+    spark.catalog.clearCache()
+    val exact = rows.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val approx = ivf.groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    val per = exact.map { case (q, ex) =>
+      approx.get(q).map(ap => ap.intersect(ex).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    val recall = per.sum / per.size
+    info(s"recall: s12-ivf=$recall")
+    assert(recall >= 0.5, s"filtered IVF recall too low: $recall")
+  }
 }
