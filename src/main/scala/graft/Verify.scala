@@ -82,7 +82,10 @@ object Verify {
           "s06_recall5"  -> recall("s06_knn_graph_ivf", "s05_knn_graph", "vec_id").toString,
           // half-corpus codebook + appended other half: the grown
           // layout must still retrieve like an IVF index
-          "s11_recall10" -> recall("s11_ivf_append", "s01_ann_bruteforce", "query_id").toString) ++ {
+          "s11_recall10" -> recall("s11_ivf_append", "s01_ann_bruteforce", "query_id").toString,
+          // stored filtered probe (partition-pruned + pushed predicate)
+          // vs the exact filtered baseline
+          "s13_recall10" -> recall("s13_filtered_ivf_stored", "s12_filtered_ann", "query_id").toString) ++ {
           // t27: the distributed BPE merge table must equal a single-node
           // re-learn from the same fixture, exactly (order included)
           import org.apache.spark.sql.functions.{count, explode, lit, lower, split, trim}

@@ -784,7 +784,8 @@ object Similarity {
     * [[ivfTopK]]'s shape unchanged: broadcast probes ⋈ corpus on cell,
     * exact rerank, bounded top-k. */
   def ivfStoredTopK(spark: SparkSession, out: String,
-                    queries: DataFrame, k: Int, nProbe: Int = 6): DataFrame = {
+                    queries: DataFrame, k: Int, nProbe: Int = 6,
+                    where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import graft.functions.VectorFunctions._
     val centroids = readIvfCodebook(spark, out)
     def probesOf(q: DataFrame) = q.select(col("query_id"), col("qv"), col("qnorm"),
@@ -792,8 +793,15 @@ object Similarity {
         1, nProbe).getField("cell")).as("cell"))
     val probedCells = probesOf(queries).select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
-    val pruned = spark.read.parquet(out)
+    // `where` is a metadata predicate over columns DENORMALIZED into
+    // the layout ([[writeIvfLayout]] persists whatever extra columns
+    // ride on the corpus frame): it lands directly on the pruned scan,
+    // so Catalyst pushes it into the parquet reader — the probe pays
+    // partition pruning AND row-group predicate pushdown together
+    // (PlanSpec pins both on the s13 gate's plan)
+    val pruned0 = spark.read.parquet(out)
       .filter(col("cell").isin(probedCells.map(Int.box): _*))
+    val pruned = where.map(pruned0.filter).getOrElse(pruned0)
     val scored = broadcast(probesOf(queries)).join(pruned, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -831,10 +839,10 @@ object Similarity {
     * when the filter is selective. Exact tier (one filtered scan +
     * bounded top-k) is the oracle-checked gate; the same pre-filtered
     * corpus drops into [[topK]]'s IVF tier unchanged for the scale
-    * path (recall-floored in SimilaritySpec), and a stored-layout
-    * deployment would denormalize the filter columns into the
-    * cell-partitioned files so the predicate pushes into the pruned
-    * probe scan. */
+    * path (recall-floored in SimilaritySpec); the stored-layout
+    * version — filter columns denormalized into the cell-partitioned
+    * files, predicate pushed into the pruned probe scan — is the s13
+    * gate ([[s13FilteredIvfStored]]). */
   def s12FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
     val en = Tables.documents(spark, dir)
       .filter(col("lang") === "en")
@@ -844,6 +852,32 @@ object Similarity {
       .filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding"))
     topK(corpus, queries, k = 10, method = "brute")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** s13 gate: s12's filtered search against the STORED layout — the
+    * claim s12 documents, demonstrated end to end: the filter column
+    * (lang) is denormalized into the cell-partitioned files at write
+    * time (it simply rides on the corpus frame into
+    * [[writeIvfLayout]]), and the probe applies the predicate on the
+    * pruned scan, so one parquet read pays cell partition pruning AND
+    * pushed row-group filtering together — at 100 TB the probe touches
+    * nProbe/K directories and, inside them, only row groups whose
+    * lang statistics can match. Rows-only gate (k-means); Verify emits
+    * `s13_recall10` against s12's exact filtered baseline, PlanSpec
+    * pins `PartitionFilters` + `PushedFilters` on the one scan. */
+  def s13FilteredIvfStored(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-ivf-filtered")
+      .resolve("corpus").toString
+    val corpus = Dedup.normalizedVectors(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
+    writeIvfLayout(corpus, out, k = 16, iters = 10)
+    val stored = spark.read.parquet(out)
+    val queries = stored.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    ivfStoredTopK(spark, out, queries, k = 10,
+        where = Some(col("lang") === "en"))
       .orderBy("query_id", "rnk")
   }
 
@@ -949,6 +983,7 @@ object Similarity {
     "s10_hard_negatives" -> s10HardNegatives _,
     "s11_ivf_append"     -> s11IvfAppend _,
     "s12_filtered_ann"   -> s12FilteredAnn _,
+    "s13_filtered_ivf_stored" -> s13FilteredIvfStored _,
   )
 
   val oracleSql: Map[String, String] = Map(

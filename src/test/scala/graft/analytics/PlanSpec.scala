@@ -261,6 +261,31 @@ class PlanSpec extends AnyFunSuite {
       s"coverage window is not above the top-k cut:\n$plan")
   }
 
+  test("s13 stored filtered probe: one scan carries cell PartitionFilters AND the pushed lang predicate") {
+    // the filter column is denormalized into the layout, so the probe
+    // pays partition pruning and row-group predicate pushdown on the
+    // SAME parquet scan — the 100 TB filtered-search story at the plan
+    // level
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-filtered-plan")
+      .resolve("corpus").toString
+    val corpus = Dedup.normalizedVectors(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(org.apache.spark.sql.functions.col("doc_id").as("vec_id"),
+          org.apache.spark.sql.functions.col("lang")), "vec_id")
+    Similarity.writeIvfLayout(corpus, tmp, k = 8, iters = 3)
+    import org.apache.spark.sql.functions.col
+    val stored = spark.read.parquet(tmp)
+    val queries = stored.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val plan = Similarity.ivfStoredTopK(spark, tmp, queries, k = 5, nProbe = 2,
+        where = Some(col("lang") === "en"))
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"filtered probe lost its cell PartitionFilters:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*lang".r.findFirstIn(plan).isDefined,
+      s"lang predicate not pushed into the probe scan:\n$plan")
+  }
+
   test("t26 gram cut is TakeOrderedAndProject over partial aggregates; no count-distinct shuffle") {
     val plan = TextOps.t26TopkNgrams(spark, dir)
       .queryExecution.executedPlan.toString
