@@ -139,6 +139,32 @@ object TextPrep {
       .json(path)
   }
 
+  /** Declared-schema CSV corpus ingest — [[readJsonlCorpus]]'s
+    * contract for the other interchange format vendors and crawls
+    * deliver: rows parse against the DECLARED schema (inference would
+    * cost an extra full read at 100 TB and can silently mistype a
+    * column from a biased sample), and malformed lines land in
+    * `_corrupt` for quarantine instead of failing the job. Format
+    * knobs (header, RFC-4180 quote/escape) are pinned explicitly so
+    * the contract travels with the code, not the file. One narrow
+    * distributed scan; corrupt handling is per-row, so one bad vendor
+    * file never takes down the ingest. */
+  def readCsvCorpus(spark: SparkSession, path: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_tokens", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_corrupt", org.apache.spark.sql.types.StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .csv(path)
+  }
+
   /** Training-sequence length for [[t30SequencePacking]] — fixture-
     * scale stand-in for the 2k/4k/8k context a trainer packs to. */
   private val SeqLen = 256L

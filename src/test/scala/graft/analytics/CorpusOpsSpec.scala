@@ -269,6 +269,32 @@ class CorpusOpsSpec extends AnyFunSuite {
     back.unpersist()
   }
 
+  test("readCsvCorpus: declared-schema ingest, corrupt lines quarantined not fatal") {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val out = java.nio.file.Files.createTempDirectory("graft-csv-in")
+      .resolve("corpus").toString
+    docs.repartition(2).write.option("header", "true")
+      .option("quote", "\"").option("escape", "\"").csv(out)
+    // plant a malformed line: a row whose doc_id cannot parse as long
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/part-corrupt.csv"),
+      "doc_id,lang,text,n_tokens\nnot_a_long,en,\"broken row\",x\n")
+    val back = TextPrep.readCsvCorpus(spark, out).cache()
+    back.count()
+    val clean = back.filter(col("_corrupt").isNull)
+    val quarantined = back.filter(col("_corrupt").isNotNull)
+    assert(clean.count() == docs.count(), "clean-line count drifted")
+    assert(quarantined.count() == 1L, "corrupt line was not quarantined")
+    // full fidelity: quoted/escaped text survives the round trip
+    val mismatched = docs.select(col("doc_id"), col("text"))
+      .join(clean.select(col("doc_id"), col("text").as("in_text")), "doc_id")
+      .filter(col("text") =!= col("in_text")).count()
+    assert(mismatched == 0L)
+    back.unpersist()
+  }
+
   test("d09: planted passage copies are flagged, keep-first spares the earliest") {
     import spark.implicits._
     // flanks use per-doc disjoint alphabets so no gram straddling a
