@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BigramStats, BoundedTopK, BoundedTopKPayload, CharTrigrams, DoubleArrayDot, GramHashes, MinHash64, SimHash64, TrigramCounts, WinnowFingerprints, WordShingles}
+import graft.functions.{BigramStats, BoundedTopK, BoundedTopKPayload, CharTrigrams, DoubleArrayDot, FrequentItems, GramHashes, MinHash64, SimHash64, TrigramCounts, WinnowFingerprints, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's custom
   * Catalyst expressions as SQL functions so `spark.sql` users get them
@@ -94,6 +94,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"top_k_with: k must be an integer literal, got $other")
         }
         BoundedTopKPayload(children(0), children(1), children(2), k)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("frequent_items"),
+      new ExpressionInfo(classOf[FrequentItems].getName, "frequent_items"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "frequent_items(item, k) takes two arguments")
+        val k = children(1).eval() match {
+          case i: Int => i
+          case other => throw new IllegalArgumentException(
+            s"frequent_items: k must be an integer literal, got $other")
+        }
+        FrequentItems(children(0), k)
       }))
     ext.injectFunction((
       FunctionIdentifier("bigram_stats"),

@@ -130,7 +130,25 @@ object Verify {
           val gotT29 = read("t29_bpe_encode").collect()
             .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
               r.getDouble(3), r.getDouble(4))).toSeq.sortBy(_._1)
+          // t31: the Misra–Gries guarantee against exact token counts —
+          // every token above the N/(k+1) threshold present, every
+          // estimate within [true − N/(k+1), true]
+          val exactCounts = graft.analytics.Tables.documents(spark, sfDir)
+            .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+            .groupBy("tok").agg(count(lit(1)).as("c"))
+            .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+          val nTok = exactCounts.values.sum
+          val mgErr = nTok / 33 // k = 32 in the gate
+          val sketch = read("t31_heavy_hitters").collect()
+            .map(r => (r.getString(1), r.getLong(2))).toMap
+          val allHeavyPresent = exactCounts
+            .filter(_._2 > mgErr).keys.forall(sketch.contains)
+          val estsBounded = sketch.forall { case (tok, est) =>
+            val t = exactCounts.getOrElse(tok, 0L)
+            est <= t && t <= est + mgErr
+          }
           Seq(
+            "t31_mg_guarantee" -> (allHeavyPresent && estsBounded).toString,
             "t27_parity_singlenode" -> (got == want).toString,
             "t29_parity_singlenode" -> (gotT29 == wantT29).toString,
             "t28_loss_decreasing" -> descending.toString,

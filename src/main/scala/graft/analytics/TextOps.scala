@@ -696,6 +696,35 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** Counter budget for [[t31HeavyHitters]] — every token with
+    * frequency above N/(k+1) ≈ 3 % of the corpus is guaranteed
+    * caught. */
+  private val HeavyHittersK = 32
+
+  /** Corpus heavy hitters in ONE pass with O(k) state — the
+    * Misra–Gries summary ([[graft.functions.FrequentItems]]), the
+    * third classic mergeable sketch next to q21's HLL and q25's
+    * approximate percentiles. Where t22/t26 pay a vocabulary/gram-
+    * bounded shuffle for exact ranked counts, this gate's shuffle is
+    * ONE ≤ k-entry summary per input partition — the shape for "which
+    * domains/tokens dominate" monitoring over a 100 TB stream where
+    * even the vocabulary is too wide to shuffle. Rows-only gate (the
+    * summary's exact contents are merge-order-dependent, inherent to
+    * MG); Verify emits the sketch GUARANTEE as an invariant — every
+    * token with true count > N/(k+1) present, every estimate within
+    * [true − N/(k+1), true] — checked against the exact counts. */
+  def t31HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.FrequentItems.frequent_items
+    Tables.documents(spark, dir)
+      .select(explode(tokens).as("token"))
+      .groupBy()
+      .agg(frequent_items(col("token"), HeavyHittersK).as("hh"))
+      .select(posexplode(col("hh")).as(Seq("i", "e")))
+      .select((col("i") + 1).cast("bigint").as("rank"),
+              col("e.item").as("token"), col("e.est").as("est_count"))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_distribution" -> t01LangDistribution _,
     "t02_token_counts"      -> t02TokenCounts _,
@@ -719,6 +748,7 @@ object TextOps {
     "t24_mixture_weights"   -> t24MixtureWeights _,
     "t25_dsir_weights"      -> t25DsirWeights _,
     "t26_topk_ngrams"       -> t26TopkNgrams _,
+    "t31_heavy_hitters"     -> t31HeavyHitters _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")

@@ -48,6 +48,18 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(withPayload.map(r => (r.getLong(0), r.getString(2))) == Seq((11L, "high")))
   }
 
+  test("frequent_items is callable from SQL as a grouped aggregate") {
+    val spark = SparkTestSession.spark
+    val hh = spark.sql(
+      """SELECT frequent_items(item, 2) AS hh FROM VALUES
+           ('a'), ('a'), ('a'), ('b'), ('a'), ('c'), ('a')
+         AS t(item)""").head().getSeq[org.apache.spark.sql.Row](0)
+    // 'a' has 5 of 7 occurrences — far above N/3, guaranteed present
+    // and ranked first
+    assert(hh.nonEmpty && hh.head.getString(0) == "a")
+    assert(hh.head.getLong(1) <= 5L && 5L <= hh.head.getLong(1) + 7L / 3L)
+  }
+
   test("gram_hashes and trigram_counts are callable from SQL") {
     val spark = SparkTestSession.spark
     // two equal 4-grams ('abcd' at 1 and 6) hash equal; the middle ones differ

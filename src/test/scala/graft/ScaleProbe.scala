@@ -110,7 +110,9 @@ object ScaleProbe {
       // st12: stateless broadcast probe + |event_type|-bounded rollup;
       // s11: append cost ∝ batch, probe cost ∝ nProbe/|cells|
       "t26_topk_ngrams", "st12_stream_anomaly", "s11_ivf_append",
-      "st13_stream_vec_append")
+      // t31: O(k) summaries per partition — the only thing that grows
+      // with corpus size is the narrow token scan
+      "st13_stream_vec_append", "t31_heavy_hitters")
       // SPARK_GRAFT_ONLY=a,b,c restricts the sweep (dev iteration knob)
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").contains(n)))
