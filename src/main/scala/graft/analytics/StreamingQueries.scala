@@ -311,6 +311,37 @@ object StreamingQueries {
            sum(when(col("winner"), 1L).otherwise(0L)).as("n_kept"))
   }
 
+  /** Streaming distribution-drift monitor — t32's PSI report computed
+    * as documents ARRIVE: stateless per-row bin assignment (the fixed
+    * bin edges are what make in-flight drift comparable), ONE
+    * streaming aggregation keyed (source, bin) — counts, commutative,
+    * state bounded by |sources|×|bins| — and the PSI rollup as a batch
+    * step over the state snapshot against the STATIC corpus reference
+    * (st11's snapshot-rollup split). Counts are exact, so the drive
+    * reproduces the batch report bit for bit and shares t32's DuckDB
+    * oracle (trickle parity pinned in StreamDriftSpec). This is how an
+    * ingest front-end flags a vendor's distribution shift while the
+    * batch lands, not in tomorrow's report. */
+  def st14StreamDrift(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st14_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val snapshot = EventStream.runToCompletion(spark, driftStream(_, dir, None), name)
+    val ref = Tables.documents(spark, dir)
+      .select(col("source"), TextOps.driftBin.as("bin"))
+    TextOps.driftRollup(spark, snapshot,
+        ref.groupBy("bin").agg(count(lit(1)).as("cc")),
+        ref.groupBy().agg(count(lit(1)).cast("double").as("nc")))
+      .orderBy("source")
+  }
+
+  /** The st14 streaming frame: (source, bin) → count over arriving
+    * documents; split out for the spec's trickle drives. */
+  private[analytics] def driftStream(s: SparkSession, streamDir: String,
+                                     maxFilesPerTrigger: Option[Int]): DataFrame =
+    EventStream.readDocumentsStream(s, streamDir, maxFilesPerTrigger)
+      .select(col("source"), TextOps.driftBin.as("bin"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("c"))
+
   /** Streaming ingestion INTO the stored IVF layout — st09's cell
     * assignment plus the persistence s11 adds offline, closed into the
     * full production loop: each microbatch is assigned under the
@@ -391,9 +422,13 @@ object StreamingQueries {
     "st11_stream_inc_dedup" -> st11StreamIncDedup _,
     "st12_stream_anomaly"   -> st12StreamAnomaly _,
     "st13_stream_vec_append" -> st13StreamVecAppend _,
+    "st14_stream_drift"      -> st14StreamDrift _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // st14 is t32's PSI report computed from a streaming (source, bin)
+    // count snapshot — exact counts, so the batch SQL is its oracle
+    "st14_stream_drift" -> TextOps.oracleSql("t32_source_drift"),
     // st12's profile is fit from exact decimal sums, so the batch SQL
     // reproduces the streamed z-score flags bit for bit
     "st12_stream_anomaly" ->

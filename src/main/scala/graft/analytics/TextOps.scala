@@ -725,6 +725,76 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** Fixed token-count bin edges for [[t32SourceDrift]]: width-16
+    * bins, top bin open — fixed (not quantile-fit) so the binning is
+    * stable across batches and engines, which is what makes drift
+    * COMPARABLE over time. */
+  private val DriftBins = 8
+
+  private[analytics] def driftBin: Column =
+    least(floor(size(tokens) / 16).cast("long"), lit(DriftBins - 1L))
+
+  /** Per-source distribution drift vs the corpus — the data-quality
+    * monitor every multi-vendor ingest runs: PSI (population stability
+    * index) of each source's token-count distribution against the
+    * corpus-wide reference, with add-one smoothing over the fixed
+    * [[DriftBins]] bins so empty bins never produce log(0). PSI reads:
+    * < 0.1 stable, 0.1–0.25 drifting, > 0.25 investigate — the gate
+    * reports the index and the largest single-bin share shift so the
+    * report says WHERE the distribution moved, not just that it did.
+    *
+    * Scale shape: everything is |sources|×[[DriftBins]]-bounded — one
+    * narrow scan to (source, bin) partial-agg counts, the corpus
+    * reference is the bin-marginal of the same table (8 rows,
+    * broadcast), and the PSI sum runs over ≤ 8 rows per source. The
+    * per-bin contributions are Det-rounded before the decimal sum so
+    * the index is bit-identical across engines and partitionings. */
+  def t32SourceDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("source"), driftBin.as("bin"))
+    driftRollup(spark,
+      d.groupBy("source", "bin").agg(count(lit(1)).as("c")),
+      d.groupBy("bin").agg(count(lit(1)).as("cc")),
+      d.groupBy().agg(count(lit(1)).cast("double").as("nc")))
+  }
+
+  /** The PSI rollup over a (source, bin, c) count table vs a corpus
+    * reference — split out so st14's streaming drive (whose state
+    * snapshot IS such a count table) shares the exact computation with
+    * the batch gate. */
+  private[analytics] def driftRollup(spark: SparkSession, perSrc: DataFrame,
+                                     corpus: DataFrame, corpusTotal: DataFrame): DataFrame = {
+    // dense (source × bin) grid so add-one smoothing covers bins a
+    // source never hit. The source list is label-bounded METADATA, so
+    // it collects to the driver (|sources| strings) and re-enters as a
+    // fresh literal frame — which also sidesteps the self-join
+    // attribute conflict a perSrc-derived grid would hit when perSrc
+    // is a memory-sink view (st14's snapshot)
+    val sources = perSrc.select("source").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    import spark.implicits._
+    val grid = sources.toDF("source")
+      .crossJoin(spark.range(DriftBins).select(col("id").as("bin")))
+    val joined = grid
+      .join(perSrc, Seq("source", "bin"), "left")
+      .join(broadcast(corpus), Seq("bin"), "left")
+      .crossJoin(broadcast(corpusTotal))
+      .select(col("source"), col("bin"),
+        coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("cc"), lit(0L)).as("cc"), col("nc"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    val contrib = joined
+      .withColumn("nsrc", sum(col("c")).over(w).cast("double"))
+      .withColumn("p", (col("c") + 1.0) / (col("nsrc") + lit(DriftBins.toDouble)))
+      .withColumn("q", (col("cc") + 1.0) / (col("nc") + lit(DriftBins.toDouble)))
+      .withColumn("contrib", Det.dround((col("p") - col("q")) * log(col("p") / col("q")), 9))
+      .withColumn("shift", Det.dround(abs(col("p") - col("q")), 6))
+    contrib.groupBy("source")
+      .agg(sum(col("c")).as("n_docs"),
+           Det.dround(Det.sumDec9(col("contrib")), 6).as("psi"),
+           max(col("shift")).as("max_bin_shift"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_distribution" -> t01LangDistribution _,
     "t02_token_counts"      -> t02TokenCounts _,
@@ -749,6 +819,7 @@ object TextOps {
     "t25_dsir_weights"      -> t25DsirWeights _,
     "t26_topk_ngrams"       -> t26TopkNgrams _,
     "t31_heavy_hitters"     -> t31HeavyHitters _,
+    "t32_source_drift"      -> t32SourceDrift _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -771,6 +842,31 @@ object TextOps {
        FROM hit ORDER BY doc_id"""
 
   val oracleSql: Map[String, String] = Map(
+    "t32_source_drift" ->
+      """WITH d AS (SELECT source,
+              least(CAST(floor(len(string_split_regex(trim(text), '\s+')) / 16) AS BIGINT), 7) bin
+             FROM documents),
+          ps AS (SELECT source, bin, count(*) c FROM d GROUP BY 1, 2),
+          cb AS (SELECT bin, count(*) cc FROM d GROUP BY 1),
+          tot AS (SELECT CAST(count(*) AS DOUBLE) nc FROM d),
+          grid AS (SELECT s.source, b.bin
+                   FROM (SELECT DISTINCT source FROM ps) s,
+                        (SELECT unnest(range(0, 8)) bin) b),
+          j AS (SELECT g.source, g.bin, coalesce(ps.c, 0) c,
+                 coalesce(cb.cc, 0) cc, nc
+                FROM grid g
+                LEFT JOIN ps ON g.source = ps.source AND g.bin = ps.bin
+                LEFT JOIN cb ON g.bin = cb.bin, tot),
+          k AS (SELECT *, CAST(sum(c) OVER (PARTITION BY source) AS DOUBLE) nsrc FROM j),
+          m AS (SELECT source, c,
+                 (c + 1.0) / (nsrc + 8.0) p, (cc + 1.0) / (nc + 8.0) q FROM k),
+          ct AS (SELECT source, c,
+                 floor(((p - q) * ln(p / q)) * 1000000000.0 + 0.5) / 1000000000.0 contrib,
+                 floor(abs(p - q) * 1000000.0 + 0.5) / 1000000.0 shift FROM m)
+         SELECT source, CAST(sum(c) AS BIGINT) AS n_docs,
+          floor((CAST(sum(CAST(contrib AS DECIMAL(18,9))) AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS psi,
+          max(shift) AS max_bin_shift
+         FROM ct GROUP BY source ORDER BY source""",
     "t26_topk_ngrams" ->
       """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') t FROM documents),
           g AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-3),

@@ -112,7 +112,10 @@ object ScaleProbe {
       "t26_topk_ngrams", "st12_stream_anomaly", "s11_ivf_append",
       // t31: O(k) summaries per partition — the only thing that grows
       // with corpus size is the narrow token scan
-      "st13_stream_vec_append", "t31_heavy_hitters")
+      "st13_stream_vec_append", "t31_heavy_hitters",
+      // t32/st14: |sources|×|bins|-bounded state; only the narrow
+      // token scan grows with the corpus
+      "t32_source_drift", "st14_stream_drift")
       // SPARK_GRAFT_ONLY=a,b,c restricts the sweep (dev iteration knob)
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").contains(n)))
