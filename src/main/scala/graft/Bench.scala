@@ -170,7 +170,7 @@ object Bench {
     // first-run query.
     val results = pass()
     val warm = pass()
-    def fmt(rs: Seq[(String, Double)], dec: Int = 9) =
+    def fmt(rs: Seq[(String, Double)], dec: Int) =
       rs.map { case (k, v) =>
         s"\"" + k + "\":" + BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP)
       }.mkString("{", ",", "}")
@@ -179,18 +179,35 @@ object Bench {
     // clean one; the errors list below carries the failures
     val total = results.collect { case (_, t) if t > 0 => t }.sum
     val totalWarm = warm.collect { case (_, t) if t > 0 => t }.sum
-    // warm pass on its own line, BEFORE the primary line and without
-    // the substring "metric": the driver keeps only the tail of the
-    // output and extracts the line containing "metric", so the primary
-    // line must stay last (fully inside the tail window) and unique
-    val warmTotal = BigDecimal(totalWarm).setScale(3, BigDecimal.RoundingMode.HALF_UP)
     // errored queries (negative durations) ALSO listed by name, so a
     // consumer skimming the JSON can never read a failure as a fast
     // query; the union covers both passes
     val errors = (results ++ warm).filter(_._2 < 0).map(_._1).distinct.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"warm_total":$warmTotal,"queries_warm":${fmt(warm, 3)},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${fmt(results)},"errors":$errors,"sf":"$sfDir"}""")
+    // the consumer of the stdout line keeps only a ~2000-char tail, so
+    // the metric line carries ONLY totals + per-family subtotals +
+    // errors; the full per-query cold+warm maps (which at 119 queries
+    // run ~5 KB and were getting truncated) go to a JSON file instead
+    val perQueryFile = java.nio.file.Paths.get("target", "bench_queries.json")
+    java.nio.file.Files.createDirectories(perQueryFile.getParent)
+    java.nio.file.Files.write(perQueryFile,
+      (s"""{"sf":"$sfDir","n":${results.size},""" +
+        s""""queries":${fmt(results, 9)},""" +
+        s""""queries_warm":${fmt(warm, 9)},""" +
+        s""""errors":$errors}""" + "\n").getBytes("UTF-8"))
+    // per-family (gate-prefix) subtotals of successful queries: small
+    // enough to survive the tail window, coarse enough to localize a
+    // regression to dedup vs streaming vs ANN vs text without the file
+    def family(name: String) = name.takeWhile(c => !c.isDigit)
+    def famTotals(rs: Seq[(String, Double)]) =
+      rs.collect { case (n, t) if t > 0 => family(n) -> t }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+    val sc3 = (v: Double) => BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    val fams = famTotals(results)
+      .map { case (f, t) => s"\"$f\":${sc3(t)}" }.mkString("{", ",", "}")
+    val famsWarm = famTotals(warm)
+      .map { case (f, t) => s"\"$f\":${sc3(t)}" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${sc3(total)},"unit":"sec","total_warm":${sc3(totalWarm)},"n_queries":${results.size},"families":$fams,"families_warm":$famsWarm,"errors":$errors,"per_query_file":"$perQueryFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }
