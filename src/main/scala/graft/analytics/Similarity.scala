@@ -749,18 +749,39 @@ object Similarity {
     * assignment pass + a write bounded by the BATCH, never the stored
     * corpus — the property that makes the layout maintainable at
     * 100 TB (periodic refit/rebalance is a separate offline
-    * [[writeIvfCorpus]] run). `vecs` is (vec_id, embedding). */
+    * [[writeIvfCorpus]] run). `vecs` is (vec_id, embedding) plus any
+    * metadata columns the stored layout denormalizes (s13's `lang`) —
+    * extra columns ride through the append, and the batch's resulting
+    * column set must MATCH the stored layout's, or the call fails fast:
+    * silently appending a narrower schema would read back null metadata
+    * and make filtered probes drop every appended vector. */
   def appendIvfCorpus(spark: SparkSession, out: String, vecs: DataFrame): Unit =
-    appendIvfCorpusWith(readIvfCodebook(spark, out), out, vecs)
+    appendIvfCorpusWith(readIvfCodebook(spark, out), out, vecs,
+      spark.read.parquet(out).columns.toSet)
 
-  /** [[appendIvfCorpus]] with a pre-collected codebook — the per-batch
-    * entry a streaming ingest loop uses so the K-row codebook read
-    * happens once per stream, not once per microbatch. */
+  /** [[appendIvfCorpus]] with a pre-collected codebook and stored
+    * column set — the per-batch entry a streaming ingest loop uses so
+    * the K-row codebook read and the layout-schema listing happen once
+    * per stream, not once per microbatch. */
   private[analytics] def appendIvfCorpusWith(cents: Array[(Int, Array[Double])],
-                                             out: String, vecs: DataFrame): Unit = {
+                                             out: String, vecs: DataFrame,
+                                             storedCols: Set[String]): Unit = {
     import graft.functions.VectorFunctions._
+    // the stored layout defines the schema: carry exactly its metadata
+    // columns through the append (batch columns the layout doesn't
+    // store are dropped), and fail fast when the batch can't supply
+    // one — silently appending a narrower schema would read back null
+    // metadata and filtered probes would drop every appended vector
+    val meta = (storedCols -- Set("vec_id", "v", "norm", "cell")).toSeq.sorted
+    val missing = meta.filterNot(vecs.columns.contains)
+    require(missing.isEmpty,
+      s"IVF append schema mismatch: stored layout carries metadata column(s) " +
+        s"[${missing.mkString(", ")}] the batch does not provide — appended " +
+        "rows would read back with null metadata and filtered probes would " +
+        "silently drop them")
     vecs
-      .select(col("vec_id"), as_double_array(col("embedding")).as("v"))
+      .select(col("vec_id") +: as_double_array(col("embedding")).as("v") +:
+        meta.map(col): _*)
       .withColumn("norm", array_norm(col("v")))
       .withColumn("cell", cellOf(cents, col("v"), col("norm")))
       .repartition(col("cell"))
@@ -888,26 +909,57 @@ object Similarity {
     * file per touched cell; without maintenance a year of microbatches
     * is a year of files). Same shape as the TableStore compactor:
     * snapshot → rewrite to a sibling `_compacting` dir → swap, with
-    * the codebook carried over byte-for-byte — content, partition
+    * every underscore sidecar (`_codebook`, and the PQ layout's
+    * `_pq_codebooks`) carried over byte-for-byte — content, partition
     * keys, and pruning are untouched (IvfAppendSpec pins all three).
-    * Single-writer maintenance step, like the offline refit. */
+    *
+    * Crash consistency: the swap is two renames — live layout aside to
+    * `out_old`, then `_compacting` into place — never a delete of live
+    * data before the replacement exists. A crash between the renames
+    * leaves the canonical path briefly absent but the full layout
+    * intact at `out_old` (and the compacted copy at `_compacting`);
+    * a failed second rename restores `out_old` in-process. Leftover
+    * `_compacting`/`_old` dirs from a crashed run are cleared on the
+    * next invocation. The window where `out` does not resolve means
+    * compaction is a SINGLE-MAINTAINER step: the owning ingest loop
+    * (st13's drive) runs it inline between its own probes/appends,
+    * never concurrently with them — IvfAppendSpec pins the interleaved
+    * probe/append/compact sequence losing and duplicating nothing. */
   def compactIvfCorpus(spark: SparkSession, out: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
-    val tmp = out + "_compacting"
+    import scala.util.Using
+    def deleteTree(p: Path): Unit = if (Files.exists(p))
+      Using.resource(Files.walk(p)) { st =>
+        st.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
+    val tmp = Paths.get(out + "_compacting")
+    val old = Paths.get(out + "_old")
+    deleteTree(tmp); deleteTree(old)
     spark.read.parquet(out)
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    val srcBook = Paths.get(s"$out/_codebook")
-    val dstBook = Paths.get(s"$tmp/_codebook")
-    Files.createDirectories(dstBook)
-    Files.list(srcBook).iterator().asScala.filter(Files.isRegularFile(_)).foreach { p =>
-      Files.copy(p, dstBook.resolve(p.getFileName.toString),
-        StandardCopyOption.REPLACE_EXISTING)
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    // sidecars are underscore-prefixed, so the snapshot read above
+    // never sees them — copy each one over verbatim
+    Using.resource(Files.list(Paths.get(out))) { sides =>
+      sides.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("_") && Files.isDirectory(p))
+        .foreach { side =>
+          val dstSide = tmp.resolve(side.getFileName.toString)
+          Files.createDirectories(dstSide)
+          Using.resource(Files.list(side)) { fs =>
+            fs.iterator().asScala.filter(Files.isRegularFile(_)).foreach { p =>
+              Files.copy(p, dstSide.resolve(p.getFileName.toString),
+                StandardCopyOption.REPLACE_EXISTING)
+            }
+          }
+        }
     }
     val dst = Paths.get(out)
-    Files.walk(dst).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    Files.move(Paths.get(tmp), dst)
+    Files.move(dst, old)
+    try Files.move(tmp, dst)
+    catch { case e: Throwable => Files.move(old, dst); throw e }
+    deleteTree(old)
   }
 
   /** s11 gate: incremental-ingest round trip — write a base layout

@@ -379,13 +379,14 @@ object StreamingQueries {
                                         compactEvery: Int = 8): Unit = {
     val s = EventStream.boundedDriveSession(spark)
     val cents = Similarity.readIvfCodebook(s, out)
+    val storedCols = s.read.parquet(out).columns.toSet
     val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = EventStream.readEmbeddingsStream(s, streamDir, maxFilesPerTrigger)
       .filter(col("vec_id") % 2 =!= 0)
       .writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        Similarity.appendIvfCorpusWith(cents, out, batch)
+        Similarity.appendIvfCorpusWith(cents, out, batch, storedCols)
         // in-line maintenance, same knob as the event-store ingest:
         // every compactEvery batches the cell dirs are rewritten to one
         // file each, so probe read amplification is bounded by the

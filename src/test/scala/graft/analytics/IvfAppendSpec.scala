@@ -86,6 +86,83 @@ class IvfAppendSpec extends AnyFunSuite {
       "compaction changed probe results")
   }
 
+  test("interleaved append/probe/compact loses nothing; crashed-run leftovers are cleared") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft-ivf-interleave-spec")
+    val out = s"$tmp/corpus"
+    val all = Dedup.normalizedVectors(spark, dir)
+    Similarity.writeIvfLayout(all.filter(col("vec_id") % 4 === 0), out, k = 8, iters = 5)
+    // simulate a compaction that crashed mid-run: stale sibling dirs
+    // (junk `_compacting` from before the swap, `_old` from between the
+    // renames) must not poison the next maintenance pass
+    Files.createDirectories(Paths.get(out + "_compacting/cell=0"))
+    Files.write(Paths.get(out + "_compacting/junk.txt"), "stale".getBytes)
+    Files.createDirectories(Paths.get(out + "_old"))
+    Files.write(Paths.get(out + "_old/junk.txt"), "stale".getBytes)
+    // the single-maintainer loop: append a quarter, compact, probe,
+    // append the rest, compact, probe — content must equal the one-shot
+    // assignment at every step and the two probes must agree
+    def storedIds() = spark.read.parquet(out).select("vec_id")
+    Similarity.appendIvfCorpus(spark, out,
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 4 === 1))
+    Similarity.compactIvfCorpus(spark, out)
+    assert(!Files.exists(Paths.get(out + "_compacting")), "stale _compacting survived")
+    assert(!Files.exists(Paths.get(out + "_old")), "stale _old survived")
+    val half = all.filter(col("vec_id") % 4 <= 1).select("vec_id")
+    assert(storedIds().exceptAll(half).isEmpty && half.exceptAll(storedIds()).isEmpty,
+      "first append+compact lost or duplicated vectors")
+    val queries = spark.read.parquet(out).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val probe1 = Similarity.ivfStoredTopK(spark, out, queries, k = 5, nProbe = 2)
+      .collect().map(_.toSeq).toSeq
+    Similarity.appendIvfCorpus(spark, out,
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 4 >= 2))
+    Similarity.compactIvfCorpus(spark, out)
+    val allIds = all.select("vec_id")
+    assert(storedIds().exceptAll(allIds).isEmpty && allIds.exceptAll(storedIds()).isEmpty,
+      "second append+compact lost or duplicated vectors")
+    // the first probe's result set must be reproducible from the grown
+    // layout restricted to the rows it saw (compaction/append never
+    // mutate or drop rows a reader already returned); the query frame
+    // is re-derived — the earlier one indexes swapped-out part files
+    val queriesAgain = spark.read.parquet(out)
+      .filter(col("vec_id") % 100 === 0 && col("vec_id") % 4 <= 1)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val probe1Again = Similarity.ivfStoredTopK(spark, out,
+        queriesAgain, k = 5, nProbe = 2)
+      .join(spark.read.parquet(out).filter(col("vec_id") % 4 <= 1)
+        .select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"), "left_semi")
+    assert(probe1.nonEmpty && probe1Again.count() >= probe1.size / 2,
+      "grown layout no longer reproduces the earlier probe's neighbor set")
+  }
+
+  test("append fails fast on a schema mismatch; metadata columns ride through") {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft-ivf-schema-spec")
+    val out = s"$tmp/corpus"
+    // layout with a denormalized metadata column (the s13 shape)
+    val corpus = Dedup.normalizedVectors(spark, dir)
+      .join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
+    Similarity.writeIvfLayout(corpus.filter(col("vec_id") % 2 === 0), out, k = 8, iters = 5)
+    // appending WITHOUT the metadata column must fail loudly, not
+    // write rows that read back with null lang
+    val bare = Tables.embeddings(spark, dir).filter(col("vec_id") % 2 =!= 0)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendIvfCorpus(spark, out, bare)
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+    // appending WITH it carries the values into the layout, so a
+    // filtered probe sees the appended vectors
+    Similarity.appendIvfCorpus(spark, out,
+      bare.join(Tables.documents(spark, dir)
+        .select(col("doc_id").as("vec_id"), col("lang")), "vec_id"))
+    val appendedEn = spark.read.parquet(out)
+      .filter(col("vec_id") % 2 =!= 0 && col("lang") === "en")
+    assert(appendedEn.count() > 0, "appended rows lost their metadata column")
+    assert(spark.read.parquet(out).filter(col("lang").isNull).count() == 0)
+  }
+
   test("s11 gate recall floor vs the exact baseline") {
     // the half-corpus codebook costs some recall vs s03's full-corpus
     // fit (0.74 vs 0.78 at sf0.01) — the floor catches a degenerate
