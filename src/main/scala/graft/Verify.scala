@@ -85,7 +85,16 @@ object Verify {
           "s11_recall10" -> recall("s11_ivf_append", "s01_ann_bruteforce", "query_id").toString,
           // stored filtered probe (partition-pruned + pushed predicate)
           // vs the exact filtered baseline
-          "s13_recall10" -> recall("s13_filtered_ivf_stored", "s12_filtered_ann", "query_id").toString) ++ {
+          "s13_recall10" -> recall("s13_filtered_ivf_stored", "s12_filtered_ann", "query_id").toString,
+          // the PQ-coded stored index shares s04's exact fit paths and
+          // parameters, so its probe must equal the in-memory IVF-PQ
+          // result exactly — plus the recall floor vs the exact baseline
+          "s14_eq_s04" -> {
+            val s04 = read("s04_ann_ivfpq"); val s14 = read("s14_ivf_pq_stored")
+            (s14.count() == s04.count() &&
+              s14.exceptAll(s04).isEmpty && s04.exceptAll(s14).isEmpty).toString
+          },
+          "s14_recall10" -> recall("s14_ivf_pq_stored", "s01_ann_bruteforce", "query_id").toString) ++ {
           // t27: the distributed BPE merge table must equal a single-node
           // re-learn from the same fixture, exactly (order included)
           import org.apache.spark.sql.functions.{count, explode, lit, lower, split, trim}

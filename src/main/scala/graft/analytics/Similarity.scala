@@ -902,6 +902,132 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  // ---- stored IVF-PQ: the product-quantized index ON DISK ----
+
+  /** Persist the full IVF-PQ index: the hot index is the nibble-packed
+    * PQ codes — ONE int per vector (M=8 subspaces × 4-bit codes), plus
+    * id and norm — cell-partitioned exactly like [[writeIvfCorpus]],
+    * so the ADC probe pays partition pruning over a layout ~26× smaller
+    * per row than the raw-f64 layout (20 bytes vs 528). Raw vectors go
+    * to a `_refine` sidecar with the SAME cell partitioning: underscore
+    * paths are invisible to the code scan, and the exact-refine step
+    * reads them pruned to the probed cells — the hot/cold split a real
+    * deployment runs, where the code index fits executor memory and the
+    * refine store stays on cheap storage. Both quantizers train on one
+    * bounded driver sample ([[localFitSample]]); codebooks persist as
+    * `_codebook` (coarse, K rows) and `_pq_codebooks` (M×Ks rows), so
+    * probe sessions never refit. Fit paths and parameters are
+    * bit-identical to [[s04IvfPqTopK]]'s in-memory pipeline — Verify
+    * pins `s14_eq_s04` as an exact differential invariant. */
+  private[analytics] def writeIvfPqLayout(corpus: DataFrame, out: String,
+                                          k: Int = 16, iters: Int = 10): Unit = {
+    val e = corpus.cache()
+    try {
+      val sample = localFitSample(e)
+      val cents = lloydIvf(sample, k, iters)
+      val books = lloydPq(sample, iters = 8)
+      val assigned = e.withColumn("cell", cellOf(cents, col("v"), col("norm")))
+      // nibble-pack the M 4-bit codes into one int: m-th code in bits
+      // [4m, 4m+4) — builtin shift/or expressions, fully codegen'd
+      val code = (0 until PqM).map(m =>
+          shiftleft(pqCell(books(m), subv(col("v"), m)), 4 * m))
+        .reduce(_.bitwiseOR(_))
+      assigned.select(col("vec_id"), col("norm"), col("cell"), code.as("code"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(out)
+      assigned.select(col("vec_id"), col("v"), col("norm"), col("cell"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/_refine")
+      val spark2 = corpus.sparkSession
+      import spark2.implicits._
+      cents.toSeq.map { case (c, v) => (c, v.toSeq) }
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/_codebook")
+      (for { m <- 0 until PqM; cell <- 0 until PqKs }
+        yield (m, cell, books(m)(cell).toSeq))
+        .toDF("m", "cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$out/_pq_codebooks")
+    } finally e.unpersist()
+  }
+
+  /** The per-subspace PQ codebooks persisted by [[writeIvfPqLayout]] —
+    * M×Ks rows, one driver-side collect. */
+  def readPqCodebooks(spark: SparkSession, out: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$out/_pq_codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    Array.tabulate(PqM)(m =>
+      rows.filter(_._1 == m).sortBy(_._2).map(_._3))
+  }
+
+  /** Probe a [[writeIvfPqLayout]] index: both codebooks are K-row /
+    * M×Ks-row driver reads, the probed cells land as PARTITION filters
+    * on the code scan (so the ADC pass reads nProbe/K of an index
+    * already ~26× smaller than the vectors), the ADC cosine is M
+    * nibble-extractions + LUT lookups per row — all builtin codegen'd
+    * expressions — and the `refine·k` shortlist is exact-reranked
+    * against the `_refine` raw-vector sidecar read pruned to the SAME
+    * probed cells (every shortlist id lives in a probed cell, so the
+    * pruning is lossless). Everything after the ADC scan is
+    * query-bounded, never corpus-bounded. */
+  def ivfPqStoredTopK(spark: SparkSession, out: String,
+                      queries: DataFrame, k: Int,
+                      nProbe: Int = 8, refine: Int = 16): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val centroids = readIvfCodebook(spark, out)
+    val books = readPqCodebooks(spark, out)
+    // per-query ADC lookup table, same shape as [[ivfPqTopK]]'s
+    val luts = array((0 until PqM).map { m =>
+      array((0 until PqKs).map { cell =>
+        array_dot(subv(col("qv"), m), typedLit(books(m)(cell).toSeq))
+      }: _*)
+    }: _*)
+    val probes = queries.select(col("query_id"), col("qv"), col("qnorm"), luts.as("luts"),
+      explode(slice(array_sort(cellScores(centroids, col("qv"), col("qnorm"))),
+        1, nProbe).getField("cell")).as("cell"))
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val codeScan = spark.read.parquet(out)
+      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+    val adcSum = (0 until PqM).map { m =>
+      element_at(element_at(col("luts"), m + 1),
+        shiftright(col("code"), 4 * m).bitwiseAND(lit(15)) + 1)
+    }.reduce(_ + _)
+    val adc = codeScan
+      .join(broadcast(probes.drop("qv")), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (adcSum / (col("qnorm") * col("norm"))).as("adc_sim"))
+    val shortlist = rankTopK(adc, k * refine, "adc_sim")
+      .select(col("query_id"), col("neighbor_id"))
+    val refineScan = spark.read.parquet(s"$out/_refine")
+      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+      .select(col("vec_id").as("neighbor_id"), col("v"), col("norm"))
+    val exact = shortlist
+      .join(refineScan, "neighbor_id")
+      .join(broadcast(queries.select(col("query_id"), col("qv"), col("qnorm"))), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(array_dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4).as("cos_sim"))
+    rankTopK(exact, k)
+  }
+
+  /** s14 gate: the PQ-coded stored index end to end — write codes +
+    * refine sidecar + both codebooks, read everything back from disk,
+    * probe with the standard query set. Same fit, parameters, and
+    * ranking as s04's in-memory IVF-PQ, so the result must EQUAL s04's
+    * exactly (Verify emits `s14_eq_s04`); rows-only gate (k-means).
+    * PlanSpec pins cell PartitionFilters on BOTH the code scan and the
+    * refine scan. */
+  def s14IvfPqStored(spark: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft-ivfpq-corpus")
+      .resolve("corpus").toString
+    writeIvfPqLayout(Dedup.normalizedVectors(spark, dir), out)
+    val queries = spark.read.parquet(s"$out/_refine")
+      .filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    ivfPqStoredTopK(spark, out, queries, k = 10)
+      .orderBy("query_id", "rnk")
+  }
+
   /** Compact a [[writeIvfCorpus]] layout: rewrite each cell's
     * accumulated append files into one file per cell, so the probe's
     * per-cell read amplification stays bounded however long an ingest
@@ -940,17 +1066,17 @@ object Similarity {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
     // sidecars are underscore-prefixed, so the snapshot read above
-    // never sees them — copy each one over verbatim
+    // never sees them — copy each one over verbatim (recursively: the
+    // PQ layout's `_refine` sidecar is itself cell-partitioned)
     Using.resource(Files.list(Paths.get(out))) { sides =>
       sides.iterator().asScala
         .filter(p => p.getFileName.toString.startsWith("_") && Files.isDirectory(p))
         .foreach { side =>
-          val dstSide = tmp.resolve(side.getFileName.toString)
-          Files.createDirectories(dstSide)
-          Using.resource(Files.list(side)) { fs =>
-            fs.iterator().asScala.filter(Files.isRegularFile(_)).foreach { p =>
-              Files.copy(p, dstSide.resolve(p.getFileName.toString),
-                StandardCopyOption.REPLACE_EXISTING)
+          Using.resource(Files.walk(side)) { fs =>
+            fs.iterator().asScala.foreach { p =>
+              val dstP = tmp.resolve(Paths.get(out).relativize(p).toString)
+              if (Files.isDirectory(p)) Files.createDirectories(dstP)
+              else Files.copy(p, dstP, StandardCopyOption.REPLACE_EXISTING)
             }
           }
         }
@@ -1036,6 +1162,7 @@ object Similarity {
     "s11_ivf_append"     -> s11IvfAppend _,
     "s12_filtered_ann"   -> s12FilteredAnn _,
     "s13_filtered_ivf_stored" -> s13FilteredIvfStored _,
+    "s14_ivf_pq_stored"  -> s14IvfPqStored _,
   )
 
   val oracleSql: Map[String, String] = Map(

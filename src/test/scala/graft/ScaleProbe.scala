@@ -115,7 +115,10 @@ object ScaleProbe {
       "st13_stream_vec_append", "t31_heavy_hitters",
       // t32/st14: |sources|×|bins|-bounded state; only the narrow
       // token scan grows with the corpus
-      "t32_source_drift", "st14_stream_drift")
+      "t32_source_drift", "st14_stream_drift",
+      // s14: ADC scan over the nibble-packed code index pruned to
+      // nProbe cells; refine is shortlist-bounded
+      "s14_ivf_pq_stored")
       // SPARK_GRAFT_ONLY=a,b,c restricts the sweep (dev iteration knob)
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").contains(n)))

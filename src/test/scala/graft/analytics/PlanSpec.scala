@@ -286,6 +286,42 @@ class PlanSpec extends AnyFunSuite {
       s"lang predicate not pushed into the probe scan:\n$plan")
   }
 
+  test("s14 PQ stored probe: code scan AND refine scan carry cell PartitionFilters") {
+    // the PQ index on disk: the ADC pass reads the nibble-packed code
+    // layout pruned to the probed cells, and the exact-refine pass
+    // reads the raw-vector sidecar pruned to the SAME cells — both
+    // scans partition-pruned, neither ever a full-layout read
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-plan")
+      .resolve("corpus").toString
+    Similarity.writeIvfPqLayout(Dedup.normalizedVectors(spark, dir), tmp, k = 8, iters = 3)
+    // one query vector as a LOCAL frame, so the only scans in the plan
+    // are the probe's own code + refine scans (the s09 test's trick)
+    val one = spark.read.parquet(s"$tmp/_refine").orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("v"), col("norm")).collect().head
+    val spark2 = spark
+    import spark2.implicits._
+    val queries = Seq((one.getLong(0), one.getSeq[Double](1), one.getDouble(2)))
+      .toDF("query_id", "qv", "qnorm")
+    val plan = Similarity.ivfPqStoredTopK(spark, tmp, queries, k = 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("corpus")).toList
+    val (refineScans, codeScans) = scans.partition(_.contains("_refine"))
+    assert(codeScans.length == 1,
+      s"expected exactly one code scan, got ${codeScans.length}:\n$plan")
+    assert(refineScans.length == 1,
+      s"expected exactly one refine scan, got ${refineScans.length}:\n$plan")
+    for ((scan, label) <- Seq((codeScans.head, "code"), (refineScans.head, "refine")))
+      assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(scan).isDefined,
+        s"$label scan lost its cell PartitionFilters:\n$scan")
+    // the hot index reads codes, never raw vectors: the code scan's
+    // schema must not contain the vector column
+    assert("ReadSchema: [^\\n]*code".r.findFirstIn(codeScans.head).isDefined &&
+        !codeScans.head.matches("(?s).*ReadSchema: [^\\n]*\\bv\\b.*"),
+      s"code scan must read codes only, not raw vectors:\n${codeScans.head}")
+  }
+
   test("t26 gram cut is TakeOrderedAndProject over partial aggregates; no count-distinct shuffle") {
     val plan = TextOps.t26TopkNgrams(spark, dir)
       .queryExecution.executedPlan.toString

@@ -120,6 +120,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaStore == inMemory, "stored-layout probe diverged from the in-memory IVF path")
   }
 
+  test("s14 PQ stored probe equals s04 exactly (codes + codebooks + refine round trip)") {
+    // same bounded fit sample, same Lloyd paths for both quantizers,
+    // same nProbe/refine — the nibble-packed code round trip, the
+    // persisted codebooks, and the pruned refine lookup must be
+    // semantically invisible. This is the equality Verify emits as the
+    // s14_eq_s04 invariant.
+    val viaStore = Similarity.s14IvfPqStored(spark, dir).collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    val inMemory = Similarity.s04IvfPqTopK(spark, dir).collect().map(_.toSeq).toSeq
+    spark.catalog.clearCache()
+    assert(viaStore.nonEmpty)
+    assert(viaStore == inMemory, "PQ stored probe diverged from the in-memory IVF-PQ path")
+  }
+
+  test("writeIvfPqLayout: every vector coded exactly once, codes nibble-decode to per-subspace cells") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft-ivfpq-roundtrip")
+      .resolve("corpus").toString
+    Similarity.writeIvfPqLayout(Dedup.normalizedVectors(spark, dir), out, k = 8, iters = 3)
+    val codes = spark.read.parquet(out)
+    val refine = spark.read.parquet(s"$out/_refine")
+    val n = Tables.embeddings(spark, dir).count()
+    assert(codes.count() == n, "code layout dropped or duplicated vectors")
+    assert(refine.count() == n, "refine sidecar dropped or duplicated vectors")
+    // code and refine sidecar agree on every vector's cell
+    val cellMismatch = codes.select(col("vec_id"), col("cell").as("code_cell"))
+      .join(refine.select(col("vec_id"), col("cell")), "vec_id")
+      .filter(col("code_cell") =!= col("cell")).count()
+    assert(cellMismatch == 0, s"$cellMismatch vectors in different cells across code/refine")
+    // every nibble is a valid sub-centroid id (0..15) and the books
+    // round-trip with full shape
+    val books = Similarity.readPqCodebooks(spark, out)
+    assert(books.length == 8 && books.forall(_.length == 16))
+    val badNibbles = codes.filter(
+      (0 until 8).map(m => org.apache.spark.sql.functions.shiftright(col("code"), 4 * m)
+        .bitwiseAND(org.apache.spark.sql.functions.lit(15)) > 15).reduce(_ || _)).count()
+    assert(badNibbles == 0)
+  }
+
   test("writeIvfCorpus persists every vector exactly once, partitioned by its assigned cell") {
     val out = java.nio.file.Files.createTempDirectory("graft-ivf-roundtrip")
       .resolve("corpus").toString
