@@ -94,7 +94,16 @@ object Verify {
             (s14.count() == s04.count() &&
               s14.exceptAll(s04).isEmpty && s04.exceptAll(s14).isEmpty).toString
           },
-          "s14_recall10" -> recall("s14_ivf_pq_stored", "s01_ann_bruteforce", "query_id").toString) ++ {
+          "s14_recall10" -> recall("s14_ivf_pq_stored", "s01_ann_bruteforce", "query_id").toString,
+          // the streamed query probe shares s09's layout, parameters,
+          // and query set, and each query is probed independently, so
+          // the union over microbatches must equal the in-memory IVF
+          // path exactly
+          "st15_eq_s03" -> {
+            val s03b = read("s03_ann_ivf"); val st15 = read("st15_stream_vec_query")
+            (st15.count() == s03b.count() &&
+              st15.exceptAll(s03b).isEmpty && s03b.exceptAll(st15).isEmpty).toString
+          }) ++ {
           // t27: the distributed BPE merge table must equal a single-node
           // re-learn from the same fixture, exactly (order included)
           import org.apache.spark.sql.functions.{count, explode, lit, lower, split, trim}

@@ -806,9 +806,18 @@ object Similarity {
     * exact rerank, bounded top-k. */
   def ivfStoredTopK(spark: SparkSession, out: String,
                     queries: DataFrame, k: Int, nProbe: Int = 6,
+                    where: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    ivfStoredTopKWith(readIvfCodebook(spark, out), spark, out, queries, k, nProbe, where)
+
+  /** [[ivfStoredTopK]] with a pre-collected codebook — the per-batch
+    * entry a query-serving stream uses so the K-row codebook read
+    * happens once per stream, not once per microbatch (st15's drive,
+    * the serving dual of [[appendIvfCorpusWith]]). */
+  private[analytics] def ivfStoredTopKWith(centroids: Array[(Int, Array[Double])],
+                    spark: SparkSession, out: String,
+                    queries: DataFrame, k: Int, nProbe: Int = 6,
                     where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import graft.functions.VectorFunctions._
-    val centroids = readIvfCodebook(spark, out)
     def probesOf(q: DataFrame) = q.select(col("query_id"), col("qv"), col("qnorm"),
       explode(slice(array_sort(cellScores(centroids, col("qv"), col("qnorm"))),
         1, nProbe).getField("cell")).as("cell"))

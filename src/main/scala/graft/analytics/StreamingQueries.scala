@@ -399,6 +399,59 @@ object StreamingQueries {
     q.stop()
   }
 
+  /** st15: streaming QUERIES against the stored IVF index — the
+    * serving half of the loop st13's ingest opened. A query stream
+    * arrives in microbatches; each batch is normalized and probed with
+    * [[Similarity.ivfStoredTopKWith]] (codebook collected ONCE per
+    * stream — the per-microbatch cost is the pruned probe itself, a
+    * nProbe/K-of-the-layout read bounded by the batch's query count),
+    * results appended to a parquet sink. Every query is probed
+    * independently, so the union over microbatches must EQUAL the
+    * one-shot batch probe of the full query set — and the gate's base
+    * layout, parameters, and query set are s09's, so the result must
+    * equal s03/s09 exactly (Verify emits `st15_eq_s03`);
+    * StreamVecQuerySpec pins trickle == one-shot == batch and that
+    * queries arriving AFTER an append see the appended vectors. */
+  def st15StreamVecQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-vec-query")
+    val out = root.resolve("corpus").toString
+    val results = root.resolve("results").toString
+    Similarity.writeIvfLayout(Dedup.normalizedVectors(spark, dir), out, k = 16, iters = 10)
+    vecQueryDrive(spark, dir, out, results, None)
+    spark.read.parquet(results).orderBy("query_id", "rnk")
+  }
+
+  /** The st15 drive: stream the embeddings table, keep the standard
+    * query ids (every 100th), probe the layout at `out` per microbatch,
+    * append each batch's top-k to `results`; split out for the spec's
+    * trickle drives. */
+  private[analytics] def vecQueryDrive(spark: SparkSession, streamDir: String,
+                                       out: String, results: String,
+                                       maxFilesPerTrigger: Option[Int],
+                                       k: Int = 10, nProbe: Int = 6): Unit = {
+    import graft.functions.VectorFunctions._
+    val s = EventStream.boundedDriveSession(spark)
+    val cents = Similarity.readIvfCodebook(s, out)
+    val q = EventStream.readEmbeddingsStream(s, streamDir, maxFilesPerTrigger)
+      .filter(col("vec_id") % 100 === 0)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val queries = batch
+            .select(col("vec_id").as("query_id"),
+              as_double_array(col("embedding")).as("qv"))
+            .withColumn("qnorm", array_norm(col("qv")))
+          Similarity.ivfStoredTopKWith(cents, batch.sparkSession, out,
+              queries, k, nProbe)
+            .write.mode("append").parquet(results)
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Streaming anomaly monitor — stateless z-score scoring against a
     * batch-fit per-type profile, |event_type|-bounded rollup
     * ([[EventStream.anomalyCounts]]); oracle-checked against the batch
@@ -424,6 +477,7 @@ object StreamingQueries {
     "st12_stream_anomaly"   -> st12StreamAnomaly _,
     "st13_stream_vec_append" -> st13StreamVecAppend _,
     "st14_stream_drift"      -> st14StreamDrift _,
+    "st15_stream_vec_query"  -> st15StreamVecQuery _,
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -118,7 +118,10 @@ object ScaleProbe {
       "t32_source_drift", "st14_stream_drift",
       // s14: ADC scan over the nibble-packed code index pruned to
       // nProbe cells; refine is shortlist-bounded
-      "s14_ivf_pq_stored")
+      "s14_ivf_pq_stored",
+      // st15: per-microbatch probe = pruned scan bounded by the batch's
+      // query count; codebook collected once per stream
+      "st15_stream_vec_query")
       // SPARK_GRAFT_ONLY=a,b,c restricts the sweep (dev iteration knob)
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").contains(n)))
