@@ -99,4 +99,27 @@ class BpeTrainSpec extends AnyFunSuite {
     // multi-character subwords must have emerged by merge 20
     assert(got.exists { case (_, a, b, _) => (a + b).replace("</w>", "").length >= 3 })
   }
+
+  test("merge table is a persisted artifact: trained once per corpus, read back exactly") {
+    // explicit artifact round trip
+    val out = java.nio.file.Files.createTempDirectory("graft-bpe-artifact")
+      .resolve("_bpe_merges").toString
+    BpeTrain.writeBpeMerges(spark, dir, out)
+    val viaArtifact = BpeTrain.readBpeMerges(spark, out)
+    val viaGate = BpeTrain.t27BpeMerges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(viaArtifact == viaGate, "artifact round trip changed the merge table")
+    // the gate's registry trains once per JVM: both gates resolve the
+    // SAME artifact path, and its files are untouched by later reads
+    val p1 = BpeTrain.mergesArtifact(spark, dir)
+    val mtimes = java.nio.file.Files.list(java.nio.file.Paths.get(p1)).toArray
+      .map(_.toString).sorted.mkString(",")
+    BpeTrain.t29BpeEncode(spark, dir).collect()
+    BpeTrain.t27BpeMerges(spark, dir).collect()
+    assert(BpeTrain.mergesArtifact(spark, dir) == p1,
+      "artifact registry re-trained for the same corpus")
+    val after = java.nio.file.Files.list(java.nio.file.Paths.get(p1)).toArray
+      .map(_.toString).sorted.mkString(",")
+    assert(after == mtimes, "a consumer rewrote the artifact")
+  }
 }
