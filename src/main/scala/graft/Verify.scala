@@ -156,7 +156,8 @@ object Verify {
             .groupBy("tok").agg(count(lit(1)).as("c"))
             .collect().map(r => (r.getString(0), r.getLong(1))).toMap
           val nTok = exactCounts.values.sum
-          val mgErr = nTok / 33 // k = 32 in the gate
+          // derived from the gate's own k so invariant and gate can't drift
+          val mgErr = nTok / (graft.analytics.TextOps.HeavyHittersK + 1)
           val sketch = read("t31_heavy_hitters").collect()
             .map(r => (r.getString(1), r.getLong(2))).toMap
           val allHeavyPresent = exactCounts

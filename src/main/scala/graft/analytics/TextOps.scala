@@ -699,7 +699,7 @@ object TextOps {
   /** Counter budget for [[t31HeavyHitters]] — every token with
     * frequency above N/(k+1) ≈ 3 % of the corpus is guaranteed
     * caught. */
-  private val HeavyHittersK = 32
+  private[graft] val HeavyHittersK = 32
 
   /** Corpus heavy hitters in ONE pass with O(k) state — the
     * Misra–Gries summary ([[graft.functions.FrequentItems]]), the

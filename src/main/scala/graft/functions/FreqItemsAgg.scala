@@ -7,7 +7,8 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -44,6 +45,16 @@ case class FrequentItems(
   require(k > 0, s"frequent_items needs k > 0, got $k")
 
   override def child: Expression = itemExpr
+
+  // Analysis-time contract: the item must be a string. Without this, a
+  // non-string column surfaces as an executor ClassCastException inside
+  // update() instead of a clear AnalysisException. (AbstractDataType is
+  // private[sql], so the check lives here rather than in inputTypes;
+  // the builders below coerce with an explicit cast first.)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (itemExpr.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"frequent_items requires a STRING item, got ${itemExpr.dataType.sql}")
 
   override def dataType: DataType = FrequentItems.resultType
   override def nullable: Boolean = false
@@ -162,5 +173,7 @@ object FrequentItems {
     * guaranteed present; `est ≤ true ≤ est + N/(k+1)`. */
   def frequent_items(item: Column, k: Int): Column =
     GraftColumnShim.column(
-      FrequentItems(GraftColumnShim.expression(item), k).toAggregateExpression())
+      // identity casts are erased by SimplifyCasts; non-strings coerce
+      FrequentItems(Cast(GraftColumnShim.expression(item), StringType), k)
+        .toAggregateExpression())
 }

@@ -65,6 +65,17 @@ class FreqItemsSpec extends AnyFunSuite {
     }
   }
 
+  test("non-string items are coerced at analysis time, not CCE'd at runtime") {
+    import spark.implicits._
+    // ImplicitCastInputTypes: an int column is cast to string during
+    // analysis — previously this ClassCastException'd inside update().
+    val sk = Seq(7, 7, 7, 9).toDF("item")
+      .groupBy().agg(frequent_items(col("item"), 4).as("hh"))
+      .select(explode(col("hh")).as("e")).select(col("e.item"), col("e.est"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(sk == Map("7" -> 3L, "9" -> 1L))
+  }
+
   test("null items are skipped, empty input yields an empty summary") {
     import spark.implicits._
     val sk = Seq(Some("a"), None, Some("a"), None).toDF("item")
