@@ -109,11 +109,54 @@ object StoreQueries {
     uris.map(u => (u, n)).toDF("uri", "n_imported").orderBy("uri")
   }
 
+  /** Incremental catalog refresh end-to-end (the §2.6 listing surface
+    * kept warm without re-walking): ingest the fixture, mutate it
+    * (add one asset, touch one — same size, newer mtime — delete one),
+    * `Catalog.refresh` the prior catalog, and prove with a parse
+    * accumulator that ONLY the changed files were re-parsed and that
+    * the refreshed catalog equals a from-scratch re-ingest. At millions
+    * of assets this is the difference between a full tree re-parse per
+    * sync and touching exactly the changed paths. */
+  def av05CatalogRefresh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val root = buildFixture()
+    val c0 = spark.sparkContext.longAccumulator("av05-parse-initial")
+    // localCheckpoint: freeze the rows so the post-mutation refresh
+    // cannot silently re-run the initial parse against the mutated tree
+    val cat0 = Catalog.ingest(spark, root.toString, Some(c0))
+      .localCheckpoint(true)
+    val n0 = cat0.count()
+    val add = root.resolve("project/experiment/ts/loc2_AERONET-od550aer_Column.json")
+    Files.writeString(add, """{"ts": 2}""")
+    val mod = root.resolve("project/experiment/menu.json")
+    Files.writeString(mod, """{"menu": 2}""") // same byte length: mtime must catch it
+    Files.setLastModifiedTime(mod, java.nio.file.attribute.FileTime.fromMillis(
+      Files.getLastModifiedTime(mod).toMillis + 5000))
+    Files.delete(root.resolve("project/experiment/ranges.json"))
+    val c1 = spark.sparkContext.longAccumulator("av05-parse-refresh")
+    val refreshed = Catalog.refresh(spark, cat0, root.toString, Some(c1))
+      .localCheckpoint(true)
+    val nRef = refreshed.count()
+    val full = Catalog.ingest(spark, root.toString)
+    val eq = refreshed.exceptAll(full).isEmpty && full.exceptAll(refreshed).isEmpty
+    val added = refreshed.filter(col("src_path") === add.toString).count()
+    val dropped = refreshed.filter(col("src_path").endsWith("/ranges.json")).count()
+    Seq(
+      ("a_initial_assets", n0),
+      ("b_files_reparsed_on_refresh", c1.value.longValue),
+      ("c_refreshed_assets", nRef),
+      ("d_added_asset_present", added),
+      ("e_deleted_asset_gone", if (dropped == 0) 1L else 0L),
+      ("f_refresh_equals_reingest", if (eq) 1L else 0L),
+    ).toDF("op", "value").orderBy("op")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "av01_catalog_ingest" -> av01CatalogIngest _,
     "av02_copy_etl"       -> av02CopyEtl _,
     "av03_filtered_reads" -> av03FilteredReads _,
     "av04_bulk_import"    -> av04BulkImport _,
+    "av05_catalog_refresh" -> av05CatalogRefresh _,
   )
 
   /** Store ops run on their own fixture assets → rows-only checks. */

@@ -120,7 +120,11 @@ object Catalog {
     val keyCols = Seq("src_path", "mtime_ms", "size_bytes")
     val unchanged = prior.join(ls, keyCols, "left_semi")
     val changedFiles = ls.join(prior.select(keyCols.map(col): _*), keyCols, "left_anti")
+    // a using-column semi join moves the join keys to the front; restore
+    // the canonical column order so refresh output is positionally
+    // interchangeable with ingest output (union/except safe)
     unchanged.unionByName(parse(spark, basedir, changedFiles, parseCounter))
+      .select(schema.map(col): _*)
   }
 
   /** Collect a catalog DataFrame back to QueryEntry values. */
