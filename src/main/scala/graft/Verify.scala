@@ -99,6 +99,18 @@ object Verify {
           // and query set, and each query is probed independently, so
           // the union over microbatches must equal the in-memory IVF
           // path exactly
+          // s15: the distributed projection's per-axis variance must
+          // reproduce the eigensolve's eigenvalues (PCA identity) and
+          // the captured-variance fractions must accumulate monotonically
+          "s15_proj_var_eq_eig" -> {
+            val rows = read("s15_pca_reduce").collect()
+              .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(3),
+                r.getDouble(4), r.getDouble(5))).sortBy(_._1)
+            val tie = rows.forall { case (_, eig, _, pm, pv) =>
+              math.abs(eig - pv) <= 2e-4 && math.abs(pm) <= 1e-4 }
+            val cum = rows.map(_._3)
+            (tie && cum.sameElements(cum.sorted) && cum.last <= 1.0001).toString
+          },
           "st15_eq_s03" -> {
             val s03b = read("s03_ann_ivf"); val st15 = read("st15_stream_vec_query")
             (st15.count() == s03b.count() &&
