@@ -115,6 +115,15 @@ object Verify {
             val s03b = read("s03_ann_ivf"); val st15 = read("st15_stream_vec_query")
             (st15.count() == s03b.count() &&
               st15.exceptAll(s03b).isEmpty && s03b.exceptAll(st15).isEmpty).toString
+          },
+          // st16: the streamed per-source quality rollup must equal the
+          // batch scorer's rollup under the same persisted artifact —
+          // the serving half of the t28 training loop
+          "st16_eq_batch" -> {
+            val st16 = read("st16_stream_quality")
+            val batch = graft.analytics.StreamingQueries.qualityBatch(spark, sfDir)
+            (st16.count() == batch.count() && st16.count() > 0 &&
+              st16.exceptAll(batch).isEmpty && batch.exceptAll(st16).isEmpty).toString
           }) ++ {
           // t27: the distributed BPE merge table must equal a single-node
           // re-learn from the same fixture, exactly (order included)

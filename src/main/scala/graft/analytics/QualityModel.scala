@@ -50,7 +50,14 @@ object QualityModel {
     * length/10, stopword ratio, type-token ratio — plus the t15
     * teacher label y. One narrow pass; every column is a codegen'd
     * expression over the token array. */
-  private[analytics] def features(spark: SparkSession, dir: String): DataFrame = {
+  private[analytics] def features(spark: SparkSession, dir: String): DataFrame =
+    featuresOf(Tables.documents(spark, dir), Seq("doc_id"))
+
+  /** The same feature battery over ANY frame with a `text` column
+    * (static table or arriving microbatch — every expression is a
+    * stateless per-row map, so the projection streams unchanged),
+    * keeping `keep` passthrough columns for downstream rollups. */
+  private[analytics] def featuresOf(docs: DataFrame, keep: Seq[String]): DataFrame = {
     val t = split(trim(col("text")), "\\s+")
     val meanLen = length(concat_ws("", col("t"))).cast("double") / size(col("t"))
     val pass = size(col("t")) >= 20 &&
@@ -58,20 +65,35 @@ object QualityModel {
       size(filter(col("t"), x => x.isin(stopwords: _*))) > 0 &&
       (size(array_distinct(col("t"))).cast("double") / size(col("t"))) >= 0.2 &&
       array_max(transform(col("t"), x => length(x))) <= 40
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), t.as("t"))
-      .select(col("doc_id"),
+    docs
+      .select(keep.map(col) :+ t.as("t"): _*)
+      .select(keep.map(col) ++ Seq(
         when(pass, 1.0).otherwise(0.0).as("y"),
         lit(1.0).as("x0"),
         (size(col("t")).cast("double") / 100.0).as("x1"),
         (length(concat_ws("", col("t"))).cast("double") / size(col("t")) / 10.0).as("x2"),
         (size(filter(col("t"), x => x.isin(stopwords: _*))).cast("double") / size(col("t"))).as("x3"),
-        (size(array_distinct(col("t"))).cast("double") / size(col("t"))).as("x4"))
+        (size(array_distinct(col("t"))).cast("double") / size(col("t"))).as("x4")): _*)
   }
 
   private val Dim = 5
 
-  /** Train on a feature frame; returns (weights over STANDARDIZED
+  /** The deployable model: weights over standardized features plus the
+    * standardization moments — everything scoring needs, nothing else.
+    * `score` is a pure per-row column expression (literal weights, no
+    * join, no UDF), so the same scorer drops into a batch scan or a
+    * stateless streaming select unchanged. */
+  case class QualityScorer(w: Array[Double], mu: Array[Double], sd: Array[Double]) {
+    private def feature(j: Int): Column =
+      if (j == 0) col("x0") else (col(s"x$j") - lit(mu(j))) / lit(sd(j))
+    def margin: Column =
+      (0 until Dim).map(j => lit(w(j)) * feature(j)).reduce(_ + _)
+    /** σ(w·x), Det-rounded at 9 decimals so every downstream decimal
+      * sum of scores is partitioning-independent. */
+    def score: Column = Det.dround(lit(1.0) / (lit(1.0) + exp(-margin)), 9)
+  }
+
+  /** Train on a feature frame; returns (scorer over STANDARDIZED
     * features, per-iteration (loss, accuracy) trace). One extra
     * deterministic aggregate standardizes x1..x4 to zero mean / unit
     * variance first — full-batch GD on raw correlated features stalls
@@ -83,7 +105,7 @@ object QualityModel {
     * partitioning. The caller owns the frame; an uncached input is
     * cached for the iterations and released before return. */
   private[analytics] def train(feat: DataFrame, iters: Int = NumIters,
-                               lr: Double = LearnRate): (Array[Double], Seq[(Double, Double)]) = {
+                               lr: Double = LearnRate): (QualityScorer, Seq[(Double, Double)]) = {
     val ownsCache = feat.storageLevel == org.apache.spark.storage.StorageLevel.NONE
     val f = if (ownsCache) feat.cache() else feat
     // per-feature mean and std (x0 is the bias: left as-is)
@@ -122,24 +144,85 @@ object QualityModel {
       w = w.zipWithIndex.map { case (wj, j) => wj - lr * r.getDouble(j) / n }
     }
     if (ownsCache) f.unpersist()
-    (w, trace.result())
+    (QualityScorer(w, mu, sd), trace.result())
   }
 
-  /** Quality-classifier training gate: the per-iteration loss /
-    * accuracy curve (loss BEFORE each update, so row 1 is the
-    * w=0 baseline ln 2 ≈ 0.6931). Rows-only (iterative training
-    * isn't SQL-expressible); Verify emits `t28_loss_decreasing` and
-    * `t28_final_acc` invariants off this dump, and QualityModelSpec
-    * pins the semantics. */
-  def t28QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+  /** TRAIN and persist the model as a parquet artifact at `out` — the
+    * classifier's `_bpe_merges` analogue: production quality filters
+    * are trained once and shipped as an artifact (a handful of
+    * numbers), never re-learned by every scoring consumer. Two
+    * sidecars: `model` (j, w, mu, sd — Dim rows) and `trace`
+    * (iter, loss, accuracy — the training curve, for the t28 gate and
+    * audits). */
+  def writeQualityModel(spark: SparkSession, dir: String, out: String): Unit = {
     import spark.implicits._
-    val (_, trace) = train(features(spark, dir))
+    val (m, trace) = train(features(spark, dir))
+    (0 until Dim).map(j => (j, m.w(j), m.mu(j), m.sd(j)))
+      .toDF("j", "w", "mu", "sd")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/model")
     trace.zipWithIndex
       .map { case ((loss, acc), i) =>
         (i + 1L, Det.droundD(loss, 9), Det.droundD(acc, 9)) }
       .toDF("iter", "loss", "accuracy")
-      .orderBy("iter")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/trace")
   }
+
+  /** The scorer persisted by [[writeQualityModel]] — Dim rows, one
+    * driver-side collect. */
+  def readQualityModel(spark: SparkSession, out: String): QualityScorer = {
+    val rows = spark.read.parquet(s"$out/model").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    require(rows.length == Dim, s"quality model artifact has ${rows.length} rows, want $Dim")
+    QualityScorer(rows.map(_._2), rows.map(_._3), rows.map(_._4))
+  }
+
+  /** Per-corpus artifact registry (the BPE `mergesArtifact` pattern):
+    * the first gate to need the model for `dir` trains it ONCE per JVM
+    * and writes the artifact; every later consumer — t28's trace read,
+    * st16's streaming scorer, the warm Bench pass — reads the tiny
+    * parquet instead of re-running the 25-iteration GD loop. */
+  private val modelArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[analytics] def modelArtifact(spark: SparkSession, dir: String): String =
+    modelArtifacts.computeIfAbsent(dir, _ => {
+      val out = java.nio.file.Files.createTempDirectory("graft-quality").toString
+      writeQualityModel(spark, dir, out)
+      out
+    })
+
+  /** Artifact-backed scorer for a corpus (train-once-per-JVM). */
+  private[analytics] def scorerFor(spark: SparkSession, dir: String): QualityScorer =
+    readQualityModel(spark, modelArtifact(spark, dir))
+
+  /** Score any documents frame with a trained scorer: the feature
+    * projection + σ(w·x) as one stateless per-row select — identical
+    * plan in batch and in a stream microbatch. */
+  private[analytics] def scoreDocs(docs: DataFrame, m: QualityScorer,
+                                   keep: Seq[String]): DataFrame =
+    featuresOf(docs, keep).select(keep.map(col) :+ m.score.as("score"): _*)
+
+  /** Per-source serving rollup: doc count, mean score (exact decimal
+    * sum of the Det-rounded scores), pass count at the 0.5 gate — all
+    * commutative aggregates, so the same expression runs as a
+    * |sources|-bounded streaming aggregation or a batch groupBy with
+    * bit-identical results. */
+  private[analytics] def qualityRollup(scored: DataFrame): DataFrame =
+    scored.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        Det.dround(Det.sumDec9(col("score")) / count(lit(1)), 6).as("mean_score"),
+        sum(when(col("score") > 0.5, 1L).otherwise(0L)).as("n_pass"))
+
+  /** Quality-classifier training gate: the per-iteration loss /
+    * accuracy curve (loss BEFORE each update, so row 1 is the
+    * w=0 baseline ln 2 ≈ 0.6931), read from the persisted artifact's
+    * trace sidecar — training runs once per corpus per JVM however
+    * many gates consume the model. Rows-only (iterative training
+    * isn't SQL-expressible); Verify emits `t28_loss_decreasing` and
+    * `t28_final_acc` invariants off this dump, and QualityModelSpec
+    * pins the semantics. */
+  def t28QualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${modelArtifact(spark, dir)}/trace").orderBy("iter")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t28_quality_classifier" -> t28QualityClassifier _)

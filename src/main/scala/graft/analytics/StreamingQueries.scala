@@ -462,6 +462,41 @@ object StreamingQueries {
       EventStream.anomalyCounts(_, dir), name).orderBy("event_type")
   }
 
+  /** Streaming quality scoring — the SERVING half of t28's training
+    * loop, closing train → artifact → serve the way st15 closed it
+    * for the vector index: the scorer comes from the persisted model
+    * artifact (trained once per corpus per JVM), each arriving
+    * document is scored by ONE stateless per-row select (the same
+    * plan the batch scorer runs), and the per-source rollup is a
+    * |sources|-bounded streaming aggregation of commutative
+    * aggregates. Rows-only gate; the Verify invariant `st16_eq_batch`
+    * requires the streamed rollup to equal the batch scorer's rollup
+    * under the same artifact bit for bit (trickle parity pinned in
+    * StreamQualitySpec). */
+  def st16StreamQuality(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st16_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    EventStream.runToCompletion(spark,
+      qualityStream(_, dir, dir, None), name).orderBy("source")
+  }
+
+  /** The st16 streaming frame — scorer from `fitDir`'s artifact
+    * (static), the document stream from `streamDir`; split out for
+    * the spec's trickle and parity drives. */
+  private[analytics] def qualityStream(s: SparkSession, streamDir: String,
+                                       fitDir: String,
+                                       maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val scorer = QualityModel.scorerFor(s, fitDir)
+    QualityModel.qualityRollup(QualityModel.scoreDocs(
+      EventStream.readDocumentsStream(s, streamDir, maxFilesPerTrigger),
+      scorer, Seq("source")))
+  }
+
+  /** Batch twin of [[qualityStream]] under the same artifact — the
+    * parity baseline for the spec and the Verify invariant. */
+  private[graft] def qualityBatch(s: SparkSession, dir: String): DataFrame =
+    QualityModel.qualityRollup(QualityModel.scoreDocs(
+      Tables.documents(s, dir), QualityModel.scorerFor(s, dir), Seq("source")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_daily" -> st01StreamDaily _,
     "st02_sessions"     -> st02Sessions _,
@@ -478,6 +513,7 @@ object StreamingQueries {
     "st13_stream_vec_append" -> st13StreamVecAppend _,
     "st14_stream_drift"      -> st14StreamDrift _,
     "st15_stream_vec_query"  -> st15StreamVecQuery _,
+    "st16_stream_quality"    -> st16StreamQuality _,
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -28,9 +28,10 @@ class QualityModelSpec extends AnyFunSuite {
 
   test("training is bit-identical under repartitioning") {
     val feat = QualityModel.features(spark, dir)
-    val (w1, t1) = QualityModel.train(feat.repartition(3))
-    val (w2, t2) = QualityModel.train(feat.repartition(17))
-    assert(w1.toSeq == w2.toSeq)
+    val (m1, t1) = QualityModel.train(feat.repartition(3))
+    val (m2, t2) = QualityModel.train(feat.repartition(17))
+    assert(m1.w.toSeq == m2.w.toSeq)
+    assert(m1.mu.toSeq == m2.mu.toSeq && m1.sd.toSeq == m2.sd.toSeq)
     assert(t1 == t2)
   }
 
@@ -41,8 +42,8 @@ class QualityModelSpec extends AnyFunSuite {
       val hi = i % 2 == 0
       (i.toLong, if (hi) 1.0 else 0.0, 1.0, 0.5, 0.5, if (hi) 0.9 else 0.1, 0.5)
     }.toDF("doc_id", "y", "x0", "x1", "x2", "x3", "x4")
-    val (w, trace) = QualityModel.train(feat, iters = 30)
-    assert(w(3) > 0.0, s"x3 weight ${w(3)}")
+    val (m, trace) = QualityModel.train(feat, iters = 30)
+    assert(m.w(3) > 0.0, s"x3 weight ${m.w(3)}")
     // perfectly separable: accuracy reaches 1.0
     assert(trace.last._2 == 1.0, s"final accuracy ${trace.last._2}")
   }
