@@ -116,6 +116,16 @@ object Verify {
             (st15.count() == s03b.count() &&
               st15.exceptAll(s03b).isEmpty && s03b.exceptAll(st15).isEmpty).toString
           },
+          // s16: MMR's first pick is the relevance argmax, so its
+          // rank-1 rows must equal s01's rank-1 rows exactly
+          "s16_first_eq_s01_top1" -> {
+            val a = read("s16_mmr_rerank").filter(col("rnk") === 1)
+              .select("query_id", "neighbor_id")
+            val b = read("s01_ann_bruteforce").filter(col("rnk") === 1)
+              .select("query_id", "neighbor_id")
+            (a.count() == b.count() && a.count() > 0 &&
+              a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty).toString
+          },
           // st16: the streamed per-source quality rollup must equal the
           // batch scorer's rollup under the same persisted artifact —
           // the serving half of the t28 training loop

@@ -1157,6 +1157,94 @@ object Similarity {
     }
   }
 
+  private val MmrLambda = 0.7
+  private val MmrCandidates = 30
+  private val MmrK = 10
+
+  /** One retrieval candidate inside a per-query MMR group: relevance
+    * to the query plus the UNIT vector (so candidate-candidate cosine
+    * is one dot product with no norms in the loop). */
+  private[analytics] case class MmrCand(query_id: Long, neighbor_id: Long,
+                                        rel: Double, uv: Seq[Double])
+
+  /** s16 gate: Maximal Marginal Relevance reranking — the standard
+    * diversification step between retrieval and a RAG prompt (or a
+    * training-batch sampler): from each query's top-[[MmrCandidates]]
+    * shortlist, greedily keep the [[MmrK]] items maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-kept, so near-
+    * duplicate hits can't crowd out coverage.
+    *
+    * Scale shape: the candidate stage is the pluggable ANN tier (the
+    * exact scorer here — oracle-adjacent; the IVF probe at 100 TB,
+    * same swap as every other similarity gate), and the greedy stage
+    * is inherently sequential PER QUERY but n-bounded: `mapGroups`
+    * over (query → ≤ n candidates) shuffles n rows per query and does
+    * n²k dot products per group — per-query work independent of
+    * corpus size, queries parallelized across the cluster. This is
+    * the documented legitimate per-group imperative case (like t29's
+    * per-word encode): a greedy argmax chain has no declarative
+    * equivalent.
+    *
+    * Deterministic: relevance is Det-rounded, ties break on
+    * neighbor_id, candidate order is fixed before the loop. Rows-only
+    * gate; Verify pins `s16_first_eq_s01_top1` (first pick ==
+    * relevance argmax == s01's rank-1) and MmrSpec pins λ=1
+    * degeneration, subset-of-candidates, diversity gain, and
+    * partitioning parity. */
+  def s16MmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = Dedup.normalizedVectors(spark, dir)
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    mmrRerank(spark, e, q, MmrCandidates, MmrK, MmrLambda)
+      .orderBy("query_id", "rnk")
+  }
+
+  private[analytics] def mmrRerank(spark: SparkSession, corpus: DataFrame,
+                                   queries: DataFrame, n: Int, k: Int,
+                                   lam: Double): DataFrame = {
+    import spark.implicits._
+    val cands = bruteTopK(corpus, queries, n)
+    val unit = corpus.select(col("vec_id").as("neighbor_id"),
+      transform(col("v"), x => x / col("norm")).as("uv"))
+    cands.join(unit, "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim").as("rel"), col("uv"))
+      .as[MmrCand]
+      .groupByKey(_.query_id)
+      .flatMapGroups { (qid: Long, it: Iterator[MmrCand]) =>
+        val cs = it.toArray.sortBy(c => (-c.rel, c.neighbor_id))
+        val uvs = cs.map(_.uv.toArray)
+        val taken = new Array[Boolean](cs.length)
+        val maxSim = new Array[Double](cs.length) // max cos to selected so far
+        (1L to math.min(k, cs.length).toLong).map { rnk =>
+          var best = -1
+          var bestScore = Double.NegativeInfinity
+          var i = 0
+          while (i < cs.length) {
+            if (!taken(i)) {
+              val sc = if (rnk == 1L) cs(i).rel
+                       else lam * cs(i).rel - (1.0 - lam) * maxSim(i)
+              // strict > plus rel-desc/id-asc candidate order = ties
+              // break on (score desc, rel desc, id asc)
+              if (sc > bestScore) { bestScore = sc; best = i }
+            }
+            i += 1
+          }
+          taken(best) = true
+          var j = 0
+          while (j < cs.length) {
+            if (!taken(j)) {
+              val s = ddot(uvs(best), uvs(j))
+              if (s > maxSim(j)) maxSim(j) = s
+            }
+            j += 1
+          }
+          (qid, rnk, cs(best).neighbor_id, cs(best).rel,
+            Det.droundD(bestScore, 4))
+        }
+      }
+      .toDF("query_id", "rnk", "neighbor_id", "relevance", "mmr_score")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> s01BruteForceTopK _,
     "s02_ann_lsh"        -> s02LshTopK _,
@@ -1172,6 +1260,7 @@ object Similarity {
     "s12_filtered_ann"   -> s12FilteredAnn _,
     "s13_filtered_ivf_stored" -> s13FilteredIvfStored _,
     "s14_ivf_pq_stored"  -> s14IvfPqStored _,
+    "s16_mmr_rerank"     -> s16MmrRerank _,
   )
 
   val oracleSql: Map[String, String] = Map(
