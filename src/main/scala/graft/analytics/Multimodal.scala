@@ -539,6 +539,47 @@ object Multimodal {
            sum("shared_frames").as("total_shared"))
       .orderBy("containment")
 
+  /** CLIP-style image–caption alignment filtering — the multimodal
+    * curation step that decides whether a caption actually describes
+    * its image: score = cosine(vision embedding, caption embedding),
+    * drop pairs under a threshold. The two towers are stubs with REAL
+    * plumbing (the m02 contract): the "vision" embedding is the doc's
+    * fixture vector, the "caption" embedding the mean of the t08-
+    * chunked rotation embeddings of its text (Rag's embedder) — both
+    * content-derived, both pure column expressions, and crucially both
+    * SQL-expressible, so unlike most multimodal gates this one is
+    * ORACLE-CHECKED end to end (nested higher-order functions on both
+    * engines). Swap the stubs for model towers and nothing else
+    * changes.
+    *
+    * Scale shape: one scan of the pair table, zero joins beyond the
+    * doc↔embedding equi join on the shared key, zero shuffles before
+    * the final sort — per-row work is O(chunks·d) inside whole-stage
+    * codegen. */
+  def m07ClipAlign(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val AlignThreshold = 0.5
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (greatest(floor((size(split(trim(col("text")), "\\s+")) - 1) / 24), lit(0)) + 1)
+          .cast("int").as("m"))
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), as_double_array(col("embedding")).as("v"))
+      .withColumn("norm", array_norm(col("v")))
+    docs.join(emb, "doc_id")
+      // caption tower: mean of the first m rotations of v (0-based [])
+      .withColumn("cap", expr(
+        """transform(sequence(1, size(v)),
+          |  k -> aggregate(sequence(0, m - 1), cast(0.0 as double),
+          |         (acc, s) -> acc + v[(k - 1 + s % size(v)) % size(v)]) / m)""".stripMargin))
+      .select(col("doc_id"), col("m").cast("bigint").as("n_chunks"),
+        Det.dround(array_dot(col("v"), col("cap")) / (col("norm") * array_norm(col("cap"))), 4)
+          .as("align_score"))
+      .withColumn("keep",
+        when(col("align_score") >= AlignThreshold, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_blob_meta"    -> m01BlobMeta _,
     "m02_frame_stats"  -> m02FrameStats _,
@@ -546,6 +587,7 @@ object Multimodal {
     "m04_image_dups"   -> m04ImageDupGroups _,
     "m05_audio_dups"   -> m05AudioDupGroups _,
     "m06_video_dups"   -> m06VideoDupStats _,
+    "m07_clip_align"   -> m07ClipAlign _,
   )
 
   /** m01 is byte-exact SQL (UTF-8 length); m02's stub decode is
@@ -556,5 +598,27 @@ object Multimodal {
          CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
          CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
          FROM documents GROUP BY source ORDER BY source""",
+    // m07: both towers are content-derived column math, so the whole
+    // alignment pipeline is reproducible in SQL (nested lambdas)
+    "m07_clip_align" ->
+      """WITH d AS (SELECT doc_id,
+             greatest((len(string_split_regex(trim(text), '\s+')) - 1) // 24, 0) + 1 AS m
+            FROM documents),
+          e AS (SELECT vec_id doc_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) v,
+             sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')) nrm
+            FROM embeddings),
+          p AS (SELECT d.doc_id, d.m, e.v, e.nrm,
+             list_transform(range(1, len(v)+1),
+               k -> list_aggregate(list_transform(range(0, m),
+                      s -> v[((k - 1 + (s % len(v))) % len(v)) + 1]), 'sum') / m) cap
+            FROM d JOIN e ON d.doc_id = e.doc_id),
+          s AS (SELECT doc_id, CAST(m AS BIGINT) n_chunks,
+             floor((list_aggregate(list_transform(range(1, len(v)+1), k -> v[k] * cap[k]), 'sum')
+               / (nrm * sqrt(list_aggregate(list_transform(cap, x -> x*x), 'sum')))) * 10000.0 + 0.5) / 10000.0 align_score
+            FROM p)
+         SELECT doc_id, n_chunks, align_score,
+          CASE WHEN align_score >= 0.5 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+         FROM s ORDER BY doc_id""",
   )
 }

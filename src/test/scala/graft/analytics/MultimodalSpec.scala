@@ -187,4 +187,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(0.6) == triplets && got(0.6667) == triplets)
     assert(got(1.0) == triplets + 1)
   }
+
+  test("m07 gate: single-chunk pairs align perfectly, score decays with chunks") {
+    val rows = Multimodal.m07ClipAlign(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // a one-chunk caption IS the vision vector: cosine exactly 1
+    rows.filter(_._2 == 1L).foreach { case (id, _, s, k) =>
+      assert(s == 1.0 && k == 1L, s"doc $id: single-chunk score $s")
+    }
+    assert(rows.exists(_._2 > 1L), "fixture has no multi-chunk docs")
+    // both classes present — the threshold actually separates
+    assert(rows.exists(_._4 == 0L) && rows.exists(_._4 == 1L))
+    // score decays with chunk count on average (near-orthogonal
+    // rotations: cos ~ 1/sqrt(m))
+    val byM = rows.groupBy(_._2).view.mapValues(g => g.map(_._3).sum / g.size)
+    val ms = byM.keys.toSeq.sorted
+    assert(byM(ms.head) > byM(ms.last),
+      s"no decay: m=${ms.head} -> ${byM(ms.head)}, m=${ms.last} -> ${byM(ms.last)}")
+  }
 }
