@@ -63,14 +63,13 @@ object Pca {
     s
   }
 
-  /** One-pass distributed moments: (n, Σv, Σ v⊗v flattened row-major). */
-  private[analytics] def moments(vecs: DataFrame): (Long, Array[Double], Array[Double]) = {
-    val vsum = udaf(graft.functions.VecSumAgg)
-    val outer = flatten(transform(col("v"), x => transform(col("v"), y => x * y)))
-    val r = vecs
-      .agg(count(lit(1)).as("n"), vsum(col("v")).as("s"), vsum(outer).as("g"))
-      .head()
-    (r.getLong(0), r.getSeq[Double](1).toArray, r.getSeq[Double](2).toArray)
+  /** One-pass distributed moments: (n, Σv, full symmetric Σ v⊗v) via
+    * the native [[graft.functions.VectorMoments]] aggregate — one
+    * primitive buffer per partition reaches the exchange. */
+  private[analytics] def moments(vecs: DataFrame): (Long, Array[Double], Array[Array[Double]]) = {
+    import graft.functions.VectorMoments.{unpack, vector_moments}
+    val r = vecs.agg(vector_moments(col("v")).as("m")).head()
+    unpack(r.getSeq[Double](0).toArray)
   }
 
   /** Deterministic cyclic-Jacobi eigensolve of a symmetric matrix
@@ -142,7 +141,7 @@ object Pca {
     val d = s.length
     require(n > 1, s"PCA needs > 1 vector, got $n")
     val mu = s.map(_ / n)
-    val cov = Array.tabulate(d, d)((i, j) => g(i * d + j) / n - mu(i) * mu(j))
+    val cov = Array.tabulate(d, d)((i, j) => g(i)(j) / n - mu(i) * mu(j))
     val (vals, vecsM) = jacobiEig(cov)
     val order = (0 until d).sortBy(j => (-vals(j), j))
     val top = order.take(k)
