@@ -444,4 +444,53 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("join"), s"t28 features gained a join:\n$plan")
     assert(!plan.contains("Window"), s"t28 features gained a window:\n$plan")
   }
+
+  test("s15 moment pass is ONE aggregate scan: no join, no window, no explode") {
+    // the whole point of the mergeable moments buffer — a Generate
+    // (posexplode of the outer product) or a join here would multiply
+    // the corpus by d² before the exchange
+    import graft.functions.VectorMoments.vector_moments
+    val qe = Dedup.normalizedVectors(spark, dir)
+      .agg(vector_moments(org.apache.spark.sql.functions.col("v")))
+      .queryExecution
+    val plan = qe.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"s15 moments gained a join:\n$plan")
+    assert(!plan.contains("Generate"), s"s15 moments explodes the vector:\n$plan")
+    assert(!plan.contains("Window"), s"s15 moments gained a window:\n$plan")
+    // exactly the partial->final aggregate exchange, nothing else
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"s15 moments gained a shuffle:\n$plan")
+  }
+
+  test("s15 projection is a narrow map over the corpus (no shuffle, no join)") {
+    val vecs = Dedup.normalizedVectors(spark, dir)
+    val m = Pca.fit(vecs, 4)
+    val plan = m.project(vecs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.toLowerCase.contains("join"),
+      s"s15 projection is not a narrow map:\n$plan")
+  }
+
+  test("s16 greedy stage shuffles candidates, never the corpus") {
+    // the MMR plan may shuffle the n-bounded candidate lists into
+    // per-query groups, but the corpus-side candidate generation must
+    // stay the bounded map-side top-k (no corpus-wide window, no
+    // cartesian)
+    val plan = Similarity.s16MmrRerank(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin")
+      || plan.contains("vec_id#"), // the corpus×query scorer is an inequality join by design
+      s"unexpected cross product:\n$plan")
+    assert(!plan.contains("Window"), s"s16 gained a corpus-wide window:\n$plan")
+  }
+
+  test("m07 alignment is one scan + one equi join, no shuffle beyond agg-free sort") {
+    val plan = Multimodal.m07ClipAlign(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)".r.findFirstIn(plan).isDefined,
+      s"m07 lost its equi join:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"m07 pair table is a cross product:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Generate"),
+      s"m07 gained a window/explode:\n$plan")
+  }
 }
