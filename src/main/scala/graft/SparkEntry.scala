@@ -20,7 +20,8 @@ object SparkEntry {
     Relational.queries ++ RangeJoin.queries ++ TextOps.queries ++ Dedup.queries ++
       Similarity.queries ++ Multimodal.queries ++ StreamingQueries.queries ++
       StoreQueries.queries ++ Pipeline.queries ++ LangId.queries ++ TextPrep.queries ++
-      BpeTrain.queries ++ QualityModel.queries ++ Rag.queries ++ Pca.queries
+      BpeTrain.queries ++ QualityModel.queries ++ Rag.queries ++ Pca.queries ++
+      UnigramTrain.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -29,5 +30,5 @@ object SparkEntry {
       Similarity.oracleSql ++ Multimodal.oracleSql ++
       StreamingQueries.oracleSql ++ Pipeline.oracleSql ++ LangId.oracleSql ++
       TextPrep.oracleSql ++ BpeTrain.oracleSql ++ QualityModel.oracleSql ++
-      Rag.oracleSql ++ Pca.oracleSql
+      Rag.oracleSql ++ Pca.oracleSql ++ UnigramTrain.oracleSql
 }

@@ -197,10 +197,35 @@ object Verify {
             val t = exactCounts.getOrElse(tok, 0L)
             est <= t && t <= est + mgErr
           }
+          // t33/t34: the distributed unigram-LM train + encode must
+          // equal a single-node re-run from the same vocabulary —
+          // same exact-parity contract as t27/t29
+          val wantT33 = graft.analytics.UnigramTrain.referenceVocab(vocab)
+          val gotT33 = read("t33_unigram_vocab").collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+            .toSeq.sortBy(_._1)
+          val uniLogp = wantT33.map { case (_, p, _, lp) => p -> lp }.toMap
+          val uniLen = srcWord.map(_._2).distinct
+            .map(w => w -> graft.analytics.UnigramTrain
+              .viterbi(w, uniLogp, graft.analytics.UnigramTrain.SeedMaxLen).length.toLong)
+            .toMap
+          val wantT34 = srcWord.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rows) =>
+            val nWords = rows.map(_._3).sum
+            val nPieces = rows.map(r => r._3 * uniLen(r._2)).sum
+            val nChars = rows.map(r => r._3 * r._2.length).sum
+            (src, nWords, nPieces,
+              graft.analytics.Det.droundD(nPieces.toDouble / nWords, 4),
+              graft.analytics.Det.droundD(nChars.toDouble / nPieces, 4))
+          }
+          val gotT34 = read("t34_unigram_encode").collect()
+            .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+              r.getDouble(3), r.getDouble(4))).toSeq.sortBy(_._1)
           Seq(
             "t31_mg_guarantee" -> (allHeavyPresent && estsBounded).toString,
             "t27_parity_singlenode" -> (got == want).toString,
             "t29_parity_singlenode" -> (gotT29 == wantT29).toString,
+            "t33_parity_singlenode" -> (gotT33 == wantT33).toString,
+            "t34_parity_singlenode" -> (gotT34 == wantT34).toString,
             "t28_loss_decreasing" -> descending.toString,
             "t28_final_acc" -> t28.last._3.toString)
         }

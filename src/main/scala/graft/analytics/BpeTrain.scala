@@ -135,7 +135,7 @@ object BpeTrain {
 
   /** The corpus's lowercased whitespace (word, freq) vocabulary — the
     * only corpus-sized pass in the whole train/apply story. */
-  private def vocabOf(spark: SparkSession, dir: String): DataFrame =
+  private[analytics] def vocabOf(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
