@@ -21,7 +21,7 @@ object SparkEntry {
       Similarity.queries ++ Multimodal.queries ++ StreamingQueries.queries ++
       StoreQueries.queries ++ Pipeline.queries ++ LangId.queries ++ TextPrep.queries ++
       BpeTrain.queries ++ QualityModel.queries ++ Rag.queries ++ Pca.queries ++
-      UnigramTrain.queries
+      UnigramTrain.queries ++ Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */

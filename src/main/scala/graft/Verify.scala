@@ -116,6 +116,21 @@ object Verify {
             (st15.count() == s03b.count() &&
               st15.exceptAll(s03b).isEmpty && s03b.exceptAll(st15).isEmpty).toString
           },
+          // g01: PageRank over the dumped s05 edge list, re-run
+          // single-node with bit-identical arithmetic — exact parity
+          "g01_parity_singlenode" -> {
+            val edges = read("s05_knn_graph").collect()
+              .map(r => (r.getLong(0), r.getLong(2))).toSeq
+            val want = graft.analytics.Graph.referencePagerank(edges)
+              .toSeq.map { case (id, r) =>
+                (id, graft.analytics.Det.droundD(r, 8)) }
+              .sortBy { case (id, r) => (-r, id) }
+              .take(graft.analytics.Graph.TopN)
+            val got = read("g01_knn_pagerank").collect()
+              .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+              .sortBy { case (id, r) => (-r, id) }
+            (got.nonEmpty && got == want).toString
+          },
           // s16: MMR's first pick is the relevance argmax, so its
           // rank-1 rows must equal s01's rank-1 rows exactly
           "s16_first_eq_s01_top1" -> {

@@ -1,0 +1,105 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over the corpus similarity graph — the
+  * representativeness signal behind coreset selection and
+  * graph-based quality propagation (a document whose neighborhood
+  * keeps pointing back at it is central to its region of embedding
+  * space; isolated or peripheral documents score low).
+  *
+  * PageRank as iterated DataFrame joins (Pregel-lite):
+  *  - edges = the kNN graph (the exact s05 tier here; the s06 IVF
+  *    tier is the same swap every similarity gate makes at 100 TB),
+  *    out-degree joined ON once — kNN edges give every node
+  *    out-degree k, no dangling mass;
+  *  - each iteration is ONE shuffle: contributions r/deg flow along
+  *    edges, in-contributions aggregate per node, ranks update as
+  *    (1−d)/n + d·Σ. The rank state is one (id, r) row per node,
+  *    `localCheckpoint`ed eagerly every iteration (the BPE rule:
+  *    materialize AND truncate lineage so iteration k never replans
+  *    its k predecessors).
+  *
+  * Determinism without decimals: per-node in-contributions are
+  * collected, SORTED, then folded — `aggregate(array_sort(...))` —
+  * so the double sum has ONE order whatever the partitioning or
+  * merge schedule. In-degree is neighborhood-bounded (a kNN graph's
+  * hubs are worst-case corpus-bounded but practically small), so the
+  * collected list never approaches a groupBy-corpus blowup. The
+  * update arithmetic is then pure IEEE on identical inputs — which
+  * is what lets Verify demand EXACT parity with a single-node
+  * power iteration over the same edge list (`g01_parity_singlenode`). */
+object Graph {
+
+  val Damping = 0.85
+  val Iters = 10
+  val TopN = 25
+
+  /** One PageRank power iteration step's rank table, after `iters`
+    * rounds over the given (src, dst) edges. */
+  private[analytics] def pagerank(edges: DataFrame, iters: Int = Iters,
+                                  damping: Double = Damping): DataFrame = {
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val withDeg = edges.join(outDeg, "src").localCheckpoint(true)
+    val nodes = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct().localCheckpoint(true)
+    val n = nodes.count()
+    val base = (1.0 - damping) / n
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = withDeg.join(ranks, col("src") === col("id")).drop("id")
+        .select(col("dst").as("id"), (col("r") / col("deg")).as("c"))
+      val inSum = contribs.groupBy("id").agg(
+        expr("aggregate(array_sort(collect_list(c)), cast(0.0 as double), (acc, x) -> acc + x)")
+          .as("csum"))
+      val next = nodes.join(inSum, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + lit(damping) * coalesce(col("csum"), lit(0.0))).as("r"))
+        .localCheckpoint(true)
+      ranks.unpersist()
+      ranks = next
+    }
+    ranks
+  }
+
+  /** Single-node reference with bit-identical arithmetic: same sorted
+    * fold, same update expression — the parity oracle. */
+  private[graft] def referencePagerank(edges: Seq[(Long, Long)], iters: Int = Iters,
+                                       damping: Double = Damping): Map[Long, Double] = {
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.length
+    val base = (1.0 - damping) / n
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        val cs = es.map { case (src, _) => r(src) / deg(src) }.sorted
+        dst -> cs.foldLeft(0.0)(_ + _)
+      }
+      r = nodes.map(id => id -> (base + damping * in.getOrElse(id, 0.0))).toMap
+    }
+    r
+  }
+
+  /** g01 gate: PageRank over the exact kNN similarity graph (k = 5),
+    * top-[[TopN]] most central vectors. Rows-only (iterated graph
+    * algebra isn't SQL); Verify re-runs the single-node reference over
+    * the dumped s05 edge list and requires exact equality. */
+  def g01KnnPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.s05KnnGraph(spark, dir)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    pagerank(edges)
+      .select(col("id").as("vec_id"), Det.dround(col("r"), 8).as("rank"))
+      .orderBy(col("rank").desc, col("vec_id").asc)
+      .limit(TopN)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g01_knn_pagerank" -> g01KnnPagerank _,
+  )
+
+  val oracleSql: Map[String, String] = Map.empty
+}

@@ -1,0 +1,55 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.SparkTestSession
+
+/** PageRank over the kNN graph: conservation, planted structure,
+  * exact single-node parity, partitioning invariance. */
+class GraphSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.spark
+
+  test("rank mass is conserved (sums to 1) and every rank is positive") {
+    val edges = Similarity.s05KnnGraph(spark, dir)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    val ranks = Graph.pagerank(edges).collect().map(_.getDouble(1))
+    assert(math.abs(ranks.sum - 1.0) < 1e-9, s"rank mass ${ranks.sum}")
+    assert(ranks.forall(_ > 0))
+  }
+
+  test("planted star: the hub out-ranks every spoke") {
+    import spark.implicits._
+    // spokes 1..10 each point at hub 0 and their ring neighbor; the
+    // hub points back at spoke 1 (so it has out-degree and no sink)
+    val edges = ((1L to 10L).flatMap(i => Seq((i, 0L), (i, i % 10 + 1))) :+ (0L, 1L))
+      .toDF("src", "dst")
+    val r = Graph.pagerank(edges).collect()
+      .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert((1L to 10L).forall(i => r(0L) > r(i)), s"hub not central: $r")
+  }
+
+  test("distributed ranks equal the single-node reference exactly") {
+    val edgeDf = Similarity.s05KnnGraph(spark, dir)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    val edges = edgeDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = Graph.referencePagerank(edges)
+    val got = Graph.pagerank(edgeDf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size == want.size)
+    got.foreach { case (id, r) =>
+      assert(r == want(id), s"node $id: $r != ${want(id)}")
+    }
+  }
+
+  test("ranks are invariant to edge partitioning") {
+    val edgeDf = Similarity.s05KnnGraph(spark, dir)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    val a = Graph.pagerank(edgeDf.repartition(1)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val b = Graph.pagerank(edgeDf.repartition(17)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(a.nonEmpty && a == b)
+  }
+}
