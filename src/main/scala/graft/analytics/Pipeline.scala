@@ -302,11 +302,60 @@ object Pipeline {
     stages.unionByName(packed).orderBy("stage")
   }
 
+  /** Share of each cluster kept in the p06 coreset (denominator). */
+  private val CoresetFraction = 10L
+
+  /** p06 gate: centrality-guided coreset selection — the SemDeDup/
+    * D4-style "keep the representative core of every region" step:
+    * cluster the embedding space (s08's k-means), score every vector
+    * by PageRank over the kNN similarity graph (g01), and keep each
+    * cluster's top-⌈n/10⌉ most central members (min 1 — small clusters
+    * are exactly what sampling must not drop).
+    *
+    * Composition of already-pinned pieces: the kNN edges are the
+    * exact s05 tier (IVF swap at scale), the ranks carry g01's exact
+    * single-node parity, the assignment kmeansFit's partitioning
+    * invariance. The per-cluster cut is a rank window partitioned by
+    * cell over TWO narrow columns (id, rank) — the quota is
+    * proportional (n/10), so a fixed-k bounded top-k cannot express
+    * it; window partitions are cell-sized and a real deployment sizes
+    * K ~ sqrt(N) (the s06 note), so no single cell sort approaches
+    * the corpus. Output one row per selected representative. Rows-only;
+    * PipelineCoresetSpec pins quota math, per-cluster top-rank
+    * selection against an independent recompute, and coverage of
+    * every nonempty cluster. */
+  def p06Coreset(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = Dedup.normalizedVectors(spark, dir).cache()
+    try {
+      val edges = Similarity.knnGraphExact(vecs, k = 5)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      val ranks = Graph.pagerank(edges)
+        .select(col("id").as("vec_id"), Det.dround(col("r"), 8).as("rank"))
+      val (assigned, _, _) = Similarity.kmeansFit(vecs)
+      val cellQuota = assigned.groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"))
+        .withColumn("quota",
+          greatest(lit(1L), floor(col("n_vecs") / CoresetFraction).cast("long")))
+      val w = Window.partitionBy("cell")
+        .orderBy(col("rank").desc, col("vec_id").asc)
+      assigned.select(col("vec_id"), col("cell"))
+        .join(ranks, "vec_id")
+        .withColumn("sel_rank", row_number().over(w).cast("long"))
+        .join(broadcast(cellQuota), "cell")
+        .filter(col("sel_rank") <= col("quota"))
+        .select(col("cell").cast("long").as("cell"), col("sel_rank"),
+          col("vec_id"), col("rank"), col("n_vecs"))
+        .orderBy("cell", "sel_rank")
+    } finally vecs.unpersist()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_curation_pipeline" -> p01CurationPipeline _,
     "p02_semdedup_pipeline" -> p02SemdedupPipeline _,
     "p03_dataset_report"    -> p03DatasetReport _,
     "p05_data_funnel"       -> p05DataFunnel _,
+    "p06_coreset"           -> p06Coreset _,
   )
 
   val oracleSql: Map[String, String] = Map(
