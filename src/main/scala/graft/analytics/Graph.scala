@@ -36,6 +36,15 @@ object Graph {
   val Iters = 10
   val TopN = 25
 
+  /** Lineage-truncation cadence: checkpointing EVERY iteration costs
+    * one materializing job each (10 jobs of 3 stages — measured
+    * overhead-dominated at test scale); letting several iterations
+    * chain into one multi-stage job amortizes scheduling while the
+    * periodic cut still keeps plan depth bounded (the BPE rule,
+    * relaxed to a cadence because each level here adds a constant
+    * handful of operators, not a vocab recompute). */
+  private val CheckpointEvery = 5
+
   /** One PageRank power iteration step's rank table, after `iters`
     * rounds over the given (src, dst) edges. */
   private[analytics] def pagerank(edges: DataFrame, iters: Int = Iters,
@@ -48,19 +57,22 @@ object Graph {
     val n = nodes.count()
     val base = (1.0 - damping) / n
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("r"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    var lastCut: Option[DataFrame] = None
+    for (i <- 1 to iters) {
       val contribs = withDeg.join(ranks, col("src") === col("id")).drop("id")
         .select(col("dst").as("id"), (col("r") / col("deg")).as("c"))
       val inSum = contribs.groupBy("id").agg(
         expr("aggregate(array_sort(collect_list(c)), cast(0.0 as double), (acc, x) -> acc + x)")
           .as("csum"))
-      val next = nodes.join(inSum, Seq("id"), "left")
+      ranks = nodes.join(inSum, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + lit(damping) * coalesce(col("csum"), lit(0.0))).as("r"))
-        .localCheckpoint(true)
-      ranks.unpersist()
-      ranks = next
+      if (i % CheckpointEvery == 0 && i < iters) {
+        val cut = ranks.localCheckpoint(true)
+        lastCut.foreach(_.unpersist())
+        lastCut = Some(cut)
+        ranks = cut
+      }
     }
     ranks
   }
