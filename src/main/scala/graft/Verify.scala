@@ -131,6 +131,25 @@ object Verify {
               .sortBy { case (id, r) => (-r, id) }
             (got.nonEmpty && got == want).toString
           },
+          // g02: the personalized variant, seeded by the s01 query
+          // rule — same exact-parity contract
+          "g02_parity_singlenode" -> {
+            val edges = read("s05_knn_graph").collect()
+              .map(r => (r.getLong(0), r.getLong(2))).toSeq
+            val seeds = read("s01_ann_bruteforce")
+              .select("query_id").distinct().collect()
+              .map(_.getLong(0)).toSeq.sorted
+            val want = graft.analytics.Graph
+              .referencePagerank(edges, seeds = Some(seeds))
+              .toSeq.map { case (id, r) =>
+                (id, graft.analytics.Det.droundD(r, 8)) }
+              .sortBy { case (id, r) => (-r, id) }
+              .take(graft.analytics.Graph.TopN)
+            val got = read("g02_ppr_retrieval").collect()
+              .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+              .sortBy { case (id, r) => (-r, id) }
+            (got.nonEmpty && got == want).toString
+          },
           // s16: MMR's first pick is the relevance argmax, so its
           // rank-1 rows must equal s01's rank-1 rows exactly
           "s16_first_eq_s01_top1" -> {

@@ -46,17 +46,28 @@ object Graph {
   private val CheckpointEvery = 5
 
   /** One PageRank power iteration step's rank table, after `iters`
-    * rounds over the given (src, dst) edges. */
+    * rounds over the given (src, dst) edges. `seeds` personalizes the
+    * teleport: mass restarts uniformly over the seed set instead of
+    * all nodes (PPR — the graph-augmented-retrieval move: scores
+    * concentrate in the seeds' neighborhood). The teleport vector is
+    * a literal `isin` over the (query-bounded) seed list — no extra
+    * join, no extra shuffle vs the uniform case. */
   private[analytics] def pagerank(edges: DataFrame, iters: Int = Iters,
-                                  damping: Double = Damping): DataFrame = {
+                                  damping: Double = Damping,
+                                  seeds: Option[Seq[Long]] = None): DataFrame = {
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val withDeg = edges.join(outDeg, "src").localCheckpoint(true)
     val nodes = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id")))
       .distinct().localCheckpoint(true)
     val n = nodes.count()
-    val base = (1.0 - damping) / n
-    var ranks = nodes.select(col("id"), lit(1.0 / n).as("r"))
+    def teleport(of: Double) = seeds match {
+      case Some(s) =>
+        when(col("id").isin(s: _*), lit(of / s.length)).otherwise(lit(0.0))
+      case None => lit(of / n)
+    }
+    val base = teleport(1.0 - damping)
+    var ranks = nodes.select(col("id"), teleport(1.0).as("r"))
     var lastCut: Option[DataFrame] = None
     for (i <- 1 to iters) {
       val contribs = withDeg.join(ranks, col("src") === col("id")).drop("id")
@@ -66,7 +77,7 @@ object Graph {
           .as("csum"))
       ranks = nodes.join(inSum, Seq("id"), "left")
         .select(col("id"),
-          (lit(base) + lit(damping) * coalesce(col("csum"), lit(0.0))).as("r"))
+          (base + lit(damping) * coalesce(col("csum"), lit(0.0))).as("r"))
       if (i % CheckpointEvery == 0 && i < iters) {
         val cut = ranks.localCheckpoint(true)
         lastCut.foreach(_.unpersist())
@@ -80,18 +91,24 @@ object Graph {
   /** Single-node reference with bit-identical arithmetic: same sorted
     * fold, same update expression — the parity oracle. */
   private[graft] def referencePagerank(edges: Seq[(Long, Long)], iters: Int = Iters,
-                                       damping: Double = Damping): Map[Long, Double] = {
+                                       damping: Double = Damping,
+                                       seeds: Option[Seq[Long]] = None): Map[Long, Double] = {
     val deg = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
     val n = nodes.length
-    val base = (1.0 - damping) / n
-    var r = nodes.map(_ -> 1.0 / n).toMap
+    val seedSet = seeds.map(_.toSet)
+    def teleport(of: Double)(id: Long): Double = seedSet match {
+      case Some(s) => if (s(id)) of / s.size else 0.0
+      case None => of / n
+    }
+    var r = nodes.map(id => id -> teleport(1.0)(id)).toMap
     for (_ <- 1 to iters) {
       val in = edges.groupBy(_._2).map { case (dst, es) =>
         val cs = es.map { case (src, _) => r(src) / deg(src) }.sorted
         dst -> cs.foldLeft(0.0)(_ + _)
       }
-      r = nodes.map(id => id -> (base + damping * in.getOrElse(id, 0.0))).toMap
+      r = nodes.map(id =>
+        id -> (teleport(1.0 - damping)(id) + damping * in.getOrElse(id, 0.0))).toMap
     }
     r
   }
@@ -109,8 +126,30 @@ object Graph {
       .limit(TopN)
   }
 
+  /** g02 gate: personalized PageRank from the retrieval query set —
+    * the graph-augmented-retrieval move (GraphRAG-style): teleport
+    * mass restarts at the query vectors, so high scores mark the
+    * queries' JOINT graph neighborhood (documents reachable from many
+    * queries through strong similarity paths), surfacing context the
+    * per-query top-k lists miss. Same iteration engine and exact
+    * single-node parity as g01; the seed set is the (bounded) s01
+    * query rule. Output marks seeds so consumers can drop them. */
+  def g02PprRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 100 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    val edges = Similarity.s05KnnGraph(spark, dir)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    pagerank(edges, seeds = Some(seeds))
+      .select(col("id").as("vec_id"), Det.dround(col("r"), 8).as("rank"),
+        when(col("id").isin(seeds: _*), 1L).otherwise(0L).as("is_seed"))
+      .orderBy(col("rank").desc, col("vec_id").asc)
+      .limit(TopN)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_knn_pagerank" -> g01KnnPagerank _,
+    "g02_ppr_retrieval" -> g02PprRetrieval _,
   )
 
   val oracleSql: Map[String, String] = Map.empty

@@ -43,6 +43,28 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("PPR seeded by every node equals uniform PageRank; seeding concentrates mass") {
+    val edgeDf = Similarity.s05KnnGraph(spark, dir)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    val allNodes = edgeDf.select("src").union(edgeDf.select("dst"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val uniform = Graph.pagerank(edgeDf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val allSeeded = Graph.pagerank(edgeDf, seeds = Some(allNodes)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(allSeeded == uniform, "all-node PPR != uniform PageRank")
+    // a small seed set concentrates mass: the seeds' total PPR rank
+    // must exceed their uniform-PageRank total
+    val seeds = allNodes.filter(_ % 100 == 0)
+    val ppr = Graph.pagerank(edgeDf, seeds = Some(seeds)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(ppr.values.sum - 1.0) < 1e-9)
+    val seedMassPpr = seeds.map(ppr).sum
+    val seedMassUniform = seeds.map(uniform).sum
+    assert(seedMassPpr > seedMassUniform * 2,
+      s"teleport bias missing: $seedMassPpr vs $seedMassUniform")
+  }
+
   test("ranks are invariant to edge partitioning") {
     val edgeDf = Similarity.s05KnnGraph(spark, dir)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
