@@ -108,6 +108,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FrequentItems(children(0), k)
       }))
     ext.injectFunction((
+      FunctionIdentifier("vector_moments"),
+      new ExpressionInfo(classOf[graft.functions.VectorMoments].getName, "vector_moments"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "vector_moments(v) takes one argument")
+        graft.functions.VectorMoments(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("bigram_stats"),
       new ExpressionInfo(classOf[BigramStats].getName, "bigram_stats"),
       (children: Seq[Expression]) => {

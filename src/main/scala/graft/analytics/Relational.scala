@@ -351,6 +351,40 @@ object Relational {
          FROM chain GROUP BY depth ORDER BY depth""")
   }
 
+  /** TPC-H Q21-shaped double-correlated subqueries (EXISTS + NOT
+    * EXISTS against the same growing table) — the decorrelation
+    * torture test: suppliers who were the SOLE supplier with a
+    * returned lineitem inside a multi-supplier finished order.
+    * Catalyst rewrites both correlations into aggregate/semi/anti
+    * joins on l_orderkey (PlanSpec pins: no nested-loop join
+    * survives) — the only plan shape that works when lineitem is the
+    * 100 TB fact table. Adapted to this schema's columns (no
+    * commitdate/receiptdate): "late" := l_returnflag = 'R', order
+    * cohort := o_orderstatus = 'F'. Oracle-checked (same SQL replays
+    * in DuckDB). */
+  def q33SoleFailedSupplier(spark: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(spark, dir).createOrReplaceTempView("q33_supplier")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("q33_lineitem")
+    Tables.orders(spark, dir).createOrReplaceTempView("q33_orders")
+    spark.sql(
+      """SELECT s_name, count(*) AS numwait
+        |FROM q33_supplier, q33_lineitem l1, q33_orders
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM q33_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM q33_lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin)
+  }
+
   /** Window frames: running sum (rows unbounded-preceding), 7-row
     * moving average, lag delta — per supplier over ship dates. */
   def q18WindowFrames(spark: SparkSession, dir: String): DataFrame = {
@@ -557,6 +591,7 @@ object Relational {
     "q30_unpivot"           -> q30Unpivot _,
     "q31_session_window"    -> q31SessionWindow _,
     "q32_recursive_cte"     -> q32RecursiveCte _,
+    "q33_sole_failed_supplier" -> q33SoleFailedSupplier _,
   )
 
   /** DuckDB oracle SQL, column-name- and order-aligned with the Spark
@@ -723,6 +758,23 @@ object Relational {
          SELECT CAST(depth AS INT) AS depth, count(*) AS n_nodes,
           CAST(sum(anc) AS BIGINT) AS sum_anc
          FROM chain GROUP BY depth ORDER BY depth""",
+    "q33_sole_failed_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+         FROM supplier, lineitem l1, orders
+         WHERE s_suppkey = l1.l_suppkey
+           AND o_orderkey = l1.l_orderkey
+           AND o_orderstatus = 'F'
+           AND l1.l_returnflag = 'R'
+           AND EXISTS (SELECT 1 FROM lineitem l2
+                       WHERE l2.l_orderkey = l1.l_orderkey
+                         AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                           WHERE l3.l_orderkey = l1.l_orderkey
+                             AND l3.l_suppkey <> l1.l_suppkey
+                             AND l3.l_returnflag = 'R')
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name
+         LIMIT 20""",
     "q18_window_frames" ->
       """SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
          round(sum(l_quantity) OVER (PARTITION BY l_suppkey

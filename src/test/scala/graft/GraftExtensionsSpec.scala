@@ -60,6 +60,22 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(hh.head.getLong(1) <= 5L && 5L <= hh.head.getLong(1) + 7L / 3L)
   }
 
+  test("vector_moments is callable from SQL and rejects non-double arrays") {
+    val spark = SparkTestSession.spark
+    val buf = spark.sql(
+      """SELECT vector_moments(v) AS m FROM VALUES
+           (array(cast(1.0 as double), cast(2.0 as double))),
+           (array(cast(3.0 as double), cast(4.0 as double)))
+         AS t(v)""").head().getSeq[Double](0)
+    // layout [d, n, s0, s1, g00, g01, g11]
+    assert(buf == Seq(2.0, 2.0, 4.0, 6.0, 10.0, 14.0, 20.0))
+    val err = intercept[Exception] {
+      spark.sql("SELECT vector_moments(array('x')) FROM VALUES (1) AS t(i)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("array<double>")
+      || err.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
   test("gram_hashes and trigram_counts are callable from SQL") {
     val spark = SparkTestSession.spark
     // two equal 4-grams ('abcd' at 1 and 6) hash equal; the middle ones differ

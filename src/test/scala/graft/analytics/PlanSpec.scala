@@ -445,6 +445,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"t28 features gained a window:\n$plan")
   }
 
+  test("q33 double-correlated EXISTS/NOT EXISTS decorrelates to keyed joins") {
+    val plan = Relational.q33SoleFailedSupplier(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"correlation survived as a nested loop:\n$plan")
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      s"EXISTS/NOT EXISTS not rewritten to semi/anti joins:\n$plan")
+  }
+
   test("s15 moment pass is ONE aggregate scan: no join, no window, no explode") {
     // the whole point of the mergeable moments buffer — a Generate
     // (posexplode of the outer product) or a join here would multiply
