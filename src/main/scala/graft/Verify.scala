@@ -231,6 +231,17 @@ object Verify {
             val t = exactCounts.getOrElse(tok, 0L)
             est <= t && t <= est + mgErr
           }
+          // st17: the STREAMED MG summary carries the same guarantee
+          // (contents may differ from t31 — merge order — the bound
+          // may not)
+          val stSketch = read("st17_stream_heavy_hitters").collect()
+            .map(r => (r.getString(0), r.getLong(1))).toMap
+          val stGuarantee = exactCounts
+            .filter(_._2 > mgErr).keys.forall(stSketch.contains) &&
+            stSketch.forall { case (tok, est) =>
+              val t = exactCounts.getOrElse(tok, 0L)
+              est <= t && t <= est + mgErr
+            } && stSketch.size <= graft.analytics.TextOps.HeavyHittersK
           // t33/t34: the distributed unigram-LM train + encode must
           // equal a single-node re-run from the same vocabulary —
           // same exact-parity contract as t27/t29
@@ -256,6 +267,7 @@ object Verify {
               r.getDouble(3), r.getDouble(4))).toSeq.sortBy(_._1)
           Seq(
             "t31_mg_guarantee" -> (allHeavyPresent && estsBounded).toString,
+            "st17_mg_guarantee" -> stGuarantee.toString,
             "t27_parity_singlenode" -> (got == want).toString,
             "t29_parity_singlenode" -> (gotT29 == wantT29).toString,
             "t33_parity_singlenode" -> (gotT33 == wantT33).toString,

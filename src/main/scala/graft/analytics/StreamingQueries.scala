@@ -497,6 +497,36 @@ object StreamingQueries {
     QualityModel.qualityRollup(QualityModel.scoreDocs(
       Tables.documents(s, dir), QualityModel.scorerFor(s, dir), Seq("source")))
 
+  /** Streaming heavy hitters — t31's Misra–Gries summary maintained
+    * over an ARRIVING document stream: the token monitor for a 100 TB
+    * ingest where even the vocabulary is too wide to shuffle. The
+    * whole stream keeps ONE ≤ k-entry MG buffer as aggregation state
+    * (TypedImperativeAggregates merge partial buffers, so the same
+    * map-side-combine that bounds the batch shuffle bounds the
+    * microbatch update). The summary's exact CONTENTS are
+    * merge-order-dependent (inherent to MG — trickled arrival may
+    * differ from one-shot), but the GUARANTEE is not: Verify emits
+    * `st17_mg_guarantee` against exact corpus counts, and
+    * StreamHeavyHittersSpec pins the guarantee under trickled
+    * arrival too. */
+  def st17StreamHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st17_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    EventStream.runToCompletion(spark,
+      heavyHittersStream(_, dir, None), name)
+      .orderBy(col("est_count").desc, col("token").asc)
+  }
+
+  private[analytics] def heavyHittersStream(s: SparkSession, streamDir: String,
+                                            maxFilesPerTrigger: Option[Int]): DataFrame = {
+    import graft.functions.FrequentItems.frequent_items
+    EventStream.readDocumentsStream(s, streamDir, maxFilesPerTrigger)
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy()
+      .agg(frequent_items(col("token"), TextOps.HeavyHittersK).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as("token"), col("e.est").as("est_count"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_daily" -> st01StreamDaily _,
     "st02_sessions"     -> st02Sessions _,
@@ -514,6 +544,7 @@ object StreamingQueries {
     "st14_stream_drift"      -> st14StreamDrift _,
     "st15_stream_vec_query"  -> st15StreamVecQuery _,
     "st16_stream_quality"    -> st16StreamQuality _,
+    "st17_stream_heavy_hitters" -> st17StreamHeavyHitters _,
   )
 
   val oracleSql: Map[String, String] = Map(
