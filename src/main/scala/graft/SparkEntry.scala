@@ -21,7 +21,7 @@ object SparkEntry {
       Similarity.queries ++ Multimodal.queries ++ StreamingQueries.queries ++
       StoreQueries.queries ++ Pipeline.queries ++ LangId.queries ++ TextPrep.queries ++
       BpeTrain.queries ++ QualityModel.queries ++ Rag.queries ++ Pca.queries ++
-      UnigramTrain.queries ++ Graph.queries
+      UnigramTrain.queries ++ Graph.queries ++ Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -30,5 +30,5 @@ object SparkEntry {
       Similarity.oracleSql ++ Multimodal.oracleSql ++
       StreamingQueries.oracleSql ++ Pipeline.oracleSql ++ LangId.oracleSql ++
       TextPrep.oracleSql ++ BpeTrain.oracleSql ++ QualityModel.oracleSql ++
-      Rag.oracleSql ++ Pca.oracleSql ++ UnigramTrain.oracleSql
+      Rag.oracleSql ++ Pca.oracleSql ++ UnigramTrain.oracleSql ++ Layout.oracleSql
 }
