@@ -724,6 +724,53 @@ object Dedup {
       .orderBy("split_a", "split_b")
   }
 
+  /** The derived "tomorrow" snapshot d14/st18 diff against — a
+    * deterministic, SQL-expressible mutation of the corpus so the CDC
+    * output has an exact DuckDB oracle: every `doc_id % 10 == 7` doc
+    * is deleted, every `% 10 == 3` doc is revised (suffix appended),
+    * and every `% 10 == 0` doc gains a shifted-id copy (the "added"
+    * rows). Emitted as (doc_id, new_md5) pairs — the diff never needs
+    * snapshot-B text, only its content hash. */
+  private[analytics] def cdcSnapshotB(docs: DataFrame): DataFrame = {
+    val revised = when(col("doc_id") % 10 === 3,
+      concat(col("text"), lit(" [rev2]"))).otherwise(col("text"))
+    val bRows = array(
+      when(col("doc_id") % 10 =!= 7,
+        struct(col("doc_id").as("doc_id"), md5(revised).as("new_md5"))),
+      when(col("doc_id") % 10 === 0,
+        struct((col("doc_id") + 1000000L).as("doc_id"), md5(col("text")).as("new_md5"))))
+    docs.select(explode(filter(bRows, r => r.isNotNull)).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.new_md5").as("new_md5"))
+  }
+
+  /** The CDC rollup: full-outer join of the two snapshots' (id, hash)
+    * pairs. Hashes are computed map-side BEFORE the join, so the
+    * shuffle carries 48-byte rows, never document text — at 100 TB the
+    * diff of two corpus snapshots moves id+hash pairs only. */
+  private[analytics] def cdcDiff(a: DataFrame, b: DataFrame): DataFrame =
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("change_type",
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "deleted")
+          .otherwise("changed"))
+      .filter(col("old_md5").isNull || col("new_md5").isNull ||
+              col("old_md5") =!= col("new_md5"))
+      .select(col("doc_id"), col("change_type"),
+        coalesce(col("old_md5"), lit("")).as("old_md5"),
+        coalesce(col("new_md5"), lit("")).as("new_md5"))
+      .orderBy("doc_id")
+
+  /** d14 gate: snapshot CDC — the added/deleted/changed rows between
+    * the corpus and its derived next-day snapshot, by content hash.
+    * This is the incremental-pipeline front door: downstream dedup,
+    * embedding, and index maintenance (d12, s11) re-process exactly
+    * these rows, not the corpus. Oracle-exact (md5 is engine-neutral). */
+  def d14SnapshotCdc(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val a = docs.select(col("doc_id"), md5(col("text")).as("old_md5"))
+    cdcDiff(a, cdcSnapshotB(docs))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_ngram_jaccard_pairs" -> d01NgramJaccardPairs _,
     "d02_minhash_pairs"       -> d02MinHashPairs _,
@@ -738,12 +785,29 @@ object Dedup {
     "d11_cluster_survivors"   -> d11ClusterSurvivors _,
     "d12_incremental_dedup"   -> d12IncrementalDedup _,
     "d13_split_leakage"       -> d13SplitLeakage _,
+    "d14_snapshot_cdc"        -> d14SnapshotCdc _,
   )
 
   /** d02/d03 use Spark xxhash64 and d05 a u64 rolling hash — not
     * reproducible in DuckDB SQL, so they get the driver's rows-only
     * check; d01/d04 are exact. */
   val oracleSql: Map[String, String] = Map(
+    "d14_snapshot_cdc" ->
+      """WITH b AS (SELECT doc_id,
+                     md5(CASE WHEN doc_id % 10 = 3 THEN text || ' [rev2]' ELSE text END) new_md5
+                    FROM documents WHERE doc_id % 10 <> 7
+                    UNION ALL
+                    SELECT doc_id + 1000000 AS doc_id, md5(text) new_md5
+                    FROM documents WHERE doc_id % 10 = 0),
+          a AS (SELECT doc_id, md5(text) old_md5 FROM documents)
+         SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+          CASE WHEN a.doc_id IS NULL THEN 'added'
+               WHEN b.doc_id IS NULL THEN 'deleted'
+               ELSE 'changed' END AS change_type,
+          COALESCE(old_md5, '') AS old_md5, COALESCE(new_md5, '') AS new_md5
+         FROM a FULL JOIN b ON a.doc_id = b.doc_id
+         WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR old_md5 <> new_md5
+         ORDER BY doc_id""",
     "d12_incremental_dedup" ->
       """WITH d AS (SELECT source, doc_id,
                      substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) fp
