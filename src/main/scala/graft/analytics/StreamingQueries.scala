@@ -527,6 +527,65 @@ object StreamingQueries {
       .select(col("e.item").as("token"), col("e.est").as("est_count"))
   }
 
+  /** Streaming snapshot CDC — d14's diff computed as the NEW snapshot
+    * ARRIVES: the arriving corpus maps to its (doc_id, new_md5) pairs
+    * row-by-row (stateless, the hash is map-side), ONE streaming
+    * aggregation keys them by doc_id (state = 48 bytes per snapshot
+    * row — id+hash, never text), and the diff against the previous
+    * snapshot's hash table runs as a batch rollup over the state
+    * snapshot (st11's snapshot-rollup split — deletions are only
+    * decidable once the arriving snapshot is complete). Shares d14's
+    * DuckDB oracle verbatim; trickle parity pinned in CdcSpec. This is
+    * how a 100 TB ingest computes "what changed since yesterday"
+    * while the drop lands, not after it. */
+  def st18StreamCdc(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st18_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val snapshot = EventStream.runToCompletion(spark, cdcStream(_, dir, None), name)
+    val a = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("old_md5"))
+    Dedup.cdcDiff(a, snapshot)
+  }
+
+  /** The st18 streaming frame: arriving docs → (doc_id, new_md5),
+    * keyed by doc_id (max is identity — each B row is emitted once;
+    * the agg exists to surface the complete-mode snapshot). */
+  private[analytics] def cdcStream(s: SparkSession, streamDir: String,
+                                   maxFilesPerTrigger: Option[Int]): DataFrame =
+    Dedup.cdcSnapshotB(EventStream.readDocumentsStream(s, streamDir, maxFilesPerTrigger))
+      .groupBy("doc_id").agg(max(col("new_md5")).as("new_md5"))
+
+  /** Streaming zone-map maintenance — the ingest side of q35: as files
+    * land in the time-ordered layout, ONE streaming aggregation keyed
+    * by file maintains each file's (min ts, max ts, rows) — state is
+    * file-count-sized, the manifest a table format updates per commit,
+    * never data-sized. The rollup then answers q35's range query FROM
+    * THE STREAMED MAP (prune to surviving files, residual filter,
+    * aggregate), sharing q35's DuckDB oracle verbatim: the map
+    * maintained in-flight must prune to exactly the files the
+    * batch-built map prunes to. At 100 TB this is how data skipping
+    * stays current without a nightly full-scan stats rebuild. */
+  def st19StreamZonemap(spark: SparkSession, dir: String): DataFrame = {
+    val layout = Layout.ensureZonedLayout(spark, dir)
+    val name = "st19_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val snapshot = EventStream.runToCompletion(spark, zonemapStream(_, layout, None), name)
+    Layout.prunedRangeQuery(spark, snapshot)
+  }
+
+  /** The st19 streaming frame: arriving layout files → per-file zone
+    * rows. min/max/count are commutative, so microbatch slicing can
+    * never move the map (CdcSpec-style trickle parity pinned in
+    * ZonemapStreamSpec). */
+  private[analytics] def zonemapStream(s: SparkSession, layout: String,
+                                       maxFilesPerTrigger: Option[Int]): DataFrame = {
+    val r = s.readStream
+      .schema(EventStream.eventsSchemaWith(org.apache.spark.sql.types.TimestampType))
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n.toString))
+    r.parquet(layout)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"),
+           count(lit(1)).as("rows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_daily" -> st01StreamDaily _,
     "st02_sessions"     -> st02Sessions _,
@@ -545,9 +604,18 @@ object StreamingQueries {
     "st15_stream_vec_query"  -> st15StreamVecQuery _,
     "st16_stream_quality"    -> st16StreamQuality _,
     "st17_stream_heavy_hitters" -> st17StreamHeavyHitters _,
+    "st18_stream_cdc"           -> st18StreamCdc _,
+    "st19_stream_zonemap"       -> st19StreamZonemap _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // st18 streams the same derived snapshot d14 diffs in batch, and
+    // md5 comparison is exact — the streamed diff must equal the batch
+    // diff bit for bit, so it shares d14's SQL
+    "st18_stream_cdc" -> Dedup.oracleSql("d14_snapshot_cdc"),
+    // st19 answers q35's range query from the zone map it maintained
+    // in-flight — same answer as the batch gate, same SQL
+    "st19_stream_zonemap" -> Layout.oracleSql("q35_zonemap_prune"),
     // st14 is t32's PSI report computed from a streaming (source, bin)
     // count snapshot — exact counts, so the batch SQL is its oracle
     "st14_stream_drift" -> TextOps.oracleSql("t32_source_drift"),
