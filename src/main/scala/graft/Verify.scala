@@ -158,6 +158,10 @@ object Verify {
         // parameters → must equal the in-memory IVF-PQ result exactly
         inv("s14_eq_s04") { eqDumps("s14_ivf_pq_stored", read("s04_ann_ivfpq")) },
         inv("s14_recall10") { recall("s14_ivf_pq_stored", "s01_ann_bruteforce", "query_id") },
+        // int8-dequantized exact ranking vs the f64 ranking: the 8×
+        // compression must barely move retrieval (floor in
+        // SimilaritySpec ≥ 0.9)
+        inv("s18_recall10") { recall("s18_int8_topk", "s01_ann_bruteforce", "query_id") },
         // s15: the distributed projection's per-axis variance must
         // reproduce the eigensolve's eigenvalues (PCA identity), and
         // captured-variance fractions accumulate monotonically

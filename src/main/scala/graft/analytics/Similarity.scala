@@ -1245,6 +1245,63 @@ object Similarity {
       .toDF("query_id", "rnk", "neighbor_id", "relevance", "mmr_score")
   }
 
+  /** Per-vector symmetric int8 quantization: scale = max|x|/127,
+    * code = floor(x/scale + 0.5) ∈ [-127, 127] (floor-arithmetic
+    * rounding — the Det rule — so both engines produce identical
+    * codes bit for bit). The 100 TB motivation is footprint: int8
+    * codes are 8× smaller than f64 (4× vs f32), which is the
+    * difference between an embedding corpus that fits executor memory
+    * and one that spills — and integer dot products SIMD-vectorize.
+    * Zero vectors quantize to zero codes (scale 0 guard). */
+  private def quantize(v: Column): (Column, Column) = {
+    val scale = array_max(transform(v, x => abs(x))) / 127.0
+    val codes = when(scale === 0.0, transform(v, _ => lit(0.0)))
+      .otherwise(transform(v, x => floor(x / scale + lit(0.5))))
+    (scale, codes)
+  }
+
+  /** s17 gate: int8 quantization error report, per vector — the
+    * acceptance check a pipeline runs before switching its index to
+    * quantized codes. max_err is bounded by scale/2 by construction
+    * (pinned in SimilaritySpec); mse is the average squared
+    * reconstruction error. Oracle-exact: scale, codes, and error
+    * arithmetic are all engine-neutral IEEE. */
+  def s17Int8Quant(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), as_double_array(col("embedding")).as("v"))
+    val (scale, codes) = quantize(col("v"))
+    val err = zip_with(col("v"), col("q"), (x, c) => abs(x - c * col("scale")))
+    e.select(col("vec_id"), col("v"), scale.as("scale"), codes.as("q"))
+      .select(col("vec_id"), col("scale"), err.as("e"))
+      .select(col("vec_id"),
+        Det.dround(col("scale"), 9).as("scale"),
+        Det.dround(array_max(col("e")), 8).as("max_err"),
+        Det.dround(array_dot(col("e"), col("e")) / size(col("e")), 9).as("mse"))
+      .orderBy("vec_id")
+  }
+
+  /** s18 gate: exact top-k over the DEQUANTIZED int8 corpus — what
+    * retrieval quality survives the 8× compression. Same scorer and
+    * query rule as s01, so Verify's `s18_recall10` invariant reads
+    * recall directly against the s01 dump (floored in
+    * SimilaritySpec); rows-only (the quantized ranking is its own
+    * artifact, not SQL-oracle-able at reasonable cost). */
+  def s18Int8TopK(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val base = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), as_double_array(col("embedding")).as("raw"))
+    val (scale, codes) = quantize(col("raw"))
+    val deq = base.select(col("vec_id"), scale.as("s"), codes.as("c"))
+      .select(col("vec_id"), transform(col("c"), x => x * col("s")).as("v"))
+      .withColumn("norm", array_norm(col("v")))
+      .filter(col("norm") > 0)
+    bruteTopK(deq, deq.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm")),
+      k = 10)
+      .orderBy("query_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_ann_bruteforce" -> s01BruteForceTopK _,
     "s02_ann_lsh"        -> s02LshTopK _,
@@ -1261,9 +1318,32 @@ object Similarity {
     "s13_filtered_ivf_stored" -> s13FilteredIvfStored _,
     "s14_ivf_pq_stored"  -> s14IvfPqStored _,
     "s16_mmr_rerank"     -> s16MmrRerank _,
+    "s17_int8_quant"     -> s17Int8Quant _,
+    "s18_int8_topk"      -> s18Int8TopK _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // s17's scale/code/error arithmetic is engine-neutral IEEE (floor
+    // rounding, sequential list folds) — exact oracle
+    "s17_int8_quant" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v
+                    FROM embeddings),
+          s AS (SELECT vec_id, v,
+                 list_aggregate(list_transform(v, x -> abs(x)), 'max') / 127.0 scale
+                FROM v),
+          q AS (SELECT vec_id, v, scale,
+                 CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                      ELSE list_transform(v, x -> floor(x / scale + 0.5)) END q
+                FROM s),
+          e AS (SELECT vec_id, scale,
+                 list_transform(range(1, len(v)+1), k -> abs(v[k] - q[k] * scale)) e
+                FROM q)
+         SELECT vec_id,
+          floor(scale * 1000000000.0 + 0.5) / 1000000000.0 AS scale,
+          floor(list_aggregate(e, 'max') * 100000000.0 + 0.5) / 100000000.0 AS max_err,
+          floor((list_aggregate(list_transform(range(1, len(e)+1), k -> e[k] * e[k]), 'sum')
+                 / len(e)) * 1000000000.0 + 0.5) / 1000000000.0 AS mse
+         FROM e ORDER BY vec_id""",
     // s12 = s01's exact scorer over the metadata-filtered corpus slice
     "s12_filtered_ann" ->
       """WITH q AS (SELECT vec_id query_id, embedding q_emb FROM embeddings WHERE vec_id % 100 = 0),

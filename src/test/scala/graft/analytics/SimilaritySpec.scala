@@ -40,6 +40,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf.values.forall(_.size <= 10))
   }
 
+  test("s17 int8 errors respect the quantization bound; s18 ranking survives compression") {
+    // max reconstruction error is ≤ scale/2 by construction (the code
+    // rounds to the nearest scale multiple within range)
+    val q = Similarity.s17Int8Quant(spark, dir).collect()
+    assert(q.nonEmpty)
+    assert(q.forall { r =>
+      r.getDouble(2) <= r.getDouble(1) / 2.0 + 1e-12
+    }, "a max_err exceeds scale/2 — codes are not nearest-multiple")
+    assert(q.forall(r => r.getDouble(3) >= 0.0))
+    // 8×-compressed ranking tracks the f64 ranking closely
+    val exact = topSets(Similarity.s01BruteForceTopK(spark, dir))
+    val int8 = topSets(Similarity.s18Int8TopK(spark, dir))
+    val per = exact.map { case (qid, ex) =>
+      int8.get(qid).map(ap => ap.intersect(ex).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    val recall = per.sum / per.size
+    info(s"recall: int8=$recall")
+    assert(recall >= 0.9, s"int8 recall too low: $recall")
+  }
+
   test("IVF-PQ returns full top-10 lists per query with useful recall") {
     val exact = topSets(Similarity.s01BruteForceTopK(spark, dir))
     val pq = Similarity.s04IvfPqTopK(spark, dir)
