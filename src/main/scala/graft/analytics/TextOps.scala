@@ -795,6 +795,46 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** t35 gate: curriculum phases — every doc assigned to one of four
+    * difficulty quartiles by its LM perplexity score (t21's avg_nll:
+    * curriculum learning's easy→hard axis). The quartile boundaries
+    * are EXACT, but computed without ever globally sorting the corpus:
+    *
+    *  1. histogram the (rounded) scores — `groupBy(avg_nll).count()`,
+    *     whose cardinality is bounded by the score's 4-decimal grid
+    *     (tens of thousands of distinct values at ANY corpus size),
+    *     never by the corpus;
+    *  2. a cumulative window over that bounded histogram yields the
+    *     exact quartile thresholds (ties never straddle a boundary —
+    *     equal scores land in one phase, deterministic cross-engine);
+    *  3. the thresholds broadcast back over the corpus as three
+    *     scalars.
+    *
+    * The corpus itself is touched by one narrow scoring pass and one
+    * threshold comparison — this is how exact NTILE survives 100 TB:
+    * sort the HISTOGRAM, not the data. Quartile fractions are dyadic
+    * (0.25/0.5/0.75), so `ceil(q·n)` is bit-exact in both engines. */
+  def t35CurriculumPhases(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = t21LmPerplexity(spark, dir).select(col("doc_id"), col("avg_nll"))
+    val hist = per.groupBy("avg_nll").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy("avg_nll")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+    val th = cum.crossJoin(broadcast(per.groupBy().agg(count(lit(1)).as("n"))))
+      .agg(
+        min(when(col("cum") >= ceil(col("n") * 0.25), col("avg_nll"))).as("t1"),
+        min(when(col("cum") >= ceil(col("n") * 0.5), col("avg_nll"))).as("t2"),
+        min(when(col("cum") >= ceil(col("n") * 0.75), col("avg_nll"))).as("t3"))
+    per.crossJoin(broadcast(th))
+      .select(col("doc_id"), col("avg_nll"),
+        when(col("avg_nll") <= col("t1"), 1L)
+          .when(col("avg_nll") <= col("t2"), 2L)
+          .when(col("avg_nll") <= col("t3"), 3L)
+          .otherwise(4L).as("phase"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_distribution" -> t01LangDistribution _,
     "t02_token_counts"      -> t02TokenCounts _,
@@ -820,6 +860,7 @@ object TextOps {
     "t26_topk_ngrams"       -> t26TopkNgrams _,
     "t31_heavy_hitters"     -> t31HeavyHitters _,
     "t32_source_drift"      -> t32SourceDrift _,
+    "t35_curriculum_phases" -> t35CurriculumPhases _,
   )
 
   private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
@@ -842,6 +883,33 @@ object TextOps {
        FROM hit ORDER BY doc_id"""
 
   val oracleSql: Map[String, String] = Map(
+    "t35_curriculum_phases" ->
+      """WITH docs AS (SELECT doc_id, text, strlen(text) len FROM documents WHERE strlen(text) >= 3),
+          g AS (SELECT doc_id, unnest(generate_series(1, len-2)) i, text FROM docs),
+          tf AS (SELECT doc_id, substr(text, i, 3) tri, count(*) tf FROM g GROUP BY 1, 2),
+          gl AS (SELECT tri, sum(tf) cnt FROM tf GROUP BY tri),
+          tot AS (SELECT CAST(sum(cnt) AS DOUBLE) n FROM gl),
+          sc AS (SELECT doc_id, tf.tf,
+                  floor((tf.tf * ln((SELECT n FROM tot) / cnt)) * 1000000.0 + 0.5) / 1000000.0 contrib
+                 FROM tf JOIN gl USING (tri)),
+          per AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) n_tri,
+                   CAST(sum(CAST((contrib) AS DECIMAL(18,6))) AS DOUBLE) s
+                  FROM sc GROUP BY doc_id),
+          pp AS (SELECT doc_id, floor((s / n_tri) * 10000.0 + 0.5) / 10000.0 avg_nll FROM per),
+          hist AS (SELECT avg_nll, count(*) c FROM pp GROUP BY 1),
+          cum AS (SELECT avg_nll,
+                   sum(c) OVER (ORDER BY avg_nll
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum
+                  FROM hist),
+          nn AS (SELECT count(*) n FROM pp),
+          th AS (SELECT min(CASE WHEN cum >= ceil(n * 0.25) THEN avg_nll END) t1,
+                  min(CASE WHEN cum >= ceil(n * 0.5) THEN avg_nll END) t2,
+                  min(CASE WHEN cum >= ceil(n * 0.75) THEN avg_nll END) t3
+                 FROM cum, nn)
+         SELECT doc_id, avg_nll,
+          CAST(CASE WHEN avg_nll <= t1 THEN 1 WHEN avg_nll <= t2 THEN 2
+                    WHEN avg_nll <= t3 THEN 3 ELSE 4 END AS BIGINT) AS phase
+         FROM pp, th ORDER BY doc_id""",
     "t32_source_drift" ->
       """WITH d AS (SELECT source,
               least(CAST(floor(len(string_split_regex(trim(text), '\s+')) / 16) AS BIGINT), 7) bin
