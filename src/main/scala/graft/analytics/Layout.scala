@@ -199,10 +199,42 @@ object Layout {
       .orderBy("day", "event_type")
   }
 
+  private val fullStateDirs = new ConcurrentHashMap[String, String]()
+
+  /** Full-range daily state — what q36's pipeline holds after every
+    * delta has been folded in. Stored once per (JVM, sf dir). */
+  private def ensureFullState(spark: SparkSession, dir: String): String =
+    fullStateDirs.computeIfAbsent(dir, { _ =>
+      val out = Files.createTempDirectory("graft-agg-state-full").toString + "/daily"
+      partials(Tables.events(spark, dir)).write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** q37 gate: rollup REUSE — the per-event-type monthly summary
+    * computed from the stored daily state, never from the event log.
+    * Mergeable state re-aggregates to ANY coarser grain (counts add,
+    * decimal sums add exactly, min/max fold), so once the daily state
+    * exists, every coarser rollup costs a scan of the file-count-sized
+    * state table — the OLAP-cube contract that makes a 100 TB metrics
+    * stack serve dashboards without touching the fact table. The
+    * oracle recomputes directly from events, so the gate proves
+    * rollup(state) == recompute(all) at the coarser grain too. */
+  def q37RollupReuse(spark: SparkSession, dir: String): DataFrame = {
+    val state = spark.read.parquet(ensureFullState(spark, dir))
+    state.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+           sum(col("cnt")).as("n_events"),
+           Det.dround(sum(col("sval")).cast("double"), 2).as("sum_value"),
+           Det.dround(sum(col("sval")).cast("double") / sum(col("cnt")), 4).as("avg_value"),
+           min(col("minv")).as("min_value"), max(col("maxv")).as("max_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q34_bucketed_join"  -> q34BucketedJoin _,
     "q35_zonemap_prune"  -> q35ZonemapPrune _,
     "q36_incremental_agg" -> q36IncrementalAgg _,
+    "q37_rollup_reuse"   -> q37RollupReuse _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -218,6 +250,14 @@ object Layout {
          FROM events
          WHERE ts >= TIMESTAMP '$ZoneStart' AND ts < TIMESTAMP '$ZoneEnd'
          GROUP BY event_type ORDER BY event_type""",
+    "q37_rollup_reuse" ->
+      s"""WITH d AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type, value
+                     FROM events)
+         SELECT event_type, count(DISTINCT day) AS n_days, count(*) AS n_events,
+         ${Det.sqlSumDecR("value", 2)} AS sum_value,
+         ${Det.sqlRound(Det.sqlSumDec("value") + " / count(*)", 4)} AS avg_value,
+         min(value) AS min_value, max(value) AS max_value
+         FROM d GROUP BY event_type ORDER BY event_type""",
     "q36_incremental_agg" ->
       s"""SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
          count(*) AS n_events,
