@@ -580,6 +580,43 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Patch-token budget one image attachment consumes in a multimodal
+    * training sequence (a ViT-style tile of a small image). */
+  val ImgTokens = 16L
+  private val MmSeqLen = 256L
+
+  /** m08 gate: interleaved multimodal sequence packing — t30's offset
+    * arithmetic with each document's IMAGE attachments charged to the
+    * same fixed-length budget as its text (multimodal LLM training
+    * packs patch tokens and text tokens into one stream; the image
+    * budget, not the text, is what blows up context accounting).
+    * Attachment rule is deterministic (every 4th doc carries one
+    * image), so the whole plan stays window arithmetic — no explode,
+    * no join, and the oracle is exact SQL. Per lang: sequences needed,
+    * text vs image token split, multimodal doc count, spanning docs. */
+  def m08InterleavedPacking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_text"),
+        when(col("doc_id") % 4 === 0, lit(ImgTokens)).otherwise(lit(0L)).as("n_img"))
+      .withColumn("n_tok", col("n_text") + col("n_img"))
+      .withColumn("start", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("first_seq", floor(col("start") / MmSeqLen).cast("long"))
+      .withColumn("last_seq",
+        floor((col("start") + col("n_tok") - 1L) / MmSeqLen).cast("long"))
+    d.groupBy("lang")
+      .agg((max("last_seq") + 1L).as("n_seqs"),
+           sum("n_text").as("n_text_tokens"),
+           sum("n_img").as("n_image_tokens"),
+           sum(when(col("n_img") > 0, 1L).otherwise(0L)).as("n_mm_docs"),
+           sum(when(col("last_seq") > col("first_seq"), 1L).otherwise(0L))
+             .as("n_spanning_docs"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_blob_meta"    -> m01BlobMeta _,
     "m02_frame_stats"  -> m02FrameStats _,
@@ -588,11 +625,31 @@ object Multimodal {
     "m05_audio_dups"   -> m05AudioDupGroups _,
     "m06_video_dups"   -> m06VideoDupStats _,
     "m07_clip_align"   -> m07ClipAlign _,
+    "m08_interleaved_packing" -> m08InterleavedPacking _,
   )
 
   /** m01 is byte-exact SQL (UTF-8 length); m02's stub decode is
     * Spark-side only → rows-only check. */
   val oracleSql: Map[String, String] = Map(
+    "m08_interleaved_packing" ->
+      """WITH d AS (SELECT doc_id, lang,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_text,
+                     CAST(CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 0 END AS BIGINT) AS n_img
+                    FROM documents),
+          t AS (SELECT *, n_text + n_img AS n_tok FROM d),
+          c AS (SELECT *, COALESCE(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+                FROM t),
+          s AS (SELECT lang, n_text, n_img,
+                 CAST(start // 256 AS BIGINT) first_seq,
+                 CAST((start + n_tok - 1) // 256 AS BIGINT) last_seq
+                FROM c)
+         SELECT lang, CAST(max(last_seq) + 1 AS BIGINT) AS n_seqs,
+          CAST(sum(n_text) AS BIGINT) AS n_text_tokens,
+          CAST(sum(n_img) AS BIGINT) AS n_image_tokens,
+          CAST(sum(CASE WHEN n_img > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mm_docs,
+          CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning_docs
+         FROM s GROUP BY lang ORDER BY lang""",
     "m01_blob_meta" ->
       """SELECT source, count(*) AS n_blobs,
          CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
