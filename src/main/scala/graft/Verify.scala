@@ -185,6 +185,15 @@ object Verify {
           val got = topRanks(read("g01_knn_pagerank"))
           got.nonEmpty && got == refRanks(None)
         },
+        inv("g03_parity_singlenode") {
+          val ref = graft.analytics.Graph.referenceClusteringCoeff(knnEdges)
+            .toSeq.map { case (id, (d, t, c)) => (id, d, t, c) }
+            .sortBy { case (id, _, _, c) => (-c, id) }
+            .take(graft.analytics.Graph.TopN)
+          val got = read("g03_clustering_coeff").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+          got.nonEmpty && got == ref
+        },
         inv("g02_parity_singlenode") {
           val seeds = read("s01_ann_bruteforce")
             .select("query_id").distinct().collect()

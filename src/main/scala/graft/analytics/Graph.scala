@@ -147,9 +147,87 @@ object Graph {
       .limit(TopN)
   }
 
+  /** Per-node triangle counts and local clustering coefficient over an
+    * undirected edge set, by DEGREE-ORDERED wedge closure — the scan
+    * discipline that makes triangle counting survive skew: every edge
+    * is oriented from its lower-(degree, id) endpoint to the higher,
+    * so wedge generation fans out from each node's LOWER-degree
+    * incidences only (max fanout O(√|E|) per node instead of deg² at
+    * hubs), and each triangle is generated exactly once. Two shuffles:
+    * the wedge self-join on the pivot and the closure semi join on the
+    * oriented edge set.
+    *
+    * Input `edges` may be directed (a kNN graph is); it is
+    * symmetrized and de-duplicated here. */
+  private[analytics] def triangleCoeff(edges: DataFrame): DataFrame = {
+    // canonical undirected edges (a < b), distinct
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): u -> v iff (deg(u), u) < (deg(v), v)
+    val withDeg = und
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+    val oriented = withDeg.select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v")).localCheckpoint(true)
+    // wedges at the pivot u: arm pair (v, w) keyed v < w by id, so each
+    // unordered pair appears once; the closing edge {v, w} is oriented
+    // by (deg, id) — not necessarily by id — so the semi join probes
+    // both orientations
+    val wedges = oriented.as("x").join(oriented.as("y"), col("x.u") === col("y.u"))
+      .filter(col("x.v") < col("y.v"))
+      .select(col("x.u").as("t1"), col("x.v").as("t2"), col("y.v").as("t3"))
+    val closedBoth = wedges.join(
+        oriented.select(col("u").as("t2"), col("v").as("t3"))
+          .union(oriented.select(col("v").as("t2"), col("u").as("t3"))),
+        Seq("t2", "t3"), "left_semi")
+    val perNode = closedBoth.select(explode(array(col("t1"), col("t2"), col("t3"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coeff",
+        when(col("deg") < 2, lit(0.0))
+          .otherwise(Det.dround(col("n_tri") * 2.0 / (col("deg") * (col("deg") - 1L)), 6)))
+  }
+
+  /** Single-node twin: same symmetrization, same counting rule. */
+  private[graft] def referenceClusteringCoeff(edges: Seq[(Long, Long)]): Map[Long, (Long, Long, Double)] = {
+    val und = edges.flatMap { case (a, b) => if (a == b) Nil else Seq((a min b, a max b)) }.distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    adj.map { case (id, ns) =>
+      val deg = ns.size.toLong
+      val tri = ns.toSeq.map(v => ns.count(w => v < w && adj(v)(w))).sum.toLong
+      val coeff = if (deg < 2) 0.0 else Det.droundD(tri * 2.0 / (deg * (deg - 1)), 6)
+      id -> (deg, tri, coeff)
+    }
+  }
+
+  /** g03 gate: local clustering coefficient over the kNN similarity
+    * graph, top-[[TopN]] most clustered vectors — the cohesion signal
+    * (a node whose neighbors all know each other sits inside a tight
+    * semantic cluster; a hub bridging unrelated regions scores low).
+    * Rows-only (wedge closure isn't reasonable SQL); Verify re-counts
+    * on the dumped s05 edge list single-node and demands exact
+    * equality (`g03_parity_singlenode`). */
+  def g03ClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.s05KnnGraph(spark, dir)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    triangleCoeff(edges)
+      .select(col("id").as("vec_id"), col("deg"), col("n_tri"), col("coeff"))
+      .orderBy(col("coeff").desc, col("vec_id").asc)
+      .limit(TopN)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_knn_pagerank" -> g01KnnPagerank _,
     "g02_ppr_retrieval" -> g02PprRetrieval _,
+    "g03_clustering_coeff" -> g03ClusteringCoeff _,
   )
 
   val oracleSql: Map[String, String] = Map.empty

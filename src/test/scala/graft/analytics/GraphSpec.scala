@@ -30,6 +30,38 @@ class GraphSpec extends AnyFunSuite {
     assert((1L to 10L).forall(i => r(0L) > r(i)), s"hub not central: $r")
   }
 
+  test("triangle counts: planted clique and path give known exact answers") {
+    import spark.implicits._
+    // K4 on {0,1,2,3} (4 triangles, 3 per node, coeff 1.0) plus a
+    // pendant path 3-4-5 (no triangles through 4 or 5)
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val edges = (k4 ++ Seq((3L, 4L), (4L, 5L))).toDF("src", "dst")
+    val got = Graph.triangleCoeff(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(0L) == ((3L, 3L, 1.0)))
+    assert(got(1L) == ((3L, 3L, 1.0)))
+    assert(got(2L) == ((3L, 3L, 1.0)))
+    assert(got(3L) == ((4L, 3L, 0.5)))
+    assert(got(4L) == ((2L, 0L, 0.0)))
+    assert(got(5L) == ((1L, 0L, 0.0)))
+  }
+
+  test("distributed clustering coefficients equal the single-node reference exactly") {
+    val edgeDf = Similarity.s05KnnGraph(spark, dir)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    val edges = edgeDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = Graph.referenceClusteringCoeff(edges)
+    val got = Graph.triangleCoeff(edgeDf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size == want.size)
+    // the corpus graph must actually contain triangles, or the gate
+    // says nothing
+    assert(got.values.map(_._2).sum > 0, "no triangles in the kNN graph")
+    got.foreach { case (id, t) =>
+      assert(t == want(id), s"node $id: $t != ${want(id)}")
+    }
+  }
+
   test("distributed ranks equal the single-node reference exactly") {
     val edgeDf = Similarity.s05KnnGraph(spark, dir)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
