@@ -205,14 +205,56 @@ object TextPrep {
       .orderBy("lang")
   }
 
+  /** t36 gate: contrastive-pair construction accounting — the training
+    * set an embedding model (SimCSE/DPR family) consumes: positives
+    * are ADJACENT overlapping chunks of the same document (t08's
+    * 32/24 chunk grid, so each doc yields n_chunks−1 positive pairs),
+    * and each anchor's in-batch negative comes from the NEXT document
+    * in (lang, doc_id) order — a deterministic stand-in for the
+    * shuffled-batch negative, so the whole assignment is reproducible
+    * and SQL-exact. The gate emits per-doc accounting (chunk count,
+    * positive-pair count, negative source), NOT materialized pairs:
+    * at 100 TB the pair table is constructed lazily by the training
+    * loader from exactly these columns; materializing it would square
+    * the corpus for nothing. The only non-narrow op is the per-lang
+    * `lead` window — partitioned by lang, ordered by doc_id, one
+    * shuffle. Hard negatives (the quality upgrade) are s10's gate;
+    * this one pins the pairing/accounting contract. */
+  def t36ContrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .withColumn("n_chunks",
+        floor((col("n_tok") - 1L) / (ChunkTokens - Overlap)) + 1L)
+      .withColumn("n_pos_pairs", greatest(col("n_chunks") - 1L, lit(0L)))
+      .withColumn("neg_doc_id", coalesce(lead(col("doc_id"), 1).over(w), lit(-1L)))
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("lang"), col("n_chunks"), col("n_pos_pairs"),
+        col("neg_doc_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t08_chunking"      -> t08Chunking _,
     "t09_deterministic_sample" -> t09DeterministicSample _,
     "t10_shard_packing" -> t10ShardPacking _,
     "t30_sequence_packing" -> t30SequencePacking _,
+    "t36_contrastive_pairs" -> t36ContrastivePairs _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    "t36_contrastive_pairs" ->
+      """WITH d AS (SELECT doc_id, lang,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n_tok
+                    FROM documents),
+          c AS (SELECT doc_id, lang, ((n_tok - 1) // 24) + 1 AS n_chunks,
+                 lead(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) nx
+                FROM d)
+         SELECT doc_id, lang, CAST(n_chunks AS BIGINT) AS n_chunks,
+          CAST(greatest(n_chunks - 1, 0) AS BIGINT) AS n_pos_pairs,
+          COALESCE(nx, -1) AS neg_doc_id
+         FROM c WHERE doc_id < 50 ORDER BY doc_id""",
     "t08_chunking" ->
       """WITH d AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tok
                     FROM documents),
