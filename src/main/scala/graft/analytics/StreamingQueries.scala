@@ -586,6 +586,34 @@ object StreamingQueries {
            count(lit(1)).as("rows"))
   }
 
+  /** Streaming rollup-state maintenance — q36's incremental-aggregate
+    * loop with the STREAM as the state keeper: one streaming
+    * aggregation holds the (day, type) mergeable state (count + exact
+    * decimal sum + min/max; |days|×|types| rows, never event-count),
+    * and the final report derives from the state snapshot exactly as
+    * q36 derives from its stored state. Every state column is
+    * commutative, so the drive reproduces the batch recompute bit for
+    * bit and shares q36's DuckDB oracle (trickle parity pinned in
+    * StreamRollupSpec). This is the metrics stack maintained while
+    * events land — the nightly state-merge job, deleted. */
+  def st20StreamRollupState(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st20_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val snapshot = EventStream.runToCompletion(spark,
+      EventStream.rollupState(_, dir, None), name)
+    rollupReport(snapshot)
+  }
+
+  /** q36's derivation from mergeable state: surface the derived
+    * columns (avg divides doubles AFTER the exact decimal sum — the
+    * oracle's arithmetic). */
+  private[analytics] def rollupReport(state: DataFrame): DataFrame =
+    state.select(col("day"), col("event_type"),
+        col("cnt").as("n_events"),
+        graft.analytics.Det.dround(col("sval").cast("double"), 2).as("sum_value"),
+        graft.analytics.Det.dround(col("sval").cast("double") / col("cnt"), 4).as("avg_value"),
+        col("minv").as("min_value"), col("maxv").as("max_value"))
+      .orderBy("day", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_stream_daily" -> st01StreamDaily _,
     "st02_sessions"     -> st02Sessions _,
@@ -606,6 +634,7 @@ object StreamingQueries {
     "st17_stream_heavy_hitters" -> st17StreamHeavyHitters _,
     "st18_stream_cdc"           -> st18StreamCdc _,
     "st19_stream_zonemap"       -> st19StreamZonemap _,
+    "st20_stream_rollup_state"  -> st20StreamRollupState _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -616,6 +645,10 @@ object StreamingQueries {
     // st19 answers q35's range query from the zone map it maintained
     // in-flight — same answer as the batch gate, same SQL
     "st19_stream_zonemap" -> Layout.oracleSql("q35_zonemap_prune"),
+    // st20's state columns are all commutative (counts, exact decimal
+    // sums, min/max) — the streamed state must reproduce q36's full
+    // recompute bit for bit
+    "st20_stream_rollup_state" -> Layout.oracleSql("q36_incremental_agg"),
     // st14 is t32's PSI report computed from a streaming (source, bin)
     // count snapshot — exact counts, so the batch SQL is its oracle
     "st14_stream_drift" -> TextOps.oracleSql("t32_source_drift"),
