@@ -771,6 +771,28 @@ object Dedup {
     cdcDiff(a, cdcSnapshotB(docs))
   }
 
+  /** d15 gate: CDC APPLY — the other half of d14's loop. Fold the
+    * change rows into the previous snapshot with one keyed outer
+    * join: deletes drop, changes replace, adds insert, untouched rows
+    * pass through. The merged snapshot must equal the new snapshot
+    * EXACTLY (the oracle derives B independently), which is the
+    * MERGE INTO contract: at 100 TB the join shuffles (id, hash)
+    * pairs and only changed partitions rewrite — history is never
+    * rescanned. Output is the merged (doc_id, md5) snapshot itself,
+    * so any divergence anywhere in the corpus fails the hash. */
+  def d15CdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val a = docs.select(col("doc_id"), md5(col("text")).as("old_md5"))
+    val changes = cdcDiff(a, cdcSnapshotB(docs))
+    a.select(col("doc_id"), col("old_md5").as("prev_md5"))
+      .join(changes, Seq("doc_id"), "full_outer")
+      .filter(coalesce(col("change_type"), lit("")) =!= "deleted")
+      .select(col("doc_id"),
+        when(col("change_type").isin("added", "changed"), col("new_md5"))
+          .otherwise(col("prev_md5")).as("new_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_ngram_jaccard_pairs" -> d01NgramJaccardPairs _,
     "d02_minhash_pairs"       -> d02MinHashPairs _,
@@ -786,12 +808,21 @@ object Dedup {
     "d12_incremental_dedup"   -> d12IncrementalDedup _,
     "d13_split_leakage"       -> d13SplitLeakage _,
     "d14_snapshot_cdc"        -> d14SnapshotCdc _,
+    "d15_cdc_apply"           -> d15CdcApply _,
   )
 
   /** d02/d03 use Spark xxhash64 and d05 a u64 rolling hash — not
     * reproducible in DuckDB SQL, so they get the driver's rows-only
     * check; d01/d04 are exact. */
   val oracleSql: Map[String, String] = Map(
+    "d15_cdc_apply" ->
+      """WITH b AS (SELECT doc_id,
+                     md5(CASE WHEN doc_id % 10 = 3 THEN text || ' [rev2]' ELSE text END) new_md5
+                    FROM documents WHERE doc_id % 10 <> 7
+                    UNION ALL
+                    SELECT doc_id + 1000000 AS doc_id, md5(text) new_md5
+                    FROM documents WHERE doc_id % 10 = 0)
+         SELECT doc_id, new_md5 FROM b ORDER BY doc_id""",
     "d14_snapshot_cdc" ->
       """WITH b AS (SELECT doc_id,
                      md5(CASE WHEN doc_id % 10 = 3 THEN text || ' [rev2]' ELSE text END) new_md5

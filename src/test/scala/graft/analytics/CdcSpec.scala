@@ -37,6 +37,25 @@ class CdcSpec extends AnyFunSuite {
     })
   }
 
+  test("d14 hashes before the join: no text column crosses the shuffle") {
+    val plan = Dedup.d14SnapshotCdc(spark, dir)
+      .queryExecution.executedPlan.toString
+    val joinIdx = plan.indexOf("SortMergeJoin")
+    assert(joinIdx >= 0, s"diff did not plan as a keyed join:\n$plan")
+    // md5 must be computed BELOW the join (appearing only after the
+    // join node in the top-down plan text), so the shuffle carries
+    // (id, hash) rows, never document text
+    assert(!plan.substring(0, joinIdx).contains("md5("),
+      s"md5 computed above the join — text crossed the shuffle:\n$plan")
+  }
+
+  test("d15 applies the diff: merge(A, changes) reproduces snapshot B exactly") {
+    val merged = Dedup.d15CdcApply(spark, dir).collect().map(_.toSeq).toSeq
+    val b = Dedup.cdcSnapshotB(Tables.documents(spark, dir))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(merged.nonEmpty && merged == b)
+  }
+
   test("st18 streamed diff equals the d14 batch diff") {
     val batch = Dedup.d14SnapshotCdc(spark, dir).collect().map(_.toSeq).toSeq
     val streamed = StreamingQueries.st18StreamCdc(spark, dir)
