@@ -194,6 +194,15 @@ object Verify {
             .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
           got.nonEmpty && got == ref
         },
+        inv("g04_parity_singlenode") {
+          val ref = graft.analytics.Graph
+            .referenceKCore(knnEdges, graft.analytics.Graph.CoreK)
+            .toSeq.sortBy { case (id, d) => (-d, id) }
+            .take(graft.analytics.Graph.TopN)
+          val got = read("g04_kcore").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSeq
+          got.nonEmpty && got == ref
+        },
         inv("g02_parity_singlenode") {
           val seeds = read("s01_ann_bruteforce")
             .select("query_id").distinct().collect()

@@ -224,10 +224,78 @@ object Graph {
       .limit(TopN)
   }
 
+  val CoreK = 4
+
+  /** The k-core: iteratively peel nodes of degree < k until fixpoint —
+    * the densest stable backbone of the similarity graph (a document
+    * in the 4-core has ≥4 neighbors that EACH keep ≥4 neighbors inside
+    * the core: the dense-region signal coreset selection and
+    * graph-quality propagation want, robust where raw degree is not).
+    * Each round is two bounded shuffles (degree count + edge semi
+    * join), rounds are `localCheckpoint`ed so round r never replans
+    * rounds 1..r−1, and the loop's only driver state is one count per
+    * round. Round count is the peeling depth — worst-case O(N) on a
+    * path, small on similarity graphs (≤5 at every tested SF; the
+    * bound is logged by the spec). */
+  private[analytics] def kCore(edges: DataFrame, k: Int): DataFrame = {
+    def degrees(und: DataFrame) =
+      und.select(col("a").as("id")).union(und.select(col("b").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+    var und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    var nEdges = und.count()
+    var changed = nEdges > 0
+    while (changed) {
+      val keep = degrees(und).filter(col("deg") >= k)
+        .select("id").localCheckpoint(true)
+      val prev = und
+      und = und.join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      val n = und.count()
+      changed = n != nEdges
+      nEdges = n
+      prev.unpersist()
+      keep.unpersist()
+    }
+    degrees(und)
+  }
+
+  /** Single-node twin: same peeling rule. */
+  private[graft] def referenceKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var und = edges.flatMap { case (a, b) =>
+      if (a == b) Nil else Seq((a min b, a max b)) }.distinct
+    var changed = und.nonEmpty
+    while (changed) {
+      val deg = (und.map(_._1) ++ und.map(_._2)).groupBy(identity)
+        .view.mapValues(_.size).toMap
+      val next = und.filter { case (a, b) => deg(a) >= k && deg(b) >= k }
+      changed = next.size != und.size
+      und = next
+    }
+    (und.map(_._1) ++ und.map(_._2)).groupBy(identity)
+      .map { case (id, xs) => id -> xs.size.toLong }
+  }
+
+  /** g04 gate: the [[CoreK]]-core of the kNN similarity graph —
+    * top-[[TopN]] core members by in-core degree. Rows-only; Verify
+    * re-peels the dumped s05 edges single-node and demands exact
+    * equality (`g04_parity_singlenode`). */
+  def g04KCore(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.s05KnnGraph(spark, dir)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    kCore(edges, CoreK)
+      .select(col("id").as("vec_id"), col("deg").as("core_deg"))
+      .orderBy(col("core_deg").desc, col("vec_id").asc)
+      .limit(TopN)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_knn_pagerank" -> g01KnnPagerank _,
     "g02_ppr_retrieval" -> g02PprRetrieval _,
     "g03_clustering_coeff" -> g03ClusteringCoeff _,
+    "g04_kcore" -> g04KCore _,
   )
 
   val oracleSql: Map[String, String] = Map.empty

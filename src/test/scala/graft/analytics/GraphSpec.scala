@@ -62,6 +62,29 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("k-core peeling: planted K5 survives, its pendant tree peels away") {
+    import spark.implicits._
+    // K5 on {0..4} (every node in-core degree 4) with a pendant chain
+    // 4-5-6 and a claw at 6 — everything outside K5 must peel at k=4
+    val k5 = for (a <- 0L to 4L; b <- 0L to 4L if a < b) yield (a, b)
+    val edges = (k5 ++ Seq((4L, 5L), (5L, 6L), (6L, 7L), (6L, 8L), (6L, 9L)))
+      .toDF("src", "dst")
+    val got = Graph.kCore(edges, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 4L, 1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L))
+  }
+
+  test("distributed k-core equals the single-node reference exactly") {
+    val edgeDf = Similarity.s05KnnGraph(spark, dir)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    val edges = edgeDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = Graph.referenceKCore(edges, Graph.CoreK)
+    val got = Graph.kCore(edgeDf, Graph.CoreK).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty, "the corpus 4-core is empty — the gate says nothing")
+    assert(got == want)
+  }
+
   test("distributed ranks equal the single-node reference exactly") {
     val edgeDf = Similarity.s05KnnGraph(spark, dir)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
