@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.catalog.Catalog
 import graft.etl.CopyDb
+import graft.filters.JsonUtil
 import graft.store.{JsonFileStore, TableStore}
 
 /** Driver-gate entries that exercise the aerovaldb store surface
@@ -151,12 +152,77 @@ object StoreQueries {
     ).toDF("op", "value").orderBy("op")
   }
 
+  /** av06 gate: replica-consistency audit — the check an operator runs
+    * after a cross-backend copy (or against a standing replica): diff
+    * the two stores by (uri, content hash), using the SAME `cdcDiff`
+    * operator the corpus CDC gates use, applied to store catalogs.
+    * The freshly-copied replica must diff CLEAN (enforced — a
+    * non-empty pre-mutation diff fails the gate loudly); three planted
+    * divergences (one asset overwritten in the replica, one deleted
+    * from it, one removed from the source so the replica holds an
+    * orphan) must come back as exactly those three rows. At scale both
+    * hash sets come from distributed catalog scans; the diff itself
+    * shuffles (uri, hash) pairs only. */
+  def av06StoreDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.core.AssetValue
+    val root = buildFixture()
+    val src = new JsonFileStore(root.toString)
+    val dst = new TableStore(spark, Files.createTempDirectory("graft-storeq-drift").toString)
+    CopyDb.copyDbContents(src, dst)
+    // canonical JSON hash: the two backends legitimately store the
+    // same asset with different formatting/field order, so the audit
+    // hashes a sorted-key canonical form — formatting-independent
+    // CONTENT equality, which is the contract a replica check wants
+    def canonical(n: com.fasterxml.jackson.databind.JsonNode): String = {
+      import scala.jdk.CollectionConverters._
+      if (n.isObject)
+        n.properties().asScala.toSeq.map(e => e.getKey -> e.getValue)
+          .sortBy(_._1)
+          .map { case (k, v) => s"${JsonUtil.serialize(JsonUtil.parse(s""""$k""""))}:${canonical(v)}" }
+          .mkString("{", ",", "}")
+      else if (n.isArray) n.asScala.map(canonical).mkString("[", ",", "]")
+      else JsonUtil.serialize(n)
+    }
+    // key on the version-stripped LOGICAL uri: the json backend's
+    // listing carries `?version=` kwargs (a physical-layout detail)
+    // that the table backend's does not — same asset, same identity
+    def hashes(db: graft.store.AssetStore): Seq[(String, String)] =
+      db.listAll().sorted.map { u =>
+        val bytes = db.getByUri(u) match {
+          case AssetValue.Json(s) => canonical(JsonUtil.parse(s)).getBytes("UTF-8")
+          case AssetValue.Blob(b) => b
+          case other => other.toString.getBytes("UTF-8")
+        }
+        u.takeWhile(_ != '?') -> java.security.MessageDigest.getInstance("MD5")
+          .digest(bytes).map("%02x".format(_)).mkString
+      }
+    def frame(h: Seq[(String, String)], c: String) =
+      h.toDF("doc_id", c)
+    val pre = Dedup.cdcDiff(frame(hashes(src), "old_md5"), frame(hashes(dst), "new_md5"))
+      .count()
+    require(pre == 0, s"copy verification failed: $pre assets diverge before mutation")
+    val jsonUris = dst.listAll()
+      .filter(u => !graft.core.Route.blobRoutes.contains(graft.codec.UriCodec.parse(u)._1))
+      .sorted
+    dst.putByUri(jsonUris(0), """{"planted": "drift"}""")
+    dst.rmByUri(jsonUris(1))
+    src.rmByUri(jsonUris(2))
+    val drift = Dedup.cdcDiff(frame(hashes(src), "old_md5"), frame(hashes(dst), "new_md5"))
+      .select(col("doc_id").as("uri"), col("change_type"))
+      .orderBy("uri")
+    val out = drift.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    src.close(); dst.close()
+    out.toDF("uri", "change_type").orderBy("uri")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "av01_catalog_ingest" -> av01CatalogIngest _,
     "av02_copy_etl"       -> av02CopyEtl _,
     "av03_filtered_reads" -> av03FilteredReads _,
     "av04_bulk_import"    -> av04BulkImport _,
     "av05_catalog_refresh" -> av05CatalogRefresh _,
+    "av06_store_drift"     -> av06StoreDrift _,
   )
 
   /** Store ops run on their own fixture assets → rows-only checks. */

@@ -121,7 +121,19 @@ object ScaleProbe {
       "s14_ivf_pq_stored",
       // st15: per-microbatch probe = pruned scan bounded by the batch's
       // query count; codebook collected once per stream
-      "st15_stream_vec_query")
+      "st15_stream_vec_query",
+      // round-9 layout/CDC/state ops — all corpus-linear: hash-only
+      // CDC shuffles (d14/d15/st18), zone-map pruning reads surviving
+      // files (q35/st19), mergeable state folds (q36/q37/st20),
+      // bucketed write+join (q34), narrow window/quantize passes
+      // (t35/t36/m08/s17). Excluded: g03/g04/s18 ride the s05 exact
+      // all-pairs tier (quadratic baseline; their scale path is the
+      // s06 IVF edge swap)
+      "d14_snapshot_cdc", "d15_cdc_apply", "st18_stream_cdc",
+      "q34_bucketed_join", "q35_zonemap_prune", "q36_incremental_agg",
+      "q37_rollup_reuse", "st19_stream_zonemap", "st20_stream_rollup_state",
+      "t35_curriculum_phases", "t36_contrastive_pairs",
+      "s17_int8_quant", "m08_interleaved_packing")
       // SPARK_GRAFT_ONLY=a,b,c restricts the sweep (dev iteration knob)
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").contains(n)))
