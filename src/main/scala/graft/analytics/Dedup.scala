@@ -743,6 +743,24 @@ object Dedup {
       .select(col("r.doc_id").as("doc_id"), col("r.new_md5").as("new_md5"))
   }
 
+  /** [[cdcSnapshotB]] carrying full rows (doc_id, source, lang, text)
+    * instead of hashes — what a downstream consumer re-processing the
+    * diff reads. Same mutation rule, so ids line up with the diff. */
+  private[analytics] def cdcSnapshotBText(docs: DataFrame): DataFrame = {
+    val revised = when(col("doc_id") % 10 === 3,
+      concat(col("text"), lit(" [rev2]"))).otherwise(col("text"))
+    val bRows = array(
+      when(col("doc_id") % 10 =!= 7,
+        struct(col("doc_id").as("doc_id"), col("source").as("source"),
+          col("lang").as("lang"), revised.as("text"))),
+      when(col("doc_id") % 10 === 0,
+        struct((col("doc_id") + 1000000L).as("doc_id"), col("source").as("source"),
+          col("lang").as("lang"), col("text").as("text"))))
+    docs.select(explode(filter(bRows, r => r.isNotNull)).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.source").as("source"),
+        col("r.lang").as("lang"), col("r.text").as("text"))
+  }
+
   /** The CDC rollup: full-outer join of the two snapshots' (id, hash)
     * pairs. Hashes are computed map-side BEFORE the join, so the
     * shuffle carries 48-byte rows, never document text — at 100 TB the

@@ -350,15 +350,91 @@ object Pipeline {
     } finally vecs.unpersist()
   }
 
+  private val qualityScoreDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** "Yesterday's output": per-doc quality flags for snapshot A,
+    * stored once per (JVM, sf dir) — the cached artifact an
+    * incremental pipeline holds between runs. */
+  private def ensureQualityScoresA(spark: SparkSession, dir: String): String =
+    qualityScoreDirs.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-quality-scores").toString + "/scores"
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"), TextOps.qualityPass.as("pass"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** p07 gate: INCREMENTAL quality re-scoring — the derived-artifact
+    * half of the CDC loop (q36 folds state, s11 appends the index,
+    * d15 merges the snapshot; p07 maintains a per-doc SCORE table).
+    * Yesterday's stored flags carry over untouched; ONLY the diff's
+    * changed+added docs are re-scored (the expensive text pass is
+    * diff-sized — pinned in IncrementalQualitySpec); deleted and
+    * changed rows drop out of the carry-over. The merged per-source
+    * accounting must equal scoring the new snapshot from scratch —
+    * which is exactly what the oracle does. */
+  def p07IncrementalQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val scoresA = spark.read.parquet(ensureQualityScoresA(spark, dir))
+    val diff = Dedup.d14SnapshotCdc(spark, dir)
+      .select(col("doc_id"), col("change_type"))
+    val rescored = rescoreDiff(docs, diff)
+    val carried = scoresA.join(diff, Seq("doc_id"), "left")
+      .filter(coalesce(col("change_type"), lit("")).isin("deleted", "changed") === false)
+      .select(col("doc_id"), col("source"), col("pass"))
+    carried.unionByName(rescored)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"))
+      .orderBy("source")
+  }
+
+  /** The diff-sized re-score: snapshot-B text restricted (semi join)
+    * to the diff's changed+added ids, through the same per-doc rule
+    * battery. */
+  private[analytics] def rescoreDiff(docs: DataFrame, diff: DataFrame): DataFrame =
+    Dedup.cdcSnapshotBText(docs)
+      .join(diff.filter(col("change_type").isin("changed", "added"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), TextOps.qualityPass.as("pass"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_curation_pipeline" -> p01CurationPipeline _,
     "p02_semdedup_pipeline" -> p02SemdedupPipeline _,
     "p03_dataset_report"    -> p03DatasetReport _,
     "p05_data_funnel"       -> p05DataFunnel _,
     "p06_coreset"           -> p06Coreset _,
+    "p07_incremental_quality" -> p07IncrementalQuality _,
   )
 
   val oracleSql: Map[String, String] = Map(
+    // p07's merged table must equal scoring the NEW snapshot from
+    // scratch — the oracle derives snapshot B and runs the full t15
+    // battery over it
+    "p07_incremental_quality" ->
+      s"""WITH b AS (SELECT doc_id, source,
+                      CASE WHEN doc_id % 10 = 3 THEN text || ' [rev2]' ELSE text END AS text
+                     FROM documents WHERE doc_id % 10 <> 7
+                     UNION ALL
+                     SELECT doc_id + 1000000 AS doc_id, source, text
+                     FROM documents WHERE doc_id % 10 = 0),
+          d AS (SELECT source, string_split_regex(trim(text), '\\s+') t FROM b),
+          m AS (SELECT source,
+                 len(t) n_tok,
+                 CAST(list_aggregate(list_transform(t, x -> strlen(x)), 'sum') AS DOUBLE) / len(t) mean_len,
+                 len(list_filter(t, x -> x IN (${TextOps.stopListSql}))) n_stop,
+                 CAST(len(list_distinct(t)) AS DOUBLE) / len(t) ttr,
+                 list_max(list_transform(t, x -> strlen(x))) max_len
+                FROM d),
+          r AS (SELECT source,
+                 n_tok >= 20 AND mean_len >= 2.0 AND mean_len <= 12.0
+                   AND n_stop > 0 AND ttr >= 0.2 AND max_len <= 40 AS pass
+                FROM m)
+         SELECT source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+         FROM r GROUP BY source ORDER BY source""",
     "p05_data_funnel" ->
       """WITH d AS (SELECT doc_id, source, text,
                  substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) fp,

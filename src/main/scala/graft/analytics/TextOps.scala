@@ -224,6 +224,22 @@ object TextOps {
     * (English-centric by design, like C4), lexical diversity, and no
     * pathological unbroken token. One narrow pass + one rollup
     * shuffle; every rule is a codegen'd column predicate. */
+  /** t15's rule battery distilled to ONE per-row boolean over `text` —
+    * the per-doc scorer p07's incremental pipeline re-runs on the CDC
+    * diff. Kept expression-identical to the t15 columns (QualitySpec's
+    * parity test ties the two: per-source pass counts must match
+    * t15's n_pass, so the battery cannot drift apart silently). */
+  private[analytics] def qualityPass: Column = {
+    val t = tokens
+    val nTok = size(t)
+    val meanLen = length(concat_ws("", t)).cast("double") / size(t)
+    val nStop = size(filter(t, x => x.isin(stopwords: _*)))
+    val ttr = size(array_distinct(t)).cast("double") / size(t)
+    val maxLen = array_max(transform(t, x => length(x)))
+    (nTok >= 20) && (meanLen >= 2.0 && meanLen <= 12.0) &&
+      (nStop > 0) && (ttr >= 0.2) && (maxLen <= 40)
+  }
+
   def t15QualityFilter(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("source"), tokens.as("t"))
       .select(col("source"),
@@ -863,7 +879,8 @@ object TextOps {
     "t35_curriculum_phases" -> t35CurriculumPhases _,
   )
 
-  private val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+  private[analytics] val stopListSql = stopwords.map(s => s"'$s'").mkString(", ")
+  private def stopList = stopListSql
 
   /** Shared by t14 (exact semi join) and t20 (Bloom-pre-filtered) —
     * the Bloom stage is correctness-invisible, so both gates hash
