@@ -851,6 +851,68 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  private val PrefPairsK = 25
+
+  /** t37 gate: preference-pair construction — the reward-model /
+    * DPO data shape: per language, pair the k-th BEST document (by
+    * quality score) with the k-th WORST, strongest contrasts first,
+    * keeping only strict-preference pairs (chosen score > rejected).
+    * Both rank lists come from the bounded map-side top-k aggregate
+    * (`top_k_by`, ≤k entries per group per partition reach the
+    * exchange — never a per-language window sorting a corpus-sized
+    * partition); scores are rounded BEFORE ranking so the rank order
+    * is identical cross-engine (the t13 rule). */
+  def t37PreferencePairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BoundedTopK.top_k_by
+    val t = tokens
+    val scored = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        Det.dround(size(array_distinct(t)).cast("double") / size(t), 6).as("score"))
+    val agg = scored.groupBy("lang").agg(
+      top_k_by(col("score"), col("doc_id"), PrefPairsK).as("best"),
+      top_k_by(-col("score"), col("doc_id"), PrefPairsK).as("worst"))
+    agg.select(col("lang"),
+        posexplode(arrays_zip(col("best"), col("worst"))))
+      .select(col("lang"), (col("pos") + 1L).as("pair_rank"),
+        col("col.best.id").as("chosen_doc_id"),
+        col("col.best.score").as("chosen_score"),
+        col("col.worst.id").as("rejected_doc_id"),
+        (-col("col.worst.score")).as("rejected_score"))
+      .filter(col("chosen_score") > col("rejected_score"))
+      .select(col("lang"), col("pair_rank"), col("chosen_doc_id"),
+        col("rejected_doc_id"),
+        Det.dround(col("chosen_score") - col("rejected_score"), 6).as("score_gap"))
+      .orderBy("lang", "pair_rank")
+  }
+
+  private val LenBuckets = Seq(128L, 256L, 512L, 1024L)
+
+  /** t38 gate: context-length bucketing — the padding-waste report a
+    * trainer reads before picking sequence lengths: each doc lands in
+    * the smallest bucket that holds it (docs past the largest cap are
+    * truncated there), and per (lang, bucket) the gate accounts docs,
+    * real tokens, PADDING tokens burned (cap − n_tok) and TRUNCATED
+    * tokens lost, plus the padding fraction of the bucket's compute.
+    * One narrow pass + one label-bounded aggregate. */
+  def t38LengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(tokens).cast("long")
+    val cap = LenBuckets.reverse.tail.foldLeft(lit(LenBuckets.last)) {
+      (acc, b) => when(nTok <= b, lit(b)).otherwise(acc)
+    }
+    Tables.documents(spark, dir)
+      .select(col("lang"), nTok.as("n_tok"), cap.as("bucket"))
+      .withColumn("kept", least(col("n_tok"), col("bucket")))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(col("kept")).as("n_tokens"),
+           sum(col("bucket") - col("kept")).as("pad_tokens"),
+           sum(col("n_tok") - col("kept")).as("trunc_tokens"))
+      .withColumn("pad_frac",
+        Det.dround(col("pad_tokens").cast("double") /
+                   (col("n_docs") * col("bucket")), 6))
+      .orderBy("lang", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_lang_distribution" -> t01LangDistribution _,
     "t02_token_counts"      -> t02TokenCounts _,
@@ -877,6 +939,8 @@ object TextOps {
     "t31_heavy_hitters"     -> t31HeavyHitters _,
     "t32_source_drift"      -> t32SourceDrift _,
     "t35_curriculum_phases" -> t35CurriculumPhases _,
+    "t37_preference_pairs"  -> t37PreferencePairs _,
+    "t38_length_buckets"    -> t38LengthBuckets _,
   )
 
   private[analytics] val stopListSql = stopwords.map(s => s"'$s'").mkString(", ")
@@ -900,6 +964,38 @@ object TextOps {
        FROM hit ORDER BY doc_id"""
 
   val oracleSql: Map[String, String] = Map(
+    "t37_preference_pairs" ->
+      """WITH d AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') t FROM documents),
+          s AS (SELECT doc_id, lang,
+                 floor((CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) * 1000000.0 + 0.5) / 1000000.0 score
+                FROM d),
+          b AS (SELECT lang, doc_id, score,
+                 row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC) rb
+                FROM s),
+          w AS (SELECT lang, doc_id, score,
+                 row_number() OVER (PARTITION BY lang ORDER BY score ASC, doc_id ASC) rw
+                FROM s)
+         SELECT b.lang, CAST(rb AS BIGINT) AS pair_rank,
+          b.doc_id AS chosen_doc_id, w.doc_id AS rejected_doc_id,
+          floor((b.score - w.score) * 1000000.0 + 0.5) / 1000000.0 AS score_gap
+         FROM b JOIN w ON b.lang = w.lang AND b.rb = w.rw
+         WHERE rb <= 25 AND b.score > w.score
+         ORDER BY 1, 2""",
+    "t38_length_buckets" ->
+      """WITH d AS (SELECT lang,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n_tok
+                    FROM documents),
+          c AS (SELECT lang, n_tok,
+                 CAST(CASE WHEN n_tok <= 128 THEN 128 WHEN n_tok <= 256 THEN 256
+                      WHEN n_tok <= 512 THEN 512 ELSE 1024 END AS BIGINT) bucket
+                FROM d),
+          k AS (SELECT lang, bucket, n_tok, least(n_tok, bucket) kept FROM c)
+         SELECT lang, bucket, count(*) AS n_docs,
+          CAST(sum(kept) AS BIGINT) AS n_tokens,
+          CAST(sum(bucket - kept) AS BIGINT) AS pad_tokens,
+          CAST(sum(n_tok - kept) AS BIGINT) AS trunc_tokens,
+          floor((CAST(sum(bucket - kept) AS DOUBLE) / (count(*) * bucket)) * 1000000.0 + 0.5) / 1000000.0 AS pad_frac
+         FROM k GROUP BY lang, bucket ORDER BY lang, bucket""",
     "t35_curriculum_phases" ->
       """WITH docs AS (SELECT doc_id, text, strlen(text) len FROM documents WHERE strlen(text) >= 3),
           g AS (SELECT doc_id, unnest(generate_series(1, len-2)) i, text FROM docs),

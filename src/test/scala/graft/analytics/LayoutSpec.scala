@@ -63,6 +63,13 @@ class LayoutSpec extends AnyFunSuite {
     assert(pruned == full)
   }
 
+  test("q37: the coarser rollup never touches the event log") {
+    val plan = Layout.q37RollupReuse(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("events.parquet"),
+      s"q37 re-scanned the fact table instead of the stored state:\n$plan")
+  }
+
   test("q36: merged state+delta equals full recompute; delta scan is pushed") {
     val merged = Layout.q36IncrementalAgg(spark, dir)
     val full = Tables.events(spark, dir)
