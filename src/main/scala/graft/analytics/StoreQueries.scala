@@ -216,6 +216,39 @@ object StoreQueries {
     out.toDF("uri", "change_type").orderBy("uri")
   }
 
+  /** av07 gate: time-travel reads — the reproducibility contract a
+    * training pipeline needs from its store: pin `snapshotSeq()`
+    * before a run, and reads at that marker return the dataset
+    * EXACTLY as it was, whatever lands later. The gate pins all three
+    * later-mutation kinds invisible at the marker: an overwrite (the
+    * asset reads back as its old generation), a new asset (absent at
+    * the marker), and a delete (still present at the marker). Free by
+    * construction on the append log — nothing rewrites, so history
+    * survives until compact(). */
+  def av07TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val db = new TableStore(spark,
+      Files.createTempDirectory("graft-storeq-travel").toString)
+    db.putMenu("""{"gen": 1}""", "p", "e1")
+    db.putMenu("""{"doomed": true}""", "p", "e2")
+    val snap = db.snapshotSeq()
+    db.putMenu("""{"gen": 2}""", "p", "e1")          // overwrite after pin
+    db.putMenu("""{"late": true}""", "p", "e3")      // new asset after pin
+    val e2Uri = db.listAll().find(_.contains("e2")).get
+    db.rmByUri(e2Uri)                                // delete after pin
+    db.flushAll()
+    val e1Uri = db.listAll().find(_.contains("e1")).get
+    val rows = Seq(
+      ("asof_e1", db.getByUriAsOf(e1Uri, snap).getOrElse("<absent>")),
+      ("current_e1", db.getByUriAsOf(e1Uri, db.snapshotSeq()).getOrElse("<absent>")),
+      ("asof_e2_present", db.getByUriAsOf(e2Uri, snap).isDefined.toString),
+      ("current_e2_present", db.getByUriAsOf(e2Uri, db.snapshotSeq()).isDefined.toString),
+      ("asof_n_assets", db.listAllAsOf(snap).size.toString),
+      ("current_n_assets", db.listAll().size.toString))
+    db.close()
+    rows.toDF("op", "value").orderBy("op")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "av01_catalog_ingest" -> av01CatalogIngest _,
     "av02_copy_etl"       -> av02CopyEtl _,
@@ -223,6 +256,7 @@ object StoreQueries {
     "av04_bulk_import"    -> av04BulkImport _,
     "av05_catalog_refresh" -> av05CatalogRefresh _,
     "av06_store_drift"     -> av06StoreDrift _,
+    "av07_time_travel"     -> av07TimeTravel _,
   )
 
   /** Store ops run on their own fixture assets → rows-only checks. */

@@ -120,9 +120,15 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
     else Some(spark.read.schema(schemaFor(table)).parquet(p))
   }
 
-  /** Newest row per key, honoring rm tombstones. */
-  private def liveRows(table: String): Option[DataFrame] =
-    readTable(table).map { df =>
+  /** Newest row per key, honoring rm tombstones. With `asOf` set,
+    * rows written at or after the snapshot marker (seq ≥ asOf) are
+    * invisible — INCLUDING tombstones, so an asset deleted after the
+    * snapshot still reads back at it. The append log makes this free:
+    * nothing is ever rewritten, so history survives until a
+    * `compact()` collapses it. */
+  private def liveRows(table: String, asOf: Option[Long] = None): Option[DataFrame] =
+    readTable(table).map { df0 =>
+      val df = asOf.fold(df0)(s => df0.filter(col("seq") < s))
       val keys = tableKeys(table).map(col)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keys: _*).orderBy(col("put_time").desc, col("seq").desc)
@@ -131,6 +137,41 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
         .drop("_rn")
         .withColumn("mtime", col("put_time"))
     }
+
+  /** Snapshot marker for time-travel reads: every row written so far
+    * carries seq < the returned value, so
+    * `queryAsOf(marker)`/`getByUriAsOf(uri, marker)` reproduce the
+    * store EXACTLY as it is now — puts, overwrites, and deletes that
+    * land later are invisible at the marker. Pin one before a
+    * training run and the run's inputs stay reproducible for as long
+    * as the log is kept (`compact()` collapses history; compact only
+    * tables whose markers you no longer need). */
+  def snapshotSeq(): Long = { flushAll(); TableStore.seqCounter.get() }
+
+  /** [[AssetStore.query]] as of a snapshot marker. */
+  def queryAsOf(asOf: Long, assetTypes: Seq[Route] = Route.all,
+                kwargs: Map[String, String] = Map.empty): Seq[QueryEntry] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val routeSet = assetTypes.toSet
+    flushAll()
+    val futures = tables.toSeq.map { case (table, route) => Future {
+      queryTable(table, route, routeSet, kwargs, Some(asOf))
+    }}
+    futures.flatMap(Await.result(_, Duration.Inf))
+  }
+
+  def listAllAsOf(asOf: Long): Seq[String] = queryAsOf(asOf).map(_.uri)
+
+  /** Time-travel point read: the asset's JSON as it existed at the
+    * snapshot — None if it did not exist yet or was already deleted. */
+  def getByUriAsOf(uri: String, asOf: Long): Option[String] = {
+    val (route, args, kw) = UriCodec.parse(uri)
+    flush(tableFor(route))
+    lookupRow(tableFor(route), args ++ (kw - "version"), Some(asOf))
+      .flatMap(r => Option(r.getAs[String]("json")))
+  }
 
   private def appendRow(table: String, keyVals: Map[String, String],
                         json: Option[String], blob: Option[Array[Byte]],
@@ -149,8 +190,9 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
     * sqlite's per-generation tables, `sqlitedb.py:184-249`), and among
     * matches the row with the most exactly-matching keys and the
     * fewest non-null surplus keys wins (`sqlitedb.py:441-449`). */
-  private def lookupRow(table: String, keyVals: Map[String, String]): Option[Row] =
-    liveRows(table).flatMap { df =>
+  private def lookupRow(table: String, keyVals: Map[String, String],
+                        asOf: Option[Long] = None): Option[Row] =
+    liveRows(table, asOf).flatMap { df =>
       val keys = tableKeys(table)
       val wc = generationKeys(table)
       val provided = keyVals.view.filterKeys(keys.contains).toMap
@@ -244,10 +286,11 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
   }
 
   private def queryTable(table: String, route: Route, routeSet: Set[Route],
-                         kwargs: Map[String, String]): Seq[QueryEntry] = {
+                         kwargs: Map[String, String],
+                         asOf: Option[Long] = None): Seq[QueryEntry] = {
     Seq((table, route)).flatMap { case (table, route) =>
       if (!routeSet.contains(route)) Seq.empty
-      else liveRows(table) match {
+      else liveRows(table, asOf) match {
         case None => Seq.empty
         case Some(df) =>
           val keys = tableKeys(table)

@@ -1,0 +1,46 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Time-travel reads on the append log: a pinned snapshot marker makes
+  * every later mutation — overwrite, new asset, delete — invisible,
+  * and the current view is unaffected. */
+class TableStoreTimeTravelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("reads at a pinned marker see none of the later mutations") {
+    val db = new TableStore(spark,
+      Files.createTempDirectory("graft-travel-spec").toString)
+    db.putMenu("""{"gen": 1}""", "p", "e1")
+    db.putMenu("""{"doomed": true}""", "p", "e2")
+    val snap = db.snapshotSeq()
+    assert(db.listAllAsOf(snap).size == 2)
+
+    db.putMenu("""{"gen": 2}""", "p", "e1")
+    db.putMenu("""{"late": true}""", "p", "e3")
+    val e2Uri = db.listAll().find(_.contains("e2")).get
+    db.rmByUri(e2Uri)
+    db.flushAll()
+    val e1Uri = db.listAll().find(_.contains("e1")).get
+
+    // at the marker: old generation, e2 alive, e3 absent
+    assert(db.getByUriAsOf(e1Uri, snap).contains("""{"gen": 1}"""))
+    assert(db.getByUriAsOf(e2Uri, snap).isDefined)
+    assert(db.listAllAsOf(snap).size == 2)
+    assert(!db.listAllAsOf(snap).exists(_.contains("e3")))
+
+    // now: new generation, e2 deleted, e3 present
+    val now = db.snapshotSeq()
+    assert(db.getByUriAsOf(e1Uri, now).contains("""{"gen": 2}"""))
+    assert(db.getByUriAsOf(e2Uri, now).isEmpty)
+    assert(db.listAll().size == 2)
+    assert(db.listAll().exists(_.contains("e3")))
+
+    // a second pinned marker between mutations is independently stable
+    assert(db.getByUriAsOf(e1Uri, snap).contains("""{"gen": 1}"""),
+      "the original marker drifted after later writes")
+    db.close()
+  }
+}
