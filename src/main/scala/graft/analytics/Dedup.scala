@@ -728,24 +728,20 @@ object Dedup {
     * deterministic, SQL-expressible mutation of the corpus so the CDC
     * output has an exact DuckDB oracle: every `doc_id % 10 == 7` doc
     * is deleted, every `% 10 == 3` doc is revised (suffix appended),
-    * and every `% 10 == 0` doc gains a shifted-id copy (the "added"
-    * rows). Emitted as (doc_id, new_md5) pairs — the diff never needs
-    * snapshot-B text, only its content hash. */
-  private[analytics] def cdcSnapshotB(docs: DataFrame): DataFrame = {
-    val revised = when(col("doc_id") % 10 === 3,
-      concat(col("text"), lit(" [rev2]"))).otherwise(col("text"))
-    val bRows = array(
-      when(col("doc_id") % 10 =!= 7,
-        struct(col("doc_id").as("doc_id"), md5(revised).as("new_md5"))),
-      when(col("doc_id") % 10 === 0,
-        struct((col("doc_id") + 1000000L).as("doc_id"), md5(col("text")).as("new_md5"))))
-    docs.select(explode(filter(bRows, r => r.isNotNull)).as("r"))
-      .select(col("r.doc_id").as("doc_id"), col("r.new_md5").as("new_md5"))
-  }
+    * and every `% 10 == 0` doc gains a NEGATED-id copy (the "added"
+    * rows — `-(doc_id+1)` can never collide with a real id at any
+    * corpus size, since corpus ids are non-negative). Emitted as
+    * (doc_id, new_md5) pairs — the diff never needs snapshot-B text,
+    * only its content hash. */
+  private[analytics] def cdcSnapshotB(docs: DataFrame): DataFrame =
+    cdcSnapshotBText(docs)
+      .select(col("doc_id"), md5(col("text")).as("new_md5"))
 
-  /** [[cdcSnapshotB]] carrying full rows (doc_id, source, lang, text)
-    * instead of hashes — what a downstream consumer re-processing the
-    * diff reads. Same mutation rule, so ids line up with the diff. */
+  /** The single definition of the derived-snapshot mutation rule,
+    * carrying full rows (doc_id, source, lang, text) — what a
+    * downstream consumer re-processing the diff reads; [[cdcSnapshotB]]
+    * is its hash projection, so the rule cannot drift between the
+    * diff and its consumers. */
   private[analytics] def cdcSnapshotBText(docs: DataFrame): DataFrame = {
     val revised = when(col("doc_id") % 10 === 3,
       concat(col("text"), lit(" [rev2]"))).otherwise(col("text"))
@@ -754,7 +750,7 @@ object Dedup {
         struct(col("doc_id").as("doc_id"), col("source").as("source"),
           col("lang").as("lang"), revised.as("text"))),
       when(col("doc_id") % 10 === 0,
-        struct((col("doc_id") + 1000000L).as("doc_id"), col("source").as("source"),
+        struct((-(col("doc_id") + 1L)).as("doc_id"), col("source").as("source"),
           col("lang").as("lang"), col("text").as("text"))))
     docs.select(explode(filter(bRows, r => r.isNotNull)).as("r"))
       .select(col("r.doc_id").as("doc_id"), col("r.source").as("source"),
@@ -838,7 +834,7 @@ object Dedup {
                      md5(CASE WHEN doc_id % 10 = 3 THEN text || ' [rev2]' ELSE text END) new_md5
                     FROM documents WHERE doc_id % 10 <> 7
                     UNION ALL
-                    SELECT doc_id + 1000000 AS doc_id, md5(text) new_md5
+                    SELECT -(doc_id + 1) AS doc_id, md5(text) new_md5
                     FROM documents WHERE doc_id % 10 = 0)
          SELECT doc_id, new_md5 FROM b ORDER BY doc_id""",
     "d14_snapshot_cdc" ->
@@ -846,7 +842,7 @@ object Dedup {
                      md5(CASE WHEN doc_id % 10 = 3 THEN text || ' [rev2]' ELSE text END) new_md5
                     FROM documents WHERE doc_id % 10 <> 7
                     UNION ALL
-                    SELECT doc_id + 1000000 AS doc_id, md5(text) new_md5
+                    SELECT -(doc_id + 1) AS doc_id, md5(text) new_md5
                     FROM documents WHERE doc_id % 10 = 0),
           a AS (SELECT doc_id, md5(text) old_md5 FROM documents)
          SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,

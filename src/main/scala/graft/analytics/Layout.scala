@@ -102,14 +102,21 @@ object Layout {
       out
     })
 
+  /** The zone-map aggregation — ONE definition shared by the batch
+    * build ([[zoneMap]]) and st19's streaming maintenance, so the
+    * "streamed map == batch map" contract can never drift from a
+    * hand-copied expression tree. Works on a static or streaming
+    * frame. */
+  private[graft] def zoneMapOf(df: DataFrame): DataFrame =
+    df.groupBy(input_file_name().as("file"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"),
+           count(lit(1)).as("rows"))
+
   /** File-level zone map: one scan, (file, min ts, max ts, rows).
     * At 100 TB this is the manifest a table format maintains on write;
     * building it here costs one pass and is reused per (JVM, dir). */
   private[analytics] def zoneMap(spark: SparkSession, layout: String): DataFrame =
-    spark.read.parquet(layout)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"),
-           count(lit(1)).as("rows"))
+    zoneMapOf(spark.read.parquet(layout))
 
   /** Files whose [lo, hi] zone intersects [start, end). The zone map is
     * file-count-sized (thousands of rows at 100 TB, never data-sized),
@@ -129,7 +136,19 @@ object Layout {
     * gate and st19's streamed-maintenance rollup. */
   private[analytics] def prunedRangeQuery(spark: SparkSession, zm: DataFrame): DataFrame = {
     val files = survivingFiles(zm, ZoneStart, ZoneEnd)
-    spark.read.parquet(files: _*)
+    // zero surviving files is a legitimate answer (the range misses
+    // every zone) — an empty-path parquet read cannot infer a schema,
+    // so synthesize the empty aggregate instead of crashing
+    val src =
+      if (files.nonEmpty) spark.read.parquet(files: _*)
+      else {
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("ts", TimestampType),
+            StructField("event_type", StringType),
+            StructField("value", DoubleType))))
+      }
+    src
       .filter(col("ts") >= lit(ZoneStart).cast("timestamp") &&
               col("ts") <  lit(ZoneEnd).cast("timestamp"))
       .groupBy(col("event_type"))
@@ -156,8 +175,10 @@ object Layout {
   /** Mergeable partial state for the daily rollup: count + EXACT
     * decimal sum (associative, so merge order never moves the double)
     * + min/max. avg is derived at read time — never stored, because
-    * averages don't merge. */
-  private def partials(e: DataFrame): DataFrame =
+    * averages don't merge. ONE definition shared by q36/q37's batch
+    * state build and st20's streaming maintenance (works on a static
+    * or streaming frame). */
+  private[graft] def partials(e: DataFrame): DataFrame =
     e.groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
               col("event_type"))
       .agg(count(lit(1)).as("cnt"),

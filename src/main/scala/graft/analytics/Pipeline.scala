@@ -418,7 +418,7 @@ object Pipeline {
                       CASE WHEN doc_id % 10 = 3 THEN text || ' [rev2]' ELSE text END AS text
                      FROM documents WHERE doc_id % 10 <> 7
                      UNION ALL
-                     SELECT doc_id + 1000000 AS doc_id, source, text
+                     SELECT -(doc_id + 1) AS doc_id, source, text
                      FROM documents WHERE doc_id % 10 = 0),
           d AS (SELECT source, string_split_regex(trim(text), '\\s+') t FROM b),
           m AS (SELECT source,

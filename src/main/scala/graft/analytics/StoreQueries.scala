@@ -238,9 +238,13 @@ object StoreQueries {
     db.rmByUri(e2Uri)                                // delete after pin
     db.flushAll()
     val e1Uri = db.listAll().find(_.contains("e1")).get
+    def jsonOf(v: Option[graft.core.AssetValue]): String = v match {
+      case Some(graft.core.AssetValue.Json(s)) => s
+      case _ => "<absent>"
+    }
     val rows = Seq(
-      ("asof_e1", db.getByUriAsOf(e1Uri, snap).getOrElse("<absent>")),
-      ("current_e1", db.getByUriAsOf(e1Uri, db.snapshotSeq()).getOrElse("<absent>")),
+      ("asof_e1", jsonOf(db.getByUriAsOf(e1Uri, snap))),
+      ("current_e1", jsonOf(db.getByUriAsOf(e1Uri, db.snapshotSeq()))),
       ("asof_e2_present", db.getByUriAsOf(e2Uri, snap).isDefined.toString),
       ("current_e2_present", db.getByUriAsOf(e2Uri, db.snapshotSeq()).isDefined.toString),
       ("asof_n_assets", db.listAllAsOf(snap).size.toString),

@@ -580,10 +580,9 @@ object StreamingQueries {
     val r = s.readStream
       .schema(EventStream.eventsSchemaWith(org.apache.spark.sql.types.TimestampType))
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n.toString))
-    r.parquet(layout)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"),
-           count(lit(1)).as("rows"))
+    // the agg IS Layout.zoneMapOf — one definition for the batch map
+    // and the streamed map, so parity cannot drift
+    Layout.zoneMapOf(r.parquet(layout))
   }
 
   /** Streaming rollup-state maintenance — q36's incremental-aggregate

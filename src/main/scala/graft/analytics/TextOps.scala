@@ -946,6 +946,22 @@ object TextOps {
   private[analytics] val stopListSql = stopwords.map(s => s"'$s'").mkString(", ")
   private def stopList = stopListSql
 
+  /** The trigram-NLL derivation (docs → per-doc exact score sums),
+    * shared by the t21 and t35 oracles — ONE definition, so a scoring
+    * fix cannot leave one gate's SQL stale. */
+  private val TrigramNllCtes =
+    """docs AS (SELECT doc_id, text, strlen(text) len FROM documents WHERE strlen(text) >= 3),
+          g AS (SELECT doc_id, unnest(generate_series(1, len-2)) i, text FROM docs),
+          tf AS (SELECT doc_id, substr(text, i, 3) tri, count(*) tf FROM g GROUP BY 1, 2),
+          gl AS (SELECT tri, sum(tf) cnt FROM tf GROUP BY tri),
+          tot AS (SELECT CAST(sum(cnt) AS DOUBLE) n FROM gl),
+          sc AS (SELECT doc_id, tf.tf,
+                  floor((tf.tf * ln((SELECT n FROM tot) / cnt)) * 1000000.0 + 0.5) / 1000000.0 contrib
+                 FROM tf JOIN gl USING (tri)),
+          per AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) n_tri,
+                   CAST(sum(CAST((contrib) AS DECIMAL(18,6))) AS DOUBLE) s
+                  FROM sc GROUP BY doc_id)"""
+
   /** Shared by t14 (exact semi join) and t20 (Bloom-pre-filtered) —
     * the Bloom stage is correctness-invisible, so both gates hash
     * against the same oracle. */
@@ -997,17 +1013,7 @@ object TextOps {
           floor((CAST(sum(bucket - kept) AS DOUBLE) / (count(*) * bucket)) * 1000000.0 + 0.5) / 1000000.0 AS pad_frac
          FROM k GROUP BY lang, bucket ORDER BY lang, bucket""",
     "t35_curriculum_phases" ->
-      """WITH docs AS (SELECT doc_id, text, strlen(text) len FROM documents WHERE strlen(text) >= 3),
-          g AS (SELECT doc_id, unnest(generate_series(1, len-2)) i, text FROM docs),
-          tf AS (SELECT doc_id, substr(text, i, 3) tri, count(*) tf FROM g GROUP BY 1, 2),
-          gl AS (SELECT tri, sum(tf) cnt FROM tf GROUP BY tri),
-          tot AS (SELECT CAST(sum(cnt) AS DOUBLE) n FROM gl),
-          sc AS (SELECT doc_id, tf.tf,
-                  floor((tf.tf * ln((SELECT n FROM tot) / cnt)) * 1000000.0 + 0.5) / 1000000.0 contrib
-                 FROM tf JOIN gl USING (tri)),
-          per AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) n_tri,
-                   CAST(sum(CAST((contrib) AS DECIMAL(18,6))) AS DOUBLE) s
-                  FROM sc GROUP BY doc_id),
+      s"""WITH $TrigramNllCtes,
           pp AS (SELECT doc_id, floor((s / n_tri) * 10000.0 + 0.5) / 10000.0 avg_nll FROM per),
           hist AS (SELECT avg_nll, count(*) c FROM pp GROUP BY 1),
           cum AS (SELECT avg_nll,
@@ -1148,17 +1154,7 @@ object TextOps {
     // share one oracle — the gate proves output identity at every SF.
     "t20_bloom_decontam" -> DecontamSql,
     "t21_lm_perplexity" ->
-      """WITH docs AS (SELECT doc_id, text, strlen(text) len FROM documents WHERE strlen(text) >= 3),
-          g AS (SELECT doc_id, unnest(generate_series(1, len-2)) i, text FROM docs),
-          tf AS (SELECT doc_id, substr(text, i, 3) tri, count(*) tf FROM g GROUP BY 1, 2),
-          gl AS (SELECT tri, sum(tf) cnt FROM tf GROUP BY tri),
-          tot AS (SELECT CAST(sum(cnt) AS DOUBLE) n FROM gl),
-          sc AS (SELECT doc_id, tf.tf,
-                  floor((tf.tf * ln((SELECT n FROM tot) / cnt)) * 1000000.0 + 0.5) / 1000000.0 contrib
-                 FROM tf JOIN gl USING (tri)),
-          per AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) n_tri,
-                   CAST(sum(CAST((contrib) AS DECIMAL(18,6))) AS DOUBLE) s
-                  FROM sc GROUP BY doc_id)
+      s"""WITH $TrigramNllCtes
          SELECT doc_id, n_tri,
           floor((s / n_tri) * 10000.0 + 0.5) / 10000.0 AS avg_nll,
           floor(exp(floor((s / n_tri) * 10000.0 + 0.5) / 10000.0) * 100.0 + 0.5) / 100.0 AS ppl

@@ -150,27 +150,22 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
 
   /** [[AssetStore.query]] as of a snapshot marker. */
   def queryAsOf(asOf: Long, assetTypes: Seq[Route] = Route.all,
-                kwargs: Map[String, String] = Map.empty): Seq[QueryEntry] = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val routeSet = assetTypes.toSet
-    flushAll()
-    val futures = tables.toSeq.map { case (table, route) => Future {
-      queryTable(table, route, routeSet, kwargs, Some(asOf))
-    }}
-    futures.flatMap(Await.result(_, Duration.Inf))
-  }
+                kwargs: Map[String, String] = Map.empty): Seq[QueryEntry] =
+    queryImpl(assetTypes, kwargs, Some(asOf))
 
   def listAllAsOf(asOf: Long): Seq[String] = queryAsOf(asOf).map(_.uri)
 
-  /** Time-travel point read: the asset's JSON as it existed at the
-    * snapshot — None if it did not exist yet or was already deleted. */
-  def getByUriAsOf(uri: String, asOf: Long): Option[String] = {
+  /** Time-travel point read: the asset as it existed at the snapshot —
+    * `Json` for JSON routes, `Blob` for blob routes; None if it did
+    * not exist yet or was already deleted. */
+  def getByUriAsOf(uri: String, asOf: Long): Option[AssetValue] = {
     val (route, args, kw) = UriCodec.parse(uri)
     flush(tableFor(route))
-    lookupRow(tableFor(route), args ++ (kw - "version"), Some(asOf))
-      .flatMap(r => Option(r.getAs[String]("json")))
+    lookupRow(tableFor(route), args ++ (kw - "version"), Some(asOf)).flatMap { r =>
+      if (Route.blobRoutes.contains(route))
+        Option(r.getAs[Array[Byte]]("blob")).map(AssetValue.Blob.apply)
+      else Option(r.getAs[String]("json")).map(AssetValue.Json.apply)
+    }
   }
 
   private def appendRow(table: String, keyVals: Map[String, String],
@@ -271,7 +266,11 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
     appendRow(tableFor(route), routeArgs, None, Some(obj), "put")
 
   def query(assetTypes: Seq[Route] = Route.all,
-            kwargs: Map[String, String] = Map.empty): Seq[QueryEntry] = {
+            kwargs: Map[String, String] = Map.empty): Seq[QueryEntry] =
+    queryImpl(assetTypes, kwargs, None)
+
+  private def queryImpl(assetTypes: Seq[Route], kwargs: Map[String, String],
+                        asOf: Option[Long]): Seq[QueryEntry] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
@@ -280,7 +279,7 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
     // per-table scans are independent Spark jobs — run them
     // concurrently (Spark's scheduler interleaves them)
     val futures = tables.toSeq.map { case (table, route) => Future {
-      queryTable(table, route, routeSet, kwargs)
+      queryTable(table, route, routeSet, kwargs, asOf)
     }}
     futures.flatMap(Await.result(_, Duration.Inf))
   }

@@ -150,15 +150,12 @@ object EventStream {
     * state q36 stores (count + exact decimal sum + min/max — every
     * column commutative, so microbatch slicing can never move the
     * snapshot). This is q36's state table maintained by the stream
-    * itself: state size = |days|×|types|, never event-count. */
+    * itself: state size = |days|×|types|, never event-count. The agg
+    * IS `Layout.partials` — the same definition the batch gates
+    * store, so stream/batch parity cannot drift. */
   def rollupState(spark: SparkSession, dir: String,
                   maxFilesPerTrigger: Option[Int] = None): DataFrame =
-    readEvents(spark, dir, maxFilesPerTrigger)
-      .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
-               col("event_type"))
-      .agg(count(lit(1)).as("cnt"),
-           sum(col("value").cast("decimal(18,6)")).as("sval"),
-           min(col("value")).as("minv"), max(col("value")).as("maxv"))
+    graft.analytics.Layout.partials(readEvents(spark, dir, maxFilesPerTrigger))
 
   /** Streaming exact dedup: drop repeated event_ids within the
     * watermark window (`dropDuplicatesWithinWatermark` keeps state only

@@ -133,6 +133,8 @@ object ScaleProbe {
       "q34_bucketed_join", "q35_zonemap_prune", "q36_incremental_agg",
       "q37_rollup_reuse", "st19_stream_zonemap", "st20_stream_rollup_state",
       "t35_curriculum_phases", "t36_contrastive_pairs",
+      "t37_preference_pairs", "t38_length_buckets",
+      "p07_incremental_quality",
       "s17_int8_quant", "m08_interleaved_packing")
       // SPARK_GRAFT_ONLY=a,b,c restricts the sweep (dev iteration knob)
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")

@@ -26,21 +26,42 @@ class TableStoreTimeTravelSpec extends AnyFunSuite {
     val e1Uri = db.listAll().find(_.contains("e1")).get
 
     // at the marker: old generation, e2 alive, e3 absent
-    assert(db.getByUriAsOf(e1Uri, snap).contains("""{"gen": 1}"""))
+    assert(db.getByUriAsOf(e1Uri, snap).contains(graft.core.AssetValue.Json("""{"gen": 1}""")))
     assert(db.getByUriAsOf(e2Uri, snap).isDefined)
     assert(db.listAllAsOf(snap).size == 2)
     assert(!db.listAllAsOf(snap).exists(_.contains("e3")))
 
     // now: new generation, e2 deleted, e3 present
     val now = db.snapshotSeq()
-    assert(db.getByUriAsOf(e1Uri, now).contains("""{"gen": 2}"""))
+    assert(db.getByUriAsOf(e1Uri, now).contains(graft.core.AssetValue.Json("""{"gen": 2}""")))
     assert(db.getByUriAsOf(e2Uri, now).isEmpty)
     assert(db.listAll().size == 2)
     assert(db.listAll().exists(_.contains("e3")))
 
     // a second pinned marker between mutations is independently stable
-    assert(db.getByUriAsOf(e1Uri, snap).contains("""{"gen": 1}"""),
+    assert(db.getByUriAsOf(e1Uri, snap).contains(graft.core.AssetValue.Json("""{"gen": 1}""")),
       "the original marker drifted after later writes")
+    db.close()
+  }
+
+  test("blob assets time-travel too: the marker returns the old bytes") {
+    val db = new TableStore(spark,
+      Files.createTempDirectory("graft-travel-blob").toString)
+    db.putReportImage(Array[Byte](1, 2, 3), "p", "e", "img.png")
+    val snap = db.snapshotSeq()
+    db.putReportImage(Array[Byte](9, 9), "p", "e", "img.png")
+    db.flushAll()
+    val uri = db.listAll().find(_.contains("img")).get
+    val asOf = db.getByUriAsOf(uri, snap)
+    assert(asOf.exists {
+      case graft.core.AssetValue.Blob(b) => b.toSeq == Seq[Byte](1, 2, 3)
+      case _ => false
+    }, s"blob at marker wrong: $asOf")
+    val now = db.getByUriAsOf(uri, db.snapshotSeq())
+    assert(now.exists {
+      case graft.core.AssetValue.Blob(b) => b.toSeq == Seq[Byte](9, 9)
+      case _ => false
+    })
     db.close()
   }
 }
