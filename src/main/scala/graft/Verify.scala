@@ -203,6 +203,19 @@ object Verify {
             .map(r => (r.getLong(0), r.getLong(1))).toSeq
           got.nonEmpty && got == ref
         },
+        inv("g05_parity_singlenode") {
+          val lpaEdges = read("s05_knn_graph")
+            .filter(col("cos_sim") >= graft.analytics.Graph.LpaCosMin)
+            .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+          val labels = graft.analytics.Graph.referenceLabelPropagation(lpaEdges)
+          val ref = labels.groupBy(_._2).toSeq
+            .map { case (c, ms) => (c, ms.size.toLong, ms.keys.min) }
+            .sortBy { case (c, n, _) => (-n, c) }
+            .take(graft.analytics.Graph.TopN)
+          val got = read("g05_lpa_communities").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+          got.nonEmpty && got == ref
+        },
         inv("g02_parity_singlenode") {
           val seeds = read("s01_ann_bruteforce")
             .select("query_id").distinct().collect()

@@ -291,11 +291,101 @@ object Graph {
       .limit(TopN)
   }
 
+  val LpaIters = 10
+
+  /** Synchronous label propagation — community detection over the
+    * similarity graph: every node starts as its own label; each round,
+    * every node adopts its neighborhood's MOST FREQUENT label
+    * simultaneously (ties break to the smallest label, so the update
+    * is a pure function of the previous round — deterministic under
+    * any partitioning, unlike asynchronous LPA whose result depends
+    * on visit order). Fixed [[LpaIters]] rounds (sync LPA can
+    * oscillate on bipartite structures; a fixed horizon makes the
+    * output well-defined and lets Verify demand exact single-node
+    * parity). Each round is two bounded shuffles: neighbor-label
+    * counts keyed (node, label) — cardinality ≤ Σdeg — and the
+    * per-node argmax as a partial aggregate `max(struct(cnt, -label))`,
+    * never a per-node window. */
+  private[analytics] def labelPropagation(edges: DataFrame, iters: Int = LpaIters): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .union(und.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(true)
+    val nodes = sym.select(col("u").as("id")).distinct().localCheckpoint(true)
+    var labels = nodes.select(col("id"), col("id").as("label"))
+    var lastCut: Option[DataFrame] = None
+    for (i <- 1 to iters) {
+      val counts = sym.join(labels, sym("v") === labels("id"))
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("cnt"))
+      val next = counts.groupBy(col("u"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("best"))
+        .select(col("u").as("id"), (-col("best.nl")).as("label"))
+      // isolated nodes (none in a kNN graph, but the operator should
+      // not lose them) keep their label
+      labels = nodes.join(next, Seq("id"), "left")
+        .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+      if (i % 5 == 0 && i < iters) {
+        val cut = labels.localCheckpoint(true)
+        lastCut.foreach(_.unpersist())
+        lastCut = Some(cut)
+        labels = cut
+      }
+    }
+    labels
+  }
+
+  /** Single-node twin: same synchronous update, same tie-break. */
+  private[graft] def referenceLabelPropagation(edges: Seq[(Long, Long)],
+                                               iters: Int = LpaIters): Map[Long, Long] = {
+    val und = edges.flatMap { case (a, b) =>
+      if (a == b) Nil else Seq((a min b, a max b)) }.distinct
+    val adj = (und ++ und.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val nodes = adj.keySet
+    var labels = nodes.map(id => id -> id).toMap
+    for (_ <- 1 to iters) {
+      labels = nodes.map { id =>
+        val counts = adj(id).groupBy(labels).view.mapValues(_.size).toMap
+        val bestCnt = counts.values.max
+        id -> counts.filter(_._2 == bestCnt).keys.min
+      }.toMap
+    }
+    labels
+  }
+
+  /** Edge threshold for g05: LPA over the RAW kNN graph collapses to
+    * one giant community (a connected small-world graph has no
+    * boundaries for labels to stop at — measured at every SF); the
+    * similarity threshold keeps only strong edges, so the graph
+    * fragments along real semantic boundaries and the communities
+    * mean something. cos_sim is the gate's 4-decimal rounded score,
+    * so the edge set is identical cross-engine. */
+  val LpaCosMin = 0.33
+
+  /** g05 gate: the top-[[TopN]] communities by size after [[LpaIters]]
+    * synchronous LPA rounds over the THRESHOLDED similarity graph —
+    * community id (the converged label), member count, and smallest
+    * member. Rows-only; Verify re-runs the single-node twin on the
+    * dumped s05 edges (same threshold) and demands exact equality
+    * (`g05_parity_singlenode`). */
+  def g05LpaCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val edges = Similarity.s05KnnGraph(spark, dir)
+      .filter(col("cos_sim") >= LpaCosMin)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    labelPropagation(edges)
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_member"))
+      .orderBy(col("n_members").desc, col("community").asc)
+      .limit(TopN)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_knn_pagerank" -> g01KnnPagerank _,
     "g02_ppr_retrieval" -> g02PprRetrieval _,
     "g03_clustering_coeff" -> g03ClusteringCoeff _,
     "g04_kcore" -> g04KCore _,
+    "g05_lpa_communities" -> g05LpaCommunities _,
   )
 
   val oracleSql: Map[String, String] = Map.empty

@@ -85,6 +85,35 @@ class GraphSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("label propagation: two planted cliques with one bridge resolve to two communities") {
+    import spark.implicits._
+    val k4a = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    val k4b = for (a <- 10L to 13L; b <- 10L to 13L if a < b) yield (a, b)
+    val edges = (k4a ++ k4b :+ (3L, 10L)).toDF("src", "dst")
+    val labels = Graph.labelPropagation(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each clique converges to one label; the cliques stay distinct
+    assert((0L to 3L).map(labels).toSet.size == 1)
+    assert((10L to 13L).map(labels).toSet.size == 1)
+    assert(labels(0L) != labels(10L))
+  }
+
+  test("distributed label propagation equals the single-node reference exactly") {
+    val edgeDf = Similarity.s05KnnGraph(spark, dir)
+      .filter(col("cos_sim") >= Graph.LpaCosMin)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    val edges = edgeDf.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = Graph.referenceLabelPropagation(edges)
+    val got = Graph.labelPropagation(edgeDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == want.size)
+    assert(got == want)
+    // communities must be nontrivial: more than one, fewer than nodes
+    val nComm = got.values.toSet.size
+    assert(nComm > 1 && nComm < got.size,
+      s"LPA degenerated: $nComm communities over ${got.size} nodes")
+  }
+
   test("distributed ranks equal the single-node reference exactly") {
     val edgeDf = Similarity.s05KnnGraph(spark, dir)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
