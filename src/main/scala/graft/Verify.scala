@@ -203,6 +203,13 @@ object Verify {
             .map(r => (r.getLong(0), r.getLong(1))).toSeq
           got.nonEmpty && got == ref
         },
+        // incremental index maintenance (tombstone → compact → append)
+        // must equal a full rebuild of the new snapshot under the same
+        // quantizer, row for row
+        inv("p08_eq_fullrebuild") {
+          eqDumps("p08_incremental_index",
+            graft.analytics.Pipeline.p08FullRebuildProbe(spark, sfDir))
+        },
         inv("g05_parity_singlenode") {
           val lpaEdges = read("s05_knn_graph")
             .filter(col("cos_sim") >= graft.analytics.Graph.LpaCosMin)

@@ -400,6 +400,93 @@ object Pipeline {
         .select("doc_id"), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("source"), TextOps.qualityPass.as("pass"))
 
+  private val P08Dim = 16
+  private val P08Cells = 16
+
+  /** Content-derived stub embedding: [[P08Dim]] components hashed from
+    * the text (xxhash64, per-component seed), scaled into [-1, 1).
+    * Deterministic and — unlike a fixture lookup — CONTENT-sensitive:
+    * a revised document moves in embedding space, which is what makes
+    * incremental re-embedding meaningful. The usual stub contract:
+    * swap in a model tower and nothing else changes. */
+  private def textEmbed(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    transform(sequence(lit(1), lit(P08Dim)),
+      i => (pmod(xxhash64(text, i), lit(1000L)).cast("double") / lit(500.0)) - lit(1.0))
+
+  private def p08Vectors(rows: DataFrame): DataFrame =
+    rows.select(col("doc_id").as("vec_id"), textEmbed(col("text")).as("embedding"))
+
+  private def p08Normalized(rows: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions._
+    p08Vectors(rows)
+      .select(col("vec_id"), as_double_array(col("embedding")).as("v"))
+      .withColumn("norm", array_norm(col("v")))
+  }
+
+  /** Query set for the p08 probes: every 100th doc — all `% 10 == 0`,
+    * so each one survives the derived snapshot UNCHANGED and the query
+    * vectors mean the same thing against the before and after index. */
+  private def p08QuerySet(docs: DataFrame): DataFrame =
+    p08Normalized(docs.filter(col("doc_id") % 100 === 0))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+
+  /** p08 gate: INCREMENTAL vector-index maintenance over the CDC diff
+    * — the full loop a production embedding index runs per ingest
+    * epoch, end to end on a real stored layout:
+    *
+    *   1. yesterday's index: IVF layout fit + written over snapshot
+    *      A's embeddings;
+    *   2. d14's diff arrives: deleted+changed ids are TOMBSTONED
+    *      ([[Similarity.deleteFromIvfCorpus]] — O(|diff|), no data
+    *      file touched);
+    *   3. compaction applies the tombstones physically (and clears
+    *      the sidecar — the epoch boundary that makes same-id
+    *      re-adds safe);
+    *   4. changed+added docs are re-embedded (diff-sized — the
+    *      expensive model pass never sees the unchanged corpus) and
+    *      APPENDED under the stored codebook.
+    *
+    * The result must equal a FULL REBUILD of snapshot B under the
+    * same quantizer, exactly — Verify re-probes the rebuild twin and
+    * emits the equality as `p08_eq_fullrebuild`. */
+  def p08IncrementalIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("graft-p08")
+      .resolve("index").toString
+    val cents = Similarity.writeIvfLayout(p08Normalized(docs), out,
+      k = P08Cells, iters = 10)
+    val diff = Dedup.d14SnapshotCdc(spark, dir).select("doc_id", "change_type")
+    Similarity.deleteFromIvfCorpus(spark, out,
+      diff.filter(col("change_type").isin("deleted", "changed"))
+        .select(col("doc_id").as("vec_id")))
+    Similarity.compactIvfCorpus(spark, out)
+    val reEmbed = p08Vectors(Dedup.cdcSnapshotBText(docs).join(
+      diff.filter(col("change_type").isin("changed", "added")).select("doc_id"),
+      Seq("doc_id"), "left_semi"))
+    Similarity.appendIvfCorpusWith(cents, out, reEmbed,
+      spark.read.parquet(out).columns.toSet)
+    Similarity.ivfStoredTopK(spark, out, p08QuerySet(docs), k = 10)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** The rebuild twin: snapshot B's embeddings written from scratch
+    * under the SAME deterministic codebook fit (the fit sees snapshot
+    * A, exactly as the incremental path's step 1 did). Called by
+    * Verify to compute the `p08_eq_fullrebuild` invariant. */
+  private[graft] def p08FullRebuildProbe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val fitDir = java.nio.file.Files.createTempDirectory("graft-p08-fit")
+      .resolve("index").toString
+    val cents = Similarity.writeIvfLayout(p08Normalized(docs), fitDir,
+      k = P08Cells, iters = 10)
+    val out = java.nio.file.Files.createTempDirectory("graft-p08-rebuild")
+      .resolve("index").toString
+    Similarity.writeIvfLayoutWith(cents,
+      p08Normalized(Dedup.cdcSnapshotBText(docs)), out)
+    Similarity.ivfStoredTopK(spark, out, p08QuerySet(docs), k = 10)
+      .orderBy("query_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_curation_pipeline" -> p01CurationPipeline _,
     "p02_semdedup_pipeline" -> p02SemdedupPipeline _,
@@ -407,6 +494,7 @@ object Pipeline {
     "p05_data_funnel"       -> p05DataFunnel _,
     "p06_coreset"           -> p06Coreset _,
     "p07_incremental_quality" -> p07IncrementalQuality _,
+    "p08_incremental_index"   -> p08IncrementalIndex _,
   )
 
   val oracleSql: Map[String, String] = Map(

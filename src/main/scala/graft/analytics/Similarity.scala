@@ -788,6 +788,43 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(out)
   }
 
+  /** Tombstone vector ids in a stored IVF layout — the DELETE half of
+    * index maintenance (the CDC loop's d15 for vectors). O(|ids|)
+    * append into the `_tombstones` sidecar: nothing in the data dirs
+    * is touched, probes exclude tombstoned ids immediately (a bounded
+    * anti-join — tombstones accumulate only between compactions), and
+    * the next [[compactIvfCorpus]] drops the rows physically and
+    * clears the sidecar. An id tombstoned then re-appended is LIVE
+    * again only if the append lands after the compaction that applied
+    * the tombstone — within one epoch, delete-then-add of the same id
+    * must compact in between (the single-maintainer discipline the
+    * stored layout already assumes). Plain layout only; the PQ layout
+    * (codes + `_refine`) keeps its own lifecycle. */
+  def deleteFromIvfCorpus(spark: SparkSession, out: String, ids: DataFrame): Unit =
+    ids.select(col("vec_id").cast("long").as("vec_id"))
+      .coalesce(1).write.mode("append").parquet(s"$out/_tombstones")
+
+  private def tombstonesOf(spark: SparkSession, out: String): Option[DataFrame] = {
+    val p = new java.io.File(s"$out/_tombstones")
+    if (p.isDirectory) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** [[writeIvfLayout]] under a GIVEN codebook — no fit: assign cells
+    * with `cents` and write the partitioned layout + codebook. The
+    * reference builder p08 uses to prove incremental maintenance ==
+    * full rebuild under the same quantizer. */
+  private[analytics] def writeIvfLayoutWith(cents: Array[(Int, Array[Double])],
+                                            corpus: DataFrame, out: String): Unit = {
+    corpus.withColumn("cell", cellOf(cents, col("v"), col("norm")))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(out)
+    val spark2 = corpus.sparkSession
+    import spark2.implicits._
+    cents.toSeq.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/_codebook")
+  }
+
   /** The codebook persisted by [[writeIvfCorpus]] — K rows, one
     * driver-side collect. */
   def readIvfCodebook(spark: SparkSession, out: String): Array[(Int, Array[Double])] =
@@ -831,7 +868,13 @@ object Similarity {
     // (PlanSpec pins both on the s13 gate's plan)
     val pruned0 = spark.read.parquet(out)
       .filter(col("cell").isin(probedCells.map(Int.box): _*))
-    val pruned = where.map(pruned0.filter).getOrElse(pruned0)
+    val pruned1 = where.map(pruned0.filter).getOrElse(pruned0)
+    // tombstoned ids (deleteFromIvfCorpus) are excluded at probe time:
+    // the sidecar is bounded by deletions since the last compaction,
+    // so the anti-join probe side broadcasts; layouts without the
+    // sidecar pay nothing
+    val pruned = tombstonesOf(spark, out).fold(pruned1)(t =>
+      pruned1.join(broadcast(t), Seq("vec_id"), "left_anti"))
     val scored = broadcast(probesOf(queries)).join(pruned, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -1071,15 +1114,24 @@ object Similarity {
     val tmp = Paths.get(out + "_compacting")
     val old = Paths.get(out + "_old")
     deleteTree(tmp); deleteTree(old)
-    spark.read.parquet(out)
+    // compaction APPLIES tombstones: drop the deleted rows from the
+    // rewrite and leave the sidecar behind — after the swap the
+    // deletions are physical and the probe's anti-join disappears
+    val snap0 = spark.read.parquet(out)
+    val snap = tombstonesOf(spark, out).fold(snap0)(t =>
+      snap0.join(broadcast(t), Seq("vec_id"), "left_anti"))
+    snap
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
     // sidecars are underscore-prefixed, so the snapshot read above
     // never sees them — copy each one over verbatim (recursively: the
-    // PQ layout's `_refine` sidecar is itself cell-partitioned)
+    // PQ layout's `_refine` sidecar is itself cell-partitioned);
+    // `_tombstones` is the exception: it was just applied, so the
+    // compacted layout starts with a clean slate
     Using.resource(Files.list(Paths.get(out))) { sides =>
       sides.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("_") && Files.isDirectory(p))
+        .filter(p => p.getFileName.toString.startsWith("_") && Files.isDirectory(p)
+          && p.getFileName.toString != "_tombstones")
         .foreach { side =>
           Using.resource(Files.walk(side)) { fs =>
             fs.iterator().asScala.foreach { p =>
