@@ -539,6 +539,59 @@ object Multimodal {
            sum("shared_frames").as("total_shared"))
       .orderBy("containment")
 
+  /** Deterministic multi-shot synthetic videos for m09: each video is
+    * `2 + doc_id % 4` shots, shot s running `3 + s % 3` frames; frames
+    * WITHIN a shot are byte-identical (keyed by (doc, shot)), frames
+    * across a boundary differ — the structure a real decoder's frame
+    * stream has, reduced to what the byte-window stand-in can carry. */
+  private[analytics] def syntheticShotVideos(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long].map { docId =>
+      val nShots = 2 + (docId % 4).toInt
+      val frames = (0 until nShots).flatMap(s => Seq.fill(3 + s % 3)(s))
+      val out = new Array[Byte](frames.length * VideoFrameBytes)
+      frames.zipWithIndex.foreach { case (shot, f) =>
+        var state = docId * 131L + shot * 2654435761L + 17L
+        var i = 0
+        while (i < VideoFrameBytes) {
+          state = state * 6364136223846793005L + 1442695040888963407L
+          out(f * VideoFrameBytes + i) = ((state >>> 33) & 0xFF).toByte
+          i += 1
+        }
+      }
+      (docId, out)
+    }
+  }
+
+  /** Shot segmentation over sampled keyframe fingerprints: a boundary
+    * is a fingerprint CHANGE between consecutive frames (the
+    * hash-equality stand-in for a real detector's frame-similarity
+    * threshold — the plumbing is identical: per-video lag + running
+    * count). The window partitions by video and frames-per-video is
+    * sampling-bounded, so no partition ever grows with the corpus. */
+  def videoShots(frameHashes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    frameHashes
+      .withColumn("prev", lag(col("fhash"), 1).over(w))
+      .withColumn("cut",
+        when(col("prev").isNull || col("prev") =!= col("fhash"), 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"), sum("cut").as("n_shots"))
+  }
+
+  /** m09 gate: video shot segmentation — the sampling structure video
+    * training data is built on (pick k frames per SHOT, not per
+    * second: dedup within shots, diversity across them). Rows-only;
+    * MultimodalSpec pins the planted shot structure exactly. */
+  def m09VideoShots(spark: SparkSession, dir: String): DataFrame =
+    videoShots(videoFrameHashes(syntheticShotVideos(spark, dir)))
+      .withColumn("avg_shot_len",
+        Det.dround(col("n_frames").cast("double") / col("n_shots"), 4))
+      .filter(col("doc_id") < 50)
+      .orderBy("doc_id")
+
   /** CLIP-style image–caption alignment filtering — the multimodal
     * curation step that decides whether a caption actually describes
     * its image: score = cosine(vision embedding, caption embedding),
@@ -626,6 +679,7 @@ object Multimodal {
     "m06_video_dups"   -> m06VideoDupStats _,
     "m07_clip_align"   -> m07ClipAlign _,
     "m08_interleaved_packing" -> m08InterleavedPacking _,
+    "m09_video_shots"  -> m09VideoShots _,
   )
 
   /** m01 is byte-exact SQL (UTF-8 length); m02's stub decode is

@@ -188,6 +188,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(1.0) == triplets + 1)
   }
 
+  test("m09 gate: planted shot structure recovered exactly for every video") {
+    import org.apache.spark.sql.functions._
+    val got = Multimodal.videoShots(Multimodal.videoFrameHashes(
+        Multimodal.syntheticShotVideos(spark, "/root/testdata/sf0.001")))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.nonEmpty)
+    got.foreach { case (docId, (nFrames, nShots)) =>
+      val wantShots = 2 + (docId % 4)
+      val wantFrames = (0 until wantShots.toInt).map(s => 3 + s % 3).sum
+      assert(nShots == wantShots, s"doc $docId: $nShots shots, want $wantShots")
+      assert(nFrames == wantFrames, s"doc $docId: $nFrames frames, want $wantFrames")
+    }
+  }
+
   test("m07 gate: single-chunk pairs align perfectly, score decays with chunks") {
     val rows = Multimodal.m07ClipAlign(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
