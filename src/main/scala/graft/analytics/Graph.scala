@@ -24,12 +24,15 @@ import org.apache.spark.sql.functions._
   * Determinism without decimals: per-node in-contributions are
   * collected, SORTED, then folded — `aggregate(array_sort(...))` —
   * so the double sum has ONE order whatever the partitioning or
-  * merge schedule. In-degree is neighborhood-bounded (a kNN graph's
-  * hubs are worst-case corpus-bounded but practically small), so the
-  * collected list never approaches a groupBy-corpus blowup. The
-  * update arithmetic is then pure IEEE on identical inputs — which
-  * is what lets Verify demand EXACT parity with a single-node
-  * power iteration over the same edge list (`g01_parity_singlenode`). */
+  * merge schedule. The collected list is bounded by in-degree, and
+  * that bound is ENFORCED: [[pagerank]] measures max in-degree once
+  * up front and refuses graphs past [[Graph.MaxFoldInDegree]] (a kNN
+  * graph keeps in-degree near k; a celebrity hub past the bound needs
+  * a two-level sorted merge, and failing loudly beats OOMing an
+  * executor mid-iteration). The update arithmetic is then pure IEEE
+  * on identical inputs — which is what lets Verify demand EXACT
+  * parity with a single-node power iteration over the same edge list
+  * (`g01_parity_singlenode`). */
 object Graph {
 
   val Damping = 0.85
@@ -45,27 +48,67 @@ object Graph {
     * handful of operators, not a vocab recompute). */
   private val CheckpointEvery = 5
 
+  /** Beyond this seed-set size, seed membership is a broadcast join
+    * against a seed frame instead of literal `isin` predicates — a
+    * thousand-literal `In` bloats every iteration's plan (and its
+    * codegen) linearly in |seeds|, while the broadcast flag column is
+    * O(1) plan size at any seed count. Below it, literals stay cheaper
+    * (no join at all). */
+  private[analytics] val SeedLiteralMax = 256
+
+  /** Seed-membership flag (1.0 / 0.0) on `idCol`: literal `isin` for
+    * small seed sets, broadcast left-join above [[SeedLiteralMax]]. */
+  private def withSeedFlag(df: DataFrame, idCol: String,
+                           seeds: Seq[Long], flagName: String): DataFrame =
+    if (seeds.length <= SeedLiteralMax)
+      df.withColumn(flagName,
+        when(col(idCol).isin(seeds: _*), lit(1.0)).otherwise(lit(0.0)))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      val sf = broadcast(seeds.toDF(idCol).withColumn("_seed1", lit(1.0)))
+      df.join(sf, Seq(idCol), "left")
+        .withColumn(flagName, coalesce(col("_seed1"), lit(0.0)))
+        .drop("_seed1")
+    }
+
+  /** Enforced ceiling on the per-node sorted fold: in-contributions
+    * are collected into ONE array per node, so a hub's in-degree is a
+    * real memory bound (16 B/entry → ~1.6 MB at the limit), not a
+    * worst-case footnote. kNN construction keeps in-degree near k in
+    * practice; a graph that trips this needs a two-level sorted-merge
+    * (per-partition sorted partials, then a sorted merge of partials)
+    * before PageRank — fail loudly rather than OOM an executor. */
+  val MaxFoldInDegree = 100000L
+
   /** One PageRank power iteration step's rank table, after `iters`
     * rounds over the given (src, dst) edges. `seeds` personalizes the
     * teleport: mass restarts uniformly over the seed set instead of
     * all nodes (PPR — the graph-augmented-retrieval move: scores
-    * concentrate in the seeds' neighborhood). The teleport vector is
-    * a literal `isin` over the (query-bounded) seed list — no extra
-    * join, no extra shuffle vs the uniform case. */
+    * concentrate in the seeds' neighborhood). The teleport vector is a
+    * 1.0/0.0 seed flag carried on the node frame ([[withSeedFlag]] —
+    * literals when small, broadcast join when large) times a scalar,
+    * so the per-iteration arithmetic is IDENTICAL either way
+    * (1.0·x = x, 0.0·x = 0.0 exactly) and single-node parity is
+    * representation-independent. */
   private[analytics] def pagerank(edges: DataFrame, iters: Int = Iters,
                                   damping: Double = Damping,
                                   seeds: Option[Seq[Long]] = None): DataFrame = {
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val withDeg = edges.join(outDeg, "src").localCheckpoint(true)
-    val nodes = edges.select(col("src").as("id"))
+    val maxIn = withDeg.groupBy("dst").agg(count(lit(1)).as("d"))
+      .agg(max(col("d")).as("m")).first().getLong(0)
+    require(maxIn <= MaxFoldInDegree,
+      s"max in-degree $maxIn exceeds the sorted-fold bound $MaxFoldInDegree — " +
+        "use a two-level sorted merge for hub nodes")
+    val nodes0 = edges.select(col("src").as("id"))
       .union(edges.select(col("dst").as("id")))
-      .distinct().localCheckpoint(true)
+      .distinct()
+    val nodes = seeds.fold(nodes0.withColumn("tw", lit(1.0)))(s =>
+      withSeedFlag(nodes0, "id", s, "tw")).localCheckpoint(true)
     val n = nodes.count()
-    def teleport(of: Double) = seeds match {
-      case Some(s) =>
-        when(col("id").isin(s: _*), lit(of / s.length)).otherwise(lit(0.0))
-      case None => lit(of / n)
-    }
+    val denom = seeds.fold(n)(_.length.toLong)
+    def teleport(of: Double) = col("tw") * lit(of / denom)
     val base = teleport(1.0 - damping)
     var ranks = nodes.select(col("id"), teleport(1.0).as("r"))
     var lastCut: Option[DataFrame] = None
@@ -118,7 +161,7 @@ object Graph {
     * algebra isn't SQL); Verify re-runs the single-node reference over
     * the dumped s05 edge list and requires exact equality. */
   def g01KnnPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Similarity.s05KnnGraph(spark, dir)
+    val edges = Similarity.knnEdges(spark, dir)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
     pagerank(edges)
       .select(col("id").as("vec_id"), Det.dround(col("r"), 8).as("rank"))
@@ -138,11 +181,11 @@ object Graph {
     val seeds = Tables.embeddings(spark, dir)
       .filter(col("vec_id") % 100 === 0)
       .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
-    val edges = Similarity.s05KnnGraph(spark, dir)
+    val edges = Similarity.knnEdges(spark, dir)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
-    pagerank(edges, seeds = Some(seeds))
+    withSeedFlag(pagerank(edges, seeds = Some(seeds)), "id", seeds, "sf")
       .select(col("id").as("vec_id"), Det.dround(col("r"), 8).as("rank"),
-        when(col("id").isin(seeds: _*), 1L).otherwise(0L).as("is_seed"))
+        col("sf").cast("long").as("is_seed"))
       .orderBy(col("rank").desc, col("vec_id").asc)
       .limit(TopN)
   }
@@ -159,11 +202,17 @@ object Graph {
     *
     * Input `edges` may be directed (a kNN graph is); it is
     * symmetrized and de-duplicated here. */
-  private[analytics] def triangleCoeff(edges: DataFrame): DataFrame = {
-    // canonical undirected edges (a < b), distinct
-    val und = edges.select(least(col("src"), col("dst")).as("a"),
+  /** Canonical undirected edge set from a (src, dst) frame: endpoints
+    * ordered (a < b), self-loops dropped, duplicates (including the
+    * reverse orientation) collapsed — shared by every operator that
+    * treats the directed kNN graph as undirected. */
+  private def undirected(edges: DataFrame): DataFrame =
+    edges.select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+      .filter(col("a") =!= col("b")).distinct()
+
+  private[analytics] def triangleCoeff(edges: DataFrame): DataFrame = {
+    val und = undirected(edges).localCheckpoint(true)
     val deg = und.select(col("a").as("id")).union(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
     // orient by (deg, id): u -> v iff (deg(u), u) < (deg(v), v)
@@ -216,7 +265,7 @@ object Graph {
     * on the dumped s05 edge list single-node and demands exact
     * equality (`g03_parity_singlenode`). */
   def g03ClusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Similarity.s05KnnGraph(spark, dir)
+    val edges = Similarity.knnEdges(spark, dir)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
     triangleCoeff(edges)
       .select(col("id").as("vec_id"), col("deg"), col("n_tri"), col("coeff"))
@@ -241,9 +290,7 @@ object Graph {
     def degrees(und: DataFrame) =
       und.select(col("a").as("id")).union(und.select(col("b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("deg"))
-    var und = edges.select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    var und = undirected(edges).localCheckpoint(true)
     var nEdges = und.count()
     var changed = nEdges > 0
     while (changed) {
@@ -283,7 +330,7 @@ object Graph {
     * re-peels the dumped s05 edges single-node and demands exact
     * equality (`g04_parity_singlenode`). */
   def g04KCore(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Similarity.s05KnnGraph(spark, dir)
+    val edges = Similarity.knnEdges(spark, dir)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
     kCore(edges, CoreK)
       .select(col("id").as("vec_id"), col("deg").as("core_deg"))
@@ -307,9 +354,7 @@ object Graph {
     * per-node argmax as a partial aggregate `max(struct(cnt, -label))`,
     * never a per-node window. */
   private[analytics] def labelPropagation(edges: DataFrame, iters: Int = LpaIters): DataFrame = {
-    val und = edges.select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b")).distinct()
+    val und = undirected(edges)
     val sym = und.select(col("a").as("u"), col("b").as("v"))
       .union(und.select(col("b").as("u"), col("a").as("v")))
       .localCheckpoint(true)
@@ -370,7 +415,7 @@ object Graph {
     * dumped s05 edges (same threshold) and demands exact equality
     * (`g05_parity_singlenode`). */
   def g05LpaCommunities(spark: SparkSession, dir: String): DataFrame = {
-    val edges = Similarity.s05KnnGraph(spark, dir)
+    val edges = Similarity.knnEdges(spark, dir)
       .filter(col("cos_sim") >= LpaCosMin)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
     labelPropagation(edges)

@@ -328,7 +328,9 @@ object Pipeline {
     import org.apache.spark.sql.expressions.Window
     val vecs = Dedup.normalizedVectors(spark, dir).cache()
     try {
-      val edges = Similarity.knnGraphExact(vecs, k = 5)
+      // the kNN graph is the shared per-(JVM, dir) artifact — built by
+      // whichever of s05/g01–g05/p06 runs first, read thereafter
+      val edges = Similarity.knnEdges(spark, dir)
         .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
       val ranks = Graph.pagerank(edges)
         .select(col("id").as("vec_id"), Det.dround(col("r"), 8).as("rank"))

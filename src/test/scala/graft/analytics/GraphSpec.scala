@@ -149,6 +149,39 @@ class GraphSpec extends AnyFunSuite {
       s"teleport bias missing: $seedMassPpr vs $seedMassUniform")
   }
 
+  test("large seed sets: broadcast-join teleport, no literal In blowup, exact parity") {
+    import spark.implicits._
+    // ring + chord graph, 600 nodes; 300 seeds — past SeedLiteralMax,
+    // so the teleport flag must come from a broadcast join, not a
+    // 300-literal In predicate replicated into every iteration's plan
+    val n = 600L
+    val edgePairs = (0L until n).flatMap(i => Seq((i, (i + 1) % n), (i, (i + 7) % n)))
+    val edgeDf = edgePairs.toDF("src", "dst")
+    val seeds = (0L until n by 2).toSeq
+    assert(seeds.length > Graph.SeedLiteralMax)
+    val ranked = Graph.pagerank(edgeDf, seeds = Some(seeds))
+    val plan = ranked.queryExecution.optimizedPlan.toString
+    // a literal teleport would embed every seed value in the plan; the
+    // broadcast form embeds none of them past the join build side
+    assert(!plan.contains(seeds.drop(10).mkString(",")),
+      "seed literals leaked into the iteration plan")
+    val got = ranked.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = Graph.referencePagerank(edgePairs, seeds = Some(seeds))
+    assert(got.size == want.size)
+    got.foreach { case (id, r) =>
+      assert(r == want(id), s"node $id: $r != ${want(id)}") }
+  }
+
+  test("pagerank refuses graphs whose max in-degree exceeds the sorted-fold bound") {
+    import spark.implicits._
+    // celebrity hub: every node points at 0 — in-degree past the bound
+    // must fail loudly BEFORE any iteration, not OOM mid-fold
+    val hub = (1L to Graph.MaxFoldInDegree + 1).map(i => (i, 0L))
+      .toDF("src", "dst")
+    val e = intercept[IllegalArgumentException](Graph.pagerank(hub, iters = 1))
+    assert(e.getMessage.contains("in-degree"), e.getMessage)
+  }
+
   test("ranks are invariant to edge partitioning") {
     val edgeDf = Similarity.s05KnnGraph(spark, dir)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
