@@ -30,5 +30,6 @@ object SparkEntry {
       Similarity.oracleSql ++ Multimodal.oracleSql ++
       StreamingQueries.oracleSql ++ Pipeline.oracleSql ++ LangId.oracleSql ++
       TextPrep.oracleSql ++ BpeTrain.oracleSql ++ QualityModel.oracleSql ++
-      Rag.oracleSql ++ Pca.oracleSql ++ UnigramTrain.oracleSql ++ Layout.oracleSql
+      Rag.oracleSql ++ Pca.oracleSql ++ UnigramTrain.oracleSql ++ Layout.oracleSql ++
+      StoreQueries.oracleSql
 }

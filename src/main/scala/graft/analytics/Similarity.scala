@@ -821,8 +821,19 @@ object Similarity {
     * again only if the append lands after the compaction that applied
     * the tombstone — within one epoch, delete-then-add of the same id
     * must compact in between (the single-maintainer discipline the
-    * stored layout already assumes). Plain layout only; the PQ layout
-    * (codes + `_refine`) keeps its own lifecycle. */
+    * stored layout already assumes). Deletion carries the SAME
+    * single-maintainer guarantee as compaction: a probe plan BUILT
+    * before the tombstone landed keeps its construction-time snapshot
+    * (Spark fixes the sidecar's file index when the plan is built),
+    * so tombstone visibility is defined by probe-construction order,
+    * never by execution order — the owning maintainer sequences
+    * delete → rebuild probes, exactly as st15's per-batch serving
+    * does. IncrementalIndexSpec pins the full interleaving: stale
+    * plans keep their snapshot, fresh probes hide the id immediately,
+    * a same-epoch re-append stays suppressed, and only a
+    * post-compaction append resurrects the id — nothing lost, nothing
+    * duplicated. Plain layout only; the PQ layout (codes + `_refine`)
+    * keeps its own lifecycle. */
   def deleteFromIvfCorpus(spark: SparkSession, out: String, ids: DataFrame): Unit =
     ids.select(col("vec_id").cast("long").as("vec_id"))
       .coalesce(1).write.mode("append").parquet(s"$out/_tombstones")

@@ -165,42 +165,25 @@ object StoreQueries {
     * shuffles (uri, hash) pairs only. */
   def av06StoreDrift(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    import graft.core.AssetValue
     val root = buildFixture()
     val src = new JsonFileStore(root.toString)
     val dst = new TableStore(spark, Files.createTempDirectory("graft-storeq-drift").toString)
     CopyDb.copyDbContents(src, dst)
-    // canonical JSON hash: the two backends legitimately store the
-    // same asset with different formatting/field order, so the audit
-    // hashes a sorted-key canonical form — formatting-independent
-    // CONTENT equality, which is the contract a replica check wants
-    def canonical(n: com.fasterxml.jackson.databind.JsonNode): String = {
-      import scala.jdk.CollectionConverters._
-      if (n.isObject)
-        n.properties().asScala.toSeq.map(e => e.getKey -> e.getValue)
-          .sortBy(_._1)
-          .map { case (k, v) => s"${JsonUtil.serialize(JsonUtil.parse(s""""$k""""))}:${canonical(v)}" }
-          .mkString("{", ",", "}")
-      else if (n.isArray) n.asScala.map(canonical).mkString("[", ",", "]")
-      else JsonUtil.serialize(n)
-    }
-    // key on the version-stripped LOGICAL uri: the json backend's
-    // listing carries `?version=` kwargs (a physical-layout detail)
-    // that the table backend's does not — same asset, same identity
-    def hashes(db: graft.store.AssetStore): Seq[(String, String)] =
-      db.listAll().sorted.map { u =>
-        val bytes = db.getByUri(u) match {
-          case AssetValue.Json(s) => canonical(JsonUtil.parse(s)).getBytes("UTF-8")
-          case AssetValue.Blob(b) => b
-          case other => other.toString.getBytes("UTF-8")
-        }
-        u.takeWhile(_ != '?') -> java.security.MessageDigest.getInstance("MD5")
-          .digest(bytes).map("%02x".format(_)).mkString
-      }
-    def frame(h: Seq[(String, String)], c: String) =
-      h.toDF("doc_id", c)
-    val pre = Dedup.cdcDiff(frame(hashes(src), "old_md5"), frame(hashes(dst), "new_md5"))
-      .count()
+    // Both hash sets come from DISTRIBUTED catalog scans — the json
+    // backend via Catalog.contentHashes (Spark lists the tree,
+    // executors reverse-parse + hash), the table backend via its
+    // per-table live-row scan — so the audit never does per-asset
+    // driver round-trips. Hashing is over the sorted-key CANONICAL
+    // JSON form (JsonUtil.canonicalMd5): the two backends legitimately
+    // store the same asset with different formatting/field order, and
+    // the audit wants formatting-independent CONTENT equality. Keys
+    // are the version-stripped LOGICAL uri: the json backend's listing
+    // carries `?version=` kwargs (a physical-layout detail) the table
+    // backend's does not — same asset, same identity.
+    def srcHashes = Catalog.contentHashes(spark, root.toString)
+      .toDF("doc_id", "old_md5")
+    def dstHashes = dst.contentHashFrame().toDF("doc_id", "new_md5")
+    val pre = Dedup.cdcDiff(srcHashes, dstHashes).count()
     require(pre == 0, s"copy verification failed: $pre assets diverge before mutation")
     val jsonUris = dst.listAll()
       .filter(u => !graft.core.Route.blobRoutes.contains(graft.codec.UriCodec.parse(u)._1))
@@ -208,7 +191,7 @@ object StoreQueries {
     dst.putByUri(jsonUris(0), """{"planted": "drift"}""")
     dst.rmByUri(jsonUris(1))
     src.rmByUri(jsonUris(2))
-    val drift = Dedup.cdcDiff(frame(hashes(src), "old_md5"), frame(hashes(dst), "new_md5"))
+    val drift = Dedup.cdcDiff(srcHashes, dstHashes)
       .select(col("doc_id").as("uri"), col("change_type"))
       .orderBy("uri")
     val out = drift.collect().map(r => (r.getString(0), r.getString(1))).toSeq
@@ -253,6 +236,44 @@ object StoreQueries {
     rows.toDF("op", "value").orderBy("op")
   }
 
+  /** av08 gate: the store→analytics BRIDGE — the corpus is bulk-loaded
+    * into the TableStore as JSON assets (one distributed partitioned
+    * append, no driver loop), then served BACK as a DataFrame via
+    * [[graft.store.TableStore.liveFrame]] and run through t06's exact
+    * dedup — proving the aerovaldb store surface and the analytics
+    * layer compose: "DataFrame for ETL to aeroval database" works in
+    * BOTH directions. The oracle is t06's own SQL over the parquet
+    * fixture, so the gate also proves the store round-trip is
+    * content-lossless (same fingerprints, same survivor accounting).
+    * At 100 TB every step is distributed: the load is a partitioned
+    * parquet append, the serve is a pruned scan of live rows, the
+    * dedup shuffles 16-char hashes. */
+  def av08StoreServedDedup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val store = new TableStore(spark,
+      Files.createTempDirectory("graft-storeq-bridge").toString)
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    store.bulkAppend("report", docs.select(
+      lit("corpus").as("project"), col("source").as("experiment"),
+      col("doc_id").cast("string").as("title"),
+      to_json(struct(col("doc_id"), col("source"), col("text"))).as("json"),
+      lit(null).cast("binary").as("blob")))
+    val payload = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    val served = store.liveFrame("report")
+      .getOrElse(sys.error("bridge table missing after bulk load"))
+      .select(from_json(col("json"), payload).as("d"))
+      .select(col("d.doc_id").as("doc_id"), col("d.source").as("source"),
+        col("d.text").as("text"))
+    val out = TextOps.dedupExactOver(served).collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    store.close()
+    import spark.implicits._
+    out.toDF("source", "n_unique", "n_removed").orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "av01_catalog_ingest" -> av01CatalogIngest _,
     "av02_copy_etl"       -> av02CopyEtl _,
@@ -261,8 +282,21 @@ object StoreQueries {
     "av05_catalog_refresh" -> av05CatalogRefresh _,
     "av06_store_drift"     -> av06StoreDrift _,
     "av07_time_travel"     -> av07TimeTravel _,
+    "av08_store_served_dedup" -> av08StoreServedDedup _,
   )
 
-  /** Store ops run on their own fixture assets → rows-only checks. */
-  val oracleSql: Map[String, String] = Map.empty
+  /** Store ops run on their own fixture assets → rows-only checks,
+    * EXCEPT av08: it round-trips the documents table through the
+    * store, so t06's oracle over the parquet fixture is also av08's
+    * oracle — hash equality proves the round trip content-lossless. */
+  val oracleSql: Map[String, String] = Map(
+    "av08_store_served_dedup" ->
+      """WITH f AS (SELECT source, doc_id,
+                     substr(md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), 1, 16) fp
+                    FROM documents),
+          s AS (SELECT min(doc_id) doc_id, count(*) dups FROM f GROUP BY fp)
+         SELECT f.source, count(*) AS n_unique, CAST(sum(s.dups - 1) AS BIGINT) AS n_removed
+         FROM s JOIN f ON s.doc_id = f.doc_id
+         GROUP BY f.source ORDER BY f.source""",
+  )
 }

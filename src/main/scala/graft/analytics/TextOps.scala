@@ -89,8 +89,14 @@ object TextOps {
   /** Exact deduplication: keep one doc per fingerprint (hash-groupBy
     * dedup — the 100 TB-scale shape: shuffle on the 16-char hash key,
     * never on the document text). Output: survivor stats per source. */
-  def t06DedupExact(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("source"), col("doc_id"), fingerprint.as("fp"))
+  def t06DedupExact(spark: SparkSession, dir: String): DataFrame =
+    dedupExactOver(Tables.documents(spark, dir))
+
+  /** t06's aggregation over ANY (doc_id, source, text) frame — shared
+    * with av08, which runs it over documents served from the
+    * TableStore catalog instead of the parquet fixture. */
+  private[analytics] def dedupExactOver(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("source"), col("doc_id"), fingerprint.as("fp"))
     // min_by carries the survivor's source through the fingerprint agg —
     // one shuffle total, no join-back to recover attributes.
     val survivors = d.groupBy("fp")

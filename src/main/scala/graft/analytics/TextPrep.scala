@@ -205,6 +205,42 @@ object TextPrep {
       .orderBy("lang")
   }
 
+  /** Shards per language for [[t39ShardedPacking]] — fixture-scale
+    * stand-in for the hundreds of writer shards a production packer
+    * runs per stream. */
+  private val PackShards = 4L
+
+  /** t39 gate: SHARD-AWARE sequence packing — t30's running-sum
+    * arithmetic with the window keyed (lang, shard) instead of lang
+    * alone. t30's per-language window is the correct per-stream
+    * discipline, but a single-language 100 TB corpus makes one window
+    * partition corpus-sized; sharding the stream (deterministically,
+    * `doc_id % PackShards`, so the oracle is exact SQL) bounds every
+    * window partition at corpus/|shards| while preserving the packing
+    * contract per shard — exactly how a production packer runs: each
+    * writer shard packs its own document substream into its own
+    * sequence space. Tokens are conserved across the split (per-lang
+    * totals equal t30's — pinned in ShardedPackingSpec). */
+  def t39ShardedPacking(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        (col("doc_id") % PackShards).as("shard"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+      .withColumn("start", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("first_seq", floor(col("start") / SeqLen).cast("long"))
+      .withColumn("last_seq",
+        floor((col("start") + col("n_tok") - 1L) / SeqLen).cast("long"))
+    d.groupBy("lang", "shard")
+      .agg((max("last_seq") + 1L).as("n_seqs"),
+           count(lit(1)).as("n_docs"),
+           sum("n_tok").as("n_tokens"),
+           sum(when(col("last_seq") > col("first_seq"), 1L).otherwise(0L))
+             .as("n_spanning_docs"))
+      .orderBy("lang", "shard")
+  }
+
   /** t36 gate: contrastive-pair construction accounting — the training
     * set an embedding model (SimCSE/DPR family) consumes: positives
     * are ADJACENT overlapping chunks of the same document (t08's
@@ -241,6 +277,7 @@ object TextPrep {
     "t10_shard_packing" -> t10ShardPacking _,
     "t30_sequence_packing" -> t30SequencePacking _,
     "t36_contrastive_pairs" -> t36ContrastivePairs _,
+    "t39_sharded_packing" -> t39ShardedPacking _,
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -279,6 +316,22 @@ object TextPrep {
          SELECT lang, CAST((cum - 1) // 4000 AS BIGINT) AS shard_id,
           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
          FROM c GROUP BY 1, 2 ORDER BY lang, shard_id""",
+    "t39_sharded_packing" ->
+      """WITH d AS (SELECT doc_id, lang, doc_id % 4 AS shard,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+                    FROM documents),
+          c AS (SELECT *, COALESCE(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+                FROM d),
+          s AS (SELECT lang, shard, n_tok,
+                 CAST(start // 256 AS BIGINT) first_seq,
+                 CAST((start + n_tok - 1) // 256 AS BIGINT) last_seq
+                FROM c)
+         SELECT lang, CAST(shard AS BIGINT) AS shard,
+          CAST(max(last_seq) + 1 AS BIGINT) AS n_seqs,
+          count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+          CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning_docs
+         FROM s GROUP BY lang, shard ORDER BY lang, shard""",
     "t30_sequence_packing" ->
       """WITH d AS (SELECT doc_id, lang,
                      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok

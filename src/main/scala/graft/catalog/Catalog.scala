@@ -99,6 +99,35 @@ object Catalog {
     }
   }
 
+  /** Distributed (uri, content md5) scan of a json store: Spark lists
+    * the tree ([[listing]]), then executors reverse-parse each path
+    * with a per-partition store handle and hash its content — the
+    * canonical-JSON form for JSON routes ([[graft.filters.JsonUtil
+    * .canonicalMd5]], so backend formatting differences are
+    * invisible), raw bytes for blob routes. URIs are version-stripped
+    * to the logical identity. No file content ever reaches the
+    * driver — at millions of assets this is one distributed pass,
+    * shuffle-free. */
+  def contentHashes(spark: SparkSession, basedir: String): DataFrame = {
+    import spark.implicits._
+    import graft.filters.JsonUtil
+    val base = basedir
+    listing(spark, basedir).select("src_path").as[String]
+      .mapPartitions { it =>
+        val store = new JsonFileStore(base)
+        it.flatMap { path =>
+          val p = java.nio.file.Paths.get(path)
+          store.queryEntryForFile(p).map { e =>
+            val digest =
+              if (Route.blobRoutes.contains(e.route))
+                JsonUtil.md5hex(java.nio.file.Files.readAllBytes(p))
+              else JsonUtil.canonicalMd5(java.nio.file.Files.readString(p))
+            (e.uri.takeWhile(_ != '?'), digest)
+          }
+        }
+      }.toDF("uri", "content_md5")
+  }
+
   /** Persist a catalog as a partitioned parquet metadata table —
     * subsequent sessions `load` it instead of re-walking the tree, and
     * (project, experiment) queries prune to one partition subtree. */

@@ -35,4 +35,31 @@ object JsonUtil {
 
   /** Parse-and-reserialize a JSON string applying the NaN policy. */
   def normalize(json: String): String = serialize(parse(json))
+
+  /** Sorted-key canonical serialization: object keys ordered, no
+    * whitespace — a formatting- and field-order-independent content
+    * identity. Two backends that store the same asset with different
+    * pretty-printing or key order canonicalize to the same string,
+    * which is the equality a replica audit (av06) wants. */
+  def canonicalize(n: JsonNode): String = {
+    import scala.jdk.CollectionConverters._
+    if (n.isObject)
+      n.properties().asScala.toSeq.map(e => e.getKey -> e.getValue)
+        .sortBy(_._1)
+        .map { case (k, v) => s"${mapper.writeValueAsString(k)}:${canonicalize(v)}" }
+        .mkString("{", ",", "}")
+    else if (n.isArray) n.asScala.map(canonicalize).mkString("[", ",", "]")
+    else serialize(n)
+  }
+
+  def canonicalize(json: String): String = canonicalize(parse(json))
+
+  def md5hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(bytes).map("%02x".format(_)).mkString
+
+  /** Hex MD5 of a JSON document's canonical form — the scalar the
+    * distributed replica audit computes per asset. */
+  def canonicalMd5(json: String): String =
+    md5hex(canonicalize(json).getBytes("UTF-8"))
 }

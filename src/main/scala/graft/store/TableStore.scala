@@ -390,6 +390,54 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
     }
   }
 
+  /** The store→analytics bridge: one table's LIVE rows (newest per
+    * key, rm tombstones honored) as a DataFrame — key columns +
+    * `json`/`blob` payload + bookkeeping. This is how a pipeline runs
+    * corpus analytics (dedup, quality, CDC) directly over assets the
+    * store serves, without exporting them first: the frame is the
+    * same partition-pruned parquet scan the point API resolves
+    * against, so a downstream groupBy/join composes with it like any
+    * other source (av08 proves the composition end to end). */
+  def liveFrame(table: String): Option[DataFrame] = liveRows(table)
+
+  /** Distributed (uri, content md5) scan over every table's live rows:
+    * URIs are rebuilt row-side from the key columns (the same rule as
+    * [[query]]'s catalog scan) and payloads hash executor-side — the
+    * canonical-JSON form for JSON routes, raw bytes for blobs. No
+    * per-asset driver round-trips: the replica audit over a
+    * million-asset store is |tables| parquet scans unioned, hashes
+    * computed as a mapped column. */
+  def contentHashFrame(): DataFrame = {
+    import spark.implicits._
+    flushAll()
+    val frames = TableStore.tables.toSeq.sortBy(_._1).flatMap { case (table, route) =>
+      liveRows(table).map { df =>
+        val keys = tableKeys(table)
+        val isBlob = Route.blobRoutes.contains(route)
+        val routeArgNames = route.argNames.toSet
+        df.select((keys.map(c => col(c).cast("string").as(c)) :+
+            col("json") :+ col("blob")): _*)
+          .map { r =>
+            val meta = keys.zipWithIndex
+              .flatMap { case (k, i) => Option(r.getString(i)).map(k -> _) }.toMap
+            val args = meta.view.filterKeys(routeArgNames.contains).toMap
+            val kw = meta.view.filterKeys(!routeArgNames.contains(_)).toMap
+            val uri = UriCodec.build(route, args, kw)
+            val digest =
+              if (isBlob) JsonUtil.md5hex(r.getAs[Array[Byte]](keys.length + 1))
+              else JsonUtil.canonicalMd5(r.getString(keys.length))
+            (uri.takeWhile(_ != '?'), digest)
+          }.toDF("uri", "content_md5")
+      }
+    }
+    frames.reduceOption(_ unionByName _).getOrElse {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("uri", StringType),
+          StructField("content_md5", StringType))))
+    }
+  }
+
   def lock(): AdvisoryLock = Locking.forBasedir(basedir)
 
   /** Flush pending appends (call before handing the dir to another
