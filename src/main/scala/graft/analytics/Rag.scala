@@ -117,10 +117,125 @@ object Rag {
   def p04RagRetrieval(spark: SparkSession, dir: String): DataFrame =
     ragRetrieve(spark, dir, "brute")
 
+  /** RRF constant (the standard 60 from the original reciprocal-rank
+    * fusion formulation) and per-retriever depth. */
+  private val RrfK = 60L
+  private val HybridTopK = 5
+
+  /** p09 gate: HYBRID retrieval — dense + lexical rankings fused by
+    * reciprocal-rank fusion (rrf = Σ 1/(60 + rank)), the standard
+    * two-tower serving stack: the dense side catches paraphrase, the
+    * lexical side catches exact terms, and RRF needs no score
+    * calibration between them because it only consumes RANKS.
+    *
+    *  - Dense list: exact cosine top-5 per query over the embeddings
+    *    (s01's machinery, query rule `vec_id % 50`).
+    *  - Lexical list: query-term idf overlap over an inverted-postings
+    *    join — distinct (doc, term) postings, idf = ln(N/df) rounded
+    *    to the 4-decimal grid (t13's proven cross-engine pattern),
+    *    summed per (query, candidate) as EXACT decimals so the score
+    *    is merge-order-independent; top-5 via the bounded top-k
+    *    aggregate, never a corpus window.
+    *  - Fusion: full-outer join of the two 5-deep lists on
+    *    (query, doc); rrf terms are pure IEEE on integer ranks.
+    *
+    * Scale shape: the query-term frame (queries × their vocab lookup)
+    * is workload-bounded and BROADCAST against the corpus postings
+    * scan — one pass over the posting lists, the IR join shape; the
+    * dense side is the broadcast-query corpus scan s01 already uses;
+    * the fusion joins two |queries|·k frames. Fully oracle-checked —
+    * both retrievers and the fusion are SQL-expressible. */
+  def p09HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    // dense: cosine top-5, same normalization as s01
+    val e = Dedup.normalizedVectors(spark, dir)
+    val dense = Similarity.bruteTopK(e,
+        e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm")),
+        k = HybridTopK)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rnk").as("dense_rnk"))
+    // lexical: distinct postings, query-side idf lookup, broadcast
+    val toks = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), lower(col("tok")).as("term")).distinct()
+    val idf = toks.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("idf", Det.dround(log(lit(nDocs.toDouble) / col("df")), 4))
+    val qterms = toks.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"), col("term"))
+      .join(idf, "term")
+    val lexScored = broadcast(qterms).join(toks, "term")
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(Det.dround(sum(col("idf").cast("decimal(18,4)")).cast("double"), 4)
+        .as("lex_score"))
+    val lex = Similarity.rankTopK(
+        lexScored.select(col("query_id"), col("doc_id").as("neighbor_id"),
+          col("lex_score")),
+        HybridTopK, "lex_score")
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rnk").as("lex_rnk"))
+    // fusion: rank-only, dense term first (fixed IEEE operand order)
+    val fused = dense.join(lex, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("dense_rnk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("lex_rnk")), lit(0.0)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+    fused
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= HybridTopK)
+      .select(col("query_id"), col("rnk"), col("doc_id"),
+        Det.dround(col("rrf"), 6).as("rrf"),
+        coalesce(col("dense_rnk"), lit(0L)).as("dense_rnk"),
+        coalesce(col("lex_rnk"), lit(0L)).as("lex_rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p04_rag_retrieval" -> p04RagRetrieval _)
+    "p04_rag_retrieval" -> p04RagRetrieval _,
+    "p09_hybrid_rrf"    -> p09HybridRrf _)
 
   val oracleSql: Map[String, String] = Map(
+    "p09_hybrid_rrf" ->
+      """WITH q AS (SELECT vec_id query_id, embedding q_emb FROM embeddings WHERE vec_id % 50 = 0),
+          dsc AS (SELECT q.query_id, e.vec_id doc_id,
+            floor((list_aggregate(list_transform(range(1, len(q.q_emb)+1),
+                k -> CAST(q.q_emb[k] AS DOUBLE) * CAST(e.embedding[k] AS DOUBLE)), 'sum')
+              / (sqrt(list_aggregate(list_transform(q.q_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))
+               * sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')))) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+           FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+          dense AS (SELECT query_id, doc_id,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, doc_id ASC) AS BIGINT) dense_rnk
+           FROM dsc QUALIFY dense_rnk <= 5),
+          toks AS (SELECT DISTINCT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) term
+                   FROM documents WHERE trim(text) <> ''),
+          toks2 AS (SELECT * FROM toks WHERE term <> ''),
+          idf AS (SELECT term, floor(ln((SELECT count(*) FROM documents) * 1.0 / count(*)) * 10000.0 + 0.5) / 10000.0 AS idf
+                  FROM toks2 GROUP BY term),
+          qt AS (SELECT t.doc_id query_id, t.term, i.idf
+                 FROM toks2 t JOIN idf i USING (term) WHERE t.doc_id % 50 = 0),
+          lsc AS (SELECT qt.query_id, t.doc_id,
+            floor(CAST(sum(CAST(qt.idf AS DECIMAL(18,4))) AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS lex_score
+           FROM qt JOIN toks2 t USING (term) WHERE t.doc_id <> qt.query_id
+           GROUP BY qt.query_id, t.doc_id),
+          lex AS (SELECT query_id, doc_id,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY lex_score DESC, doc_id ASC) AS BIGINT) lex_rnk
+           FROM lsc QUALIFY lex_rnk <= 5),
+          fused AS (SELECT COALESCE(d.query_id, l.query_id) query_id,
+            COALESCE(d.doc_id, l.doc_id) doc_id, d.dense_rnk, l.lex_rnk,
+            COALESCE(1.0 / (60 + d.dense_rnk), 0.0) + COALESCE(1.0 / (60 + l.lex_rnk), 0.0) AS rrf
+           FROM dense d FULL OUTER JOIN lex l
+             ON d.query_id = l.query_id AND d.doc_id = l.doc_id),
+          r AS (SELECT query_id, doc_id, dense_rnk, lex_rnk, rrf,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS BIGINT) rnk
+           FROM fused QUALIFY rnk <= 5)
+         SELECT query_id, rnk, doc_id,
+          floor(rrf * 1000000.0 + 0.5) / 1000000.0 AS rrf,
+          COALESCE(dense_rnk, 0) AS dense_rnk, COALESCE(lex_rnk, 0) AS lex_rnk
+         FROM r ORDER BY query_id, rnk""",
     "p04_rag_retrieval" ->
       """WITH ch AS (SELECT doc_id,
              unnest(range(0, greatest((len(string_split_regex(trim(text), '\s+')) - 1) // 24, 0) + 1)) chunk_id

@@ -25,6 +25,37 @@ class RagSpec extends AnyFunSuite {
     assert(p.select("pid").distinct().count() == p.count())
   }
 
+  test("p09 hybrid RRF: rank sanity, fusion dominance, broadcast lexical join") {
+    val got = Rag.p09HybridRrf(spark, dir)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      // ranks 1..n, no self-retrieval, and rrf strictly ordered with
+      // the doc_id tie-break
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq)
+      assert(!rs.map(_.getLong(2)).contains(q))
+      val byRank = rs.sortBy(_.getLong(1)).map(r => (r.getDouble(3), r.getLong(2)))
+      assert(byRank.sliding(2).forall {
+        case Array((s1, d1), (s2, d2)) => s1 > s2 || (s1 == s2 && d1 < d2)
+        case _ => true
+      }, s"rrf order violated for query $q")
+      // a doc on BOTH lists at rank r beats a doc on one list at rank r:
+      // 1/(60+r) + 1/(60+r') > 1/(60+r) — structural RRF dominance
+      rs.foreach { r =>
+        val (dr, lr) = (r.getLong(4), r.getLong(5))
+        assert(dr > 0 || lr > 0, "fused row on neither list")
+        val expect = (if (dr > 0) 1.0 / (60 + dr) else 0.0) +
+          (if (lr > 0) 1.0 / (60 + lr) else 0.0)
+        assert(math.abs(r.getDouble(3) - expect) < 1e-6,
+          s"rrf mismatch: ${r.getDouble(3)} vs $expect")
+      }
+    }
+    // the query-term side of the postings join must broadcast — the
+    // corpus postings scan is the only corpus-sized input
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "lexical postings join did not broadcast")
+  }
+
   test("p04 gate: per-query top-5, one passage per doc, self excluded") {
     val got = Rag.p04RagRetrieval(spark, dir)
     val rows = got.collect()
