@@ -31,5 +31,5 @@ object SparkEntry {
       StreamingQueries.oracleSql ++ Pipeline.oracleSql ++ LangId.oracleSql ++
       TextPrep.oracleSql ++ BpeTrain.oracleSql ++ QualityModel.oracleSql ++
       Rag.oracleSql ++ Pca.oracleSql ++ UnigramTrain.oracleSql ++ Layout.oracleSql ++
-      StoreQueries.oracleSql
+      StoreQueries.oracleSql ++ Graph.oracleSql
 }

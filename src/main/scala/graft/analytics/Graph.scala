@@ -425,13 +425,95 @@ object Graph {
       .limit(TopN)
   }
 
+  /** Blend weight for [[g06QualityPropagation]]: how much of a node's
+    * score is its own vs its neighborhood's mean. */
+  val PropAlpha = 0.5
+
+  /** g06 gate: graph-based QUALITY PROPAGATION — smooth each
+    * document's quality signal over the similarity graph (two rounds
+    * of score' = α·own + (1−α)·mean(kNN out-neighbors)): a low-scoring
+    * doc inside a high-quality semantic region is rescued, an outlier
+    * coasting on surface features is pulled down — the label-smoothing
+    * move graph-based curation uses on top of pointwise scores.
+    *
+    * Per-round arithmetic is cross-engine exact: the raw score (TTR,
+    * 4-decimal grid) and each round's output live on the 4-decimal
+    * grid, neighbor means sum as EXACT decimals before one double
+    * division, and the blend is fixed-operand-order IEEE — so this is
+    * a fully ORACLE-CHECKED graph gate (the kNN edge set is s05's,
+    * itself SQL-expressible). Docs without vectors keep their raw
+    * score (left join + coalesce). Scale shape: two join+aggregate
+    * rounds over the shared kNN edge ARTIFACT ([[Similarity
+    * .knnEdges]]) — edge-linear, no new graph build. */
+  def g06QualityPropagation(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(trim(col("text")), "\\s+")
+    val q0 = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        Det.dround(size(array_distinct(t)).cast("double") / size(t), 4).as("q"))
+      .localCheckpoint(true)
+    val edges = Similarity.knnEdges(spark, dir)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    def smooth(q: DataFrame): DataFrame = {
+      val nbr = edges.join(q.withColumnRenamed("doc_id", "dst"), "dst")
+        .groupBy(col("src").as("doc_id"))
+        .agg((sum(col("q").cast("decimal(18,4)")).cast("double") / count(lit(1)))
+          .as("nbr_avg"))
+      q.join(nbr, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          Det.dround(lit(PropAlpha) * col("q") +
+            lit(1.0 - PropAlpha) * coalesce(col("nbr_avg"), col("q")), 4).as("q"))
+    }
+    val q2 = smooth(smooth(q0))
+    q0.withColumnRenamed("q", "q_raw")
+      .join(q2.withColumnRenamed("q", "q_prop"), "doc_id")
+      .orderBy(col("q_prop").desc, col("doc_id").asc)
+      .limit(TopN)
+      .select(col("doc_id"), col("q_raw"), col("q_prop"))
+      .orderBy(col("q_prop").desc, col("doc_id").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_knn_pagerank" -> g01KnnPagerank _,
     "g02_ppr_retrieval" -> g02PprRetrieval _,
     "g03_clustering_coeff" -> g03ClusteringCoeff _,
     "g04_kcore" -> g04KCore _,
     "g05_lpa_communities" -> g05LpaCommunities _,
+    "g06_quality_propagation" -> g06QualityPropagation _,
   )
 
-  val oracleSql: Map[String, String] = Map.empty
+  private val KnnSqlCte =
+    """knn AS (SELECT src, dst FROM (
+         SELECT a.vec_id src, b.vec_id dst,
+           row_number() OVER (PARTITION BY a.vec_id ORDER BY
+             floor((list_aggregate(list_transform(range(1, len(a.embedding)+1),
+                 k -> CAST(a.embedding[k] AS DOUBLE) * CAST(b.embedding[k] AS DOUBLE)), 'sum')
+               / (sqrt(list_aggregate(list_transform(a.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))
+                * sqrt(list_aggregate(list_transform(b.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')))) * 10000.0 + 0.5) / 10000.0 DESC,
+             b.vec_id ASC) rnk
+          FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id)
+        WHERE rnk <= 5)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "g06_quality_propagation" ->
+      s"""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') t FROM documents),
+          q0 AS (SELECT doc_id,
+                  floor((len(list_distinct(t)) * 1.0 / len(t)) * 10000.0 + 0.5) / 10000.0 q
+                 FROM tk),
+          $KnnSqlCte,
+          n1 AS (SELECT e.src doc_id,
+                  CAST(sum(CAST(q.q AS DECIMAL(18,4))) AS DOUBLE) / count(*) nbr
+                 FROM knn e JOIN q0 q ON q.doc_id = e.dst GROUP BY e.src),
+          q1 AS (SELECT q0.doc_id,
+                  floor((0.5 * q0.q + 0.5 * COALESCE(n1.nbr, q0.q)) * 10000.0 + 0.5) / 10000.0 q
+                 FROM q0 LEFT JOIN n1 USING (doc_id)),
+          n2 AS (SELECT e.src doc_id,
+                  CAST(sum(CAST(q.q AS DECIMAL(18,4))) AS DOUBLE) / count(*) nbr
+                 FROM knn e JOIN q1 q ON q.doc_id = e.dst GROUP BY e.src),
+          q2 AS (SELECT q1.doc_id,
+                  floor((0.5 * q1.q + 0.5 * COALESCE(n2.nbr, q1.q)) * 10000.0 + 0.5) / 10000.0 q
+                 FROM q1 LEFT JOIN n2 USING (doc_id))
+         SELECT q0.doc_id, q0.q AS q_raw, q2.q AS q_prop
+         FROM q2 JOIN q0 USING (doc_id)
+         ORDER BY q_prop DESC, doc_id ASC LIMIT 25""",
+  )
 }

@@ -156,11 +156,15 @@ object Rag {
         k = HybridTopK)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rnk").as("dense_rnk"))
-    // lexical: distinct postings, query-side idf lookup, broadcast
+    // lexical: distinct postings, query-side idf lookup, broadcast.
+    // The postings frame feeds THREE consumers (idf counts, the query
+    // side, the corpus side) — materialize it once instead of
+    // re-running the scan+explode+distinct shuffle per consumer.
     val toks = docs
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
       .select(col("doc_id"), lower(col("tok")).as("term")).distinct()
+      .localCheckpoint(true)
     val idf = toks.groupBy("term").agg(count(lit(1)).as("df"))
       .withColumn("idf", Det.dround(log(lit(nDocs.toDouble) / col("df")), 4))
     val qterms = toks.filter(col("doc_id") % 50 === 0)

@@ -182,6 +182,29 @@ class GraphSpec extends AnyFunSuite {
     assert(e.getMessage.contains("in-degree"), e.getMessage)
   }
 
+  test("g06: propagated scores are convex combinations — range can only contract") {
+    val got = Graph.g06QualityPropagation(spark, dir).collect()
+    assert(got.nonEmpty)
+    // recompute the raw-score range over ALL docs (the gate only
+    // emits top-25); every propagated score must lie inside it, since
+    // each round is a convex combination of round-(r-1) scores
+    val q0 = Tables.documents(spark, dir)
+      .select(Det.dround(
+        size(array_distinct(split(trim(col("text")), "\\s+"))).cast("double") /
+          size(split(trim(col("text")), "\\s+")), 4).as("q"))
+      .collect().map(_.getDouble(0))
+    val (lo, hi) = (q0.min, q0.max)
+    got.foreach { r =>
+      val p = r.getDouble(2)
+      assert(p >= lo - 1e-4 && p <= hi + 1e-4,
+        s"doc ${r.getLong(0)}: propagated $p outside raw range [$lo, $hi]")
+    }
+    // smoothing must actually move something: not every top row keeps
+    // its raw score
+    assert(got.exists(r => r.getDouble(1) != r.getDouble(2)),
+      "propagation was a no-op on the corpus graph")
+  }
+
   test("ranks are invariant to edge partitioning") {
     val edgeDf = Similarity.s05KnnGraph(spark, dir)
       .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
