@@ -326,30 +326,28 @@ object Pipeline {
     * every nonempty cluster. */
   def p06Coreset(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vecs = Dedup.normalizedVectors(spark, dir).cache()
-    try {
-      // the kNN graph is the shared per-(JVM, dir) artifact — built by
-      // whichever of s05/g01–g05/p06 runs first, read thereafter
-      val edges = Similarity.knnEdges(spark, dir)
-        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
-      val ranks = Graph.pagerank(edges)
-        .select(col("id").as("vec_id"), Det.dround(col("r"), 8).as("rank"))
-      val (assigned, _, _) = Similarity.kmeansFit(vecs)
-      val cellQuota = assigned.groupBy("cell")
-        .agg(count(lit(1)).as("n_vecs"))
-        .withColumn("quota",
-          greatest(lit(1L), floor(col("n_vecs") / CoresetFraction).cast("long")))
-      val w = Window.partitionBy("cell")
-        .orderBy(col("rank").desc, col("vec_id").asc)
-      assigned.select(col("vec_id"), col("cell"))
-        .join(ranks, "vec_id")
-        .withColumn("sel_rank", row_number().over(w).cast("long"))
-        .join(broadcast(cellQuota), "cell")
-        .filter(col("sel_rank") <= col("quota"))
-        .select(col("cell").cast("long").as("cell"), col("sel_rank"),
-          col("vec_id"), col("rank"), col("n_vecs"))
-        .orderBy("cell", "sel_rank")
-    } finally vecs.unpersist()
+    // both expensive inputs are shared per-(JVM, dir) artifacts: the
+    // kNN edge list (built by whichever of s05/g01–g05/p06 runs
+    // first) and the k-means codebook (shared with s08)
+    val edges = Similarity.knnEdges(spark, dir)
+      .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+    val ranks = Graph.pagerank(edges)
+      .select(col("id").as("vec_id"), Det.dround(col("r"), 8).as("rank"))
+    val (assigned, _) = Similarity.kmeansFitDir(spark, dir)
+    val cellQuota = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"))
+      .withColumn("quota",
+        greatest(lit(1L), floor(col("n_vecs") / CoresetFraction).cast("long")))
+    val w = Window.partitionBy("cell")
+      .orderBy(col("rank").desc, col("vec_id").asc)
+    assigned.select(col("vec_id"), col("cell"))
+      .join(ranks, "vec_id")
+      .withColumn("sel_rank", row_number().over(w).cast("long"))
+      .join(broadcast(cellQuota), "cell")
+      .filter(col("sel_rank") <= col("quota"))
+      .select(col("cell").cast("long").as("cell"), col("sel_rank"),
+        col("vec_id"), col("rank"), col("n_vecs"))
+      .orderBy("cell", "sel_rank")
   }
 
   private val qualityScoreDirs =
