@@ -633,6 +633,44 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** m10 gate: CROSS-MODAL retrieval — text queries against the image
+    * index (the serving half of m07's alignment filter: the same two
+    * towers, pointed at each other). Query side = the caption tower
+    * (mean of the doc's first m chunk rotations — m07's expression)
+    * over every 50th document; index side = the vision tower (the raw
+    * fixture vector). Top-5 images per text query by cosine.
+    *
+    * Scale shape: the query set is workload-bounded and BROADCAST
+    * against one scan of the vision index (s01's shape — no shuffle of
+    * the corpus, ranking via the bounded top-k aggregate); at 100 TB
+    * the index side swaps for the cell-partitioned stored layout
+    * exactly like every other ANN gate. Both towers are pure column
+    * expressions, so the gate is fully ORACLE-CHECKED — swap the stubs
+    * for real model towers and only the two tower expressions move. */
+  def m10CrossModalRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), as_double_array(col("embedding")).as("v"))
+      .withColumn("norm", array_norm(col("v")))
+    val capQueries = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"),
+        (greatest(floor((size(split(trim(col("text")), "\\s+")) - 1) / 24), lit(0)) + 1)
+          .cast("int").as("m"))
+      .join(emb, "doc_id")
+      .withColumn("qv", expr(
+        """transform(sequence(1, size(v)),
+          |  k -> aggregate(sequence(0, m - 1), cast(0.0 as double),
+          |         (acc, s) -> acc + v[(k - 1 + s % size(v)) % size(v)]) / m)""".stripMargin))
+      .select(col("doc_id").as("query_id"), col("qv"),
+        array_norm(col("qv")).as("qnorm"))
+    val scored = emb.join(broadcast(capQueries), col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        Det.dround(array_dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4)
+          .as("cos_sim"))
+    Similarity.rankTopK(scored, 5).orderBy("query_id", "rnk")
+  }
+
   /** Patch-token budget one image attachment consumes in a multimodal
     * training sequence (a ViT-style tile of a small image). */
   val ImgTokens = 16L
@@ -678,6 +716,7 @@ object Multimodal {
     "m05_audio_dups"   -> m05AudioDupGroups _,
     "m06_video_dups"   -> m06VideoDupStats _,
     "m07_clip_align"   -> m07ClipAlign _,
+    "m10_crossmodal_retrieval" -> m10CrossModalRetrieval _,
     "m08_interleaved_packing" -> m08InterleavedPacking _,
     "m09_video_shots"  -> m09VideoShots _,
   )
@@ -731,5 +770,30 @@ object Multimodal {
          SELECT doc_id, n_chunks, align_score,
           CASE WHEN align_score >= 0.5 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
          FROM s ORDER BY doc_id""",
+    "m10_crossmodal_retrieval" ->
+      """WITH d AS (SELECT doc_id,
+             greatest((len(string_split_regex(trim(text), '\s+')) - 1) // 24, 0) + 1 AS m
+            FROM documents WHERE doc_id % 50 = 0),
+          e AS (SELECT vec_id doc_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) v,
+             sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')) nrm
+            FROM embeddings),
+          q AS (SELECT d.doc_id query_id,
+             list_transform(range(1, len(v)+1),
+               k -> list_aggregate(list_transform(range(0, m),
+                      s -> v[((k - 1 + (s % len(v))) % len(v)) + 1]), 'sum') / m) qv
+            FROM d JOIN e ON d.doc_id = e.doc_id),
+          qq AS (SELECT query_id, qv,
+             sqrt(list_aggregate(list_transform(qv, x -> x*x), 'sum')) qnrm
+            FROM q),
+          sc AS (SELECT qq.query_id, e.doc_id neighbor_id,
+             floor((list_aggregate(list_transform(range(1, len(qv)+1), k -> qv[k] * e.v[k]), 'sum')
+               / (qnrm * e.nrm)) * 10000.0 + 0.5) / 10000.0 cos_sim
+            FROM qq JOIN e ON e.doc_id <> qq.query_id),
+          r AS (SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) rnk
+            FROM sc)
+         SELECT query_id, rnk, neighbor_id, cos_sim
+         FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""",
   )
 }

@@ -22,7 +22,7 @@ object TextOps {
 
   /** Normalized-text MD5 fingerprint — whitespace-collapsed lowercase
     * MD5, the cheap exact-dup key (identical in DuckDB). */
-  private def fingerprint: Column =
+  private[analytics] def fingerprint: Column =
     substring(md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")), 1, 16)
 
   /** Language label distribution with document length stats. */

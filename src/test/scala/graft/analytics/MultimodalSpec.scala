@@ -202,6 +202,38 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("m10 gate: text->image retrieval — rank contract and m07 consistency") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Multimodal.m10CrossModalRetrieval(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      // ranks 1..5, self excluded, scores non-increasing with rank
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length).toSeq)
+      assert(!rs.map(_._3).contains(q), s"query $q retrieved its own image")
+      val byRank = rs.sortBy(_._2).map(_._4)
+      assert(byRank.sliding(2).forall { case Array(a, b) => a >= b; case _ => true },
+        s"scores not monotone for query $q")
+    }
+    // consistency with m07: a query whose caption tower is one chunk
+    // (qv == its vision vector) must rank images exactly like the
+    // vision-vector kNN does — its top-1 equals s01-style retrieval
+    val oneChunk = Multimodal.m07ClipAlign(spark, dir).collect()
+      .filter(r => r.getLong(1) == 1L && r.getLong(0) % 50 == 0).map(_.getLong(0))
+    if (oneChunk.nonEmpty) {
+      import org.apache.spark.sql.functions._
+      val e = Dedup.normalizedVectors(spark, dir)
+      val q = e.filter(col("vec_id").isin(oneChunk: _*))
+        .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      val expect = Similarity.bruteTopK(e, q, k = 1).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      oneChunk.foreach { qid =>
+        val got = rows.filter(r => r._1 == qid && r._2 == 1L).head._3
+        assert(got == expect(qid), s"query $qid: top-1 $got != vision kNN ${expect(qid)}")
+      }
+    }
+  }
+
   test("m07 gate: single-chunk pairs align perfectly, score decays with chunks") {
     val rows = Multimodal.m07ClipAlign(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
