@@ -155,8 +155,12 @@ object Bench {
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         // release any narrow per-query cache so storage memory never
-        // leaks across the 52-query run
+        // leaks across the run — BOTH the SQL cache and leftover
+        // localCheckpoint RDD blocks (the iterative graph gates cut
+        // lineage eagerly; their final cuts outlive the query and
+        // would otherwise accumulate across 160+ queries × 2 passes)
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         // a NEGATIVE duration marks an errored query — loud in the
         // JSON instead of masquerading as a normal timing
         name -> (if (ok) dt else -dt)

@@ -26,8 +26,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // release any narrow per-query cache between queries
+      // release any narrow per-query cache between queries — SQL cache
+      // plus leftover localCheckpoint RDD blocks from the iterative
+      // graph gates (their final lineage cuts outlive the query)
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -159,7 +159,11 @@ object Rag {
     // lexical: distinct postings, query-side idf lookup, broadcast.
     // The postings frame feeds THREE consumers (idf counts, the query
     // side, the corpus side) — materialize it once instead of
-    // re-running the scan+explode+distinct shuffle per consumer.
+    // re-running the scan+explode+distinct shuffle per consumer. At
+    // fixture scale that's a localCheckpoint; at 100 TB the postings
+    // ARE the inverted index — a stored, term-bucketed artifact (the
+    // knnEdges/codebook pattern), with idf its |vocab|-row sidecar —
+    // never a per-query materialization.
     val toks = docs
       .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
       .filter(col("tok") =!= "")
