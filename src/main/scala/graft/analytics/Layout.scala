@@ -251,7 +251,47 @@ object Layout {
       .orderBy("event_type")
   }
 
+  private val dayPartDirs = new ConcurrentHashMap[String, String]()
+
+  /** Events laid out Hive-partitioned BY DAY — the other canonical
+    * event-log layout besides q35's ts-ranged files: the partition
+    * column lives in the directory structure, so a day predicate
+    * never opens a file. Built once per (JVM, sf dir). */
+  private[analytics] def ensureDayPartitionedEvents(spark: SparkSession, dir: String): String =
+    dayPartDirs.computeIfAbsent(dir, { _ =>
+      val out = Files.createTempDirectory("graft-daypart-events").toString + "/events"
+      Tables.events(spark, dir)
+        .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+        .repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+      out
+    })
+
+  /** q38 gate: DYNAMIC partition pruning — the join-shaped pruning
+    * q35's zone map can't give: the day set that survives is only
+    * known at RUNTIME (an aggregate + filter over the dim side), so no
+    * static predicate can prune the fact scan. Spark's DPP turns the
+    * broadcast dim into a partition filter on the day-partitioned fact
+    * — the fact scan reads the surviving day directories only
+    * (DppSpec pins `dynamicpruning` in the fact scan's partition
+    * filters). At 100 TB this is THE mechanism behind "join the fact
+    * table to the hot-partition list without scanning the fact table".
+    * The dim predicate (day's event count mod 7 < 3) is arbitrary but
+    * deterministic and lives on the aggregate, NOT the join key — a
+    * key predicate would be statically pushable and prove nothing. */
+  def q38DppJoin(spark: SparkSession, dir: String): DataFrame = {
+    val fact = spark.read.parquet(ensureDayPartitionedEvents(spark, dir))
+    val dim = fact.groupBy("day").agg(count(lit(1)).as("n"))
+      .filter(col("n") % 7 < 3)
+    fact.join(broadcast(dim), "day")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           Det.sumDecR(col("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q38_dpp_join"       -> q38DppJoin _,
     "q34_bucketed_join"  -> q34BucketedJoin _,
     "q35_zonemap_prune"  -> q35ZonemapPrune _,
     "q36_incremental_agg" -> q36IncrementalAgg _,
@@ -259,6 +299,15 @@ object Layout {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q38_dpp_join" ->
+      s"""WITH f AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type, value
+                     FROM events),
+          dim AS (SELECT day, count(*) n FROM f GROUP BY day),
+          sel AS (SELECT day FROM dim WHERE n % 7 < 3)
+         SELECT event_type, count(*) AS n_events,
+         ${Det.sqlSumDecR("value", 2)} AS sum_value
+         FROM f JOIN sel USING (day)
+         GROUP BY event_type ORDER BY event_type""",
     "q34_bucketed_join" ->
       s"""SELECT o_orderpriority,
          ${Det.sqlSumDecR("l_extendedprice * (1 - l_discount)", 2)} AS revenue,
