@@ -307,6 +307,24 @@ object Verify {
         inv("t28_final_acc") {
           read("t28_quality_classifier").collect()
             .map(r => (r.getLong(0), r.getDouble(2))).maxBy(_._1)._2
+        },
+        // q39: unioning the stored per-day HLL sketches must agree
+        // with the one-pass whole-range sketch at the ESTIMATE level
+        // (the register merge is information-preserving; only the
+        // estimator mode can differ), and sit near the exact distinct
+        inv("q39_hll_merge_close") {
+          val rows = read("q39_hll_state").collect()
+          rows.nonEmpty && rows.forall { r =>
+            math.abs(r.getLong(3) - r.getLong(4)).toDouble /
+              math.max(1.0, r.getLong(2).toDouble) <= 0.02
+          }
+        },
+        inv("q39_hll_max_rel_err") {
+          val errs = read("q39_hll_state").collect().map { r =>
+            math.abs(r.getLong(3) - r.getLong(2)).toDouble /
+              math.max(1.0, r.getLong(2).toDouble)
+          }
+          math.floor(errs.max * 10000 + 0.5) / 10000
         })
     val invJson = invariants.map { case (k, v) => s"${q(k)}: $v" }
       .mkString("{", ",", "}")

@@ -290,7 +290,54 @@ object Layout {
       .orderBy("event_type")
   }
 
+  private val hllStateDirs = new ConcurrentHashMap[String, String]()
+
+  /** Per-(day, event_type) HLL sketch state stored once per (JVM, sf
+    * dir) — q36's mergeable-state contract extended to COUNT DISTINCT,
+    * the one aggregate plain counts can't maintain incrementally
+    * (distinct users seen yesterday and today overlap; counts
+    * double-count, sketches union). */
+  private def ensureHllState(spark: SparkSession, dir: String): String =
+    hllStateDirs.computeIfAbsent(dir, { _ =>
+      val out = Files.createTempDirectory("graft-hll-state").toString + "/daily"
+      Tables.events(spark, dir)
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+                 col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+             count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** q39 gate: incremental DISTINCT-COUNT maintenance via mergeable
+    * HLL sketches — the q36 move for the aggregate that defeats plain
+    * state: per-day sketches stored once, any coarser rollup unions
+    * file-count-sized state instead of rescanning the event log.
+    * HLL union is a per-register max, so the merged REGISTER SET
+    * carries exactly the information of a one-pass sketch — but the
+    * ESTIMATOR a unioned sketch reports through can sit in a different
+    * mode (HLL_8 after union vs the direct build's sparse/HLL_4), so
+    * the contract is estimate-level agreement, not bit equality: the
+    * gate emits the merged estimate, the direct one-pass estimate,
+    * and the exact distinct side by side, and Verify floors the
+    * merged-vs-direct gap and the merged-vs-exact relative error as
+    * invariants. Rows-only (DuckDB has no compatible sketch). */
+  def q39HllState(spark: SparkSession, dir: String): DataFrame = {
+    val state = spark.read.parquet(ensureHllState(spark, dir))
+    val merged = state.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+           sum(col("cnt")).as("n_events"))
+    val direct = Tables.events(spark, dir).groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("direct_approx"),
+           countDistinct(col("user_id")).as("exact_users"))
+    merged.join(direct, "event_type")
+      .select(col("event_type"), col("n_events"), col("exact_users"),
+        col("approx_users"), col("direct_approx"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_hll_state"      -> q39HllState _,
     "q38_dpp_join"       -> q38DppJoin _,
     "q34_bucketed_join"  -> q34BucketedJoin _,
     "q35_zonemap_prune"  -> q35ZonemapPrune _,

@@ -70,6 +70,20 @@ class LayoutSpec extends AnyFunSuite {
       s"q37 re-scanned the fact table instead of the stored state:\n$plan")
   }
 
+  test("q39: merged day sketches agree with the one-pass sketch and the exact count") {
+    val rows = Layout.q39HllState(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, exact, merged, direct) =>
+      assert(exact > 0)
+      // merge-vs-direct gap and merged-vs-exact error both tight
+      assert(math.abs(merged - direct).toDouble / exact <= 0.02,
+        s"$t: merged $merged vs direct $direct (exact $exact)")
+      assert(math.abs(merged - exact).toDouble / exact <= 0.05,
+        s"$t: merged $merged vs exact $exact")
+    }
+  }
+
   test("q36: merged state+delta equals full recompute; delta scan is pushed") {
     val merged = Layout.q36IncrementalAgg(spark, dir)
     val full = Tables.events(spark, dir)
