@@ -3,7 +3,7 @@ package graft.analytics
 import java.nio.file.Files
 import java.util.concurrent.ConcurrentHashMap
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout operators — the moves that decide whether a 100 TB
@@ -336,7 +336,98 @@ object Layout {
       .orderBy("event_type")
   }
 
+  /** Z-order bits per dimension and file count for the q40 layout. */
+  private val ZBits = 5
+  val ZOrderFiles = 64
+
+  /** Bit-interleaved Z-value of two ZBits-wide dimension indexes —
+    * a pure column expression (shift/and/or fold), codegen-friendly. */
+  private[analytics] def zValue(d0: Column, d1: Column): Column =
+    (0 until ZBits).map { i =>
+      (shiftleft(shiftright(d0, i).bitwiseAND(1), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(d1, i).bitwiseAND(1), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  private val zorderDirs = new ConcurrentHashMap[String, String]()
+
+  /** The user-id space scales with the SF, so both the Z bucket width
+    * and the query's user bound derive from max(user_id): bucket
+    * width = ceil((max+1)/32) keeps user buckets inside [[ZBits]]
+    * bits at every SF; the q40 predicate takes the bottom quarter of
+    * the id space (exact integer arithmetic — replicable in SQL). */
+  private def maxUserId(spark: SparkSession, dir: String): Long =
+    Tables.events(spark, dir).agg(max(col("user_id"))).first().getLong(0)
+
+  private[analytics] def zUserHi(spark: SparkSession, dir: String): Long =
+    (maxUserId(spark, dir) + 1L) / 4L
+
+  /** Events laid out Z-ORDERED on (day index, user bucket): range-
+    * partitioning on the interleaved bits clusters BOTH dimensions
+    * into every file, so per-file min/max zones prune on either — the
+    * multi-column data-skipping move (Delta/Iceberg OPTIMIZE ZORDER)
+    * a single sort column cannot give. Built once per (JVM, sf dir). */
+  private[analytics] def ensureZorderLayout(spark: SparkSession, dir: String): String =
+    zorderDirs.computeIfAbsent(dir, { _ =>
+      val out = Files.createTempDirectory("graft-zorder-events").toString + "/events"
+      val bktWidth = (maxUserId(spark, dir) + 32L) / 32L
+      Tables.events(spark, dir)
+        .withColumn("day_idx",
+          datediff(date_trunc("day", col("ts")), lit("2024-01-01").cast("date")).cast("int"))
+        .withColumn("user_bkt", floor(col("user_id") / bktWidth).cast("int"))
+        .withColumn("zval", zValue(col("day_idx"), col("user_bkt")))
+        .repartitionByRange(ZOrderFiles, col("zval"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** Two-dimensional zone map over any layout: per file, min/max of
+    * BOTH ts and user_id. */
+  private[graft] def zoneMap2d(df: DataFrame): DataFrame =
+    df.groupBy(input_file_name().as("file"))
+      .agg(min(col("ts")).as("ts_lo"), max(col("ts")).as("ts_hi"),
+           min(col("user_id")).as("u_lo"), max(col("user_id")).as("u_hi"),
+           count(lit(1)).as("rows"))
+
+  /** Files of `layout` whose 2-D zones admit the (ts, user) ranges. */
+  private[analytics] def zorderSurvivors(spark: SparkSession, layout: String,
+                                         tsLo: String, tsHi: String,
+                                         uLo: Long, uHi: Long): Seq[String] =
+    zoneMap2d(spark.read.parquet(layout))
+      .filter(col("ts_hi") >= lit(tsLo).cast("timestamp") &&
+              col("ts_lo") <  lit(tsHi).cast("timestamp") &&
+              col("u_hi") >= uLo && col("u_lo") < uHi)
+      .select("file").collect().map(_.getString(0)).toSeq.sorted
+
+  /** q40 gate: the 2-predicate range query answered from files whose
+    * TWO-dimensional zones admit it. q35 skips on time because the
+    * layout is time-ordered; a predicate on a second column there
+    * prunes nothing (every ts-ranged file spans all users). Z-ordering
+    * makes both zones tight per file, so the (ts range × user range)
+    * query reads the files covering that rectangle of the Z-space —
+    * at 100 TB this is the difference between "time-partitioned, full
+    * scan within the window" and "read the intersection". Oracle is
+    * the same query over the whole table (pruned == full); ZorderSpec
+    * pins that files are actually skipped and that the same query
+    * over the ts-ranged layout skips strictly fewer. */
+  def q40ZorderSkipping(spark: SparkSession, dir: String): DataFrame = {
+    val layout = ensureZorderLayout(spark, dir)
+    val uHi = zUserHi(spark, dir)
+    val files = zorderSurvivors(spark, layout, ZoneStart, ZoneEnd, 0L, uHi)
+    val src =
+      if (files.nonEmpty) spark.read.parquet(files: _*)
+      else spark.read.parquet(layout).limit(0)
+    src
+      .filter(col("ts") >= lit(ZoneStart).cast("timestamp") &&
+              col("ts") <  lit(ZoneEnd).cast("timestamp") &&
+              col("user_id") >= 0L && col("user_id") < uHi)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           Det.sumDecR(col("value"), 2).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_zorder_skipping" -> q40ZorderSkipping _,
     "q39_hll_state"      -> q39HllState _,
     "q38_dpp_join"       -> q38DppJoin _,
     "q34_bucketed_join"  -> q34BucketedJoin _,
@@ -346,6 +437,14 @@ object Layout {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q40_zorder_skipping" ->
+      s"""SELECT event_type, count(*) AS n_events,
+         ${Det.sqlSumDecR("value", 2)} AS sum_value
+         FROM events
+         WHERE ts >= TIMESTAMP '$ZoneStart' AND ts < TIMESTAMP '$ZoneEnd'
+           AND user_id >= 0
+           AND user_id < (SELECT (max(user_id) + 1) // 4 FROM events)
+         GROUP BY event_type ORDER BY event_type""",
     "q38_dpp_join" ->
       s"""WITH f AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type, value
                      FROM events),
