@@ -319,6 +319,10 @@ object Verify {
               math.max(1.0, r.getLong(2).toDouble) <= 0.02
           }
         },
+        // st21: the streamed HLL state must report exactly what q39's
+        // batch-stored state reports — register-max merge is
+        // commutative/associative, so slicing cannot move it
+        inv("st21_eq_q39") { eqDumps("st21_stream_hll_state", read("q39_hll_state")) },
         inv("q39_hll_max_rel_err") {
           val errs = read("q39_hll_state").collect().map { r =>
             math.abs(r.getLong(3) - r.getLong(2)).toDouble /

@@ -297,17 +297,40 @@ object Layout {
     * the one aggregate plain counts can't maintain incrementally
     * (distinct users seen yesterday and today overlap; counts
     * double-count, sketches union). */
+  /** The HLL state aggregation — ONE definition shared by the q39
+    * batch state build and st21's streaming maintenance (the
+    * zoneMapOf/partials rule: stream/batch parity cannot drift from a
+    * hand-copied expression tree). Sketch merge is commutative and
+    * associative, so microbatch slicing never moves the registers. */
+  private[graft] def hllPartials(e: DataFrame): DataFrame =
+    e.groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+              col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"),
+           count(lit(1)).as("cnt"))
+
   private def ensureHllState(spark: SparkSession, dir: String): String =
     hllStateDirs.computeIfAbsent(dir, { _ =>
       val out = Files.createTempDirectory("graft-hll-state").toString + "/daily"
-      Tables.events(spark, dir)
-        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
-                 col("event_type"))
-        .agg(hll_sketch_agg(col("user_id")).as("sk"),
-             count(lit(1)).as("cnt"))
-        .write.mode("overwrite").parquet(out)
+      hllPartials(Tables.events(spark, dir)).write.mode("overwrite").parquet(out)
       out
     })
+
+  /** q39's derivation from HLL state: union the per-day sketches per
+    * type, estimate, and set the direct one-pass sketch and the exact
+    * distinct beside it. Shared by q39 and st21. */
+  private[graft] def hllReport(spark: SparkSession, dir: String,
+                               state: DataFrame): DataFrame = {
+    val merged = state.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
+           sum(col("cnt")).as("n_events"))
+    val direct = Tables.events(spark, dir).groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("direct_approx"),
+           countDistinct(col("user_id")).as("exact_users"))
+    merged.join(direct, "event_type")
+      .select(col("event_type"), col("n_events"), col("exact_users"),
+        col("approx_users"), col("direct_approx"))
+      .orderBy("event_type")
+  }
 
   /** q39 gate: incremental DISTINCT-COUNT maintenance via mergeable
     * HLL sketches — the q36 move for the aggregate that defeats plain
@@ -322,19 +345,8 @@ object Layout {
     * and the exact distinct side by side, and Verify floors the
     * merged-vs-direct gap and the merged-vs-exact relative error as
     * invariants. Rows-only (DuckDB has no compatible sketch). */
-  def q39HllState(spark: SparkSession, dir: String): DataFrame = {
-    val state = spark.read.parquet(ensureHllState(spark, dir))
-    val merged = state.groupBy(col("event_type"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users"),
-           sum(col("cnt")).as("n_events"))
-    val direct = Tables.events(spark, dir).groupBy(col("event_type"))
-      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("direct_approx"),
-           countDistinct(col("user_id")).as("exact_users"))
-    merged.join(direct, "event_type")
-      .select(col("event_type"), col("n_events"), col("exact_users"),
-        col("approx_users"), col("direct_approx"))
-      .orderBy("event_type")
-  }
+  def q39HllState(spark: SparkSession, dir: String): DataFrame =
+    hllReport(spark, dir, spark.read.parquet(ensureHllState(spark, dir)))
 
   /** Z-order bits per dimension and file count for the q40 layout. */
   private val ZBits = 5

@@ -613,7 +613,27 @@ object StreamingQueries {
         col("minv").as("min_value"), col("maxv").as("max_value"))
       .orderBy("day", "event_type")
 
+  /** st21 gate: streaming DISTINCT-COUNT state maintenance — q39's
+    * mergeable HLL loop with the STREAM as the state keeper: one
+    * streaming aggregation holds the (day, type) user sketches
+    * (|days|×|types| sketches of ~KB each, never event-count), and
+    * the final report derives from the state snapshot exactly as q39
+    * derives from its stored state (`Layout.hllReport`, shared).
+    * Sketch merge is register-max — commutative, associative — so
+    * the streamed state carries the SAME registers as the batch
+    * build whatever the microbatch slicing (trickle parity pinned in
+    * StreamHllSpec; Verify pins st21 == q39 row for row). This is
+    * "distinct users per day, live" without a nightly
+    * count-distinct rescan. */
+  def st21StreamHllState(spark: SparkSession, dir: String): DataFrame = {
+    val name = "st21_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val snapshot = EventStream.runToCompletion(spark,
+      EventStream.hllState(_, dir, None), name)
+    Layout.hllReport(spark, dir, snapshot)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st21_stream_hll_state" -> st21StreamHllState _,
     "st01_stream_daily" -> st01StreamDaily _,
     "st02_sessions"     -> st02Sessions _,
     "st03_stream_dedup" -> st03StreamDedup _,

@@ -157,6 +157,16 @@ object EventStream {
                   maxFilesPerTrigger: Option[Int] = None): DataFrame =
     graft.analytics.Layout.partials(readEvents(spark, dir, maxFilesPerTrigger))
 
+  /** The st21 state frame: (day, event_type) → HLL user sketch +
+    * count — q39's distinct-count state maintained by the stream
+    * itself. The agg IS `Layout.hllPartials` (one definition, the
+    * rollupState rule); sketch merge is commutative and associative,
+    * so microbatch slicing never moves the snapshot's registers and
+    * state stays |days|×|types| sketches, never event-count. */
+  def hllState(spark: SparkSession, dir: String,
+               maxFilesPerTrigger: Option[Int] = None): DataFrame =
+    graft.analytics.Layout.hllPartials(readEvents(spark, dir, maxFilesPerTrigger))
+
   /** Streaming exact dedup: drop repeated event_ids within the
     * watermark window (`dropDuplicatesWithinWatermark` keeps state only
     * until the watermark passes — bounded state at any scale), then
