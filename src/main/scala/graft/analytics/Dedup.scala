@@ -254,6 +254,43 @@ object Dedup {
       .orderBy("i", "j")
   }
 
+  /** Flag threshold for [[t40SemanticDecontam]] — d04's cosine bar. */
+  private val SemDecontamMin = 0.4
+
+  /** t40 gate: SEMANTIC decontamination — the third tier of the
+    * decontamination family (t14 exact 8-gram, t20 Bloom-prefiltered,
+    * here embedding-cosine): paraphrased benchmark leakage shares no
+    * 8-gram, but it lands next to the benchmark in embedding space.
+    * The held-out "benchmark" is every 100th-offset-50 vector (a set
+    * disjoint from the retrieval query rules); a corpus doc is flagged
+    * when its max cosine to ANY benchmark vector reaches the d04 bar.
+    * Per source: docs, docs with vectors, flagged docs, max sim.
+    *
+    * Scale shape: the benchmark set is workload-bounded and BROADCAST
+    * against one corpus scan (s01's shape — the corpus never
+    * shuffles); the per-doc max is a partial aggregate. At 100 TB the
+    * scorer swaps for the stored-index probe exactly like every
+    * query-set gate. Fully oracle-checked. */
+  def t40SemanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val e = normalizedVectors(spark, dir)
+    val bench = e.filter(col("vec_id") % 100 === 50)
+      .select(col("vec_id").as("bench_id"), col("v").as("bv"), col("norm").as("bnorm"))
+    val flags = e.join(broadcast(bench), col("vec_id") =!= col("bench_id"))
+      .select(col("vec_id"),
+        Det.dround(array_dot(col("v"), col("bv")) / (col("norm") * col("bnorm")), 4)
+          .as("sim"))
+      .groupBy("vec_id").agg(max(col("sim")).as("max_sim"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(flags, col("doc_id") === col("vec_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when(col("max_sim").isNotNull, 1L).otherwise(0L)).as("n_with_vec"),
+           sum(when(col("max_sim") >= SemDecontamMin, 1L).otherwise(0L)).as("n_flagged"),
+           max(col("max_sim")).as("max_sim"))
+      .orderBy("source")
+  }
+
   /** Winnowing (rolling-hash) passage-level near-dup pairs — the
     * LOCAL-similarity tier: two docs sharing any ≥50 normalized-char
     * passage are guaranteed a common fingerprint
@@ -823,6 +860,7 @@ object Dedup {
     "d13_split_leakage"       -> d13SplitLeakage _,
     "d14_snapshot_cdc"        -> d14SnapshotCdc _,
     "d15_cdc_apply"           -> d15CdcApply _,
+    "t40_semantic_decontam"   -> t40SemanticDecontam _,
   )
 
   /** d02/d03 use Spark xxhash64 and d05 a u64 rolling hash — not
@@ -905,6 +943,21 @@ object Dedup {
                   JOIN (SELECT doc_id, len(s) ls FROM sh) sa ON i = sa.doc_id
                   JOIN (SELECT doc_id, len(s) ls FROM sh) sb ON j = sb.doc_id)
          SELECT i, j, jaccard FROM jac WHERE jaccard >= 0.2 ORDER BY i, j""",
+    "t40_semantic_decontam" ->
+      """WITH b AS (SELECT vec_id bench_id, embedding be FROM embeddings WHERE vec_id % 100 = 50),
+          sc AS (SELECT e.vec_id,
+            floor((list_aggregate(list_transform(range(1, len(e.embedding)+1),
+                k -> CAST(e.embedding[k] AS DOUBLE) * CAST(b.be[k] AS DOUBLE)), 'sum')
+              / (sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))
+               * sqrt(list_aggregate(list_transform(b.be, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')))) * 10000.0 + 0.5) / 10000.0 AS sim
+           FROM embeddings e JOIN b ON e.vec_id <> b.bench_id),
+          mx AS (SELECT vec_id, max(sim) max_sim FROM sc GROUP BY vec_id)
+         SELECT d.source, count(*) AS n_docs,
+          CAST(sum(CASE WHEN mx.max_sim IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_with_vec,
+          CAST(sum(CASE WHEN mx.max_sim >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+          max(mx.max_sim) AS max_sim
+         FROM documents d LEFT JOIN mx ON d.doc_id = mx.vec_id
+         GROUP BY d.source ORDER BY d.source""",
     "d04_embedding_neardup" ->
       """SELECT a.vec_id AS i, b.vec_id AS j,
           floor((list_aggregate(list_transform(range(1, len(a.embedding)+1),

@@ -147,4 +147,28 @@ class CurationSpec extends AnyFunSuite {
     val gate = Pipeline.p01CurationPipeline(spark, dir).collect().map(_.toSeq).toSeq
     assert(viaApi == gate && gate.nonEmpty)
   }
+
+  test("t40 semantic decontam flags equal what d04's pair table implies") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    // d04 holds every cos>=0.4 pair (same rounding, same threshold) —
+    // a doc is t40-flagged iff it pairs with a benchmark member
+    val pairs = Dedup.d04EmbeddingNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val isBench = (id: Long) => id % 100 == 50
+    val expect = pairs.flatMap { case (i, j) =>
+      Seq(i).filter(_ => isBench(j)) ++ Seq(j).filter(_ => isBench(i))
+    }.toSet
+    val perSource = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .filter { case (id, _) => expect(id) }
+      .groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val got = Dedup.t40SemanticDecontam(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got.values.sum > 0, "no flags at the d04 threshold — the gate proves nothing")
+    got.foreach { case (src, n) =>
+      assert(n == perSource.getOrElse(src, 0L), s"$src: $n != ${perSource.getOrElse(src, 0L)}")
+    }
+  }
 }
