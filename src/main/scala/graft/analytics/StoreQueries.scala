@@ -274,7 +274,62 @@ object StoreQueries {
     out.toDF("source", "n_unique", "n_removed").orderBy("source")
   }
 
+  /** av09 gate: retention vacuum — the missing middle between av07's
+    * keep-everything time travel and compact()'s drop-everything:
+    * `compactRetain(table, marker)` collapses history older than the
+    * marker to one winner row per key while every later put/overwrite/
+    * delete survives verbatim, so reads AT OR AFTER the marker are
+    * bit-identical before and after the vacuum and the log still
+    * shrinks. The gate pins all of it: the pinned snapshot's reads
+    * (all three mutation kinds) unchanged across the vacuum, the
+    * current state unchanged, and the physical row count strictly
+    * smaller. This is the VACUUM RETAIN contract that lets a store
+    * keep reproducible training snapshots without an unbounded log. */
+  def av09RetentionVacuum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val db = new TableStore(spark,
+      Files.createTempDirectory("graft-storeq-vacuum").toString)
+    db.putMenu("""{"gen": 1}""", "p", "e1")
+    db.putMenu("""{"doomed": true}""", "p", "e2")
+    db.putMenu("""{"gen": 2}""", "p", "e1")          // pre-marker overwrite
+    db.putMenu("""{"late": true}""", "p", "e3")
+    val e2Uri = db.listAll().find(_.contains("e2")).get
+    db.rmByUri(e2Uri)                                // pre-marker delete
+    db.flushAll()
+    val marker = db.snapshotSeq()
+    db.putMenu("""{"gen": 3}""", "p", "e1")          // post-marker history
+    db.putMenu("""{"gen": 4}""", "p", "e1")
+    db.flushAll()
+    val e1Uri = db.listAll().find(_.contains("e1")).get
+    def jsonOf(v: Option[graft.core.AssetValue]): String = v match {
+      case Some(graft.core.AssetValue.Json(s)) => s
+      case _ => "<absent>"
+    }
+    def observed(): Seq[String] = Seq(
+      jsonOf(db.getByUriAsOf(e1Uri, marker)),
+      db.getByUriAsOf(e2Uri, marker).isDefined.toString,
+      db.listAllAsOf(marker).size.toString,
+      jsonOf(db.getByUriAsOf(e1Uri, db.snapshotSeq())),
+      db.listAll().size.toString)
+    val before = observed()
+    val rowsBefore = spark.read.parquet(s"${db.basedir}/menu").count()
+    db.compactRetain("menu", marker)
+    val after = observed()
+    val rowsAfter = spark.read.parquet(s"${db.basedir}/menu").count()
+    val rows = Seq(
+      ("a_asof_e1", after.head),
+      ("b_asof_e2_present", after(1)),
+      ("c_asof_n_assets", after(2)),
+      ("d_current_e1", after(3)),
+      ("e_current_n_assets", after(4)),
+      ("f_reads_unchanged_by_vacuum", (before == after).toString),
+      ("g_log_shrunk", (rowsAfter < rowsBefore).toString))
+    db.close()
+    rows.toDF("op", "value").orderBy("op")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "av09_retention_vacuum" -> av09RetentionVacuum _,
     "av01_catalog_ingest" -> av01CatalogIngest _,
     "av02_copy_etl"       -> av02CopyEtl _,
     "av03_filtered_reads" -> av03FilteredReads _,

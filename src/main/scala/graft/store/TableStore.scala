@@ -371,24 +371,52 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
     }
   }
 
+  /** Rewrite a table directory from `rows`, preserving the partition
+    * layout (TablePruningSpec pins pruning after compaction). */
+  private def rewriteTable(table: String, rows: DataFrame): Unit = {
+    val tmp = tablePath(table) + "_compacting"
+    val parts = partitionCols(table)
+    val w = rows.write.mode(SaveMode.Overwrite)
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tmp)
+    val dst = Paths.get(tablePath(table))
+    import scala.jdk.CollectionConverters._
+    Files.walk(dst).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    Files.move(Paths.get(tmp), dst)
+  }
+
   /** Compact a table: rewrite with only the newest row per live key.
     * Run periodically at scale to bound the append log. The rewrite
     * keeps the (project, experiment) directory partitioning — losing
     * it here would silently turn every post-compact point read from a
     * one-partition scan into a full-table scan (TablePruningSpec pins
     * pruning after compaction). */
-  def compact(table: String): Unit = {
-    liveRows(table).foreach { df =>
-      val tmp = tablePath(table) + "_compacting"
-      val parts = partitionCols(table)
-      val w = df.drop("mtime").write.mode(SaveMode.Overwrite)
-      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tmp)
-      val dst = Paths.get(tablePath(table))
-      import scala.jdk.CollectionConverters._
-      Files.walk(dst).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      Files.move(Paths.get(tmp), dst)
+  def compact(table: String): Unit =
+    liveRows(table).foreach(df => rewriteTable(table, df.drop("mtime")))
+
+  /** Retention-aware compaction — the VACUUM RETAIN between
+    * [[compact]] (drop ALL history) and doing nothing (keep it all):
+    * history OLDER than `retainSeq` collapses to one row per key (the
+    * as-of-`retainSeq` winner; keys whose winner is a tombstone drop
+    * entirely), while every row with seq ≥ `retainSeq` survives
+    * verbatim — puts, overwrites, AND rm tombstones. Any snapshot
+    * marker taken at or after `retainSeq` therefore reads back
+    * EXACTLY as before the vacuum (the collapsed winner is by
+    * construction the only sub-`retainSeq` row every such read could
+    * resolve to), which is the retention contract a table format's
+    * VACUUM gives its time travel; markers older than `retainSeq` are
+    * explicitly forfeited. Bounded like compact: one partitioned
+    * rewrite, newest-per-key via the same window as the readers. */
+  def compactRetain(table: String, retainSeq: Long): Unit =
+    readTable(table).foreach { df =>
+      val keys = tableKeys(table).map(col)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys: _*).orderBy(col("put_time").desc, col("seq").desc)
+      val collapsed = df.filter(col("seq") < retainSeq)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1 && col("op") === "put")
+        .drop("_rn")
+      rewriteTable(table, collapsed.unionByName(df.filter(col("seq") >= retainSeq)))
     }
-  }
 
   /** The store→analytics bridge: one table's LIVE rows (newest per
     * key, rm tombstones honored) as a DataFrame — key columns +

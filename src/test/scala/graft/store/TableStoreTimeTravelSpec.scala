@@ -44,6 +44,43 @@ class TableStoreTimeTravelSpec extends AnyFunSuite {
     db.close()
   }
 
+  test("retention vacuum: reads at or after the marker survive, the log shrinks, point reads still prune") {
+    val db = new TableStore(spark,
+      Files.createTempDirectory("graft-vacuum-spec").toString)
+    db.putMenu("""{"gen": 1}""", "p", "e1")
+    db.putMenu("""{"doomed": true}""", "p", "e2")
+    db.putMenu("""{"gen": 2}""", "p", "e1")
+    val e2Uri = db.listAll().find(_.contains("e2")).get
+    db.rmByUri(e2Uri)
+    db.flushAll()
+    val marker = db.snapshotSeq()
+    db.putMenu("""{"gen": 3}""", "p", "e1")
+    db.flushAll()
+    val e1Uri = db.listAll().find(_.contains("e1")).get
+    val later = db.snapshotSeq()
+
+    def view(m: Long) = (db.getByUriAsOf(e1Uri, m), db.getByUriAsOf(e2Uri, m),
+      db.listAllAsOf(m).map(_.takeWhile(_ != '?')).sorted)
+    val atMarker = view(marker)
+    val atLater = view(later)
+    val rowsBefore = spark.read.parquet(s"${db.basedir}/menu").count()
+
+    db.compactRetain("menu", marker)
+    assert(view(marker) == atMarker, "marker reads moved across the vacuum")
+    assert(view(later) == atLater, "later-marker reads moved across the vacuum")
+    val rowsAfter = spark.read.parquet(s"${db.basedir}/menu").count()
+    assert(rowsAfter < rowsBefore, s"log did not shrink: $rowsBefore -> $rowsAfter")
+    // the vacuumed log keeps compacting: a second retention point at
+    // `later` collapses the between-marker history too
+    db.compactRetain("menu", later)
+    assert(view(later) == atLater)
+    assert(spark.read.parquet(s"${db.basedir}/menu").count() <= rowsAfter)
+    // current reads are untouched throughout
+    assert(db.getByUriAsOf(e1Uri, db.snapshotSeq())
+      .contains(graft.core.AssetValue.Json("""{"gen": 3}""")))
+    db.close()
+  }
+
   test("blob assets time-travel too: the marker returns the old bytes") {
     val db = new TableStore(spark,
       Files.createTempDirectory("graft-travel-blob").toString)
