@@ -96,8 +96,11 @@ object Graph {
                                   seeds: Option[Seq[Long]] = None): DataFrame = {
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val withDeg = edges.join(outDeg, "src").localCheckpoint(true)
-    val maxIn = withDeg.groupBy("dst").agg(count(lit(1)).as("d"))
-      .agg(max(col("d")).as("m")).first().getLong(0)
+    // max over zero groups is one row holding null — an empty edge
+    // set must keep returning an empty rank frame, not NPE here
+    val maxInRow = withDeg.groupBy("dst").agg(count(lit(1)).as("d"))
+      .agg(max(col("d")).as("m")).first()
+    val maxIn = if (maxInRow.isNullAt(0)) 0L else maxInRow.getLong(0)
     require(maxIn <= MaxFoldInDegree,
       s"max in-degree $maxIn exceeds the sorted-fold bound $MaxFoldInDegree — " +
         "use a two-level sorted merge for hub nodes")

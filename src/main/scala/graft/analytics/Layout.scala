@@ -367,8 +367,12 @@ object Layout {
     * width = ceil((max+1)/32) keeps user buckets inside [[ZBits]]
     * bits at every SF; the q40 predicate takes the bottom quarter of
     * the id space (exact integer arithmetic — replicable in SQL). */
+  private val maxUserIds = new ConcurrentHashMap[String, java.lang.Long]()
+
   private def maxUserId(spark: SparkSession, dir: String): Long =
-    Tables.events(spark, dir).agg(max(col("user_id"))).first().getLong(0)
+    maxUserIds.computeIfAbsent(dir, { _ =>
+      Tables.events(spark, dir).agg(max(col("user_id"))).first().getLong(0)
+    })
 
   private[analytics] def zUserHi(spark: SparkSession, dir: String): Long =
     (maxUserId(spark, dir) + 1L) / 4L
@@ -382,10 +386,24 @@ object Layout {
     zorderDirs.computeIfAbsent(dir, { _ =>
       val out = Files.createTempDirectory("graft-zorder-events").toString + "/events"
       val bktWidth = (maxUserId(spark, dir) + 32L) / 32L
-      Tables.events(spark, dir)
+      val indexed = Tables.events(spark, dir)
         .withColumn("day_idx",
           datediff(date_trunc("day", col("ts")), lit("2024-01-01").cast("date")).cast("int"))
         .withColumn("user_bkt", floor(col("user_id") / bktWidth).cast("int"))
+      // ZBits bits per dimension: an index outside [0, 2^ZBits) would
+      // silently alias in the interleave (only the low bits survive),
+      // quietly degrading the clustering — fail loudly instead (the
+      // MaxFoldInDegree convention); a wider fixture needs a wider
+      // epoch anchor or more bits, not a silent worse layout
+      val lim = 1 << ZBits
+      val b = indexed.agg(min(col("day_idx")), max(col("day_idx")),
+        min(col("user_bkt")), max(col("user_bkt"))).first()
+      require(b.getInt(0) >= 0 && b.getInt(1) < lim &&
+              b.getInt(2) >= 0 && b.getInt(3) < lim,
+        s"z-order index out of the $ZBits-bit domain: day_idx " +
+          s"[${b.getInt(0)}, ${b.getInt(1)}], user_bkt [${b.getInt(2)}, ${b.getInt(3)}] " +
+          s"must sit in [0, $lim) — widen ZBits or move the epoch anchor")
+      indexed
         .withColumn("zval", zValue(col("day_idx"), col("user_bkt")))
         .repartitionByRange(ZOrderFiles, col("zval"))
         .write.mode("overwrite").parquet(out)

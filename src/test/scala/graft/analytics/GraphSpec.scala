@@ -172,6 +172,12 @@ class GraphSpec extends AnyFunSuite {
       assert(r == want(id), s"node $id: $r != ${want(id)}") }
   }
 
+  test("pagerank of an empty edge set is an empty rank frame, not an error") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.pagerank(none, iters = 1).isEmpty)
+  }
+
   test("pagerank refuses graphs whose max in-degree exceeds the sorted-fold bound") {
     import spark.implicits._
     // celebrity hub: every node points at 0 — in-degree past the bound
