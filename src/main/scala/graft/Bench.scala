@@ -151,16 +151,24 @@ object Bench {
     } catch { case _: Throwable => () }
     def pass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // snapshot the persistent-RDD ids BEFORE the query so the
+        // sweep below releases only blocks THIS query created —
+        // an RDD-backed artifact memoized by an earlier query (none
+        // today: the cross-query artifacts are all parquet paths or
+        // driver arrays, but the sweep must not bake that in) keeps
+        // its only data copy
+        val preIds = spark.sparkContext.getPersistentRDDs.keySet
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
-        // release any narrow per-query cache so storage memory never
-        // leaks across the run — BOTH the SQL cache and leftover
+        // release the per-query cache so storage memory never leaks
+        // across the run — BOTH the SQL cache and leftover
         // localCheckpoint RDD blocks (the iterative graph gates cut
         // lineage eagerly; their final cuts outlive the query and
         // would otherwise accumulate across 160+ queries × 2 passes)
         spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        spark.sparkContext.getPersistentRDDs
+          .foreach { case (id, rdd) => if (!preIds.contains(id)) rdd.unpersist(false) }
         // a NEGATIVE duration marks an errored query — loud in the
         // JSON instead of masquerading as a normal timing
         name -> (if (ok) dt else -dt)

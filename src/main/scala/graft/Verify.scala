@@ -21,16 +21,20 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // only release blocks THIS query created (Bench's pre-snapshot
+      // rule): a cross-query RDD-backed artifact must keep its data
+      val preIds = spark.sparkContext.getPersistentRDDs.keySet
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // release any narrow per-query cache between queries — SQL cache
-      // plus leftover localCheckpoint RDD blocks from the iterative
-      // graph gates (their final lineage cuts outlive the query)
+      // release the per-query cache between queries — SQL cache plus
+      // leftover localCheckpoint RDD blocks from the iterative graph
+      // gates (their final lineage cuts outlive the query)
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!preIds.contains(id)) rdd.unpersist(false) }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -261,8 +261,10 @@ object Dedup {
     * decontamination family (t14 exact 8-gram, t20 Bloom-prefiltered,
     * here embedding-cosine): paraphrased benchmark leakage shares no
     * 8-gram, but it lands next to the benchmark in embedding space.
-    * The held-out "benchmark" is every 100th-offset-50 vector (a set
-    * disjoint from the retrieval query rules); a corpus doc is flagged
+    * The held-out "benchmark" is every 100th-offset-50 vector —
+    * disjoint from the `% 100 = 0` query rule, though every such id
+    * also satisfies p09/m10's `% 50 = 0` rule, so those query sets
+    * CONTAIN it; a corpus doc is flagged
     * when its max cosine to ANY benchmark vector reaches the d04 bar.
     * Per source: docs, docs with vectors, flagged docs, max sim.
     *

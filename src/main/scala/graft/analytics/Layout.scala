@@ -371,7 +371,14 @@ object Layout {
 
   private def maxUserId(spark: SparkSession, dir: String): Long =
     maxUserIds.computeIfAbsent(dir, { _ =>
-      Tables.events(spark, dir).agg(max(col("user_id"))).first().getLong(0)
+      val r = Tables.events(spark, dir).agg(max(col("user_id"))).first()
+      // an empty events table yields a NULL max — fail with the cause
+      // instead of an NPE (the Graph.pagerank empty-input convention);
+      // this also guards ensureZorderLayout's bounds row, which can
+      // only see a non-empty frame once this passes
+      require(!r.isNullAt(0), s"events table at $dir is empty — " +
+        "cannot derive the z-order user domain")
+      r.getLong(0)
     })
 
   private[analytics] def zUserHi(spark: SparkSession, dir: String): Long =

@@ -49,6 +49,7 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
     if (ephemeral) Files.createTempDirectory("graft-memdb").toAbsolutePath.toString
     else Paths.get(basedirRaw).toAbsolutePath.toString
   Files.createDirectories(Paths.get(basedir))
+  recoverInterruptedRewrites()
 
   def name: String = "table_store"
 
@@ -372,16 +373,59 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
   }
 
   /** Rewrite a table directory from `rows`, preserving the partition
-    * layout (TablePruningSpec pins pruning after compaction). */
+    * layout (TablePruningSpec pins pruning after compaction).
+    *
+    * Crash consistency (the [[graft.analytics.Similarity.compactIvfCorpus]]
+    * discipline): the rewritten copy lands in `<table>_compacting`
+    * first, then the swap is TWO RENAMES — live aside to
+    * `<table>_old`, replacement into place — never a delete of live
+    * data before the replacement exists. A crash between the renames
+    * leaves the full table intact at `_old` (and the rewrite at
+    * `_compacting`); [[recoverInterruptedRewrites]] restores it on the
+    * next open. A failed second rename restores `_old` in-process.
+    * Like the IVF compactor, the brief window where the live path does
+    * not resolve makes rewrites a SINGLE-MAINTAINER step — the owner
+    * runs compact/compactRetain between its own reads, never
+    * concurrently with them. */
   private def rewriteTable(table: String, rows: DataFrame): Unit = {
-    val tmp = tablePath(table) + "_compacting"
+    val dst = Paths.get(tablePath(table))
+    val tmp = Paths.get(tablePath(table) + "_compacting")
+    val old = Paths.get(tablePath(table) + "_old")
+    deleteTree(tmp); deleteTree(old)
     val parts = partitionCols(table)
     val w = rows.write.mode(SaveMode.Overwrite)
-    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tmp)
-    val dst = Paths.get(tablePath(table))
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tmp.toString)
+    Files.move(dst, old)
+    try Files.move(tmp, dst)
+    catch { case e: Throwable => Files.move(old, dst); throw e }
+    deleteTree(old)
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      scala.util.Using.resource(Files.walk(p)) { st =>
+        st.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
+    }
+
+  /** Heal a store whose last rewrite crashed mid-swap: a leftover
+    * `<table>_old` whose live sibling is MISSING is the pre-rewrite
+    * table caught between the two renames — restore it verbatim
+    * (forfeiting the interrupted rewrite, which is re-runnable); an
+    * `_old` whose sibling exists is completed-swap debris, and any
+    * `_compacting` leftover is a stale rewrite output — both deleted.
+    * Runs once per open, before any read can observe the gap. */
+  private def recoverInterruptedRewrites(): Unit = {
     import scala.jdk.CollectionConverters._
-    Files.walk(dst).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    Files.move(Paths.get(tmp), dst)
+    val entries = scala.util.Using.resource(Files.list(Paths.get(basedir))) {
+      _.iterator().asScala.toSeq
+    }
+    entries.filter(_.getFileName.toString.endsWith("_old")).foreach { old =>
+      val live = old.resolveSibling(old.getFileName.toString.stripSuffix("_old"))
+      if (!Files.exists(live)) Files.move(old, live) else deleteTree(old)
+    }
+    entries.filter(_.getFileName.toString.endsWith("_compacting")).foreach(deleteTree)
   }
 
   /** Compact a table: rewrite with only the newest row per live key.
