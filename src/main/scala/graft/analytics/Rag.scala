@@ -156,20 +156,14 @@ object Rag {
         k = HybridTopK)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rnk").as("dense_rnk"))
-    // lexical: distinct postings, query-side idf lookup, broadcast.
-    // The postings frame feeds THREE consumers (idf counts, the query
-    // side, the corpus side) — materialize it once instead of
-    // re-running the scan+explode+distinct shuffle per consumer. At
-    // fixture scale that's a localCheckpoint; at 100 TB the postings
-    // ARE the inverted index — a stored, term-bucketed artifact (the
-    // knnEdges/codebook pattern), with idf its |vocab|-row sidecar —
-    // never a per-query materialization.
-    val toks = docs
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
-      .filter(col("tok") =!= "")
-      .select(col("doc_id"), lower(col("tok")).as("term")).distinct()
-      .localCheckpoint(true)
-    val idf = toks.groupBy("term").agg(count(lit(1)).as("df"))
+    // lexical: the STORED inverted index ([[TextOps.ensurePostings]],
+    // shared with t13) — the postings frame feeds three consumers
+    // (idf lookup, the query side, the corpus side), and all three
+    // now scan the per-(JVM, dir) parquet artifact instead of
+    // re-deriving scan→explode→lower→distinct per invocation. idf
+    // comes off the |vocab|-row `_df` sidecar, never recounted.
+    val toks = TextOps.postings(spark, dir).select(col("doc_id"), col("term"))
+    val idf = TextOps.postingsDf(spark, dir)
       .withColumn("idf", Det.dround(log(lit(nDocs.toDouble) / col("df")), 4))
     val qterms = toks.filter(col("doc_id") % 50 === 0)
       .select(col("doc_id").as("query_id"), col("term"))
