@@ -129,6 +129,17 @@ object Verify {
         .take(graft.analytics.Graph.TopN)
     // per-source encode stats from per-word encoded lengths — the
     // shared t29/t34 single-node shape
+    // multimodal fixtures: the planted corpora are deterministic
+    // functions of doc_id, so every spec-pinned structure (frame
+    // sampling, byte conservation, pattern groups, gain collapse,
+    // trim/re-edit containment, shot layout) is recomputable here and
+    // machine-checkable against the dumps — the m-family analogue of
+    // the g-gates' single-node parity
+    lazy val docIdsAll = graft.analytics.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted.toSeq
+    lazy val blobPayloads = graft.analytics.Multimodal.blobTable(spark, sfDir)
+      .select(col("source"), col("payload")).collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]](1))).toSeq
     def encodeStats(encLen: Map[String, Long]): Seq[(String, Long, Long, Double, Double)] =
       srcWord.groupBy(_._1).toSeq.sortBy(_._1).map { case (src, rows) =>
         val nWords = rows.map(_._3).sum
@@ -333,6 +344,95 @@ object Verify {
               math.max(1.0, r.getLong(2).toDouble)
           }
           math.floor(errs.max * 10000 + 0.5) / 10000
+        },
+        // m02: per-source frame counts + mean feature re-derived
+        // single-node from the same payload bytes (the byte-window
+        // sampling contract) — counts exact, the rounded avg within
+        // its own 2-decimal grid
+        inv("m02_parity_singlenode") {
+          val feats = blobPayloads.flatMap { case (src, bytes) =>
+            val n = math.max(1, (bytes.length + 63) / 64)
+            (0 until n).map { f =>
+              val from = f * 64
+              val until = math.max(math.min(bytes.length, from + 64), from + 1)
+              val mean = bytes.slice(from, until)
+                .map(b => (b & 0xFF).toLong).sum.toDouble / (until - from)
+              (src, math.rint(mean * 100) / 100)
+            }
+          }
+          val want = feats.groupBy(_._1).view
+            .mapValues(fs => (fs.size.toLong, fs.map(_._2).sum / fs.size)).toMap
+          val got = read("m02_frame_stats").collect()
+            .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+          got.nonEmpty && got.keySet == want.keySet && got.forall {
+            case (s, (n, avg)) =>
+              n == want(s)._1 && math.abs(avg - want(s)._2) <= 0.0051
+          }
+        },
+        // m03: the resize conserves counts and bytes — per source,
+        // blob count, total original bytes, and the every-8th-byte
+        // thumb total must equal the payload-length arithmetic exactly
+        inv("m03_bytes_conserved") {
+          val want = blobPayloads.groupBy(_._1).view.mapValues { bs =>
+            (bs.size.toLong, bs.map(_._2.length.toLong).sum,
+              bs.map(b => ((b._2.length + 7) / 8).toLong).sum)
+          }.toMap
+          val got = read("m03_resize_stats").collect()
+            .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+          got.nonEmpty && got == want
+        },
+        // m04: the synthetic corpus plants one PNG pattern per
+        // doc_id % 10 — the decode→aHash→group pipeline must recover
+        // exactly those groups (min id, member count)
+        inv("m04_pattern_groups") {
+          val want = docIdsAll.groupBy(_ % 10).values
+            .map(ds => (ds.min, ds.size.toLong)).toSeq.sortBy(_._1)
+          val got = read("m04_image_dups").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+          got.nonEmpty && got == want
+        },
+        // m05: waveform pattern per doc_id % 8, amplified by a per-doc
+        // gain — the energy-contour hash must collapse gain variants
+        // into exactly the 8 planted groups
+        inv("m05_gain_collapse") {
+          val want = docIdsAll.groupBy(_ % 8).values
+            .map(ds => (ds.min, ds.size.toLong)).toSeq.sortBy(_._1)
+          val got = read("m05_audio_dups").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSeq.sortBy(_._1)
+          got.nonEmpty && got == want
+        },
+        // m06: the planted base/trim/re-edit triads fix every pair's
+        // containment — trim⊂base = 1.0 (10 shared), re-edit∩base =
+        // 8/12, trim∩re-edit = 6/10 — so the per-level rollup is exact
+        // arithmetic over which triad members exist
+        inv("m06_variant_containment") {
+          val pairs = docIdsAll.groupBy(_ / 3).values.toSeq.flatMap { g =>
+            val v = g.map(d => (d % 3).toInt).toSet
+            Seq(
+              (1.0, 10L, v(0) && v(1)),
+              (graft.analytics.Det.droundD(8.0 / 12, 4), 8L, v(0) && v(2)),
+              (graft.analytics.Det.droundD(6.0 / 10, 4), 6L, v(1) && v(2))
+            ).collect { case (c, s, true) => (c, s) }
+          }
+          val want = pairs.groupBy(_._1).view
+            .mapValues(ps => (ps.size.toLong, ps.map(_._2).sum)).toMap
+          val got = read("m06_video_dups").collect()
+            .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
+          got.nonEmpty && got == want
+        },
+        // m09: shot count and frame layout are pure functions of
+        // doc_id (2 + id%4 shots of 3 + s%3 frames) — segmentation
+        // must recover them exactly, row for row
+        inv("m09_shot_recovery") {
+          val want = docIdsAll.filter(_ < 50).map { d =>
+            val nShots = 2 + (d % 4).toInt
+            val nFrames = (0 until nShots).map(s => 3 + s % 3).sum.toLong
+            (d, nFrames, nShots.toLong,
+              graft.analytics.Det.droundD(nFrames.toDouble / nShots, 4))
+          }
+          val got = read("m09_video_shots").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+          got.nonEmpty && got == want
         })
     val invJson = invariants.map { case (k, v) => s"${q(k)}: $v" }
       .mkString("{", ",", "}")
