@@ -228,6 +228,12 @@ object Verify {
           eqDumps("p08_incremental_index",
             graft.analytics.Pipeline.p08FullRebuildProbe(spark, sfDir))
         },
+        // g07: diff-driven maintenance of the kNN-edge artifact must
+        // equal a from-scratch rebuild of snapshot B, row for row
+        inv("g07_eq_fullrebuild") {
+          eqDumps("g07_incremental_knn",
+            graft.analytics.Graph.g07FullRebuildProbe(spark, sfDir))
+        },
         inv("g05_parity_singlenode") {
           val lpaEdges = read("s05_knn_graph")
             .filter(col("cos_sim") >= graft.analytics.Graph.LpaCosMin)

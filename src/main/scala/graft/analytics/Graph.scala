@@ -475,7 +475,122 @@ object Graph {
       .orderBy(col("q_prop").desc, col("doc_id").asc)
   }
 
+  // ---- g07: incremental kNN-edge maintenance under CDC ----
+
+  /** Derived vector snapshot B — the d14 CDC convention moved to the
+    * embedding corpus: `vec_id % 10 == 7` deleted, `% 10 == 3`
+    * re-embedded (vector rotated one position: deterministic,
+    * norm-preserving, and it genuinely MOVES in cosine space), and one
+    * new vector `-(vec_id+1)` per `% 10 == 0` row (rotation by two).
+    * Input/output shape is [[Dedup.normalizedVectors]]'s
+    * (vec_id, v, norm). */
+  private[analytics] def vectorSnapshotB(a: DataFrame): DataFrame = {
+    def rot(shift: Int) = expr(
+      s"transform(sequence(1, size(v)), k -> v[(k - 1 + $shift) % size(v)])")
+    a.filter(col("vec_id") % 10 =!= 7 && col("vec_id") % 10 =!= 3)
+      .select(col("vec_id"), col("v"), col("norm"))
+      .unionByName(a.filter(col("vec_id") % 10 === 3)
+        .select(col("vec_id"), rot(1).as("v"), col("norm")))
+      .unionByName(a.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") * -1 - 1).as("vec_id"), rot(2).as("v"), col("norm")))
+  }
+
+  /** Exact top-k neighbor lists for a SUBSET of query rows against the
+    * full corpus — |queries|·N pair work, the diff-bounded recompute
+    * primitive (never the N² self-join). */
+  private def knnForQueries(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val scored = queries
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("v"), col("norm")),
+        col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Det.dround(array_dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4)
+          .as("cos_sim"))
+    Similarity.rankTopK(scored, k).withColumnRenamed("query_id", "vec_id")
+  }
+
+  /** g07 gate: INCREMENTAL maintenance of the kNN-edge artifact under
+    * a CDC diff — the graph-family twin of p08's index loop. Starting
+    * from snapshot A's stored edges ([[Similarity.knnEdges]]), apply
+    * [[vectorSnapshotB]]'s diff by recomputing ONLY the rows the diff
+    * can touch:
+    *
+    *  1. rows whose list references a deleted/changed neighbor (their
+    *     list loses or moves a member);
+    *  2. surviving rows some new/changed vector scores AT OR ABOVE
+    *     their current 5th-best rounded similarity (the only way a
+    *     new vector can enter a list; ties recompute conservatively
+    *     because the id tie-break could go either way);
+    *  3. the new/changed vectors themselves (fresh lists).
+    *
+    * Everything else keeps its stored edges verbatim — vectors on both
+    * ends are unchanged and no admissible candidate appeared, so the
+    * rebuilt list is provably identical. Verify pins the contract as
+    * `g07_eq_fullrebuild`: this union must EQUAL a from-scratch exact
+    * rebuild over snapshot B, row for row.
+    *
+    * Scale shape: admission scoring is one corpus scan against the
+    * BROADCAST diff (N·|diff| pair work); the recompute is
+    * |touched|·N — cost ∝ diff size, never the N² rebuild. (This
+    * fixture's diff deliberately touches 30 % of ids, so ~2/3 of
+    * lists recompute here; a production 0.1 % diff touches ~0.5 % of
+    * lists.) Rows-only gate (k-NN has a SQL oracle but the point is
+    * the maintenance path; equality to the rebuilt twin IS the check). */
+  def g07IncrementalKnn(spark: SparkSession, dir: String): DataFrame = {
+    val a = Dedup.normalizedVectors(spark, dir)
+    val edgesA = Similarity.knnEdges(spark, dir)
+    val b = vectorSnapshotB(a)
+    val recomputeIds = g07RecomputeIds(a, edgesA, b)
+    val recomputed = knnForQueries(
+      b.join(recomputeIds, Seq("vec_id"), "left_semi"), b, k = 5)
+    val kept = edgesA
+      .join(recomputeIds, Seq("vec_id"), "left_anti")
+      .filter(col("vec_id") % 10 =!= 7 && col("vec_id") % 10 =!= 3)
+    kept.unionByName(recomputed).orderBy("vec_id", "rnk")
+  }
+
+  /** The set of lists the diff can touch — steps (1)–(3) above.
+    * Exposed so GraphSpec can pin that it stays a strict subset of
+    * the surviving corpus (the maintenance is genuinely incremental). */
+  private[analytics] def g07RecomputeIds(a: DataFrame, edgesA: DataFrame,
+                                         b: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions._
+    // (1) lists referencing a dirty (deleted|changed) neighbor
+    val refRecompute = edgesA
+      .filter(col("neighbor_id") % 10 === 7 || col("neighbor_id") % 10 === 3)
+      .select("vec_id").distinct()
+    // the diff's new side: re-embedded vectors + additions (bounded)
+    val newVecs = b.filter(col("vec_id") % 10 === 3 || col("vec_id") < 0)
+    // (2) admission test: per-row 5th-best threshold vs every new
+    // vector — one corpus scan × broadcast diff
+    val kth = edgesA.groupBy("vec_id").agg(min(col("cos_sim")).as("kth"))
+    val survivors = a.filter(col("vec_id") % 10 =!= 7 && col("vec_id") % 10 =!= 3)
+    val gainers = survivors
+      .join(broadcast(newVecs.select(col("vec_id").as("nid"),
+        col("v").as("nv"), col("norm").as("nnorm"))), col("vec_id") =!= col("nid"))
+      .select(col("vec_id"),
+        Det.dround(array_dot(col("v"), col("nv")) / (col("norm") * col("nnorm")), 4)
+          .as("sim"))
+      .join(kth, "vec_id")
+      .filter(col("sim") >= col("kth"))
+      .select("vec_id").distinct()
+    // (3) + union; deleted ids fall out via the semi join against B
+    refRecompute
+      .unionByName(gainers)
+      .unionByName(newVecs.select("vec_id"))
+      .distinct()
+  }
+
+  /** The rebuild twin: snapshot B's exact kNN graph from scratch.
+    * Called by Verify to compute `g07_eq_fullrebuild`. */
+  private[graft] def g07FullRebuildProbe(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnGraphExact(
+        vectorSnapshotB(Dedup.normalizedVectors(spark, dir)), k = 5)
+      .orderBy("vec_id", "rnk")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g07_incremental_knn" -> g07IncrementalKnn _,
     "g01_knn_pagerank" -> g01KnnPagerank _,
     "g02_ppr_retrieval" -> g02PprRetrieval _,
     "g03_clustering_coeff" -> g03ClusteringCoeff _,

@@ -220,4 +220,27 @@ class GraphSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getDouble(1))).toSet
     assert(a.nonEmpty && a == b)
   }
+
+  test("g07: diff-maintained kNN edges equal a full rebuild of snapshot B") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val inc = rows(Graph.g07IncrementalKnn(spark, dir))
+    val full = rows(Graph.g07FullRebuildProbe(spark, dir))
+    assert(inc.nonEmpty && inc == full)
+    // deleted rows are gone, added rows are present
+    val ids = inc.map(_._1).toSet
+    assert(ids.forall(id => id < 0 || id % 10 != 7), "deleted ids survived")
+    assert(ids.exists(_ < 0), "added ids missing")
+    // and the maintenance was genuinely incremental: the recompute
+    // set (dirty-ref ∪ admission gainers ∪ new vectors) must be a
+    // strict subset of snapshot B — some surviving row kept its
+    // stored list verbatim
+    val a = Dedup.normalizedVectors(spark, dir)
+    val recompute = Graph.g07RecomputeIds(a,
+      Similarity.s05KnnGraph(spark, dir), Graph.vectorSnapshotB(a)).count()
+    val bSize = Graph.vectorSnapshotB(a).count()
+    assert(recompute < bSize,
+      s"every list recomputed ($recompute of $bSize) — the fixture no " +
+        "longer exercises the kept path")
+  }
 }
