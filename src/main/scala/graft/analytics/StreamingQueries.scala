@@ -632,7 +632,48 @@ object StreamingQueries {
     Layout.hllReport(spark, dir, snapshot)
   }
 
+  /** st22 gate: STREAMING RETENTION — continuous ingest through the
+    * st06 foreachBatch path with a periodic VACUUM RETAIN running
+    * inline: a snapshot marker is pinned mid-stream, and
+    * `compactRetain(marker)` runs between later microbatches (and
+    * once at end of stream) while appends keep landing — the drive
+    * `require`s the pinned-marker live view bit-stable across every
+    * vacuum ([[graft.streaming.EventStream.ingestEventsToStoreRetained]];
+    * vacuum and appends serialize inside foreachBatch, the
+    * single-maintainer discipline the rewrite swap documents). The
+    * fixture's single-file events table is re-laid into four
+    * ts-ranged files so the drive genuinely microbatches.
+    *
+    * Report: per event type off the POST-VACUUM live frame — live
+    * keys and the exact decimal total parsed back from the stored
+    * payloads — which must equal the batch aggregate of the raw
+    * events. Fully oracle-checked: streaming state → append log →
+    * repeated vacuum → newest-per-key read is content-lossless, and
+    * any row the vacuum dropped or duplicated would move a count or
+    * a total. */
+  def st22StreamRetention(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-st22")
+    val srcDir = tmp.resolve("fixture")
+    Tables.events(spark, dir).repartitionByRange(4, col("ts"))
+      .write.parquet(srcDir.resolve("events.parquet").toString)
+    val db = new graft.store.TableStore(spark, tmp.resolve("store").toString)
+    try {
+      val marker = EventStream.ingestEventsToStoreRetained(spark, srcDir.toString, db)
+      require(marker >= 0, "stream produced too few batches to pin a marker")
+      val jschema = new org.apache.spark.sql.types.StructType()
+        .add("n", org.apache.spark.sql.types.LongType)
+        .add("total", org.apache.spark.sql.types.DecimalType(18, 6))
+      db.liveFrame("timeseries").get
+        .select(col("experiment"), from_json(col("json"), jschema).as("j"))
+        .groupBy("experiment")
+        .agg(count(lit(1)).as("n_users"),
+             Det.dround(sum(col("j.total")).cast("double"), 2).as("total_value"))
+        .orderBy("experiment")
+    } finally db.close()
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st22_stream_retention" -> st22StreamRetention _,
     "st21_stream_hll_state" -> st21StreamHllState _,
     "st01_stream_daily" -> st01StreamDaily _,
     "st02_sessions"     -> st02Sessions _,
@@ -657,6 +698,15 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // st22's live frame after any number of retention vacuums must
+    // hold exactly the cumulative per-(user, type) state — so the
+    // per-type rollup equals the batch aggregate of the raw events
+    // (decimal sums: bit-exact under any slicing and vacuum schedule)
+    "st22_stream_retention" ->
+      s"""SELECT CAST(event_type AS VARCHAR) AS experiment,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           ${graft.analytics.Det.sqlSumDecR("value", 2)} AS total_value
+         FROM events GROUP BY 1 ORDER BY 1""",
     // st18 streams the same derived snapshot d14 diffs in batch, and
     // md5 comparison is exact — the streamed diff must equal the batch
     // diff bit for bit, so it shares d14's SQL

@@ -472,6 +472,15 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
     * other source (av08 proves the composition end to end). */
   def liveFrame(table: String): Option[DataFrame] = liveRows(table)
 
+  /** [[liveFrame]] as of a snapshot marker — the time-travel side of
+    * the analytics bridge: rows written at or after the marker are
+    * invisible, newest-per-key resolution and rm tombstones apply
+    * among the rest. One pruned scan, same as every other reader;
+    * st22 uses it to digest a pinned view across streaming vacuums
+    * without per-URI point reads. */
+  def liveFrameAsOf(table: String, asOf: Long): Option[DataFrame] =
+    liveRows(table, Some(asOf))
+
   /** Distributed (uri, content md5) scan over every table's live rows:
     * URIs are rebuilt row-side from the key columns (the same rule as
     * [[query]]'s catalog scan) and payloads hash executor-side — the

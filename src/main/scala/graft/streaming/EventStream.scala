@@ -327,6 +327,75 @@ object EventStream {
     db.flushAll()
   }
 
+  /** st22's drive: [[ingestEventsToStore]]'s loop with RETENTION
+    * maintenance inline — after `markAfter` data batches a snapshot
+    * marker is pinned (and the marker's live view digested), then
+    * every `vacuumEvery` batches AND once at end of stream the table
+    * is vacuumed with `compactRetain(marker)` while later appends
+    * keep landing. Each vacuum `require`s the pinned view digest
+    * unchanged — the retention contract (reads at or after the marker
+    * are bit-stable across the vacuum) proven under live ingest, not
+    * on a quiesced store. The vacuum runs INSIDE `foreachBatch`, so
+    * it is serialized with the stream's own appends — the
+    * single-maintainer discipline the rewrite swap documents (same as
+    * st13's inline IVF compaction). Returns the marker (−1 if the
+    * stream had fewer than `markAfter` batches). */
+  def ingestEventsToStoreRetained(spark: SparkSession, dir: String,
+                                  db: graft.store.TableStore,
+                                  maxFilesPerTrigger: Option[Int] = Some(1),
+                                  markAfter: Int = 2,
+                                  vacuumEvery: Int = 2): Long = {
+    val s = boundedDriveSession(spark)
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val marker = new java.util.concurrent.atomic.AtomicLong(-1L)
+    val pinned = new java.util.concurrent.atomic.AtomicReference[Seq[(String, String)]](null)
+    // the pinned view, collected sorted: one bounded (≤ users×types)
+    // frame read off the same pruned scan every reader uses — never a
+    // per-URI point-read loop (the av06 rule)
+    def pinnedView(): Seq[(String, String)] =
+      db.liveFrameAsOf("timeseries", marker.get()).map { df =>
+        df.select(concat_ws("|", col("project"), col("experiment"),
+            col("location"), col("network"), col("obsvar"), col("layer")),
+            col("json"))
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      }.getOrElse(Seq.empty)
+    def vacuum(): Unit = {
+      db.compactRetain("timeseries", marker.get())
+      require(pinnedView() == pinned.get(),
+        "pinned-marker reads moved across the streaming vacuum")
+    }
+    val q = readEvents(s, dir, maxFilesPerTrigger)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast("decimal(18,6)")).as("total"))
+      .writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.select(
+          lit("events").as("project"),
+          col("event_type").cast("string").as("experiment"),
+          col("user_id").cast("string").as("location"),
+          lit("stream").as("network"),
+          lit("value").as("obsvar"),
+          lit("surface").as("layer"),
+          to_json(struct(col("n"), col("total"))).as("json"),
+          lit(null).cast("binary").as("blob"))
+        db.bulkAppend("timeseries", rows)
+        val n = nBatches.incrementAndGet()
+        if (n == markAfter) {
+          marker.set(db.snapshotSeq())
+          pinned.set(pinnedView())
+        } else if (marker.get() >= 0 && (n - markAfter) % vacuumEvery == 0)
+          vacuum()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    db.flushAll()
+    if (marker.get() >= 0) vacuum()
+    marker.get()
+  }
+
   /** Bounded-drive helper: on a finite source, every result row of an
     * inner stream-stream join or a complete-mode aggregation is emitted
     * by a DATA batch — watermark-advance ("no-data") microbatches only

@@ -277,4 +277,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(payload.contains(s""""n":$expected"""),
       s"stored payload $payload does not carry the cumulative n=$expected for ($exp, $loc)")
   }
+
+  test("streaming retention vacuum: pinned reads survive, live payloads unchanged, history collapses") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft-st22-spec")
+    val staging = s"$tmp/staging"
+    spark.read.parquet(s"$dir/events.parquet").repartition(4)
+      .write.parquet(staging)
+    val parts = Files.list(Paths.get(staging)).toArray.map(_.toString)
+      .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS")).sorted
+    parts.zipWithIndex.foreach { case (p, i) =>
+      val d = Paths.get(s"$tmp/split$i")
+      Files.createDirectories(d)
+      Files.move(Paths.get(p), d.resolve("events.parquet"))
+    }
+    val src = s"$tmp/split*"
+    def payloadMap(basedir: String): Map[(String, String), String] = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("project", "experiment", "location", "network", "obsvar", "layer")
+        .orderBy(col("put_time").desc, col("seq").desc)
+      spark.read.parquet(s"$basedir/timeseries")
+        .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("_rn") === 1 && col("op") === "put")
+        .select("experiment", "location", "json").collect()
+        .map(r => ((r.getString(0), r.getString(1)), r.getString(2))).toMap
+    }
+    // reference drive: same slicing, no vacuum — full history kept
+    val plainBase = Files.createTempDirectory("graft-st22-plain").toString
+    val plainDb = new graft.store.TableStore(spark, plainBase)
+    val plainRows = try {
+      EventStream.ingestEventsToStore(spark, src, plainDb, Some(1), 0)
+      spark.read.parquet(s"$plainBase/timeseries").count()
+    } finally plainDb.close()
+    // retained drive: marker after batch 2, vacuums mid-stream and at
+    // end (the drive itself requires the pinned view stable per vacuum)
+    val base = Files.createTempDirectory("graft-st22-ret").toString
+    val db = new graft.store.TableStore(spark, base)
+    try {
+      val marker = EventStream.ingestEventsToStoreRetained(
+        spark, src, db, Some(1), markAfter = 2, vacuumEvery = 2)
+      assert(marker >= 0, "not enough batches to pin a mid-stream marker")
+      // the pinned view is still resolvable after every vacuum
+      assert(db.liveFrameAsOf("timeseries", marker).exists(_.count() > 0))
+      // live payloads are exactly the un-vacuumed drive's
+      val got = payloadMap(base)
+      assert(got.nonEmpty && got == payloadMap(plainBase),
+        "retention vacuum changed live payloads")
+      // and the pre-marker history physically collapsed
+      val retRows = spark.read.parquet(s"$base/timeseries").count()
+      assert(retRows < plainRows,
+        s"vacuum did not shrink the log: $retRows vs $plainRows")
+    } finally db.close()
+  }
 }
