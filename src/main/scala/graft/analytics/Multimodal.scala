@@ -708,7 +708,49 @@ object Multimodal {
       .orderBy("lang")
   }
 
+  /** Writer shards per language for [[m11ShardedInterleavedPacking]]
+    * (t39's fixture-scale stand-in for hundreds of production writer
+    * shards). Five, not four: coprime with the every-4th-doc image
+    * rule, so image attachments spread across every shard instead of
+    * all landing in shard 0. */
+  private val MmPackShards = 5L
+
+  /** m11 gate: SHARD-AWARE interleaved multimodal packing — m08's
+    * image+text budget with the packing window keyed (lang, shard)
+    * instead of lang alone, t39's scale fix applied to the multimodal
+    * stream: a single-language 100 TB corpus makes m08's per-language
+    * window partition corpus-sized, while the deterministic shard key
+    * (`doc_id % MmPackShards`, exact in SQL) bounds every partition
+    * at corpus/|shards| and preserves the packing contract per writer
+    * shard. Per (lang, shard): sequences, text/image token split,
+    * multimodal docs, spanning docs. Token totals per lang equal
+    * m08's — conservation pinned in MultimodalSpec. */
+  def m11ShardedInterleavedPacking(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val d = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        (col("doc_id") % MmPackShards).as("shard"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_text"),
+        when(col("doc_id") % 4 === 0, lit(ImgTokens)).otherwise(lit(0L)).as("n_img"))
+      .withColumn("n_tok", col("n_text") + col("n_img"))
+      .withColumn("start", coalesce(sum("n_tok").over(w), lit(0L)))
+      .withColumn("first_seq", floor(col("start") / MmSeqLen).cast("long"))
+      .withColumn("last_seq",
+        floor((col("start") + col("n_tok") - 1L) / MmSeqLen).cast("long"))
+    d.groupBy("lang", "shard")
+      .agg((max("last_seq") + 1L).as("n_seqs"),
+           sum("n_text").as("n_text_tokens"),
+           sum("n_img").as("n_image_tokens"),
+           sum(when(col("n_img") > 0, 1L).otherwise(0L)).as("n_mm_docs"),
+           sum(when(col("last_seq") > col("first_seq"), 1L).otherwise(0L))
+             .as("n_spanning_docs"))
+      .orderBy("lang", "shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m11_sharded_mm_packing" -> m11ShardedInterleavedPacking _,
     "m01_blob_meta"    -> m01BlobMeta _,
     "m02_frame_stats"  -> m02FrameStats _,
     "m03_resize_stats" -> m03ResizeStats _,
@@ -724,6 +766,26 @@ object Multimodal {
   /** m01 is byte-exact SQL (UTF-8 length); m02's stub decode is
     * Spark-side only → rows-only check. */
   val oracleSql: Map[String, String] = Map(
+    "m11_sharded_mm_packing" ->
+      """WITH d AS (SELECT doc_id, lang, doc_id % 5 AS shard,
+                     CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_text,
+                     CAST(CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 0 END AS BIGINT) AS n_img
+                    FROM documents),
+          t AS (SELECT *, n_text + n_img AS n_tok FROM d),
+          c AS (SELECT *, COALESCE(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+                FROM t),
+          s AS (SELECT lang, shard, n_text, n_img,
+                 CAST(start // 256 AS BIGINT) first_seq,
+                 CAST((start + n_tok - 1) // 256 AS BIGINT) last_seq
+                FROM c)
+         SELECT lang, CAST(shard AS BIGINT) AS shard,
+          CAST(max(last_seq) + 1 AS BIGINT) AS n_seqs,
+          CAST(sum(n_text) AS BIGINT) AS n_text_tokens,
+          CAST(sum(n_img) AS BIGINT) AS n_image_tokens,
+          CAST(sum(CASE WHEN n_img > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mm_docs,
+          CAST(sum(CASE WHEN last_seq > first_seq THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning_docs
+         FROM s GROUP BY lang, shard ORDER BY lang, shard""",
     "m08_interleaved_packing" ->
       """WITH d AS (SELECT doc_id, lang,
                      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_text,

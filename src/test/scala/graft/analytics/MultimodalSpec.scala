@@ -252,4 +252,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byM(ms.head) > byM(ms.last),
       s"no decay: m=${ms.head} -> ${byM(ms.head)}, m=${ms.last} -> ${byM(ms.last)}")
   }
+
+  test("m11 gate: sharding conserves per-lang tokens and doc counts vs m08") {
+    val dir = "/root/testdata/sf0.001"
+    val m08 = Multimodal.m08InterleavedPacking(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val m11 = Multimodal.m11ShardedInterleavedPacking(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // every (lang, shard) stream packs independently, but nothing is
+    // lost or double-counted: per-lang text/image tokens and
+    // multimodal doc counts sum back to m08's
+    val rollup = m11.groupBy(_._1).view.mapValues { rs =>
+      (rs.map(_._3).sum, rs.map(_._4).sum, rs.map(_._5).sum)
+    }.toMap
+    assert(rollup.nonEmpty && rollup == m08,
+      s"sharding lost tokens: $rollup vs $m08")
+    // the image rule (% 4) is coprime with the shard key (% 5): every
+    // shard must carry some multimodal docs
+    assert(m11.forall(_._5 > 0), "a shard carries no multimodal docs")
+    // shard streams are genuinely smaller: every shard needs fewer
+    // sequences than its language's unsharded stream
+    val m08Seqs = Multimodal.m08InterleavedPacking(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m11Seqs = Multimodal.m11ShardedInterleavedPacking(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    assert(m11Seqs.forall { case (lang, s) => s < m08Seqs(lang) })
+  }
 }
