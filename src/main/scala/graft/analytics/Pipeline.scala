@@ -487,7 +487,70 @@ object Pipeline {
       .orderBy("query_id", "rnk")
   }
 
+  /** p10 gate: INCREMENTAL inverted-index maintenance over the CDC
+    * diff — p08's loop applied to the postings artifact, closing the
+    * same gap for the lexical index that g07 closes for the kNN graph:
+    *
+    *   1. yesterday's index: postings layout + `_df` sidecar written
+    *      over snapshot A ([[TextOps.writePostingsLayout]]);
+    *   2. d14's deleted+changed ids are TOMBSTONED (O(|diff|), no
+    *      postings file touched);
+    *   3. compaction applies the tombstones physically and clears the
+    *      sidecar — the epoch boundary that makes same-id re-adds safe;
+    *   4. changed+added docs RE-TOKENIZE (diff-sized — the tokenize
+    *      pass never sees the unchanged corpus) and append;
+    *   5. the `_df` sidecar folds the diff's per-term removed/added
+    *      document counts — a |vocab|-bounded merge, never a corpus
+    *      recount.
+    *
+    * Report: per term, df FROM THE SIDECAR beside total tf from the
+    * live postings scan — fully oracle-checked against DuckDB's
+    * independent tokenization of snapshot B, so a drifted sidecar or
+    * a lost/duplicated posting anywhere fails the hash. PostingsSpec
+    * additionally pins frame-level equality with a from-scratch
+    * rebuild and the tombstone/compact/append interleaving. */
+  def p10IncrementalPostings(spark: SparkSession, dir: String): DataFrame = {
+    val out = p10Maintain(spark, dir)
+    TextOps.postingsLive(spark, out)
+      .groupBy("term").agg(sum(col("tf")).as("total_tf"))
+      .join(spark.read.parquet(out + "/_df"), "term")
+      .select(col("term"), col("df"), col("total_tf"))
+      .orderBy("term")
+  }
+
+  /** The maintenance loop itself, returning the maintained layout path
+    * — split out so PostingsSpec can pin frame-level equality with a
+    * from-scratch rebuild of snapshot B. */
+  private[graft] def p10Maintain(spark: SparkSession, dir: String): String = {
+    val docs = Tables.documents(spark, dir)
+    val out = java.nio.file.Files.createTempDirectory("graft-p10")
+      .resolve("postings").toString
+    TextOps.writePostingsLayout(spark, docs, out)
+    val diff = Dedup.d14SnapshotCdc(spark, dir).select("doc_id", "change_type")
+    val dirty = diff.filter(col("change_type").isin("deleted", "changed"))
+      .select("doc_id")
+    // per-term df delta of the OUTGOING postings — materialized
+    // EAGERLY (localCheckpoint): it reads the files the compaction
+    // below replaces, so a lazy plan would re-scan the post-swap
+    // directory and see nothing to remove
+    val removed = spark.read.parquet(out)
+      .join(broadcast(dirty), Seq("doc_id"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    TextOps.deleteFromPostings(spark, out, dirty)
+    TextOps.compactPostings(spark, out)
+    val reTok = Dedup.cdcSnapshotBText(docs)
+      .join(diff.filter(col("change_type").isin("changed", "added"))
+        .select("doc_id"), Seq("doc_id"), "left_semi")
+    TextOps.appendPostings(reTok, out)
+    val added = TextOps.postingsOf(reTok)
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    TextOps.updateDfSidecar(spark, out, removed, added)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p10_incremental_postings" -> p10IncrementalPostings _,
     "p01_curation_pipeline" -> p01CurationPipeline _,
     "p02_semdedup_pipeline" -> p02SemdedupPipeline _,
     "p03_dataset_report"    -> p03DatasetReport _,
@@ -498,6 +561,21 @@ object Pipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // p10: DuckDB derives snapshot B and tokenizes it from scratch —
+    // the maintained index's sidecar df and live tf totals must match
+    // that independent recount term for term
+    "p10_incremental_postings" ->
+      """WITH b AS (SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 3 THEN text || ' [rev2]' ELSE text END AS text
+                    FROM documents WHERE doc_id % 10 <> 7
+                    UNION ALL
+                    SELECT -(doc_id + 1) AS doc_id, text
+                    FROM documents WHERE doc_id % 10 = 0),
+          tk AS (SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) term FROM b),
+          tk2 AS (SELECT * FROM tk WHERE term <> '')
+         SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+          CAST(count(*) AS BIGINT) AS total_tf
+         FROM tk2 GROUP BY term ORDER BY term""",
     // p07's merged table must equal scoring the NEW snapshot from
     // scratch — the oracle derives snapshot B and runs the full t15
     // battery over it

@@ -184,18 +184,119 @@ object TextOps {
     postingsDirs.computeIfAbsent(dir, { _ =>
       val out = java.nio.file.Files
         .createTempDirectory("graft-postings").toString + "/postings"
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), explode(tokens).as("tok"))
-        .filter(col("tok") =!= "")
-        .select(col("doc_id"), lower(col("tok")).as("term"))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        .repartition(col("term"))
-        .write.mode("overwrite").parquet(out)
-      spark.read.parquet(out)
-        .groupBy("term").agg(count(lit(1)).as("df"))
-        .coalesce(1).write.mode("overwrite").parquet(out + "/_df")
+      writePostingsLayout(spark, Tables.documents(spark, dir), out)
       out
     })
+
+  /** The postings rows of a (doc_id, …, text) frame: one row per
+    * distinct (doc, term) with its in-document term frequency —
+    * lowercased whitespace tokens, the t13/p09 contract. */
+  private[analytics] def postingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), lower(col("tok")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** Write a postings layout from scratch: term-hashed postings files
+    * plus the `_df` sidecar recounted from the stored rows. */
+  private[analytics] def writePostingsLayout(spark: SparkSession,
+                                             docs: DataFrame, out: String): Unit = {
+    postingsOf(docs).repartition(col("term"))
+      .write.mode("overwrite").parquet(out)
+    spark.read.parquet(out)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .coalesce(1).write.mode("overwrite").parquet(out + "/_df")
+  }
+
+  // ---- postings index maintenance (the IVF-corpus lifecycle applied
+  // to the inverted index: tombstone → compact → append, p10's ops) ----
+
+  /** O(|ids|) logical deletion from a postings layout: the doc ids
+    * land in a `_tombstones` sidecar (one bounded file per call, no
+    * postings file touched); [[postingsLive]] anti-joins them out. */
+  private[analytics] def deleteFromPostings(spark: SparkSession, out: String,
+                                            docIds: DataFrame): Unit =
+    docIds.select(col("doc_id")).distinct()
+      .coalesce(1).write.mode("append").parquet(out + "/_tombstones")
+
+  private def postingsTombstones(spark: SparkSession, out: String): Option[DataFrame] =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_tombstones")))
+      Some(spark.read.parquet(out + "/_tombstones").select("doc_id").distinct())
+    else None
+
+  /** Live postings of a layout: stored rows minus tombstoned docs
+    * (diff-bounded broadcast anti-join — disappears after compaction). */
+  private[analytics] def postingsLive(spark: SparkSession, out: String): DataFrame = {
+    val raw = spark.read.parquet(out)
+    postingsTombstones(spark, out)
+      .fold(raw)(t => raw.join(broadcast(t), Seq("doc_id"), "left_anti"))
+  }
+
+  /** Append re-tokenized postings for diff documents — the expensive
+    * tokenize pass sees ONLY the diff, never the stored corpus. Like
+    * the IVF append, a same-id re-add is only safe after the epoch
+    * boundary ([[compactPostings]]) has applied that id's tombstone. */
+  private[analytics] def appendPostings(docs: DataFrame, out: String): Unit =
+    postingsOf(docs).repartition(col("term"))
+      .write.mode("append").parquet(out)
+
+  /** Compact a postings layout: apply tombstones physically, rewrite
+    * term-hashed, clear the tombstone sidecar (the epoch boundary),
+    * carry every other underscore sidecar (`_df`) verbatim. The swap
+    * is the crash-safe two-rename (live aside, replacement in) — the
+    * TableStore/IVF discipline; single-maintainer, like both. */
+  private[analytics] def compactPostings(spark: SparkSession, out: String): Unit = {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    import scala.util.Using
+    def deleteTree(p: Path): Unit = if (Files.exists(p))
+      Using.resource(Files.walk(p)) { st =>
+        st.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      }
+    def copyTree(src: Path, dst: Path): Unit =
+      Using.resource(Files.walk(src)) { st =>
+        st.iterator().asScala.foreach { p =>
+          val t = dst.resolve(src.relativize(p))
+          if (Files.isDirectory(p)) Files.createDirectories(t)
+          else Files.copy(p, t)
+        }
+      }
+    val tmp = Paths.get(out + "_compacting")
+    val old = Paths.get(out + "_old")
+    deleteTree(tmp); deleteTree(old)
+    postingsLive(spark, out).repartition(col("term"))
+      .write.mode("overwrite").parquet(tmp.toString)
+    Using.resource(Files.list(Paths.get(out))) { sides =>
+      sides.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("_") && Files.isDirectory(p)
+          && p.getFileName.toString != "_tombstones")
+        .foreach(p => copyTree(p, tmp.resolve(p.getFileName.toString)))
+    }
+    Files.move(Paths.get(out), old)
+    try Files.move(tmp, Paths.get(out))
+    catch { case e: Throwable => Files.move(old, Paths.get(out)); throw e }
+    deleteTree(old)
+  }
+
+  /** Incremental `_df` sidecar maintenance: fold the diff's per-term
+    * removed/added document counts into the stored counts — a
+    * |vocab|-bounded merge (the documented bounded-collect pattern:
+    * vocabulary-row frames collect like codebooks), so the sidecar
+    * never recounts the corpus. Terms whose df reaches 0 drop. */
+  private[analytics] def updateDfSidecar(spark: SparkSession, out: String,
+                                         removed: DataFrame, added: DataFrame): Unit = {
+    val merged = spark.read.parquet(out + "/_df")
+      .join(removed.select(col("term"), col("n").as("rem")), Seq("term"), "full_outer")
+      .join(added.select(col("term"), col("n").as("add")), Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) - coalesce(col("rem"), lit(0L)) +
+          coalesce(col("add"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+    val rows = merged.collect().toSeq
+    import spark.implicits._
+    rows.map(r => (r.getString(0), r.getLong(1))).toDF("term", "df")
+      .coalesce(1).write.mode("overwrite").parquet(out + "/_df")
+  }
 
   /** The stored postings: (doc_id, term, tf). */
   private[analytics] def postings(spark: SparkSession, dir: String): DataFrame =
