@@ -672,7 +672,105 @@ object StreamingQueries {
     } finally db.close()
   }
 
+  /** st23 gate: STREAMING inverted-index maintenance — p10's loop
+    * consumed from a CDC change FEED instead of a nightly diff: each
+    * microbatch of change rows applies a GENERATION-SCOPED tombstone
+    * (covers generations below this batch's — a re-append in the same
+    * batch is live immediately, the Lucene per-segment-delete move),
+    * appends the diff's re-tokenized postings at the batch's
+    * generation, and folds the per-term df deltas — all inside
+    * foreachBatch (single-maintainer, the st13/st22 discipline). NO
+    * per-batch compaction: per-batch work is diff-bounded (tombstone
+    * write + diff tokenize + |vocab| sidecar merge), never a corpus
+    * rewrite; ONE compaction at end of stream applies the accumulated
+    * tombstones physically, exactly like st13's owning ingest loop.
+    * Per-doc change rows are independent, every op commutes across
+    * docs, and df deltas are exact counts — the final layout is
+    * slicing-invariant. The feed is d14's diff joined with the new
+    * snapshot's text (deleted rows carry none), re-laid into 3 files
+    * and trickled one per batch. Final report = p10's, sharing its
+    * oracle verbatim; PostingsSpec pins frame-level equality with the
+    * batch loop's layout. */
+  def st23StreamPostings(spark: SparkSession, dir: String): DataFrame = {
+    val out = streamMaintainPostings(spark, dir)
+    TextOps.postingsLive(spark, out)
+      .groupBy("term").agg(sum(col("tf")).as("total_tf"))
+      .join(spark.read.parquet(out + "/_df"), "term")
+      .select(col("term"), col("df"), col("total_tf"))
+      .orderBy("term")
+  }
+
+  /** The st23 drive, returning the maintained layout path (split out
+    * for PostingsSpec's frame-level comparison with p10). */
+  private[graft] def streamMaintainPostings(spark: SparkSession, dir: String): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-st23")
+    val out = tmp.resolve("postings").toString
+    val docs = Tables.documents(spark, dir)
+    TextOps.writePostingsLayout(spark, docs, out)
+    // the change feed carries BOTH images (the Debezium convention):
+    // new text for changed/added rows, the BEFORE-image for
+    // changed/deleted rows — so the consumer's removed-df deltas
+    // tokenize the diff instead of scanning the stored index
+    val feedDir = tmp.resolve("feed").toString
+    val diff = Dedup.d14SnapshotCdc(spark, dir).select("doc_id", "change_type")
+    diff
+      .join(Dedup.cdcSnapshotBText(docs).select(col("doc_id"), col("text")),
+        Seq("doc_id"), "left")
+      .join(docs.select(col("doc_id"), col("text").as("old_text")),
+        Seq("doc_id"), "left")
+      .repartition(3).write.parquet(feedDir)
+    val s = EventStream.boundedDriveSession(spark)
+    val feedSchema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("change_type", org.apache.spark.sql.types.StringType)
+      .add("text", org.apache.spark.sql.types.StringType)
+      .add("old_text", org.apache.spark.sql.types.StringType)
+    val gen = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = s.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bs = batch.sparkSession
+        val g = gen.incrementAndGet()
+        val dirtyRows = batch
+          .filter(col("change_type").isin("deleted", "changed"))
+          .select(col("doc_id"), col("old_text")).localCheckpoint(true)
+        if (!dirtyRows.isEmpty) {
+          // outgoing per-term doc counts from the feed's BEFORE-image
+          // — equals the stored rows by construction (a doc's postings
+          // are a pure function of its text), so the delta tokenizes
+          // |diff| docs and never scans the index
+          val removed = TextOps.postingsOf(
+              dirtyRows.select(col("doc_id"), col("old_text").as("text")))
+            .groupBy("term").agg(count(lit(1)).as("n"))
+          // covers every generation below this batch's: the base rows
+          // and nothing a later batch appends
+          TextOps.deleteFromPostings(bs, out, dirtyRows.select("doc_id"),
+            uptoGen = g - 1)
+          TextOps.updateDfSidecar(bs, out, removed, removed.limit(0))
+        }
+        val reTok = batch
+          .filter(col("change_type").isin("changed", "added"))
+          .select(col("doc_id"), col("text")).localCheckpoint(true)
+        if (!reTok.isEmpty) {
+          TextOps.appendPostings(reTok, out, gen = g)
+          val added = TextOps.postingsOf(reTok)
+            .groupBy("term").agg(count(lit(1)).as("n"))
+          TextOps.updateDfSidecar(bs, out, added.limit(0), added)
+        }
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // the single end-of-stream compaction: apply the accumulated
+    // tombstones physically, clear the sidecar, bound read
+    // amplification for the serving side
+    TextOps.compactPostings(spark, out)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st23_stream_postings" -> st23StreamPostings _,
     "st22_stream_retention" -> st22StreamRetention _,
     "st21_stream_hll_state" -> st21StreamHllState _,
     "st01_stream_daily" -> st01StreamDaily _,
@@ -698,6 +796,10 @@ object StreamingQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // st23 maintains the same index p10's batch loop maintains, from
+    // the same diff sliced into microbatches — the maintenance ops
+    // commute across docs, so it shares p10's oracle verbatim
+    "st23_stream_postings" -> Pipeline.oracleSql("p10_incremental_postings"),
     // st22's live frame after any number of retention vacuums must
     // hold exactly the cumulative per-(user, type) state — so the
     // per-type rollup equals the batch aggregate of the raw events

@@ -198,10 +198,11 @@ object TextOps {
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
 
   /** Write a postings layout from scratch: term-hashed postings files
-    * plus the `_df` sidecar recounted from the stored rows. */
+    * (generation 0) plus the `_df` sidecar recounted from the stored
+    * rows. */
   private[analytics] def writePostingsLayout(spark: SparkSession,
                                              docs: DataFrame, out: String): Unit = {
-    postingsOf(docs).repartition(col("term"))
+    postingsOf(docs).withColumn("gen", lit(0L)).repartition(col("term"))
       .write.mode("overwrite").parquet(out)
     spark.read.parquet(out)
       .groupBy("term").agg(count(lit(1)).as("df"))
@@ -209,35 +210,50 @@ object TextOps {
   }
 
   // ---- postings index maintenance (the IVF-corpus lifecycle applied
-  // to the inverted index: tombstone → compact → append, p10's ops) ----
+  // to the inverted index: tombstone → append → compact, p10/st23's
+  // ops). Tombstones are GENERATION-SCOPED (the Lucene per-segment
+  // delete): a tombstone suppresses a doc's rows at or below its
+  // `upto_gen`, so a later re-append at a higher generation is live
+  // IMMEDIATELY — no compaction needed between a delete and its
+  // re-add, which is what lets a streaming maintainer apply a change
+  // feed per microbatch without rewriting the corpus per batch. ----
 
-  /** O(|ids|) logical deletion from a postings layout: the doc ids
-    * land in a `_tombstones` sidecar (one bounded file per call, no
-    * postings file touched); [[postingsLive]] anti-joins them out. */
+  /** O(|ids|) logical deletion from a postings layout: (doc_id,
+    * upto_gen) rows land in a `_tombstones` sidecar (one bounded file
+    * per call, no postings file touched); [[postingsLive]] anti-joins
+    * them out gen-scoped. */
   private[analytics] def deleteFromPostings(spark: SparkSession, out: String,
-                                            docIds: DataFrame): Unit =
+                                            docIds: DataFrame,
+                                            uptoGen: Long = Long.MaxValue): Unit =
     docIds.select(col("doc_id")).distinct()
+      .withColumn("upto_gen", lit(uptoGen))
       .coalesce(1).write.mode("append").parquet(out + "/_tombstones")
 
   private def postingsTombstones(spark: SparkSession, out: String): Option[DataFrame] =
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_tombstones")))
-      Some(spark.read.parquet(out + "/_tombstones").select("doc_id").distinct())
+      Some(spark.read.parquet(out + "/_tombstones")
+        .groupBy("doc_id").agg(max(col("upto_gen")).as("upto_gen")))
     else None
 
-  /** Live postings of a layout: stored rows minus tombstoned docs
-    * (diff-bounded broadcast anti-join — disappears after compaction). */
+  /** Live postings of a layout: stored rows minus tombstone-covered
+    * generations (diff-bounded broadcast anti-join — disappears after
+    * compaction). */
   private[analytics] def postingsLive(spark: SparkSession, out: String): DataFrame = {
     val raw = spark.read.parquet(out)
-    postingsTombstones(spark, out)
-      .fold(raw)(t => raw.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    postingsTombstones(spark, out).fold(raw) { t =>
+      raw.join(broadcast(t.withColumnRenamed("doc_id", "_t_doc")),
+          col("doc_id") === col("_t_doc") && col("gen") <= col("upto_gen"),
+          "left_anti")
+    }
   }
 
-  /** Append re-tokenized postings for diff documents — the expensive
-    * tokenize pass sees ONLY the diff, never the stored corpus. Like
-    * the IVF append, a same-id re-add is only safe after the epoch
-    * boundary ([[compactPostings]]) has applied that id's tombstone. */
-  private[analytics] def appendPostings(docs: DataFrame, out: String): Unit =
-    postingsOf(docs).repartition(col("term"))
+  /** Append re-tokenized postings for diff documents at generation
+    * `gen` — the expensive tokenize pass sees ONLY the diff, never the
+    * stored corpus. With gen-scoped tombstones a same-id re-append at
+    * a generation above the tombstone is live immediately. */
+  private[analytics] def appendPostings(docs: DataFrame, out: String,
+                                        gen: Long = 1L): Unit =
+    postingsOf(docs).withColumn("gen", lit(gen)).repartition(col("term"))
       .write.mode("append").parquet(out)
 
   /** Compact a postings layout: apply tombstones physically, rewrite

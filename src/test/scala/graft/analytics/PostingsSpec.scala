@@ -69,5 +69,28 @@ class PostingsSpec extends AnyFunSuite {
     TextOps.appendPostings(Seq((2L, "alpha epsilon")).toDF("doc_id", "text"), out)
     val after = rows(TextOps.postingsLive(spark, out))
     assert(after == live ++ Set((2L, "alpha", 1L), (2L, "epsilon", 1L)))
+
+    // generation-scoped tombstones: a delete covering generations ≤ 1
+    // followed by a re-append at generation 2 is live IMMEDIATELY —
+    // no compaction between them (the streaming maintainer's move)
+    TextOps.deleteFromPostings(spark, out, Seq(3L).toDF("doc_id"), uptoGen = 1L)
+    assert(!rows(TextOps.postingsLive(spark, out)).exists(_._1 == 3L))
+    TextOps.appendPostings(Seq((3L, "zeta zeta")).toDF("doc_id", "text"), out, gen = 2L)
+    val reAdded = rows(TextOps.postingsLive(spark, out))
+    assert(reAdded.filter(_._1 == 3L) == Set((3L, "zeta", 2L)))
+    // and the final compaction applies it all physically
+    TextOps.compactPostings(spark, out)
+    assert(rows(spark.read.parquet(out)) == reAdded)
+    assert(!Files.exists(Paths.get(out, "_tombstones")))
+  }
+
+  test("streamed maintenance (st23) equals the batch loop (p10), layout and sidecar") {
+    val streamed = StreamingQueries.streamMaintainPostings(spark, dir)
+    val batch = Pipeline.p10Maintain(spark, dir)
+    val got = rows(TextOps.postingsLive(spark, streamed))
+    assert(got.nonEmpty && got == rows(TextOps.postingsLive(spark, batch)))
+    def sidecar(out: String) = spark.read.parquet(s"$out/_df").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(sidecar(streamed) == sidecar(batch))
   }
 }
