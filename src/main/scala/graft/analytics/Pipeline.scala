@@ -509,14 +509,8 @@ object Pipeline {
     * a lost/duplicated posting anywhere fails the hash. PostingsSpec
     * additionally pins frame-level equality with a from-scratch
     * rebuild and the tombstone/compact/append interleaving. */
-  def p10IncrementalPostings(spark: SparkSession, dir: String): DataFrame = {
-    val out = p10Maintain(spark, dir)
-    TextOps.postingsLive(spark, out)
-      .groupBy("term").agg(sum(col("tf")).as("total_tf"))
-      .join(spark.read.parquet(out + "/_df"), "term")
-      .select(col("term"), col("df"), col("total_tf"))
-      .orderBy("term")
-  }
+  def p10IncrementalPostings(spark: SparkSession, dir: String): DataFrame =
+    TextOps.postingsReport(spark, p10Maintain(spark, dir))
 
   /** The maintenance loop itself, returning the maintained layout path
     * — split out so PostingsSpec can pin frame-level equality with a

@@ -1189,16 +1189,12 @@ object Similarity {
     * never concurrently with them — IvfAppendSpec pins the interleaved
     * probe/append/compact sequence losing and duplicating nothing. */
   def compactIvfCorpus(spark: SparkSession, out: String): Unit = {
-    import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+    import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     import scala.util.Using
-    def deleteTree(p: Path): Unit = if (Files.exists(p))
-      Using.resource(Files.walk(p)) { st =>
-        st.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      }
-    val tmp = Paths.get(out + "_compacting")
-    val old = Paths.get(out + "_old")
-    deleteTree(tmp); deleteTree(old)
+    import graft.core.DirSwap
+    DirSwap.clearLeftovers(out)
+    val tmp = DirSwap.compactingPath(out)
     // compaction APPLIES tombstones: drop the deleted rows from the
     // rewrite and leave the sidecar behind — after the swap the
     // deletions are physical and the probe's anti-join disappears
@@ -1217,21 +1213,9 @@ object Similarity {
       sides.iterator().asScala
         .filter(p => p.getFileName.toString.startsWith("_") && Files.isDirectory(p)
           && p.getFileName.toString != "_tombstones")
-        .foreach { side =>
-          Using.resource(Files.walk(side)) { fs =>
-            fs.iterator().asScala.foreach { p =>
-              val dstP = tmp.resolve(Paths.get(out).relativize(p).toString)
-              if (Files.isDirectory(p)) Files.createDirectories(dstP)
-              else Files.copy(p, dstP, StandardCopyOption.REPLACE_EXISTING)
-            }
-          }
-        }
+        .foreach(side => DirSwap.copyTree(side, tmp.resolve(side.getFileName.toString)))
     }
-    val dst = Paths.get(out)
-    Files.move(dst, old)
-    try Files.move(tmp, dst)
-    catch { case e: Throwable => Files.move(old, dst); throw e }
-    deleteTree(old)
+    DirSwap.swapInto(out)
   }
 
   /** s11 gate: incremental-ingest round trip — write a base layout

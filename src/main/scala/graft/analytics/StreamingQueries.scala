@@ -691,14 +691,8 @@ object StreamingQueries {
     * and trickled one per batch. Final report = p10's, sharing its
     * oracle verbatim; PostingsSpec pins frame-level equality with the
     * batch loop's layout. */
-  def st23StreamPostings(spark: SparkSession, dir: String): DataFrame = {
-    val out = streamMaintainPostings(spark, dir)
-    TextOps.postingsLive(spark, out)
-      .groupBy("term").agg(sum(col("tf")).as("total_tf"))
-      .join(spark.read.parquet(out + "/_df"), "term")
-      .select(col("term"), col("df"), col("total_tf"))
-      .orderBy("term")
-  }
+  def st23StreamPostings(spark: SparkSession, dir: String): DataFrame =
+    TextOps.postingsReport(spark, streamMaintainPostings(spark, dir))
 
   /** The st23 drive, returning the maintained layout path (split out
     * for PostingsSpec's frame-level comparison with p10). */
@@ -735,28 +729,37 @@ object StreamingQueries {
         val dirtyRows = batch
           .filter(col("change_type").isin("deleted", "changed"))
           .select(col("doc_id"), col("old_text")).localCheckpoint(true)
-        if (!dirtyRows.isEmpty) {
-          // outgoing per-term doc counts from the feed's BEFORE-image
-          // — equals the stored rows by construction (a doc's postings
-          // are a pure function of its text), so the delta tokenizes
-          // |diff| docs and never scans the index
-          val removed = TextOps.postingsOf(
+        // outgoing per-term doc counts from the feed's BEFORE-image —
+        // equals the stored rows by construction (a doc's postings are
+        // a pure function of its text), so the delta tokenizes |diff|
+        // docs and never scans the index
+        val removed =
+          if (dirtyRows.isEmpty) None
+          else Some(TextOps.postingsOf(
               dirtyRows.select(col("doc_id"), col("old_text").as("text")))
-            .groupBy("term").agg(count(lit(1)).as("n"))
-          // covers every generation below this batch's: the base rows
-          // and nothing a later batch appends
+            .groupBy("term").agg(count(lit(1)).as("n")))
+        // covers every generation below this batch's: the base rows
+        // and nothing a later batch appends
+        if (removed.isDefined)
           TextOps.deleteFromPostings(bs, out, dirtyRows.select("doc_id"),
             uptoGen = g - 1)
-          TextOps.updateDfSidecar(bs, out, removed, removed.limit(0))
-        }
         val reTok = batch
           .filter(col("change_type").isin("changed", "added"))
           .select(col("doc_id"), col("text")).localCheckpoint(true)
-        if (!reTok.isEmpty) {
-          TextOps.appendPostings(reTok, out, gen = g)
-          val added = TextOps.postingsOf(reTok)
-            .groupBy("term").agg(count(lit(1)).as("n"))
-          TextOps.updateDfSidecar(bs, out, added.limit(0), added)
+        val added =
+          if (reTok.isEmpty) None
+          else {
+            TextOps.appendPostings(reTok, out, gen = g)
+            Some(TextOps.postingsOf(reTok)
+              .groupBy("term").agg(count(lit(1)).as("n")))
+          }
+        // ONE sidecar merge per batch, both deltas folded together
+        (removed, added) match {
+          case (None, None) => ()
+          case (r, a) =>
+            val any = r.orElse(a).get
+            TextOps.updateDfSidecar(bs, out,
+              r.getOrElse(any.limit(0)), a.getOrElse(any.limit(0)))
         }
       }
       .start()

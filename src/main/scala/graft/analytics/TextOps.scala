@@ -204,7 +204,7 @@ object TextOps {
                                              docs: DataFrame, out: String): Unit = {
     postingsOf(docs).withColumn("gen", lit(0L)).repartition(col("term"))
       .write.mode("overwrite").parquet(out)
-    spark.read.parquet(out)
+    spark.read.schema(postingsSchema).parquet(out)
       .groupBy("term").agg(count(lit(1)).as("df"))
       .coalesce(1).write.mode("overwrite").parquet(out + "/_df")
   }
@@ -235,17 +235,46 @@ object TextOps {
         .groupBy("doc_id").agg(max(col("upto_gen")).as("upto_gen")))
     else None
 
+  /** Stored schema of a postings layout — read EXPLICITLY everywhere
+    * so a fully-tombstoned, freshly-compacted layout (zero data files)
+    * reads back as an empty frame instead of failing schema inference. */
+  private val postingsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("tf", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("gen", org.apache.spark.sql.types.LongType)))
+
   /** Live postings of a layout: stored rows minus tombstone-covered
     * generations (diff-bounded broadcast anti-join — disappears after
     * compaction). */
   private[analytics] def postingsLive(spark: SparkSession, out: String): DataFrame = {
-    val raw = spark.read.parquet(out)
+    val raw = spark.read.schema(postingsSchema).parquet(out)
     postingsTombstones(spark, out).fold(raw) { t =>
       raw.join(broadcast(t.withColumnRenamed("doc_id", "_t_doc")),
           col("doc_id") === col("_t_doc") && col("gen") <= col("upto_gen"),
           "left_anti")
     }
   }
+
+  private val dfSidecarSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("df", org.apache.spark.sql.types.LongType)))
+
+  private[analytics] def readDfSidecar(spark: SparkSession, out: String): DataFrame =
+    spark.read.schema(dfSidecarSchema).parquet(out + "/_df")
+
+  /** The maintained-index report p10 and st23 SHARE (they share one
+    * oracle, so the report must be one definition): per term, df from
+    * the SIDECAR beside total tf from the live scan — FULL OUTER, so
+    * a sidecar term with no live postings (or live postings missing
+    * from the sidecar) surfaces as a null-bearing row and fails the
+    * oracle hash instead of being silently dropped. */
+  private[analytics] def postingsReport(spark: SparkSession, out: String): DataFrame =
+    postingsLive(spark, out)
+      .groupBy("term").agg(sum(col("tf")).as("total_tf"))
+      .join(readDfSidecar(spark, out), Seq("term"), "full_outer")
+      .select(col("term"), col("df"), col("total_tf"))
+      .orderBy("term")
 
   /** Append re-tokenized postings for diff documents at generation
     * `gen` — the expensive tokenize pass sees ONLY the diff, never the
@@ -259,39 +288,24 @@ object TextOps {
   /** Compact a postings layout: apply tombstones physically, rewrite
     * term-hashed, clear the tombstone sidecar (the epoch boundary),
     * carry every other underscore sidecar (`_df`) verbatim. The swap
-    * is the crash-safe two-rename (live aside, replacement in) — the
-    * TableStore/IVF discipline; single-maintainer, like both. */
+    * is the shared crash-safe two-rename ([[graft.core.DirSwap]]) —
+    * the TableStore/IVF discipline; single-maintainer, like both. */
   private[analytics] def compactPostings(spark: SparkSession, out: String): Unit = {
-    import java.nio.file.{Files, Path, Paths}
+    import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     import scala.util.Using
-    def deleteTree(p: Path): Unit = if (Files.exists(p))
-      Using.resource(Files.walk(p)) { st =>
-        st.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      }
-    def copyTree(src: Path, dst: Path): Unit =
-      Using.resource(Files.walk(src)) { st =>
-        st.iterator().asScala.foreach { p =>
-          val t = dst.resolve(src.relativize(p))
-          if (Files.isDirectory(p)) Files.createDirectories(t)
-          else Files.copy(p, t)
-        }
-      }
-    val tmp = Paths.get(out + "_compacting")
-    val old = Paths.get(out + "_old")
-    deleteTree(tmp); deleteTree(old)
+    import graft.core.DirSwap
+    DirSwap.clearLeftovers(out)
+    val tmp = DirSwap.compactingPath(out)
     postingsLive(spark, out).repartition(col("term"))
       .write.mode("overwrite").parquet(tmp.toString)
     Using.resource(Files.list(Paths.get(out))) { sides =>
       sides.iterator().asScala
         .filter(p => p.getFileName.toString.startsWith("_") && Files.isDirectory(p)
           && p.getFileName.toString != "_tombstones")
-        .foreach(p => copyTree(p, tmp.resolve(p.getFileName.toString)))
+        .foreach(p => DirSwap.copyTree(p, tmp.resolve(p.getFileName.toString)))
     }
-    Files.move(Paths.get(out), old)
-    try Files.move(tmp, Paths.get(out))
-    catch { case e: Throwable => Files.move(old, Paths.get(out)); throw e }
-    deleteTree(old)
+    DirSwap.swapInto(out)
   }
 
   /** Incremental `_df` sidecar maintenance: fold the diff's per-term
@@ -301,7 +315,7 @@ object TextOps {
     * never recounts the corpus. Terms whose df reaches 0 drop. */
   private[analytics] def updateDfSidecar(spark: SparkSession, out: String,
                                          removed: DataFrame, added: DataFrame): Unit = {
-    val merged = spark.read.parquet(out + "/_df")
+    val merged = readDfSidecar(spark, out)
       .join(removed.select(col("term"), col("n").as("rem")), Seq("term"), "full_outer")
       .join(added.select(col("term"), col("n").as("add")), Seq("term"), "full_outer")
       .select(col("term"),

@@ -388,26 +388,14 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
     * runs compact/compactRetain between its own reads, never
     * concurrently with them. */
   private def rewriteTable(table: String, rows: DataFrame): Unit = {
-    val dst = Paths.get(tablePath(table))
-    val tmp = Paths.get(tablePath(table) + "_compacting")
-    val old = Paths.get(tablePath(table) + "_old")
-    deleteTree(tmp); deleteTree(old)
+    val dst = tablePath(table)
+    DirSwap.clearLeftovers(dst)
     val parts = partitionCols(table)
     val w = rows.write.mode(SaveMode.Overwrite)
-    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(tmp.toString)
-    Files.move(dst, old)
-    try Files.move(tmp, dst)
-    catch { case e: Throwable => Files.move(old, dst); throw e }
-    deleteTree(old)
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+      .parquet(DirSwap.compactingPath(dst).toString)
+    DirSwap.swapInto(dst)
   }
-
-  private def deleteTree(p: java.nio.file.Path): Unit =
-    if (Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      scala.util.Using.resource(Files.walk(p)) { st =>
-        st.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-      }
-    }
 
   /** Heal a store whose last rewrite crashed mid-swap: a leftover
     * `<table>_old` whose live sibling is MISSING is the pre-rewrite
@@ -423,9 +411,10 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
     }
     entries.filter(_.getFileName.toString.endsWith("_old")).foreach { old =>
       val live = old.resolveSibling(old.getFileName.toString.stripSuffix("_old"))
-      if (!Files.exists(live)) Files.move(old, live) else deleteTree(old)
+      if (!Files.exists(live)) Files.move(old, live) else DirSwap.deleteTree(old)
     }
-    entries.filter(_.getFileName.toString.endsWith("_compacting")).foreach(deleteTree)
+    entries.filter(_.getFileName.toString.endsWith("_compacting"))
+      .foreach(DirSwap.deleteTree)
   }
 
   /** Compact a table: rewrite with only the newest row per live key.

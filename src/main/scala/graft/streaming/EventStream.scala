@@ -298,7 +298,21 @@ object EventStream {
   def ingestEventsToStore(spark: SparkSession, dir: String,
                           db: graft.store.TableStore,
                           maxFilesPerTrigger: Option[Int] = None,
-                          compactEvery: Int = 8): Unit = {
+                          compactEvery: Int = 8): Unit =
+    driveEventIngest(spark, dir, db, maxFilesPerTrigger) { n =>
+      if (compactEvery > 0 && n % compactEvery == 0) db.compact("timeseries")
+    }
+
+  /** The ONE ingest drive both store-ingest gates run (st06 with
+    * periodic full compaction, st22 with retention vacuums): the
+    * aggregation, row mapping, and append are a single definition, and
+    * `perBatch` receives the 1-based data-batch count AFTER each
+    * append for maintenance hooks — serialized with the appends inside
+    * foreachBatch, the single-maintainer discipline. */
+  private def driveEventIngest(spark: SparkSession, dir: String,
+                               db: graft.store.TableStore,
+                               maxFilesPerTrigger: Option[Int])
+                              (perBatch: Long => Unit): Unit = {
     val s = boundedDriveSession(spark)
     val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = readEvents(s, dir, maxFilesPerTrigger)
@@ -318,8 +332,7 @@ object EventStream {
           to_json(struct(col("n"), col("total"))).as("json"),
           lit(null).cast("binary").as("blob"))
         db.bulkAppend("timeseries", rows)
-        if (compactEvery > 0 && nBatches.incrementAndGet() % compactEvery == 0)
-          db.compact("timeseries")
+        perBatch(nBatches.incrementAndGet())
       }
       .start()
     q.processAllAvailable()
@@ -345,8 +358,6 @@ object EventStream {
                                   maxFilesPerTrigger: Option[Int] = Some(1),
                                   markAfter: Int = 2,
                                   vacuumEvery: Int = 2): Long = {
-    val s = boundedDriveSession(spark)
-    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
     val marker = new java.util.concurrent.atomic.AtomicLong(-1L)
     val pinned = new java.util.concurrent.atomic.AtomicReference[Seq[(String, String)]](null)
     // the pinned view, collected sorted: one bounded (≤ users×types)
@@ -364,34 +375,13 @@ object EventStream {
       require(pinnedView() == pinned.get(),
         "pinned-marker reads moved across the streaming vacuum")
     }
-    val q = readEvents(s, dir, maxFilesPerTrigger)
-      .groupBy(col("user_id"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-           sum(col("value").cast("decimal(18,6)")).as("total"))
-      .writeStream
-      .outputMode(OutputMode.Update)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val rows = batch.select(
-          lit("events").as("project"),
-          col("event_type").cast("string").as("experiment"),
-          col("user_id").cast("string").as("location"),
-          lit("stream").as("network"),
-          lit("value").as("obsvar"),
-          lit("surface").as("layer"),
-          to_json(struct(col("n"), col("total"))).as("json"),
-          lit(null).cast("binary").as("blob"))
-        db.bulkAppend("timeseries", rows)
-        val n = nBatches.incrementAndGet()
-        if (n == markAfter) {
-          marker.set(db.snapshotSeq())
-          pinned.set(pinnedView())
-        } else if (marker.get() >= 0 && (n - markAfter) % vacuumEvery == 0)
-          vacuum()
-      }
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    db.flushAll()
+    driveEventIngest(spark, dir, db, maxFilesPerTrigger) { n =>
+      if (n == markAfter) {
+        marker.set(db.snapshotSeq())
+        pinned.set(pinnedView())
+      } else if (marker.get() >= 0 && (n - markAfter) % vacuumEvery == 0)
+        vacuum()
+    }
     if (marker.get() >= 0) vacuum()
     marker.get()
   }

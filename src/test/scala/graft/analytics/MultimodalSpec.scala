@@ -255,10 +255,12 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("m11 gate: sharding conserves per-lang tokens and doc counts vs m08") {
     val dir = "/root/testdata/sf0.001"
-    val m08 = Multimodal.m08InterleavedPacking(spark, dir).collect()
+    val m08Rows = Multimodal.m08InterleavedPacking(spark, dir).collect()
+    val m11Rows = Multimodal.m11ShardedInterleavedPacking(spark, dir).collect()
+    val m08 = m08Rows
       .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
       .toMap
-    val m11 = Multimodal.m11ShardedInterleavedPacking(spark, dir).collect()
+    val m11 = m11Rows
       .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
     // every (lang, shard) stream packs independently, but nothing is
     // lost or double-counted: per-lang text/image tokens and
@@ -273,10 +275,8 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m11.forall(_._5 > 0), "a shard carries no multimodal docs")
     // shard streams are genuinely smaller: every shard needs fewer
     // sequences than its language's unsharded stream
-    val m08Seqs = Multimodal.m08InterleavedPacking(spark, dir).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val m11Seqs = Multimodal.m11ShardedInterleavedPacking(spark, dir).collect()
-      .map(r => (r.getString(0), r.getLong(2)))
+    val m08Seqs = m08Rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m11Seqs = m11Rows.map(r => (r.getString(0), r.getLong(2)))
     assert(m11Seqs.forall { case (lang, s) => s < m08Seqs(lang) })
   }
 }
