@@ -539,33 +539,58 @@ object Graph {
     * the maintenance path; equality to the rebuilt twin IS the check). */
   def g07IncrementalKnn(spark: SparkSession, dir: String): DataFrame = {
     val a = Dedup.normalizedVectors(spark, dir)
-    val edgesA = Similarity.knnEdges(spark, dir)
     val b = vectorSnapshotB(a)
-    val recomputeIds = g07RecomputeIds(a, edgesA, b)
+    maintainKnnEdges(a, Similarity.knnEdges(spark, dir), b,
+      g07DirtyOld(a), g07NewIds(b))
+  }
+
+  /** The fixture diff's old-side dirty ids (deleted + re-embedded). */
+  private[analytics] def g07DirtyOld(a: DataFrame): DataFrame =
+    a.filter(col("vec_id") % 10 === 7 || col("vec_id") % 10 === 3)
+      .select("vec_id")
+
+  /** The fixture diff's new-side ids (re-embedded + added). */
+  private[analytics] def g07NewIds(b: DataFrame): DataFrame =
+    b.filter(col("vec_id") % 10 === 3 || col("vec_id") < 0).select("vec_id")
+
+  /** User-facing diff-driven kNN-edge maintenance: given snapshot A's
+    * vectors (`a`) and stored edges (`edgesA`), snapshot B's vectors
+    * (`b`), and the diff as two bounded id frames — `dirtyOld` (A ids
+    * whose vectors left or moved) and `newIds` (B ids that are new or
+    * re-embedded) — recompute only the lists the diff can touch and
+    * keep every other stored list verbatim. Steps (1)–(3) above;
+    * all diff joins broadcast the (bounded) id frames. */
+  private[analytics] def maintainKnnEdges(a: DataFrame, edgesA: DataFrame,
+                                          b: DataFrame, dirtyOld: DataFrame,
+                                          newIds: DataFrame, k: Int = 5): DataFrame = {
+    val recomputeIds = knnRecomputeIds(a, edgesA, b, dirtyOld, newIds)
     val recomputed = knnForQueries(
-      b.join(recomputeIds, Seq("vec_id"), "left_semi"), b, k = 5)
+      b.join(recomputeIds, Seq("vec_id"), "left_semi"), b, k)
     val kept = edgesA
       .join(recomputeIds, Seq("vec_id"), "left_anti")
-      .filter(col("vec_id") % 10 =!= 7 && col("vec_id") % 10 =!= 3)
+      .join(broadcast(dirtyOld), Seq("vec_id"), "left_anti")
     kept.unionByName(recomputed).orderBy("vec_id", "rnk")
   }
 
   /** The set of lists the diff can touch — steps (1)–(3) above.
     * Exposed so GraphSpec can pin that it stays a strict subset of
-    * the surviving corpus (the maintenance is genuinely incremental). */
-  private[analytics] def g07RecomputeIds(a: DataFrame, edgesA: DataFrame,
-                                         b: DataFrame): DataFrame = {
+    * the surviving corpus and shrinks with the diff (the maintenance
+    * is genuinely incremental). */
+  private[analytics] def knnRecomputeIds(a: DataFrame, edgesA: DataFrame,
+                                         b: DataFrame, dirtyOld: DataFrame,
+                                         newIds: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions._
     // (1) lists referencing a dirty (deleted|changed) neighbor
     val refRecompute = edgesA
-      .filter(col("neighbor_id") % 10 === 7 || col("neighbor_id") % 10 === 3)
+      .join(broadcast(dirtyOld.withColumnRenamed("vec_id", "neighbor_id")),
+        Seq("neighbor_id"), "left_semi")
       .select("vec_id").distinct()
     // the diff's new side: re-embedded vectors + additions (bounded)
-    val newVecs = b.filter(col("vec_id") % 10 === 3 || col("vec_id") < 0)
+    val newVecs = b.join(broadcast(newIds), Seq("vec_id"), "left_semi")
     // (2) admission test: per-row 5th-best threshold vs every new
     // vector — one corpus scan × broadcast diff
     val kth = edgesA.groupBy("vec_id").agg(min(col("cos_sim")).as("kth"))
-    val survivors = a.filter(col("vec_id") % 10 =!= 7 && col("vec_id") % 10 =!= 3)
+    val survivors = a.join(broadcast(dirtyOld), Seq("vec_id"), "left_anti")
     val gainers = survivors
       .join(broadcast(newVecs.select(col("vec_id").as("nid"),
         col("v").as("nv"), col("norm").as("nnorm"))), col("vec_id") =!= col("nid"))

@@ -236,11 +236,41 @@ class GraphSpec extends AnyFunSuite {
     // strict subset of snapshot B — some surviving row kept its
     // stored list verbatim
     val a = Dedup.normalizedVectors(spark, dir)
-    val recompute = Graph.g07RecomputeIds(a,
-      Similarity.s05KnnGraph(spark, dir), Graph.vectorSnapshotB(a)).count()
-    val bSize = Graph.vectorSnapshotB(a).count()
+    val b = Graph.vectorSnapshotB(a)
+    val recompute = Graph.knnRecomputeIds(a,
+      Similarity.s05KnnGraph(spark, dir), b,
+      Graph.g07DirtyOld(a), Graph.g07NewIds(b)).count()
+    val bSize = b.count()
     assert(recompute < bSize,
       s"every list recomputed ($recompute of $bSize) — the fixture no " +
         "longer exercises the kept path")
+  }
+
+  test("kNN maintenance cost scales with the diff: a 1% diff touches a small corpus fraction") {
+    // g07's fixture diff deliberately churns 30% of ids; the operator
+    // itself takes ARBITRARY diff id frames — drive it with a 1%
+    // re-embed (5 of 500 vectors at sf0.01, no deletes/adds) and pin
+    // BOTH exactness and proportionality
+    val sf01 = "/root/testdata/sf0.01"
+    val a = Dedup.normalizedVectors(spark, sf01)
+    val changed = col("vec_id") % 100 === 3
+    val rot = expr("transform(sequence(1, size(v)), k -> v[k % size(v)])")
+    val b = a.filter(!changed).select(col("vec_id"), col("v"), col("norm"))
+      .unionByName(a.filter(changed).select(col("vec_id"), rot.as("v"), col("norm")))
+    val edgesA = Similarity.s05KnnGraph(spark, sf01)
+    val dirtyOld = a.filter(changed).select("vec_id")
+    val newIds = dirtyOld
+    val n = b.count()
+    val touched = Graph.knnRecomputeIds(a, edgesA, b, dirtyOld, newIds).count()
+    // 5 changed vectors: their own 5 lists + lists referencing them
+    // (~in-degree k each) + admission gainers — far below the corpus
+    assert(touched < n / 4,
+      s"1% diff touched $touched of $n lists — maintenance is not diff-proportional")
+    // and the maintained graph still equals the full rebuild exactly
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val inc = rows(Graph.maintainKnnEdges(a, edgesA, b, dirtyOld, newIds))
+    val full = rows(Similarity.knnGraphExact(b, k = 5).orderBy("vec_id", "rnk"))
+    assert(inc.nonEmpty && inc == full)
   }
 }
