@@ -351,6 +351,59 @@ object Verify {
           }
           math.floor(errs.max * 10000 + 0.5) / 10000
         },
+        // q21/q25: the gates emit approx and exact side by side — the
+        // driver-visible number is the worst relative error across all
+        // rows and both sketch columns (floors asserted in ApproxSpec)
+        inv("q21_max_rel_err") {
+          val errs = read("q21_approx_distinct").collect().flatMap { r =>
+            Seq(math.abs(r.getLong(1) - r.getLong(2)).toDouble / math.max(1L, r.getLong(2)),
+                math.abs(r.getLong(3) - r.getLong(4)).toDouble / math.max(1L, r.getLong(4)))
+          }
+          math.floor(errs.max * 10000 + 0.5) / 10000
+        },
+        inv("q25_max_rel_err") {
+          val errs = read("q25_approx_percentiles").collect().flatMap { r =>
+            Seq(math.abs(r.getDouble(1) - r.getDouble(2)) / math.max(1e-9, r.getDouble(2)),
+                math.abs(r.getDouble(3) - r.getDouble(4)) / math.max(1e-9, r.getDouble(4)))
+          }
+          math.floor(errs.max * 10000 + 0.5) / 10000
+        },
+        // d02: banding recall and precision of the MinHash tier against
+        // the exact n-gram Jaccard pairs (d01, itself oracle-checked)
+        inv("d02_pair_recall") {
+          val exact = read("d01_ngram_jaccard_pairs").select("i", "j")
+          val hits = exact.join(read("d02_minhash_pairs").select("i", "j"),
+            Seq("i", "j"), "left_semi").count().toDouble
+          math.floor(hits / exact.count() * 10000 + 0.5) / 10000
+        },
+        inv("d02_pair_precision") {
+          val got = read("d02_minhash_pairs").select("i", "j")
+          val hits = got.join(read("d01_ngram_jaccard_pairs").select("i", "j"),
+            Seq("i", "j"), "left_semi").count().toDouble
+          math.floor(hits / got.count() * 10000 + 0.5) / 10000
+        },
+        // st07: the streamed near-dup bucket state's rollup equals the
+        // batch twin exactly (count/min are commutative)
+        inv("st07_eq_batch") {
+          eqDumps("st07_stream_neardup",
+            graft.analytics.StreamingQueries.st07BatchTwin(spark, sfDir))
+        },
+        // s07/s08: the k-means assignments PARTITION the corpus — cell
+        // counts sum to the vector count, within the codebook size
+        inv("s07_partition_complete") {
+          val rows = read("s07_cluster_stats").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          val nVecs = graft.analytics.Tables.embeddings(spark, sfDir).count()
+          rows.nonEmpty && rows.map(_._2).sum == nVecs &&
+            rows.length <= 16 && rows.forall(r => r._1 >= 0 && r._1 < 16)
+        },
+        inv("s08_partition_complete") {
+          val rows = read("s08_kmeans_clusters").collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          val nVecs = graft.analytics.Tables.embeddings(spark, sfDir).count()
+          rows.nonEmpty && rows.map(_._2).sum == nVecs &&
+            rows.length <= 16 && rows.forall(r => r._1 >= 0 && r._1 < 16)
+        },
         // m02: per-source frame counts + mean feature re-derived
         // single-node from the same payload bytes (the byte-window
         // sampling contract) — counts exact, the rounded avg within

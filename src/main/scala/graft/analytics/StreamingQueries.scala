@@ -95,16 +95,28 @@ object StreamingQueries {
     * document stream. Public pieces so the spec drives the same plan
     * through trickled multi-file sources. */
   private[analytics] def nearDupBuckets(spark: SparkSession, dir: String,
-                                        maxFilesPerTrigger: Option[Int]): DataFrame = {
+                                        maxFilesPerTrigger: Option[Int]): DataFrame =
+    nearDupBucketsOf(EventStream.readDocumentsStream(spark, dir, maxFilesPerTrigger))
+
+  /** ONE bucket-state definition for the streaming frame and the batch
+    * twin (the zoneMapOf rule: parity cannot drift from a hand-copied
+    * expression tree). */
+  private def nearDupBucketsOf(docs: DataFrame): DataFrame = {
     import graft.functions.MinHash64.minhash64
     import graft.functions.WordShingles.word_shingles
-    EventStream.readDocumentsStream(spark, dir, maxFilesPerTrigger)
+    docs
       .select(col("doc_id"), minhash64(word_shingles(col("text"))).as("sig"))
       .filter(col("sig").isNotNull)
       .select(col("doc_id"), explode(Dedup.bandStructs(col("sig"))).as("bb"))
       .groupBy(col("bb.band").as("band"), col("bb.bh").as("bh"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
   }
+
+  /** st07's batch twin — the same bucket state + rollup computed over
+    * the static table; Verify pins `st07_eq_batch` (count and min are
+    * commutative, so the streamed state must land here exactly). */
+  private[graft] def st07BatchTwin(spark: SparkSession, dir: String): DataFrame =
+    hotBucketRollup(nearDupBucketsOf(Tables.documents(spark, dir)))
 
   private[analytics] def hotBucketRollup(buckets: DataFrame): DataFrame =
     buckets.filter(col("n_docs") >= 2)
