@@ -157,17 +157,28 @@ object Rag {
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rnk").as("dense_rnk"))
     // lexical: the STORED inverted index ([[TextOps.ensurePostings]],
-    // shared with t13) — the postings frame feeds three consumers
-    // (idf lookup, the query side, the corpus side), and all three
-    // now scan the per-(JVM, dir) parquet artifact instead of
-    // re-deriving scan→explode→lower→distinct per invocation. idf
-    // comes off the |vocab|-row `_df` sidecar, never recounted.
-    val toks = TextOps.postings(spark, dir).select(col("doc_id"), col("term"))
+    // shared with t13) — term-bucket PARTITIONED, so the corpus-side
+    // scan prunes to the query terms' buckets (the IVF-cell move for
+    // text; RagSpec pins PartitionFilters on the executed plan). The
+    // query side tokenizes the query DOCUMENTS directly (workload-
+    // bounded — in production the query text arrives with the query),
+    // its distinct terms' buckets become partition-filter literals,
+    // and idf comes off the |vocab|-row `_df` sidecar, never
+    // recounted.
+    val qterms0 = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("query_id"), lower(col("tok")).as("term")).distinct()
+    val qBuckets = qterms0
+      .select(TextOps.postingsBucket(col("term")).as("b")).distinct()
+      .collect().map(r => Long.box(r.getLong(0))).toSeq
+    val toks = TextOps.postings(spark, dir)
+      .filter(col("bucket").isin(qBuckets: _*))
+      .select(col("doc_id"), col("term"))
     val idf = TextOps.postingsDf(spark, dir)
       .withColumn("idf", Det.dround(log(lit(nDocs.toDouble) / col("df")), 4))
-    val qterms = toks.filter(col("doc_id") % 50 === 0)
-      .select(col("doc_id").as("query_id"), col("term"))
-      .join(idf, "term")
+    val qterms = qterms0.join(idf, "term")
     val lexScored = broadcast(qterms).join(toks, "term")
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))

@@ -180,11 +180,28 @@ object TextOps {
     * materialization. t22 deliberately does NOT consume it: its
     * coverage curve is case-sensitive over raw occurrences, a
     * different tokenization contract. */
+  /** Term-hash bucket count of the SERVING artifact: each term's
+    * posting list lives under exactly one `bucket=` directory, so a
+    * query with known terms prunes the scan to its terms' buckets —
+    * the IVF cell-partitioning move applied to the inverted index
+    * (PlanSpec-style pin in RagSpec). A production deployment sizes
+    * this so each bucket is a few files. */
+  private[analytics] val PostingsBuckets = 32
+
+  private[analytics] def postingsBucket(term: Column): Column =
+    pmod(xxhash64(term), lit(PostingsBuckets.toLong))
+
   private[analytics] def ensurePostings(spark: SparkSession, dir: String): String =
     postingsDirs.computeIfAbsent(dir, { _ =>
       val out = java.nio.file.Files
         .createTempDirectory("graft-postings").toString + "/postings"
-      writePostingsLayout(spark, Tables.documents(spark, dir), out)
+      val pf = postingsOf(Tables.documents(spark, dir))
+        .withColumn("bucket", postingsBucket(col("term")))
+      pf.repartition(col("bucket"))
+        .write.partitionBy("bucket").mode("overwrite").parquet(out)
+      spark.read.parquet(out)
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .coalesce(1).write.mode("overwrite").parquet(out + "/_df")
       out
     })
 

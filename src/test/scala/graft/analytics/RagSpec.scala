@@ -54,6 +54,12 @@ class RagSpec extends AnyFunSuite {
     // corpus postings scan is the only corpus-sized input
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "lexical postings join did not broadcast")
+    // and that scan is PARTITION-PRUNED to the query terms' buckets
+    // (the stored artifact is term-bucket partitioned): at 100 TB this
+    // is the difference between "read the posting lists you need" and
+    // "read the index"
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      "postings scan lost its bucket PartitionFilters")
   }
 
   test("p04 gate: per-query top-5, one passage per doc, self excluded") {
