@@ -1193,7 +1193,7 @@ object Similarity {
     import scala.jdk.CollectionConverters._
     import scala.util.Using
     import graft.core.DirSwap
-    DirSwap.clearLeftovers(out)
+    DirSwap.recover(out)
     val tmp = DirSwap.compactingPath(out)
     // compaction APPLIES tombstones: drop the deleted rows from the
     // rewrite and leave the sidecar behind — after the swap the

@@ -312,7 +312,7 @@ object TextOps {
     import scala.jdk.CollectionConverters._
     import scala.util.Using
     import graft.core.DirSwap
-    DirSwap.clearLeftovers(out)
+    DirSwap.recover(out)
     val tmp = DirSwap.compactingPath(out)
     postingsLive(spark, out).repartition(col("term"))
       .write.mode("overwrite").parquet(tmp.toString)

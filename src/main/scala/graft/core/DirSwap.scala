@@ -35,15 +35,25 @@ object DirSwap {
       }
     }
 
-  /** The staging path for a rewrite of `dst`; [[clearLeftovers]] must
-    * run (or have run) before writing to it. */
+  /** The staging path for a rewrite of `dst`; [[recover]] must run
+    * (or have run) before writing to it. */
   def compactingPath(dst: String): Path = Paths.get(dst + "_compacting")
 
-  /** Clear `_compacting`/`_old` leftovers from a previously crashed
-    * run of a swap against `dst`. */
-  def clearLeftovers(dst: String): Unit = {
+  /** Heal `dst` after a crashed swap: a leftover `_old` whose live
+    * sibling is MISSING is the pre-swap layout caught between the two
+    * renames — RESTORED verbatim (the interrupted rewrite is
+    * re-runnable; the data is not). An `_old` beside a healthy live
+    * dir is completed-swap debris and any `_compacting` leftover is a
+    * stale rewrite output — both deleted. Every swap owner calls this
+    * before writing its replacement (and the TableStore additionally
+    * at open, before any read can observe the gap). */
+  def recover(dst: String): Unit = {
+    val dstP = Paths.get(dst)
+    val old = Paths.get(dst + "_old")
+    if (Files.exists(old)) {
+      if (!Files.exists(dstP)) Files.move(old, dstP) else deleteTree(old)
+    }
     deleteTree(compactingPath(dst))
-    deleteTree(Paths.get(dst + "_old"))
   }
 
   /** The two-rename swap: `<dst>_compacting` (fully written by the

@@ -389,7 +389,7 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
     * concurrently with them. */
   private def rewriteTable(table: String, rows: DataFrame): Unit = {
     val dst = tablePath(table)
-    DirSwap.clearLeftovers(dst)
+    DirSwap.recover(dst)
     val parts = partitionCols(table)
     val w = rows.write.mode(SaveMode.Overwrite)
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
@@ -407,14 +407,11 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
   private def recoverInterruptedRewrites(): Unit = {
     import scala.jdk.CollectionConverters._
     val entries = scala.util.Using.resource(Files.list(Paths.get(basedir))) {
-      _.iterator().asScala.toSeq
+      _.iterator().asScala.map(_.getFileName.toString).toSeq
     }
-    entries.filter(_.getFileName.toString.endsWith("_old")).foreach { old =>
-      val live = old.resolveSibling(old.getFileName.toString.stripSuffix("_old"))
-      if (!Files.exists(live)) Files.move(old, live) else DirSwap.deleteTree(old)
-    }
-    entries.filter(_.getFileName.toString.endsWith("_compacting"))
-      .foreach(DirSwap.deleteTree)
+    (entries.filter(_.endsWith("_old")).map(_.stripSuffix("_old")) ++
+      entries.filter(_.endsWith("_compacting")).map(_.stripSuffix("_compacting")))
+      .distinct.foreach(t => DirSwap.recover(s"$basedir/$t"))
   }
 
   /** Compact a table: rewrite with only the newest row per live key.
