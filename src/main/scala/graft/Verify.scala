@@ -479,6 +479,12 @@ object Verify {
             .map(r => r.getDouble(0) -> (r.getLong(1), r.getLong(2))).toMap
           got.nonEmpty && got == want
         },
+        // m12: the diff-maintained image-fingerprint index must group
+        // exactly like a from-scratch rebuild of the mutated corpus
+        inv("m12_eq_fullrebuild") {
+          eqDumps("m12_image_index_maintenance",
+            graft.analytics.Multimodal.m12FullRebuildProbe(spark, sfDir))
+        },
         // m09: shot count and frame layout are pure functions of
         // doc_id (2 + id%4 shots of 3 + s%3 frames) — segmentation
         // must recover them exactly, row for row

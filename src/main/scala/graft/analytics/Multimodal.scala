@@ -312,8 +312,19 @@ object Multimodal {
   private[analytics] def syntheticImages(spark: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     import spark.implicits._
-    Tables.documents(spark, dir).select(col("doc_id")).as[Long].map { docId =>
-      var state = (docId % 10) * 2654435761L + 12345L
+    syntheticImagesKeyed(
+      Tables.documents(spark, dir).select(col("doc_id")).as[Long].map(d => (d, d % 10)))
+  }
+
+  /** The image generator parameterized by (doc_id, pattern key) — m12
+    * derives a MUTATED corpus by changing keys, so a "re-crawled"
+    * image genuinely changes content. */
+  private[analytics] def syntheticImagesKeyed(
+      ids: org.apache.spark.sql.Dataset[(Long, Long)])
+      : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
+    import ids.sparkSession.implicits._
+    ids.map { case (docId, key) =>
+      var state = key * 2654435761L + 12345L
       def nextBit(): Boolean = {
         state = state * 6364136223846793005L + 1442695040888963407L
         ((state >>> 33) & 1L) == 1L
@@ -339,11 +350,66 @@ object Multimodal {
     * synthetic image corpus (10 planted pattern groups). Rows-only
     * (the PNG round trip has no SQL oracle). */
   def m04ImageDupGroups(spark: SparkSession, dir: String): DataFrame =
-    imageHashes(syntheticImages(spark, dir))
-      .groupBy("ahash")
+    hashGroups(imageHashes(syntheticImages(spark, dir)))
+
+  private def hashGroups(hashes: DataFrame): DataFrame =
+    hashes.groupBy("ahash")
       .agg(min("doc_id").as("group_rep"), count(lit(1)).as("n_images"))
       .select(col("group_rep"), col("n_images"))
       .orderBy("group_rep")
+
+  /** The m12 corpus mutation — d14's CDC rules moved to the image
+    * corpus: `doc_id % 10 == 7` deleted, `% 10 == 3` RE-CRAWLED with
+    * genuinely different content (pattern key 13), and one new image
+    * `-(doc_id+1)` per `% 10 == 0` doc (pattern key 20). */
+  private def m12KeysB(ids: org.apache.spark.sql.Dataset[Long])
+      : org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import ids.sparkSession.implicits._
+    ids.flatMap { d =>
+      val kept = if (d % 10 == 7) Nil
+        else Seq((d, if (d % 10 == 3) 13L else d % 10))
+      val added = if (d % 10 == 0) Seq((-(d + 1), 20L)) else Nil
+      kept ++ added
+    }
+  }
+
+  /** m12 gate: INCREMENTAL image-fingerprint index maintenance under
+    * CDC — the multimodal member of the maintenance family (p08
+    * vectors, g07 graph, p10 postings): the aHash index over
+    * yesterday's corpus is a STORED artifact; when the crawl diff
+    * arrives, the expensive step — decode + perceptual hash — runs
+    * over ONLY the diff's blobs (re-crawled + new images), deleted and
+    * changed rows drop by id, and the maintained index must group
+    * exactly like a from-scratch rebuild of the new corpus
+    * (`m12_eq_fullrebuild` in Verify; MultimodalSpec pins the planted
+    * group moves). Rows-only (PNG round trip). */
+  def m12ImageIndexMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    // yesterday's index, stored and read back (the artifact shape)
+    val out = java.nio.file.Files.createTempDirectory("graft-m12")
+      .resolve("ahash").toString
+    imageHashes(syntheticImagesKeyed(ids.map(d => (d, d % 10))))
+      .write.mode("overwrite").parquet(out)
+    val base = spark.read.parquet(out)
+    // decode ONLY the diff: re-crawled (% 10 == 3, new pattern) and
+    // added (negative ids) images
+    val diffKeys = m12KeysB(ids)
+      .filter(kv => kv._2 == 13L || kv._1 < 0)
+    val recomputed = imageHashes(syntheticImagesKeyed(diffKeys))
+    val maintained = base
+      .filter(col("doc_id") % 10 =!= 7 && col("doc_id") % 10 =!= 3)
+      .unionByName(recomputed)
+    hashGroups(maintained)
+  }
+
+  /** The rebuild twin: hash the whole mutated corpus from scratch.
+    * Called by Verify for `m12_eq_fullrebuild`. */
+  private[graft] def m12FullRebuildProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    hashGroups(imageHashes(syntheticImagesKeyed(
+      m12KeysB(Tables.documents(spark, dir).select(col("doc_id")).as[Long]))))
+  }
 
   // ---- perceptual audio hashing (energy contour) → audio dedup ----
 
@@ -750,6 +816,7 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m12_image_index_maintenance" -> m12ImageIndexMaintenance _,
     "m11_sharded_mm_packing" -> m11ShardedInterleavedPacking _,
     "m01_blob_meta"    -> m01BlobMeta _,
     "m02_frame_stats"  -> m02FrameStats _,

@@ -279,4 +279,25 @@ class MultimodalSpec extends AnyFunSuite {
     val m11Seqs = m11Rows.map(r => (r.getString(0), r.getLong(2)))
     assert(m11Seqs.forall { case (lang, s) => s < m08Seqs(lang) })
   }
+
+  test("m12 gate: diff-maintained fingerprint index equals a rebuild; planted groups move") {
+    val dir = "/root/testdata/sf0.001"
+    def groups(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val inc = groups(Multimodal.m12ImageIndexMaintenance(spark, dir))
+    assert(inc.nonEmpty && inc == groups(Multimodal.m12FullRebuildProbe(spark, dir)))
+    val ids = Tables.documents(spark, dir).select("doc_id").collect()
+      .map(_.getLong(0)).sorted
+    // pattern 7's group is gone (deleted), pattern 3's docs moved to a
+    // NEW group (re-crawled content), the added images form one group
+    // with the smallest (most negative) rep
+    val reps = inc.map(_._1).toSet
+    assert(!reps.contains(7L), "deleted pattern group survived")
+    val changedCount = ids.count(_ % 10 == 3).toLong
+    assert(inc.exists { case (rep, n) => rep == 3L && n == changedCount },
+      "re-crawled docs did not form their new group")
+    val addedCount = ids.count(_ % 10 == 0).toLong
+    assert(inc.exists { case (rep, n) => rep < 0 && n == addedCount },
+      "added images did not form their group")
+  }
 }
