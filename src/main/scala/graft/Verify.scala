@@ -372,15 +372,19 @@ object Verify {
         // the exact n-gram Jaccard pairs (d01, itself oracle-checked)
         inv("d02_pair_recall") {
           val exact = read("d01_ngram_jaccard_pairs").select("i", "j")
+          val n = exact.count()
+          require(n > 0, "d01 dump is empty — recall is undefined")
           val hits = exact.join(read("d02_minhash_pairs").select("i", "j"),
             Seq("i", "j"), "left_semi").count().toDouble
-          math.floor(hits / exact.count() * 10000 + 0.5) / 10000
+          math.floor(hits / n * 10000 + 0.5) / 10000
         },
         inv("d02_pair_precision") {
           val got = read("d02_minhash_pairs").select("i", "j")
+          val n = got.count()
+          require(n > 0, "d02 dump is empty — precision is undefined")
           val hits = got.join(read("d01_ngram_jaccard_pairs").select("i", "j"),
             Seq("i", "j"), "left_semi").count().toDouble
-          math.floor(hits / got.count() * 10000 + 0.5) / 10000
+          math.floor(hits / n * 10000 + 0.5) / 10000
         },
         // st07: the streamed near-dup bucket state's rollup equals the
         // batch twin exactly (count/min are commutative)

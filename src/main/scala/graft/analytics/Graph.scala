@@ -563,7 +563,7 @@ object Graph {
   private[analytics] def maintainKnnEdges(a: DataFrame, edgesA: DataFrame,
                                           b: DataFrame, dirtyOld: DataFrame,
                                           newIds: DataFrame, k: Int = 5): DataFrame = {
-    val recomputeIds = knnRecomputeIds(a, edgesA, b, dirtyOld, newIds)
+    val recomputeIds = knnRecomputeIds(a, edgesA, b, dirtyOld, newIds, k)
     val recomputed = knnForQueries(
       b.join(recomputeIds, Seq("vec_id"), "left_semi"), b, k)
     val kept = edgesA
@@ -578,7 +578,7 @@ object Graph {
     * is genuinely incremental). */
   private[analytics] def knnRecomputeIds(a: DataFrame, edgesA: DataFrame,
                                          b: DataFrame, dirtyOld: DataFrame,
-                                         newIds: DataFrame): DataFrame = {
+                                         newIds: DataFrame, k: Int = 5): DataFrame = {
     import graft.functions.VectorFunctions._
     // (1) lists referencing a dirty (deleted|changed) neighbor
     val refRecompute = edgesA
@@ -587,9 +587,14 @@ object Graph {
       .select("vec_id").distinct()
     // the diff's new side: re-embedded vectors + additions (bounded)
     val newVecs = b.join(broadcast(newIds), Seq("vec_id"), "left_semi")
-    // (2) admission test: per-row 5th-best threshold vs every new
-    // vector — one corpus scan × broadcast diff
-    val kth = edgesA.groupBy("vec_id").agg(min(col("cos_sim")).as("kth"))
+    // (2) admission test: per-row k-th-best threshold vs every new
+    // vector — one corpus scan × broadcast diff. A row whose stored
+    // list is SHORT (fewer than k edges — a tiny corpus) has no real
+    // threshold: any new vector is admissible, so it recomputes
+    // whenever the diff adds anything (left join: a survivor with no
+    // stored list at all counts as short, not as unreachable)
+    val kth = edgesA.groupBy("vec_id")
+      .agg(min(col("cos_sim")).as("kth"), count(lit(1)).as("n_edges"))
     val survivors = a.join(broadcast(dirtyOld), Seq("vec_id"), "left_anti")
     val gainers = survivors
       .join(broadcast(newVecs.select(col("vec_id").as("nid"),
@@ -597,8 +602,8 @@ object Graph {
       .select(col("vec_id"),
         Det.dround(array_dot(col("v"), col("nv")) / (col("norm") * col("nnorm")), 4)
           .as("sim"))
-      .join(kth, "vec_id")
-      .filter(col("sim") >= col("kth"))
+      .join(kth, Seq("vec_id"), "left")
+      .filter(col("kth").isNull || col("n_edges") < k || col("sim") >= col("kth"))
       .select("vec_id").distinct()
     // (3) + union; deleted ids fall out via the semi join against B
     refRecompute

@@ -1181,9 +1181,11 @@ object Similarity {
     * data before the replacement exists. A crash between the renames
     * leaves the canonical path briefly absent but the full layout
     * intact at `out_old` (and the compacted copy at `_compacting`);
-    * a failed second rename restores `out_old` in-process. Leftover
-    * `_compacting`/`_old` dirs from a crashed run are cleared on the
-    * next invocation. The window where `out` does not resolve means
+    * a failed second rename restores `out_old` in-process. On the
+    * next invocation [[graft.core.DirSwap.recover]] RESTORES an
+    * `_old` whose live sibling is missing (never deletes the only
+    * copy) and clears completed-swap debris and stale `_compacting`
+    * output. The window where `out` does not resolve means
     * compaction is a SINGLE-MAINTAINER step: the owning ingest loop
     * (st13's drive) runs it inline between its own probes/appends,
     * never concurrently with them — IvfAppendSpec pins the interleaved

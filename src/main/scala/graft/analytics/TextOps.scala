@@ -199,7 +199,10 @@ object TextOps {
         .withColumn("bucket", postingsBucket(col("term")))
       pf.repartition(col("bucket"))
         .write.partitionBy("bucket").mode("overwrite").parquet(out)
-      spark.read.parquet(out)
+      // explicit schema (the postingsSchema rule): an empty corpus
+      // writes zero part files, which must recount to an empty
+      // sidecar, not fail schema inference
+      spark.read.schema("doc_id LONG, term STRING, tf LONG").parquet(out)
         .groupBy("term").agg(count(lit(1)).as("df"))
         .coalesce(1).write.mode("overwrite").parquet(out + "/_df")
       out

@@ -273,4 +273,34 @@ class GraphSpec extends AnyFunSuite {
     val full = rows(Similarity.knnGraphExact(b, k = 5).orderBy("vec_id", "rnk"))
     assert(inc.nonEmpty && inc == full)
   }
+
+  test("kNN maintenance with short stored lists: an addition still reaches every survivor") {
+    // a 4-vector corpus at k=5 gives every row a SHORT (3-edge) list —
+    // there is no k-th-best admission threshold, so adding a vector
+    // must recompute every surviving list regardless of its scores
+    import spark.implicits._
+    def vecs(rows: Seq[(Long, Seq[Double])]) = {
+      import graft.functions.VectorFunctions._
+      rows.toDF("vec_id", "embedding")
+        .select(col("vec_id"), as_double_array(col("embedding")).as("v"))
+        .withColumn("norm", array_norm(col("v")))
+    }
+    val aRows = Seq(
+      0L -> Seq(1.0, 0.0, 0.0), 1L -> Seq(0.9, 0.1, 0.0),
+      2L -> Seq(0.0, 1.0, 0.0), 3L -> Seq(0.0, 0.9, 0.1))
+    val a = vecs(aRows)
+    val edgesA = Similarity.knnGraphExact(a, k = 5)
+    // the new vector is DISSIMILAR to everything (negative octant) —
+    // it scores below every stored minimum, so a threshold-only
+    // admission test would wrongly skip the survivors
+    val b = vecs(aRows :+ (9L -> Seq(-0.5, -0.5, 0.7)))
+    val dirtyOld = Seq.empty[Long].toDF("vec_id")
+    val newIds = Seq(9L).toDF("vec_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val inc = rows(Graph.maintainKnnEdges(a, edgesA, b, dirtyOld, newIds))
+    val full = rows(Similarity.knnGraphExact(b, k = 5).orderBy("vec_id", "rnk"))
+    assert(inc.nonEmpty && inc == full,
+      "short-list survivors missed the added vector")
+  }
 }
