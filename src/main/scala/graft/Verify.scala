@@ -489,6 +489,13 @@ object Verify {
           eqDumps("m12_image_index_maintenance",
             graft.analytics.Multimodal.m12FullRebuildProbe(spark, sfDir))
         },
+        // st24: the streamed change-feed consumer must land exactly
+        // where m12's batch maintenance lands (append-log resolution
+        // is slicing-invariant)
+        inv("st24_eq_m12") {
+          eqDumps("st24_stream_image_index",
+            read("m12_image_index_maintenance"))
+        },
         // m09: shot count and frame layout are pure functions of
         // doc_id (2 + id%4 shots of 3 + s%3 frames) — segmentation
         // must recover them exactly, row for row

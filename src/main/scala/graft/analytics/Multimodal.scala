@@ -386,20 +386,26 @@ object Multimodal {
   private val m12BaseDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  def m12ImageIndexMaintenance(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
-    // yesterday's index: a stored per-(JVM, dir) artifact (the
-    // knnEdges/postings pattern) — the full-corpus decode+hash pass
-    // runs once, every later invocation reads the parquet back
-    val out = m12BaseDirs.computeIfAbsent(dir, { _ =>
+  /** Yesterday's fingerprint index: a stored per-(JVM, dir) artifact
+    * (the knnEdges/postings pattern) — the full-corpus decode+hash
+    * pass runs once, every later invocation (m12, st24) reads the
+    * parquet back. */
+  private def m12BaseDir(spark: SparkSession, dir: String): String =
+    m12BaseDirs.computeIfAbsent(dir, { _ =>
+      import spark.implicits._
       val p = java.nio.file.Files.createTempDirectory("graft-m12")
         .resolve("ahash").toString
-      imageHashes(syntheticImagesKeyed(ids.map(d => (d, d % 10))))
+      imageHashes(syntheticImagesKeyed(
+          Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+            .map(d => (d, d % 10))))
         .write.mode("overwrite").parquet(p)
       p
     })
-    val base = spark.read.parquet(out)
+
+  def m12ImageIndexMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val base = spark.read.parquet(m12BaseDir(spark, dir))
     // decode ONLY the diff: re-crawled (% 10 == 3, new pattern) and
     // added (negative ids) images
     val diffKeys = m12KeysB(ids)
@@ -417,6 +423,76 @@ object Multimodal {
     import spark.implicits._
     hashGroups(imageHashes(syntheticImagesKeyed(
       m12KeysB(Tables.documents(spark, dir).select(col("doc_id")).as[Long]))))
+  }
+
+  /** st24 gate: STREAMED image-fingerprint index maintenance — m12's
+    * loop consumed from a blob change FEED: each microbatch carries
+    * change rows with the new image BYTES for re-crawled/added docs
+    * (deletes are id-only), the batch's payloads decode + hash (the
+    * expensive pass sees only the diff), and the results land in the
+    * index as an APPEND LOG — (doc_id, ahash, gen, op) rows, newest
+    * generation per doc wins, `rm` rows delete — the TableStore's
+    * own newest-per-key semantics applied to an index artifact, so no
+    * mid-stream compaction or tombstone sidecar is needed at all.
+    * Per-doc change rows are independent and generations are ordered
+    * per batch, so the resolved index is slicing-invariant; the final
+    * groups must equal m12's batch maintenance AND the from-scratch
+    * rebuild (Verify: `st24_eq_m12`). Rows-only (PNG round trip). */
+  def st24StreamImageIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+    val tmp = java.nio.file.Files.createTempDirectory("graft-st24")
+    val index = tmp.resolve("index").toString
+    // generation 0: yesterday's index (the cached m12 base artifact)
+    spark.read.parquet(m12BaseDir(spark, dir))
+      .withColumn("gen", lit(0L)).withColumn("op", lit("put"))
+      .write.mode("overwrite").parquet(index)
+    // the change feed, with REAL bytes for the new content
+    val feedDir = tmp.resolve("feed").toString
+    val changed = syntheticImagesKeyed(
+        m12KeysB(ids).filter(kv => kv._2 == 13L || kv._1 < 0))
+      .toDF("doc_id", "payload")
+      .withColumn("change_type",
+        when(col("doc_id") < 0, "added").otherwise("changed"))
+    val deleted = ids.filter(_ % 10 == 7).toDF("doc_id")
+      .withColumn("payload", lit(null).cast("binary"))
+      .withColumn("change_type", lit("deleted"))
+    changed.unionByName(deleted).repartition(3).write.parquet(feedDir)
+    val s = graft.streaming.EventStream.boundedDriveSession(spark)
+    val feedSchema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("payload", org.apache.spark.sql.types.BinaryType)
+      .add("change_type", org.apache.spark.sql.types.StringType)
+    val gen = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = s.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bs = batch.sparkSession
+        import bs.implicits._
+        val g = gen.incrementAndGet()
+        // decode + hash ONLY this batch's new content
+        val puts = imageHashes(
+            batch.filter(col("change_type").isin("changed", "added"))
+              .select(col("doc_id"), col("payload"))
+              .as[(Long, Array[Byte])])
+          .withColumn("gen", lit(g)).withColumn("op", lit("put"))
+        val rms = batch.filter(col("change_type") === "deleted")
+          .select(col("doc_id"), lit(0L).as("ahash"),
+            lit(g).as("gen"), lit("rm").as("op"))
+        puts.unionByName(rms).write.mode("append").parquet(index)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // newest generation per doc wins; rm rows delete — then group
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("gen").desc)
+    val live = spark.read.parquet(index)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("op") === "put")
+      .select("doc_id", "ahash")
+    hashGroups(live)
   }
 
   // ---- perceptual audio hashing (energy contour) → audio dedup ----
@@ -824,6 +900,7 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st24_stream_image_index" -> st24StreamImageIndex _,
     "m12_image_index_maintenance" -> m12ImageIndexMaintenance _,
     "m11_sharded_mm_packing" -> m11ShardedInterleavedPacking _,
     "m01_blob_meta"    -> m01BlobMeta _,

@@ -299,5 +299,8 @@ class MultimodalSpec extends AnyFunSuite {
     val addedCount = ids.count(_ % 10 == 0).toLong
     assert(inc.exists { case (rep, n) => rep < 0 && n == addedCount },
       "added images did not form their group")
+    // the streamed change-feed consumer lands exactly where the batch
+    // loop lands (append-log newest-gen resolution is slicing-invariant)
+    assert(groups(Multimodal.st24StreamImageIndex(spark, dir)) == inc)
   }
 }
