@@ -10,6 +10,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Spark 4's per-query checkpoint-checksum pool never shuts down
+      // (see EventStream.boundedDriveSession) — cover the root session's
+      // own streams (the warmup MemoryStream) too
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: session init, parquet footers, codegen JIT —
@@ -105,7 +109,7 @@ object Bench {
     // a temp dir (parquet append write, newest-row window read) — the
     // classes and codegen the av* store gates hit first otherwise
     try {
-      val dir = java.nio.file.Files.createTempDirectory("graft-bench-warm")
+      val dir = graft.core.TempDirs.create("graft-bench-warm")
       val db = new graft.store.TableStore(spark, dir.toString)
       db.putMenu("""{"warm": 1}""", "p", "e")
       db.getMenu("p", "e")
@@ -149,7 +153,13 @@ object Bench {
         .queryName("bench_warmup_stream").start()
       q.processAllAvailable(); q.stop()
     } catch { case _: Throwable => () }
-    def pass(): Seq[(String, Double)] =
+    // per-query aging diagnostics (heap/metaspace/threads/listeners/
+    // state providers/GC/JIT) — the evidence trail that the driver
+    // reaches a steady state instead of degrading across passes (the
+    // r11 warm-pass regression was a +32-threads-per-streaming-drive
+    // checkpoint-checksum pool leak, visible only in these counters)
+    val diags = scala.collection.mutable.ArrayBuffer.empty[String]
+    def pass(tag: String): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         // snapshot the persistent-RDD ids BEFORE the query so the
         // sweep below releases only blocks THIS query created —
@@ -169,19 +179,34 @@ object Bench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs
           .foreach { case (id, rdd) => if (!preIds.contains(id)) rdd.unpersist(false) }
+        // unload state-store providers a streaming drive left loaded:
+        // deactivated providers otherwise wait out the 60s maintenance
+        // cadence holding their in-memory state maps. Sequential
+        // queries ⇒ no active stream to disturb; reload is from the
+        // checkpoint on next use.
+        org.apache.spark.sql.graftdiag.StateShim.unloadAllProviders()
+        val snap = graft.core.Diag.snap(spark)
+        diags += s"""{"pass":"$tag","query":"$name","sec":${(dt * 1000).round / 1000.0},"diag":${snap.json}}"""
         // a NEGATIVE duration marks an errored query — loud in the
         // JSON instead of masquerading as a normal timing
         name -> (if (ok) dt else -dt)
       }
     // pass 1 (reported as "queries"/"value", comparable with earlier
     // rounds): first-run timings, which still carry each query's
-    // residual JIT/classloading. pass 2 ("queries_warm"/"total_warm"):
-    // steady-state cost — on a long-lived cluster JIT is a one-time
-    // cost, and warm numbers are what a 100 TB run would see per-query;
-    // they are also stable when a GC or JIT storm lands on one unlucky
-    // first-run query.
-    val results = pass()
-    val warm = pass()
+    // residual JIT/classloading. passes 2+3 ("queries_warm"/
+    // "total_warm" = per-query MIN of the two): steady-state cost — on
+    // a long-lived cluster JIT is a one-time cost, and warm numbers are
+    // what a 100 TB run would see per-query. Taking the min of two warm
+    // runs keeps one GC/JIT storm from masquerading as a family
+    // regression (both raw passes are preserved in the per-query file).
+    val results = pass("cold")
+    val warm1 = pass("warm1")
+    val warm2 = pass("warm2")
+    // min-of-warm per query; an error (negative) in either pass stays
+    // negative so it can never read as a fast query
+    val warm = warm1.zip(warm2).map { case ((n, a), (_, b)) =>
+      n -> (if (a < 0 || b < 0) -math.max(a.abs, b.abs) else math.min(a, b))
+    }
     def fmt(rs: Seq[(String, Double)], dec: Int) =
       rs.map { case (k, v) =>
         s"\"" + k + "\":" + BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP)
@@ -206,7 +231,10 @@ object Bench {
       (s"""{"sf":"$sfDir","n":${results.size},""" +
         s""""queries":${fmt(results, 9)},""" +
         s""""queries_warm":${fmt(warm, 9)},""" +
-        s""""errors":$errors}""" + "\n").getBytes("UTF-8"))
+        s""""queries_warm1":${fmt(warm1, 9)},""" +
+        s""""queries_warm2":${fmt(warm2, 9)},""" +
+        s""""errors":$errors,""" +
+        s""""aging":[${diags.mkString(",")}]}""" + "\n").getBytes("UTF-8"))
     // per-family (gate-prefix) subtotals of successful queries: small
     // enough to survive the tail window, coarse enough to localize a
     // regression to dedup vs streaming vs ANN vs text without the file

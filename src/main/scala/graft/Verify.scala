@@ -15,6 +15,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Spark 4's per-query checkpoint-checksum pool never shuts down
+      // (see EventStream.boundedDriveSession) — this covers any stream
+      // started on the root session or a non-drive clone
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -35,6 +39,14 @@ object Verify {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs
         .foreach { case (id, rdd) => if (!preIds.contains(id)) rdd.unpersist(false) }
+      // unload state-store providers the gate's streaming drives loaded:
+      // deactivated providers otherwise wait for the 60s maintenance
+      // cadence while holding their in-memory state maps — across 175
+      // gates that is hundreds of providers of avoidable old-gen. Safe
+      // here because gates run sequentially (no active stream between
+      // iterations); a provider is reloaded from its checkpoint on next
+      // use.
+      org.apache.spark.sql.graftdiag.StateShim.unloadAllProviders()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -232,6 +244,14 @@ object Verify {
         // equal a from-scratch rebuild of snapshot B, row for row
         inv("g07_eq_fullrebuild") {
           eqDumps("g07_incremental_knn",
+            graft.analytics.Graph.g07FullRebuildProbe(spark, sfDir))
+        },
+        // g07 write-back: the STORED artifact the gate swapped into
+        // place (read back off disk here, independently of the dump)
+        // must also equal the rebuild — pins that persistence, not
+        // just the returned frame, survived the two-rename swap
+        inv("g07_store_eq_rebuild") {
+          eqDumps0(graft.analytics.Graph.g07StoredEdges(spark, sfDir),
             graft.analytics.Graph.g07FullRebuildProbe(spark, sfDir))
         },
         inv("g05_parity_singlenode") {

@@ -172,7 +172,7 @@ object BpeTrain {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[analytics] def mergesArtifact(spark: SparkSession, dir: String): String =
     mergeArtifacts.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-bpe")
+      val out = graft.core.TempDirs.create("graft-bpe")
         .resolve("_bpe_merges").toString
       writeBpeMerges(spark, dir, out)
       out

@@ -540,9 +540,48 @@ object Graph {
   def g07IncrementalKnn(spark: SparkSession, dir: String): DataFrame = {
     val a = Dedup.normalizedVectors(spark, dir)
     val b = vectorSnapshotB(a)
-    maintainKnnEdges(a, Similarity.knnEdges(spark, dir), b,
+    val maintained = maintainKnnEdges(a, Similarity.knnEdges(spark, dir), b,
       g07DirtyOld(a), g07NewIds(b))
+    // WRITE-BACK: persist the maintained graph into its own stored
+    // location with the crash-safe two-rename swap (p10's pattern) and
+    // return a POST-SWAP read, so the gate proves the whole loop —
+    // maintain → stage → swap → serve from disk — not just the frame.
+    // The swap targets a g07-OWNED artifact, never the snapshot-A
+    // `knnEdges` layout: g01–g05/p06 are pinned (oracles and parity
+    // twins) to snapshot A's graph, and swapping the shared artifact
+    // in place would make their results depend on whether g07 had run
+    // yet. A production deployment has one consumer generation at a
+    // time and swaps its single artifact the same way.
+    val store = g07StoreDir(dir)
+    // single-maintainer within the JVM (parallel spec suites): the
+    // swap and the gate's own read-back serialize per store; the
+    // read-back materializes eagerly (5N rows) so no lazy scan can
+    // straddle a LATER swap's two-rename window
+    g07StoreDirs.synchronized {
+      graft.core.DirSwap.recover(store)
+      val staging = graft.core.DirSwap.compactingPath(store)
+      maintained.write.mode("overwrite").parquet(staging.toString)
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(store)))
+        graft.core.DirSwap.swapInto(store)
+      else java.nio.file.Files.move(staging, java.nio.file.Paths.get(store))
+      g07StoredEdges(spark, dir).localCheckpoint(true)
+    }
   }
+
+  private val g07StoreDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The stored location of the MAINTAINED (snapshot-B) kNN artifact —
+    * one per (JVM, dataset), like the other stored indexes. */
+  private def g07StoreDir(dir: String): String =
+    g07StoreDirs.computeIfAbsent(dir, _ =>
+      graft.core.TempDirs.create("graft-g07-store").resolve("edges").toString)
+
+  /** Read the maintained artifact back off disk (what a post-diff
+    * consumer sees). Verify pins `g07_store_eq_rebuild`: this stored
+    * layout must equal the from-scratch snapshot-B rebuild. */
+  private[graft] def g07StoredEdges(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(g07StoreDir(dir)).orderBy("vec_id", "rnk")
 
   /** The fixture diff's old-side dirty ids (deleted + re-embedded). */
   private[analytics] def g07DirtyOld(a: DataFrame): DataFrame =

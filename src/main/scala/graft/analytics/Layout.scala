@@ -59,7 +59,7 @@ object Layout {
     val t = tag(dir)
     val (lTab, oTab) = (s"graft_bkt_lineitem_$t", s"graft_bkt_orders_$t")
     bucketedDirs.computeIfAbsent(dir, { _ =>
-      val base = Files.createTempDirectory("graft-bucketed").toString
+      val base = graft.core.TempDirs.create("graft-bucketed").toString
       Tables.lineitem(spark, dir)
         .write.format("parquet")
         .bucketBy(NumBuckets, "l_orderkey").sortBy("l_orderkey")
@@ -95,7 +95,7 @@ object Layout {
     * (JVM, sf dir). */
   private[analytics] def ensureZonedLayout(spark: SparkSession, dir: String): String =
     zonedDirs.computeIfAbsent(dir, { _ =>
-      val out = Files.createTempDirectory("graft-zoned-events").toString + "/events"
+      val out = graft.core.TempDirs.create("graft-zoned-events").toString + "/events"
       Tables.events(spark, dir)
         .repartitionByRange(ZoneFiles, col("ts"))
         .write.mode("overwrite").parquet(out)
@@ -190,7 +190,7 @@ object Layout {
     * its state table. */
   private def ensureBaseState(spark: SparkSession, dir: String): String =
     stateDirs.computeIfAbsent(dir, { _ =>
-      val out = Files.createTempDirectory("graft-agg-state").toString + "/daily"
+      val out = graft.core.TempDirs.create("graft-agg-state").toString + "/daily"
       partials(Tables.events(spark, dir)
           .filter(col("ts") < lit(StateCutoff).cast("timestamp")))
         .write.mode("overwrite").parquet(out)
@@ -226,7 +226,7 @@ object Layout {
     * delta has been folded in. Stored once per (JVM, sf dir). */
   private def ensureFullState(spark: SparkSession, dir: String): String =
     fullStateDirs.computeIfAbsent(dir, { _ =>
-      val out = Files.createTempDirectory("graft-agg-state-full").toString + "/daily"
+      val out = graft.core.TempDirs.create("graft-agg-state-full").toString + "/daily"
       partials(Tables.events(spark, dir)).write.mode("overwrite").parquet(out)
       out
     })
@@ -259,7 +259,7 @@ object Layout {
     * never opens a file. Built once per (JVM, sf dir). */
   private[analytics] def ensureDayPartitionedEvents(spark: SparkSession, dir: String): String =
     dayPartDirs.computeIfAbsent(dir, { _ =>
-      val out = Files.createTempDirectory("graft-daypart-events").toString + "/events"
+      val out = graft.core.TempDirs.create("graft-daypart-events").toString + "/events"
       Tables.events(spark, dir)
         .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
         .repartition(col("day"))
@@ -310,7 +310,7 @@ object Layout {
 
   private def ensureHllState(spark: SparkSession, dir: String): String =
     hllStateDirs.computeIfAbsent(dir, { _ =>
-      val out = Files.createTempDirectory("graft-hll-state").toString + "/daily"
+      val out = graft.core.TempDirs.create("graft-hll-state").toString + "/daily"
       hllPartials(Tables.events(spark, dir)).write.mode("overwrite").parquet(out)
       out
     })
@@ -391,7 +391,7 @@ object Layout {
     * a single sort column cannot give. Built once per (JVM, sf dir). */
   private[analytics] def ensureZorderLayout(spark: SparkSession, dir: String): String =
     zorderDirs.computeIfAbsent(dir, { _ =>
-      val out = Files.createTempDirectory("graft-zorder-events").toString + "/events"
+      val out = graft.core.TempDirs.create("graft-zorder-events").toString + "/events"
       val bktWidth = (maxUserId(spark, dir) + 32L) / 32L
       val indexed = Tables.events(spark, dir)
         .withColumn("day_idx",

@@ -393,7 +393,7 @@ object Multimodal {
   private def m12BaseDir(spark: SparkSession, dir: String): String =
     m12BaseDirs.computeIfAbsent(dir, { _ =>
       import spark.implicits._
-      val p = java.nio.file.Files.createTempDirectory("graft-m12")
+      val p = graft.core.TempDirs.create("graft-m12")
         .resolve("ahash").toString
       imageHashes(syntheticImagesKeyed(
           Tables.documents(spark, dir).select(col("doc_id")).as[Long]
@@ -438,10 +438,10 @@ object Multimodal {
     * per batch, so the resolved index is slicing-invariant; the final
     * groups must equal m12's batch maintenance AND the from-scratch
     * rebuild (Verify: `st24_eq_m12`). Rows-only (PNG round trip). */
-  def st24StreamImageIndex(spark: SparkSession, dir: String): DataFrame = {
+  def st24StreamImageIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-st24") { tmp =>
     import spark.implicits._
     val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
-    val tmp = java.nio.file.Files.createTempDirectory("graft-st24")
     val index = tmp.resolve("index").toString
     // generation 0: yesterday's index (the cached m12 base artifact)
     spark.read.parquet(m12BaseDir(spark, dir))
@@ -492,7 +492,9 @@ object Multimodal {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1 && col("op") === "put")
       .select("doc_id", "ahash")
-    hashGroups(live)
+    // |groups|-bounded report materialized eagerly; the scoped append
+    // log is deleted when this returns
+    hashGroups(live).localCheckpoint(true)
   }
 
   // ---- perceptual audio hashing (energy contour) → audio dedup ----

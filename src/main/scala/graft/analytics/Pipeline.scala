@@ -358,8 +358,8 @@ object Pipeline {
     * incremental pipeline holds between runs. */
   private def ensureQualityScoresA(spark: SparkSession, dir: String): String =
     qualityScoreDirs.computeIfAbsent(dir, { _ =>
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-quality-scores").toString + "/scores"
+      val out = graft.core.TempDirs
+        .create("graft-quality-scores").toString + "/scores"
       Tables.documents(spark, dir)
         .select(col("doc_id"), col("source"), TextOps.qualityPass.as("pass"))
         .write.mode("overwrite").parquet(out)
@@ -449,10 +449,10 @@ object Pipeline {
     * The result must equal a FULL REBUILD of snapshot B under the
     * same quantizer, exactly — Verify re-probes the rebuild twin and
     * emits the equality as `p08_eq_fullrebuild`. */
-  def p08IncrementalIndex(spark: SparkSession, dir: String): DataFrame = {
+  def p08IncrementalIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-p08") { root =>
     val docs = Tables.documents(spark, dir)
-    val out = java.nio.file.Files.createTempDirectory("graft-p08")
-      .resolve("index").toString
+    val out = root.resolve("index").toString
     val cents = Similarity.writeIvfLayout(p08Normalized(docs), out,
       k = P08Cells, iters = 10)
     val diff = Dedup.d14SnapshotCdc(spark, dir).select("doc_id", "change_type")
@@ -465,26 +465,27 @@ object Pipeline {
       Seq("doc_id"), "left_semi"))
     Similarity.appendIvfCorpusWith(cents, out, reEmbed,
       spark.read.parquet(out).columns.toSet)
+    // materialize the |queries|×k result eagerly: the scoped layout is
+    // deleted when this returns (TempDirs.scoped contract)
     Similarity.ivfStoredTopK(spark, out, p08QuerySet(docs), k = 10)
-      .orderBy("query_id", "rnk")
+      .orderBy("query_id", "rnk").localCheckpoint(true)
   }
 
   /** The rebuild twin: snapshot B's embeddings written from scratch
     * under the SAME deterministic codebook fit (the fit sees snapshot
     * A, exactly as the incremental path's step 1 did). Called by
     * Verify to compute the `p08_eq_fullrebuild` invariant. */
-  private[graft] def p08FullRebuildProbe(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def p08FullRebuildProbe(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-p08-rebuild") { root =>
     val docs = Tables.documents(spark, dir)
-    val fitDir = java.nio.file.Files.createTempDirectory("graft-p08-fit")
-      .resolve("index").toString
+    val fitDir = root.resolve("fit/index").toString
     val cents = Similarity.writeIvfLayout(p08Normalized(docs), fitDir,
       k = P08Cells, iters = 10)
-    val out = java.nio.file.Files.createTempDirectory("graft-p08-rebuild")
-      .resolve("index").toString
+    val out = root.resolve("index").toString
     Similarity.writeIvfLayoutWith(cents,
       p08Normalized(Dedup.cdcSnapshotBText(docs)), out)
     Similarity.ivfStoredTopK(spark, out, p08QuerySet(docs), k = 10)
-      .orderBy("query_id", "rnk")
+      .orderBy("query_id", "rnk").localCheckpoint(true)
   }
 
   /** p10 gate: INCREMENTAL inverted-index maintenance over the CDC
@@ -510,27 +511,37 @@ object Pipeline {
     * additionally pins frame-level equality with a from-scratch
     * rebuild and the tombstone/compact/append interleaving. */
   def p10IncrementalPostings(spark: SparkSession, dir: String): DataFrame =
-    TextOps.postingsReport(spark, p10Maintain(spark, dir))
+    graft.core.TempDirs.scoped("graft-p10") { root =>
+      // |vocab|-bounded report materialized eagerly; the scoped layout
+      // is deleted when this returns
+      TextOps.postingsReport(spark,
+        p10MaintainAt(spark, dir, root.resolve("postings").toString))
+        .localCheckpoint(true)
+    }
 
-  /** The maintenance loop itself, returning the maintained layout path
-    * — split out so PostingsSpec can pin frame-level equality with a
-    * from-scratch rebuild of snapshot B. */
-  private[graft] def p10Maintain(spark: SparkSession, dir: String): String = {
+  /** The maintenance loop on a fresh process-root layout (cleaned at
+    * JVM exit), returning the maintained path — split out so
+    * PostingsSpec can pin frame-level equality with a from-scratch
+    * rebuild of snapshot B. */
+  private[graft] def p10Maintain(spark: SparkSession, dir: String): String =
+    p10MaintainAt(spark, dir,
+      graft.core.TempDirs.create("graft-p10").resolve("postings").toString)
+
+  private def p10MaintainAt(spark: SparkSession, dir: String, out: String): String = {
     val docs = Tables.documents(spark, dir)
-    val out = java.nio.file.Files.createTempDirectory("graft-p10")
-      .resolve("postings").toString
     TextOps.writePostingsLayout(spark, docs, out)
     val diff = Dedup.d14SnapshotCdc(spark, dir).select("doc_id", "change_type")
     val dirty = diff.filter(col("change_type").isin("deleted", "changed"))
       .select("doc_id")
-    // per-term df delta of the OUTGOING postings — materialized
-    // EAGERLY (localCheckpoint): it reads the files the compaction
-    // below replaces, so a lazy plan would re-scan the post-swap
-    // directory and see nothing to remove
-    val removed = spark.read.parquet(out)
-      .join(broadcast(dirty), Seq("doc_id"), "left_semi")
+    // per-term df delta of the OUTGOING postings, tokenized from the
+    // BEFORE-IMAGE (snapshot A's text for the dirty docs) — a doc's
+    // postings are a pure function of its text, so this equals the
+    // stored rows without scanning the index (st23's shape: the delta
+    // is |diff|-proportional, and nothing here races the compaction
+    // below because the index is never read)
+    val removed = TextOps.postingsOf(
+        docs.join(broadcast(dirty), Seq("doc_id"), "left_semi"))
       .groupBy("term").agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
     TextOps.deleteFromPostings(spark, out, dirty)
     TextOps.compactPostings(spark, out)
     val reTok = Dedup.cdcSnapshotBText(docs)

@@ -186,7 +186,7 @@ object QualityModel {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[analytics] def modelArtifact(spark: SparkSession, dir: String): String =
     modelArtifacts.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-quality").toString
+      val out = graft.core.TempDirs.create("graft-quality").toString
       writeQualityModel(spark, dir, out)
       out
     })

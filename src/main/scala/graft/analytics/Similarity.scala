@@ -544,8 +544,8 @@ object Similarity {
     * invariants are unaffected by the materialization. */
   private[graft] def knnEdges(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(knnEdgeDirs.computeIfAbsent(dir, { _ =>
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-knn-edges").toString + "/edges"
+      val out = graft.core.TempDirs
+        .create("graft-knn-edges").toString + "/edges"
       knnGraphExact(Dedup.normalizedVectors(spark, dir), k = 5)
         .write.mode("overwrite").parquet(out)
       out
@@ -975,15 +975,15 @@ object Similarity {
     * audit asserts about the 100 TB layout, this gate demonstrates:
     * the probe scan carries the probed cells as partition filters
     * against directories on disk. */
-  def s09IvfStoredProbe(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft-ivf-corpus")
-      .resolve("corpus").toString
+  def s09IvfStoredProbe(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-ivf-corpus") { root =>
+    val out = root.resolve("corpus").toString
     writeIvfCorpus(spark, dir, out)
     val stored = spark.read.parquet(out)
     val queries = stored.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     ivfStoredTopK(spark, out, queries, k = 10)
-      .orderBy("query_id", "rnk")
+      .orderBy("query_id", "rnk").localCheckpoint(true)
   }
 
   /** s12 gate: FILTERED vector search — top-k restricted to the
@@ -1024,9 +1024,9 @@ object Similarity {
     * lang statistics can match. Rows-only gate (k-means); Verify emits
     * `s13_recall10` against s12's exact filtered baseline, PlanSpec
     * pins `PartitionFilters` + `PushedFilters` on the one scan. */
-  def s13FilteredIvfStored(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft-ivf-filtered")
-      .resolve("corpus").toString
+  def s13FilteredIvfStored(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-ivf-filtered") { root =>
+    val out = root.resolve("corpus").toString
     val corpus = Dedup.normalizedVectors(spark, dir)
       .join(Tables.documents(spark, dir)
         .select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
@@ -1036,7 +1036,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     ivfStoredTopK(spark, out, queries, k = 10,
         where = Some(col("lang") === "en"))
-      .orderBy("query_id", "rnk")
+      .orderBy("query_id", "rnk").localCheckpoint(true)
   }
 
   // ---- stored IVF-PQ: the product-quantized index ON DISK ----
@@ -1154,15 +1154,15 @@ object Similarity {
     * exactly (Verify emits `s14_eq_s04`); rows-only gate (k-means).
     * PlanSpec pins cell PartitionFilters on BOTH the code scan and the
     * refine scan. */
-  def s14IvfPqStored(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft-ivfpq-corpus")
-      .resolve("corpus").toString
+  def s14IvfPqStored(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-ivfpq-corpus") { root =>
+    val out = root.resolve("corpus").toString
     writeIvfPqLayout(Dedup.normalizedVectors(spark, dir), out)
     val queries = spark.read.parquet(s"$out/_refine")
       .filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     ivfPqStoredTopK(spark, out, queries, k = 10)
-      .orderBy("query_id", "rnk")
+      .orderBy("query_id", "rnk").localCheckpoint(true)
   }
 
   /** Compact a [[writeIvfCorpus]] layout: rewrite each cell's
@@ -1229,9 +1229,9 @@ object Similarity {
     * `s11_recall10` invariant, and IvfAppendSpec pins append ==
     * one-shot-under-the-same-codebook equality plus the partition-
     * pruned probe surviving the append. */
-  def s11IvfAppend(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft-ivf-append")
-      .resolve("corpus").toString
+  def s11IvfAppend(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-ivf-append") { root =>
+    val out = root.resolve("corpus").toString
     val all = Dedup.normalizedVectors(spark, dir)
     writeIvfLayout(all.filter(col("vec_id") % 2 === 0), out, k = 16, iters = 10)
     appendIvfCorpus(spark, out,
@@ -1240,7 +1240,7 @@ object Similarity {
     val queries = stored.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
     ivfStoredTopK(spark, out, queries, k = 10)
-      .orderBy("query_id", "rnk")
+      .orderBy("query_id", "rnk").localCheckpoint(true)
   }
 
   /** User-facing ANN search over arbitrary frames: corpus

@@ -21,8 +21,7 @@ object StoreQueries {
   /** The deterministic golden fixture (same shape as the test suite's;
     * duplicated here because test sources aren't on the runtime
     * classpath). */
-  private def buildFixture(): java.nio.file.Path = {
-    val root = Files.createTempDirectory("graft-storeq")
+  private def buildFixture(root: java.nio.file.Path): java.nio.file.Path = {
     def put(rel: String, content: String): Unit = {
       val p = root.resolve(rel)
       Files.createDirectories(p.getParent)
@@ -52,31 +51,36 @@ object StoreQueries {
 
   /** Distributed catalog ingest over the fixture tree: listing +
     * reverse-parse on executors, then a catalog-DataFrame query. */
-  def av01CatalogIngest(spark: SparkSession, dir: String): DataFrame = {
-    val root = buildFixture()
-    val catalog = Catalog.ingest(spark, root.toString)
-    catalog.select(col("uri"), col("route"), col("project"), col("experiment"))
-      .orderBy("uri")
-  }
+  def av01CatalogIngest(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-storeq-av01") { tmp =>
+      val root = buildFixture(tmp)
+      val catalog = Catalog.ingest(spark, root.toString)
+      // the catalog frame parses the fixture files lazily — materialize
+      // before the scoped tree is deleted
+      catalog.select(col("uri"), col("route"), col("project"), col("experiment"))
+        .orderBy("uri").localCheckpoint(true)
+    }
 
   /** Cross-backend copy ETL: fixture json store → Spark TableStore,
     * verified cardinality, per-route counts. */
-  def av02CopyEtl(spark: SparkSession, dir: String): DataFrame = {
+  def av02CopyEtl(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-storeq-av02") { tmp =>
     import spark.implicits._
-    val root = buildFixture()
+    val root = buildFixture(tmp.resolve("fixture"))
     val src = new JsonFileStore(root.toString)
-    val dst = new TableStore(spark, Files.createTempDirectory("graft-storeq-tbl").toString)
+    val dst = new TableStore(spark, tmp.resolve("tbl").toString)
     CopyDb.copyDbContents(src, dst)
     val counts = dst.query().groupBy(_.route.name).view.mapValues(_.size).toSeq.sorted
     src.close(); dst.close()
     counts.toDF("route", "n_assets").orderBy("route")
-  }
+    }
 
   /** Point-get + content-filter path through the store (the §3.1 read
     * lifecycle): filtered heatmap + filtered map via the typed API. */
-  def av03FilteredReads(spark: SparkSession, dir: String): DataFrame = {
+  def av03FilteredReads(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-storeq-av03") { tmp =>
     import spark.implicits._
-    val root = buildFixture()
+    val root = buildFixture(tmp)
     val db = new JsonFileStore(root.toString)
     val hm = db.getHeatmap("project", "experiment", "daily", "Europe", "2024") match {
       case graft.core.AssetValue.Json(s) => s
@@ -95,20 +99,21 @@ object StoreQueries {
     db.close()
     Seq(("heatmap_filtered", hm), ("map_filtered", mp), ("map_legacy_layout", legacy))
       .toDF("op", "result").orderBy("op")
-  }
+    }
 
   /** Distributed bulk import (one Spark job per asset table) with
     * cardinality verification; returns the imported catalog. */
-  def av04BulkImport(spark: SparkSession, dir: String): DataFrame = {
+  def av04BulkImport(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-storeq-av04") { tmp =>
     import spark.implicits._
-    val root = buildFixture()
+    val root = buildFixture(tmp.resolve("fixture"))
     val src = new JsonFileStore(root.toString)
-    val dst = new TableStore(spark, Files.createTempDirectory("graft-storeq-bulk").toString)
+    val dst = new TableStore(spark, tmp.resolve("bulk").toString)
     val n = CopyDb.bulkImport(spark, src, dst)
     val uris = dst.listAll().sorted
     src.close(); dst.close()
     uris.map(u => (u, n)).toDF("uri", "n_imported").orderBy("uri")
-  }
+    }
 
   /** Incremental catalog refresh end-to-end (the §2.6 listing surface
     * kept warm without re-walking): ingest the fixture, mutate it
@@ -118,9 +123,10 @@ object StoreQueries {
     * the refreshed catalog equals a from-scratch re-ingest. At millions
     * of assets this is the difference between a full tree re-parse per
     * sync and touching exactly the changed paths. */
-  def av05CatalogRefresh(spark: SparkSession, dir: String): DataFrame = {
+  def av05CatalogRefresh(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-storeq-av05") { tmp =>
     import spark.implicits._
-    val root = buildFixture()
+    val root = buildFixture(tmp)
     val c0 = spark.sparkContext.longAccumulator("av05-parse-initial")
     // localCheckpoint: freeze the rows so the post-mutation refresh
     // cannot silently re-run the initial parse against the mutated tree
@@ -150,7 +156,7 @@ object StoreQueries {
       ("e_deleted_asset_gone", if (dropped == 0) 1L else 0L),
       ("f_refresh_equals_reingest", if (eq) 1L else 0L),
     ).toDF("op", "value").orderBy("op")
-  }
+    }
 
   /** av06 gate: replica-consistency audit — the check an operator runs
     * after a cross-backend copy (or against a standing replica): diff
@@ -163,11 +169,12 @@ object StoreQueries {
     * orphan) must come back as exactly those three rows. At scale both
     * hash sets come from distributed catalog scans; the diff itself
     * shuffles (uri, hash) pairs only. */
-  def av06StoreDrift(spark: SparkSession, dir: String): DataFrame = {
+  def av06StoreDrift(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-storeq-av06") { tmp =>
     import spark.implicits._
-    val root = buildFixture()
+    val root = buildFixture(tmp.resolve("fixture"))
     val src = new JsonFileStore(root.toString)
-    val dst = new TableStore(spark, Files.createTempDirectory("graft-storeq-drift").toString)
+    val dst = new TableStore(spark, tmp.resolve("drift").toString)
     CopyDb.copyDbContents(src, dst)
     // Both hash sets come from DISTRIBUTED catalog scans — the json
     // backend via Catalog.contentHashes (Spark lists the tree,
@@ -197,7 +204,7 @@ object StoreQueries {
     val out = drift.collect().map(r => (r.getString(0), r.getString(1))).toSeq
     src.close(); dst.close()
     out.toDF("uri", "change_type").orderBy("uri")
-  }
+    }
 
   /** av07 gate: time-travel reads — the reproducibility contract a
     * training pipeline needs from its store: pin `snapshotSeq()`
@@ -208,10 +215,10 @@ object StoreQueries {
     * the marker), and a delete (still present at the marker). Free by
     * construction on the append log — nothing rewrites, so history
     * survives until compact(). */
-  def av07TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+  def av07TimeTravel(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-storeq-av07") { tmp =>
     import spark.implicits._
-    val db = new TableStore(spark,
-      Files.createTempDirectory("graft-storeq-travel").toString)
+    val db = new TableStore(spark, tmp.toString)
     db.putMenu("""{"gen": 1}""", "p", "e1")
     db.putMenu("""{"doomed": true}""", "p", "e2")
     val snap = db.snapshotSeq()
@@ -234,7 +241,7 @@ object StoreQueries {
       ("current_n_assets", db.listAll().size.toString))
     db.close()
     rows.toDF("op", "value").orderBy("op")
-  }
+    }
 
   /** av08 gate: the store→analytics BRIDGE — the corpus is bulk-loaded
     * into the TableStore as JSON assets (one distributed partitioned
@@ -248,10 +255,10 @@ object StoreQueries {
     * At 100 TB every step is distributed: the load is a partitioned
     * parquet append, the serve is a pruned scan of live rows, the
     * dedup shuffles 16-char hashes. */
-  def av08StoreServedDedup(spark: SparkSession, dir: String): DataFrame = {
+  def av08StoreServedDedup(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-storeq-av08") { tmp =>
     import org.apache.spark.sql.types._
-    val store = new TableStore(spark,
-      Files.createTempDirectory("graft-storeq-bridge").toString)
+    val store = new TableStore(spark, tmp.toString)
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
     store.bulkAppend("report", docs.select(
@@ -272,7 +279,7 @@ object StoreQueries {
     store.close()
     import spark.implicits._
     out.toDF("source", "n_unique", "n_removed").orderBy("source")
-  }
+    }
 
   /** av09 gate: retention vacuum — the missing middle between av07's
     * keep-everything time travel and compact()'s drop-everything:
@@ -285,10 +292,10 @@ object StoreQueries {
     * current state unchanged, and the physical row count strictly
     * smaller. This is the VACUUM RETAIN contract that lets a store
     * keep reproducible training snapshots without an unbounded log. */
-  def av09RetentionVacuum(spark: SparkSession, dir: String): DataFrame = {
+  def av09RetentionVacuum(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-storeq-av09") { tmp =>
     import spark.implicits._
-    val db = new TableStore(spark,
-      Files.createTempDirectory("graft-storeq-vacuum").toString)
+    val db = new TableStore(spark, tmp.toString)
     db.putMenu("""{"gen": 1}""", "p", "e1")
     db.putMenu("""{"doomed": true}""", "p", "e2")
     db.putMenu("""{"gen": 2}""", "p", "e1")          // pre-marker overwrite
@@ -326,7 +333,7 @@ object StoreQueries {
       ("g_log_shrunk", (rowsAfter < rowsBefore).toString))
     db.close()
     rows.toDF("op", "value").orderBy("op")
-  }
+    }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "av09_retention_vacuum" -> av09RetentionVacuum _,

@@ -56,9 +56,9 @@ object StreamingQueries {
     * per-experiment asset counts BACK OUT of the store's catalog —
     * the round trip proves the streaming ETL feeds the database the
     * reference's consumers would read. */
-  def st06StreamIngest(spark: SparkSession, dir: String): DataFrame = {
+  def st06StreamIngest(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-stream-ingest") { tmp =>
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-stream-ingest")
     val db = new graft.store.TableStore(spark, tmp.toString)
     try {
       EventStream.ingestEventsToStore(spark, dir, db)
@@ -366,18 +366,20 @@ object StreamingQueries {
     * codebook (trickle == one-shot == batch pinned in
     * StreamVecAppendSpec). Rows-only gate (k-means fit isn't
     * SQL-expressible). */
-  def st13StreamVecAppend(spark: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft-stream-vec-append")
-      .resolve("corpus").toString
+  def st13StreamVecAppend(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-stream-vec-append") { root =>
+    val out = root.resolve("corpus").toString
     // base index: the already-ingested even half, fit + written offline
     Similarity.writeIvfLayout(
       Dedup.normalizedVectors(spark, dir).filter(col("vec_id") % 2 === 0),
       out, k = 16, iters = 10)
     vecAppendDrive(spark, dir, out, None)
+    // |cells|-bounded occupancy report materialized eagerly; the scoped
+    // layout is deleted when this returns
     spark.read.parquet(out)
       .groupBy(col("cell").cast("long").as("cell"))
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("first_vec"))
-      .orderBy("cell")
+      .orderBy("cell").localCheckpoint(true)
   }
 
   /** The st13 drive: stream the odd vec_ids and append each microbatch
@@ -424,13 +426,13 @@ object StreamingQueries {
     * equal s03/s09 exactly (Verify emits `st15_eq_s03`);
     * StreamVecQuerySpec pins trickle == one-shot == batch and that
     * queries arriving AFTER an append see the appended vectors. */
-  def st15StreamVecQuery(spark: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-stream-vec-query")
+  def st15StreamVecQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-stream-vec-query") { root =>
     val out = root.resolve("corpus").toString
     val results = root.resolve("results").toString
     Similarity.writeIvfLayout(Dedup.normalizedVectors(spark, dir), out, k = 16, iters = 10)
     vecQueryDrive(spark, dir, out, results, None)
-    spark.read.parquet(results).orderBy("query_id", "rnk")
+    spark.read.parquet(results).orderBy("query_id", "rnk").localCheckpoint(true)
   }
 
   /** The st15 drive: stream the embeddings table, keep the standard
@@ -672,13 +674,13 @@ object StreamingQueries {
     // like the other shared artifacts; the STORE stays per-invocation
     // (each drive must ingest into a fresh one)
     val srcDir = st22FixtureDirs.computeIfAbsent(dir, { _ =>
-      val p = java.nio.file.Files.createTempDirectory("graft-st22-fixture")
+      val p = graft.core.TempDirs.create("graft-st22-fixture")
       Tables.events(spark, dir).repartitionByRange(4, col("ts"))
         .write.parquet(p.resolve("events.parquet").toString)
       p.toString
     })
-    val db = new graft.store.TableStore(spark,
-      java.nio.file.Files.createTempDirectory("graft-st22-store").toString)
+    graft.core.TempDirs.scoped("graft-st22-store") { storeDir =>
+    val db = new graft.store.TableStore(spark, storeDir.toString)
     try {
       val marker = EventStream.ingestEventsToStoreRetained(spark, srcDir.toString, db)
       require(marker >= 0, "stream produced too few batches to pin a marker")
@@ -691,7 +693,11 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_users"),
              Det.dround(sum(col("j.total")).cast("double"), 2).as("total_value"))
         .orderBy("experiment")
+        // |experiments|-bounded report materialized eagerly; the scoped
+        // store layout is deleted when this returns
+        .localCheckpoint(true)
     } finally db.close()
+    }
   }
 
   /** st23 gate: STREAMING inverted-index maintenance — p10's loop
@@ -714,12 +720,21 @@ object StreamingQueries {
     * oracle verbatim; PostingsSpec pins frame-level equality with the
     * batch loop's layout. */
   def st23StreamPostings(spark: SparkSession, dir: String): DataFrame =
-    TextOps.postingsReport(spark, streamMaintainPostings(spark, dir))
+    graft.core.TempDirs.scoped("graft-st23") { root =>
+      // |vocab|-bounded report materialized eagerly; the scoped layout
+      // is deleted when this returns
+      TextOps.postingsReport(spark, streamMaintainPostingsAt(spark, dir, root))
+        .localCheckpoint(true)
+    }
 
-  /** The st23 drive, returning the maintained layout path (split out
-    * for PostingsSpec's frame-level comparison with p10). */
-  private[graft] def streamMaintainPostings(spark: SparkSession, dir: String): String = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft-st23")
+  /** The st23 drive on a fresh process-root layout (cleaned at JVM
+    * exit), returning the maintained path (split out for PostingsSpec's
+    * frame-level comparison with p10). */
+  private[graft] def streamMaintainPostings(spark: SparkSession, dir: String): String =
+    streamMaintainPostingsAt(spark, dir, graft.core.TempDirs.create("graft-st23"))
+
+  private def streamMaintainPostingsAt(spark: SparkSession, dir: String,
+                                       tmp: java.nio.file.Path): String = {
     val out = tmp.resolve("postings").toString
     val docs = Tables.documents(spark, dir)
     TextOps.writePostingsLayout(spark, docs, out)

@@ -193,8 +193,8 @@ object TextOps {
 
   private[analytics] def ensurePostings(spark: SparkSession, dir: String): String =
     postingsDirs.computeIfAbsent(dir, { _ =>
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-postings").toString + "/postings"
+      val out = graft.core.TempDirs
+        .create("graft-postings").toString + "/postings"
       val pf = postingsOf(Tables.documents(spark, dir))
         .withColumn("bucket", postingsBucket(col("term")))
       pf.repartition(col("bucket"))
@@ -342,9 +342,12 @@ object TextOps {
         (coalesce(col("df"), lit(0L)) - coalesce(col("rem"), lit(0L)) +
           coalesce(col("add"), lit(0L))).as("df"))
       .filter(col("df") > 0)
-    val rows = merged.collect().toSeq
-    import spark.implicits._
-    rows.map(r => (r.getString(0), r.getLong(1))).toDF("term", "df")
+    // the merge READS `_df` and this write OVERWRITES it — cut the
+    // cycle by materializing eagerly as executor blocks
+    // (localCheckpoint), never by collecting |vocab| rows to the
+    // driver: a whitespace-token vocabulary is not codebook-sized at
+    // 100 TB
+    merged.localCheckpoint(true)
       .coalesce(1).write.mode("overwrite").parquet(out + "/_df")
   }
 

@@ -203,7 +203,7 @@ object UnigramTrain {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[analytics] def vocabArtifact(spark: SparkSession, dir: String): String =
     vocabArtifacts.computeIfAbsent(dir, _ => {
-      val out = java.nio.file.Files.createTempDirectory("graft-unigram")
+      val out = graft.core.TempDirs.create("graft-unigram")
         .resolve("_unigram_vocab").toString
       writeUnigramVocab(spark, dir, out)
       out

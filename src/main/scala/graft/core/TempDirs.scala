@@ -1,0 +1,50 @@
+package graft.core
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Process-scoped temp-directory discipline for every gate-local and
+  * shared-artifact layout this library writes.
+  *
+  * Two leak classes this closes (r11 audit: 7,499 stray `/tmp/graft-*`
+  * dirs, 2.6 GB, accumulated across rounds):
+  *  - per-invocation layouts that outlive their gate → callers use
+  *    [[scoped]] (try/finally delete);
+  *  - per-(JVM, dataset) shared artifacts that legitimately live for
+  *    the process but used to survive it → everything allocates under
+  *    ONE per-process root ([[create]]) removed by a shutdown hook, so
+  *    even a killed JVM leaves exactly one directory, and stray roots
+  *    from hard-killed processes are one `rm -rf /tmp/graft-tmp` away.
+  */
+object TempDirs {
+
+  /** The per-process root: `$TMPDIR/graft-tmp/<pid>-<token>`. Created
+    * on first use; a shutdown hook deletes the whole tree at JVM exit
+    * (by then every Spark job is done — gates never hand frames across
+    * process boundaries). */
+  lazy val processRoot: Path = {
+    val r = Files.createTempDirectory(
+      Files.createDirectories(
+        Paths.get(System.getProperty("java.io.tmpdir"), "graft-tmp")),
+      ProcessHandle.current().pid().toString + "-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try DirSwap.deleteTree(r) catch { case _: Throwable => () },
+      "graft-tempdirs-cleanup"))
+    r
+  }
+
+  /** A fresh unique directory under the process root — for shared
+    * artifacts memoized per (JVM, dataset). Lives until JVM exit. */
+  def create(prefix: String): Path =
+    Files.createTempDirectory(processRoot, prefix)
+
+  /** A gate-local directory deleted when `body` returns or throws.
+    * Callers must MATERIALIZE anything derived from the layout before
+    * returning (collect / localCheckpoint / copy into a surviving
+    * store) — a lazy DataFrame over a deleted path fails at action
+    * time. */
+  def scoped[T](prefix: String)(body: Path => T): T = {
+    val d = create(prefix)
+    try body(d)
+    finally try DirSwap.deleteTree(d) catch { case _: Throwable => () }
+  }
+}

@@ -46,7 +46,7 @@ final class TableStore(spark: SparkSession, basedirRaw: String) extends AssetSto
     * connections. */
   private val ephemeral = basedirRaw == ":memory:"
   val basedir: String =
-    if (ephemeral) Files.createTempDirectory("graft-memdb").toAbsolutePath.toString
+    if (ephemeral) graft.core.TempDirs.create("graft-memdb").toAbsolutePath.toString
     else Paths.get(basedirRaw).toAbsolutePath.toString
   Files.createDirectories(Paths.get(basedir))
   recoverInterruptedRewrites()

@@ -397,18 +397,44 @@ object EventStream {
     * shared session. Queries that DO emit on watermark advance
     * (event-time timeouts, append-mode aggregation) must not use these
     * helpers. */
-  private[graft] def boundedDriveSession(spark: SparkSession): SparkSession = {
-    val s = spark.newSession()
-    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    // a streaming query's state-store partition count is frozen at
-    // start (unlike batch, AQE cannot right-size it later), and every
-    // microbatch pays per-partition store open/commit across ALL
-    // stateful operators. Size it to the drive's state volume — for
-    // these bounded drives that is a few MB, so 8 partitions; a
-    // production deployment sizes this to rate × window before start.
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    s
-  }
+  private[graft] def boundedDriveSession(spark: SparkSession): SparkSession =
+    driveSessions.synchronized {
+      val hit = driveSessions.get(spark)
+      if (hit != null) hit
+      else {
+        val s = spark.newSession()
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        // a streaming query's state-store partition count is frozen at
+        // start (unlike batch, AQE cannot right-size it later), and every
+        // microbatch pays per-partition store open/commit across ALL
+        // stateful operators. Size it to the drive's state volume — for
+        // these bounded drives that is a few MB, so 8 partitions; a
+        // production deployment sizes this to rate × window before start.
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        // Spark 4's checkpoint-file checksums (on by default) spin up a
+        // 32-thread ChecksumCheckpointFileManager pool PER STARTED QUERY
+        // that outlives q.stop() — measured +32 threads per drive
+        // (AgingProbe: 124 → 1393 threads over 30 drives), the r11
+        // warm-pass "JVM aging". For bounded drives over TEMP checkpoints
+        // (deleted at stop) a corruption checksum protects nothing, so
+        // turn it off rather than pay an unbounded thread leak.
+        s.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+        driveSessions.put(spark, s)
+        s
+      }
+    }
+
+  /** ONE drive clone per parent session, not one per drive: every
+    * session that ever starts a streaming query registers a
+    * StreamingQueryListenerBus on the shared LiveListenerBus (measured
+    * +2 listeners per drive when cloning per drive) and retains its own
+    * SessionState — on a long-lived driver running hundreds of drives
+    * that is unbounded growth. Memory-sink names are UUID-unique, so
+    * concurrent drives coexist on the shared clone; keys are weak so a
+    * test suite's session can still be collected (the clone holds no
+    * reference back to its parent). */
+  private val driveSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
 
   /** Run an append-mode streaming query to completion over the bounded
     * file source and return the sink table. `mkDf` receives the
@@ -423,7 +449,19 @@ object EventStream {
       .start()
     q.processAllAvailable()
     q.stop()
-    s.table(queryName)
+    detachSinkTable(s, queryName)
+  }
+
+  /** Resolve the memory-sink table EAGERLY (`table()` runs the
+    * analyzer, binding the plan to the sink relation itself), then drop
+    * the temp view: the snapshot's rows stay alive exactly as long as
+    * the returned DataFrame instead of as long as the drive session's
+    * catalog — on the shared drive clone an undropped view would pin
+    * every drive's snapshot for the life of the driver. */
+  private def detachSinkTable(s: SparkSession, queryName: String): DataFrame = {
+    val out = s.table(queryName)
+    s.catalog.dropTempView(queryName)
+    out
   }
 
   /** Run a streaming aggregation to completion over the bounded file
@@ -439,7 +477,7 @@ object EventStream {
       .start()
     q.processAllAvailable()
     q.stop()
-    s.table(queryName)
+    detachSinkTable(s, queryName)
   }
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -34,7 +34,7 @@ object ScaleProbe {
     val storeOnly = sys.env.get("SPARK_GRAFT_PROBE").contains("store")
 
     if (!storeOnly) {
-    val big = java.nio.file.Files.createTempDirectory(s"graft-scale-x$rep").toString
+    val big = graft.core.TempDirs.create(s"graft-scale-x$rep").toString
     def reps = spark.range(rep).select(col("id").as("_rep"))
 
     // documents: doc_id offset per replica + a replica suffix token so
@@ -191,7 +191,7 @@ object ScaleProbe {
     // in nProbe (each step scans proportionally more cell dirs).
     if (!storeOnly && sys.env.get("SPARK_GRAFT_ONLY").forall(_.contains("ivf_stored"))) {
       import graft.analytics.Similarity
-      val out = java.nio.file.Files.createTempDirectory("graft-ivf-probe")
+      val out = graft.core.TempDirs.create("graft-ivf-probe")
         .resolve("corpus").toString
       Similarity.writeIvfCorpus(spark, sfDir, out)
       val queries = spark.read.parquet(out)
@@ -218,7 +218,7 @@ object ScaleProbe {
     // grows with total store size, the partitioning is broken.
     {
       val db = new graft.store.TableStore(spark,
-        java.nio.file.Files.createTempDirectory("graft-scale-store").toString)
+        graft.core.TempDirs.create("graft-scale-store").toString)
       val projects = (0 until 8).map(i => s"p$i")
       val experiments = (0 until 5).map(i => s"e$i")
       for (p <- projects; e <- experiments)

@@ -102,7 +102,7 @@ class BpeTrainSpec extends AnyFunSuite {
 
   test("merge table is a persisted artifact: trained once per corpus, read back exactly") {
     // explicit artifact round trip
-    val out = java.nio.file.Files.createTempDirectory("graft-bpe-artifact")
+    val out = graft.core.TempDirs.create("graft-bpe-artifact")
       .resolve("_bpe_merges").toString
     BpeTrain.writeBpeMerges(spark, dir, out)
     val viaArtifact = BpeTrain.readBpeMerges(spark, out)

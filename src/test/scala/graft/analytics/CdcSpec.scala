@@ -65,7 +65,7 @@ class CdcSpec extends AnyFunSuite {
 
   test("trickled multi-file arrival equals the one-shot result") {
     import java.nio.file.{Files, Paths}
-    val tmp = Files.createTempDirectory("graft-stream-cdc")
+    val tmp = graft.core.TempDirs.create("graft-stream-cdc")
     val staging = s"$tmp/staging"
     spark.read.parquet(s"$dir/documents.parquet").repartition(3)
       .write.parquet(staging)

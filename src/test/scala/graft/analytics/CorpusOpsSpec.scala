@@ -70,7 +70,7 @@ class CorpusOpsSpec extends AnyFunSuite {
       (2L, "common word word", "en", "s", 0L),
       (3L, "common word apple", "en", "s", 0L)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-t13").toString
+    val tmp = graft.core.TempDirs.create("graft-t13").toString
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val got = TextOps.t13Tfidf(spark, tmp)
       .select("doc_id", "rank", "term").collect()
@@ -177,7 +177,7 @@ class CorpusOpsSpec extends AnyFunSuite {
       (3L, good.replace("the of and", "x ".repeat(50).trim), "en", "s", 0L), // no stopword
       (4L, good + " " + "y".repeat(80), "en", "s", 0L)             // long token
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-t15").toString
+    val tmp = graft.core.TempDirs.create("graft-t15").toString
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val r = TextOps.t15QualityFilter(spark, tmp).collect().head
     assert(r.getAs[Long]("n_docs") == 4L)
@@ -203,7 +203,7 @@ class CorpusOpsSpec extends AnyFunSuite {
 
   test("writeShards materializes one sorted file per shard within budget") {
     val docs = Tables.documents(spark, dir)
-    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val out = graft.core.TempDirs.create("graft-shards").toString
     val budget = 2000L
     val written = TextPrep.writeShards(docs, out, budget)
     assert(written == docs.count())
@@ -225,7 +225,7 @@ class CorpusOpsSpec extends AnyFunSuite {
 
   test("writeJsonlShards round-trips every document through the trainer format") {
     val docs = Tables.documents(spark, dir)
-    val out = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val out = graft.core.TempDirs.create("graft-jsonl").toString
     val written = TextPrep.writeJsonlShards(docs, out, budget = 2000L)
     assert(written == docs.count())
     // read back as JSON: every doc's text survives byte-for-byte
@@ -247,7 +247,7 @@ class CorpusOpsSpec extends AnyFunSuite {
 
   test("readJsonlCorpus: declared-schema ingest, corrupt lines quarantined not fatal") {
     val docs = Tables.documents(spark, dir)
-    val out = java.nio.file.Files.createTempDirectory("graft-jsonl-in").toString
+    val out = graft.core.TempDirs.create("graft-jsonl-in").toString
     TextPrep.writeJsonlShards(docs, out, budget = 2000L)
     // plant a malformed line among the shards
     java.nio.file.Files.writeString(
@@ -273,7 +273,7 @@ class CorpusOpsSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text"),
         size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
-    val out = java.nio.file.Files.createTempDirectory("graft-csv-in")
+    val out = graft.core.TempDirs.create("graft-csv-in")
       .resolve("corpus").toString
     docs.repartition(2).write.option("header", "true")
       .option("quote", "\"").option("escape", "\"").csv(out)
@@ -311,7 +311,7 @@ class CorpusOpsSpec extends AnyFunSuite {
       (3L, passage + prose(45, 'n', 't') + passage, "en", "src1", 0L),              // two copies, split spans
       (4L, prose(200, 'u', 'z'), "en", "src1", 0L)                                  // untouched
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-d09").toString
+    val tmp = graft.core.TempDirs.create("graft-d09").toString
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val got = Dedup.d09ExactSubstr(spark, tmp).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
@@ -385,7 +385,7 @@ class CorpusOpsSpec extends AnyFunSuite {
       (1L, repetitive, "en", "src0", 0L),
       (2L, diverse, "en", "src0", 0L)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-t21").toString
+    val tmp = graft.core.TempDirs.create("graft-t21").toString
     planted.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val p = TextOps.t21LmPerplexity(spark, tmp).collect()
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
@@ -401,7 +401,7 @@ class CorpusOpsSpec extends AnyFunSuite {
       (2L, s"intro words then $passage and a tail", "en", "src1", 0L), // contaminated
       (3L, "completely unrelated text with many fresh tokens", "en", "src1", 0L)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-t14").toString
+    val tmp = graft.core.TempDirs.create("graft-t14").toString
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val got = TextOps.t14Decontamination(spark, tmp).collect()
     assert(got.map(_.getLong(0)).toSeq == Seq(2L))
@@ -441,7 +441,7 @@ class CorpusOpsSpec extends AnyFunSuite {
       (3L to 40L).map(i => (i, s"filler text number $i with token $i")))
       .map { case (id, tx) => (id, tx, "en", "src0", 0L) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val tmp = java.nio.file.Files.createTempDirectory("graft-t23").toString
+    val tmp = graft.core.TempDirs.create("graft-t23").toString
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     // per-doc split assignment mirrors the operator's content-hash gate
     val h = substring(md5(col("text")), 1, 2)
@@ -487,7 +487,7 @@ class CorpusOpsSpec extends AnyFunSuite {
     // numerator: a corpus where one 5-gram is planted in 3 of 4 docs
     // (twice in one of them) must rank it first with exact counts
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-t26").toString
+    val tmp = graft.core.TempDirs.create("graft-t26").toString
     val planted = "alpha beta gamma delta epsilon"
     Seq(
       (0L, s"$planted one two three four five six", "en", "src0", 1L),

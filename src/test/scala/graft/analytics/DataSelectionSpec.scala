@@ -13,7 +13,7 @@ class DataSelectionSpec extends AnyFunSuite {
 
   private def writeDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
     import spark.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft-dsel").toString
+    val tmp = graft.core.TempDirs.create("graft-dsel").toString
     rows.toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     tmp

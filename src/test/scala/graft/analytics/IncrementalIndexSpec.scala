@@ -19,7 +19,7 @@ class IncrementalIndexSpec extends AnyFunSuite {
 
   test("tombstones hide ids at probe time; compaction makes it physical") {
     import java.nio.file.{Files, Paths}
-    val out = Files.createTempDirectory("graft-del-spec").resolve("index").toString
+    val out = graft.core.TempDirs.create("graft-del-spec").resolve("index").toString
     val vecs = Dedup.normalizedVectors(spark, dir)
     Similarity.writeIvfLayout(vecs, out, k = 8, iters = 5)
     val queries = vecs.filter(col("vec_id") % 100 === 0)
@@ -61,7 +61,7 @@ class IncrementalIndexSpec extends AnyFunSuite {
   test("interleaved delete/append: snapshot probes, same-epoch suppression, post-compact resurrection") {
     import java.nio.file.Files
     import spark.implicits._
-    val out = Files.createTempDirectory("graft-interleave-spec").resolve("index").toString
+    val out = graft.core.TempDirs.create("graft-interleave-spec").resolve("index").toString
     val vecs = Dedup.normalizedVectors(spark, dir)
     val nLive = vecs.count()
     Similarity.writeIvfLayout(vecs, out, k = 8, iters = 5)

@@ -15,7 +15,7 @@ class IvfAppendSpec extends AnyFunSuite {
 
   test("append == one-shot under the same codebook; base files untouched; probe pruned") {
     import java.nio.file.{Files, Paths}
-    val tmp = Files.createTempDirectory("graft-ivf-append-spec")
+    val tmp = graft.core.TempDirs.create("graft-ivf-append-spec")
     val out = s"$tmp/grown"
     val all = Dedup.normalizedVectors(spark, dir)
     Similarity.writeIvfLayout(all.filter(col("vec_id") % 2 === 0), out, k = 8, iters = 5)
@@ -88,7 +88,7 @@ class IvfAppendSpec extends AnyFunSuite {
 
   test("interleaved append/probe/compact loses nothing; crashed-run leftovers are cleared") {
     import java.nio.file.{Files, Paths}
-    val tmp = Files.createTempDirectory("graft-ivf-interleave-spec")
+    val tmp = graft.core.TempDirs.create("graft-ivf-interleave-spec")
     val out = s"$tmp/corpus"
     val all = Dedup.normalizedVectors(spark, dir)
     Similarity.writeIvfLayout(all.filter(col("vec_id") % 4 === 0), out, k = 8, iters = 5)
@@ -138,7 +138,7 @@ class IvfAppendSpec extends AnyFunSuite {
 
   test("append fails fast on a schema mismatch; metadata columns ride through") {
     import java.nio.file.Files
-    val tmp = Files.createTempDirectory("graft-ivf-schema-spec")
+    val tmp = graft.core.TempDirs.create("graft-ivf-schema-spec")
     val out = s"$tmp/corpus"
     // layout with a denormalized metadata column (the s13 shape)
     val corpus = Dedup.normalizedVectors(spark, dir)

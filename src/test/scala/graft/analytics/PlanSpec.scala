@@ -59,7 +59,7 @@ class PlanSpec extends AnyFunSuite {
     // query's probe scan prunes to nProbe of K directories — proven at
     // the plan level, like the TableStore point-read pruning. Uses the
     // production writer (s09's layout), not an ad-hoc write.
-    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-layout")
+    val tmp = graft.core.TempDirs.create("graft-ivf-layout")
     Similarity.writeIvfCorpus(spark, dir, s"$tmp/corpus")
     val stored = spark.read.parquet(s"$tmp/corpus")
     val cells = stored.select("cell").distinct()
@@ -78,7 +78,7 @@ class PlanSpec extends AnyFunSuite {
     // corpus scan must be partition-pruned to the query's nProbe cells —
     // not filtered post-scan, not a full-layout read
     import org.apache.spark.sql.functions.col
-    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-stored-plan")
+    val tmp = graft.core.TempDirs.create("graft-ivf-stored-plan")
     val out = s"$tmp/corpus"
     Similarity.writeIvfCorpus(spark, dir, out)
     // one query vector, supplied as a LOCAL frame so the ONLY scan of
@@ -266,7 +266,7 @@ class PlanSpec extends AnyFunSuite {
     // pays partition pruning and row-group predicate pushdown on the
     // SAME parquet scan — the 100 TB filtered-search story at the plan
     // level
-    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-filtered-plan")
+    val tmp = graft.core.TempDirs.create("graft-ivf-filtered-plan")
       .resolve("corpus").toString
     val corpus = Dedup.normalizedVectors(spark, dir)
       .join(Tables.documents(spark, dir)
@@ -292,7 +292,7 @@ class PlanSpec extends AnyFunSuite {
     // reads the raw-vector sidecar pruned to the SAME cells — both
     // scans partition-pruned, neither ever a full-layout read
     import org.apache.spark.sql.functions.col
-    val tmp = java.nio.file.Files.createTempDirectory("graft-ivfpq-plan")
+    val tmp = graft.core.TempDirs.create("graft-ivfpq-plan")
       .resolve("corpus").toString
     Similarity.writeIvfPqLayout(Dedup.normalizedVectors(spark, dir), tmp, k = 8, iters = 3)
     // one query vector as a LOCAL frame, so the only scans in the plan

@@ -19,7 +19,7 @@ class PostingsSpec extends AnyFunSuite {
 
   test("maintained postings equal a from-scratch rebuild of snapshot B, row for row") {
     val maintained = Pipeline.p10Maintain(spark, dir)
-    val rebuilt = Files.createTempDirectory("graft-p10-rebuild")
+    val rebuilt = graft.core.TempDirs.create("graft-p10-rebuild")
       .resolve("postings").toString
     TextOps.writePostingsLayout(spark,
       Dedup.cdcSnapshotBText(Tables.documents(spark, dir)), rebuilt)
@@ -42,7 +42,7 @@ class PostingsSpec extends AnyFunSuite {
     val docs = Seq(
       (0L, "alpha beta beta"), (1L, "beta gamma"),
       (2L, "alpha alpha"), (3L, "delta")).toDF("doc_id", "text")
-    val out = Files.createTempDirectory("graft-postings-life")
+    val out = graft.core.TempDirs.create("graft-postings-life")
       .resolve("postings").toString
     TextOps.writePostingsLayout(spark, docs, out)
     val before = rows(TextOps.postingsLive(spark, out))

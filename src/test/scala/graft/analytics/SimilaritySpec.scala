@@ -156,7 +156,7 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("writeIvfPqLayout: every vector coded exactly once, codes nibble-decode to per-subspace cells") {
     import org.apache.spark.sql.functions.col
-    val out = java.nio.file.Files.createTempDirectory("graft-ivfpq-roundtrip")
+    val out = graft.core.TempDirs.create("graft-ivfpq-roundtrip")
       .resolve("corpus").toString
     Similarity.writeIvfPqLayout(Dedup.normalizedVectors(spark, dir), out, k = 8, iters = 3)
     val codes = spark.read.parquet(out)
@@ -180,7 +180,7 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("writeIvfCorpus persists every vector exactly once, partitioned by its assigned cell") {
-    val out = java.nio.file.Files.createTempDirectory("graft-ivf-roundtrip")
+    val out = graft.core.TempDirs.create("graft-ivf-roundtrip")
       .resolve("corpus").toString
     val centroids = Similarity.writeIvfCorpus(spark, dir, out)
     assert(Similarity.readIvfCodebook(spark, out).map(_._1).toSeq ==

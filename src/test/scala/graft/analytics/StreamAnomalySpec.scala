@@ -30,7 +30,7 @@ class StreamAnomalySpec extends AnyFunSuite {
 
   test("trickled multi-file arrival equals the one-shot result") {
     import java.nio.file.{Files, Paths}
-    val tmp = Files.createTempDirectory("graft-stream-anomaly")
+    val tmp = graft.core.TempDirs.create("graft-stream-anomaly")
     val staging = s"$tmp/staging"
     // write through Tables.events so the splits carry the normalized
     // TimestampType ts — the probe then declares it directly

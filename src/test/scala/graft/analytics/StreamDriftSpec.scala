@@ -25,7 +25,7 @@ class StreamDriftSpec extends AnyFunSuite {
 
   test("trickled multi-file arrival equals the one-shot result") {
     import java.nio.file.{Files, Paths}
-    val tmp = Files.createTempDirectory("graft-stream-drift")
+    val tmp = graft.core.TempDirs.create("graft-stream-drift")
     val staging = s"$tmp/staging"
     spark.read.parquet(s"$dir/documents.parquet").repartition(3)
       .write.parquet(staging)

@@ -43,7 +43,7 @@ class StreamHeavyHittersSpec extends AnyFunSuite {
 
   test("trickled multi-file arrival still carries the guarantee") {
     import java.nio.file.{Files, Paths}
-    val tmp = Files.createTempDirectory("graft-stream-hh")
+    val tmp = graft.core.TempDirs.create("graft-stream-hh")
     val staging = s"$tmp/staging"
     spark.read.parquet(s"$dir/documents.parquet").repartition(4)
       .write.parquet(staging)

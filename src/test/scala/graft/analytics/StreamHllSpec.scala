@@ -22,7 +22,7 @@ class StreamHllSpec extends AnyFunSuite {
 
   test("trickled multi-file arrival equals the one-shot result") {
     import java.nio.file.{Files, Paths}
-    val tmp = Files.createTempDirectory("graft-stream-hll")
+    val tmp = graft.core.TempDirs.create("graft-stream-hll")
     val staging = s"$tmp/staging"
     Tables.events(spark, dir).repartition(3).write.parquet(staging)
     val parts = Files.list(Paths.get(staging)).toArray.map(_.toString)

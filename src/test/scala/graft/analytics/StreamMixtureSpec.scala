@@ -22,7 +22,7 @@ class StreamMixtureSpec extends AnyFunSuite {
 
   test("trickled multi-file arrival equals the one-shot result") {
     import java.nio.file.{Files, Paths}
-    val tmp = Files.createTempDirectory("graft-stream-mixture")
+    val tmp = graft.core.TempDirs.create("graft-stream-mixture")
     val staging = s"$tmp/staging"
     spark.read.parquet(s"$dir/documents.parquet").repartition(3)
       .write.parquet(staging)

@@ -36,7 +36,7 @@ class StreamNeardupSpec extends AnyFunSuite {
 
   test("trickled multi-file arrival equals the one-shot result") {
     import java.nio.file.{Files, Paths}
-    val tmp = Files.createTempDirectory("graft-stream-neardup")
+    val tmp = graft.core.TempDirs.create("graft-stream-neardup")
     val staging = s"$tmp/staging"
     spark.read.parquet(s"$dir/documents.parquet").repartition(3)
       .write.parquet(staging)

@@ -36,7 +36,7 @@ class StreamQualitySpec extends AnyFunSuite {
 
   test("trickled multi-file arrival equals the one-shot result") {
     import java.nio.file.{Files, Paths}
-    val tmp = Files.createTempDirectory("graft-stream-quality")
+    val tmp = graft.core.TempDirs.create("graft-stream-quality")
     val staging = s"$tmp/staging"
     spark.read.parquet(s"$dir/documents.parquet").repartition(3)
       .write.parquet(staging)

@@ -21,7 +21,7 @@ class StreamRollupSpec extends AnyFunSuite {
 
   test("trickled multi-file arrival equals the one-shot result") {
     import java.nio.file.{Files, Paths}
-    val tmp = Files.createTempDirectory("graft-stream-rollup")
+    val tmp = graft.core.TempDirs.create("graft-stream-rollup")
     val staging = s"$tmp/staging"
     Tables.events(spark, dir).repartition(3).write.parquet(staging)
     val parts = Files.list(Paths.get(staging)).toArray.map(_.toString)

@@ -30,7 +30,7 @@ class StreamVecAppendSpec extends AnyFunSuite {
     // batch expectation: full corpus assigned under a base codebook
     // fit the same way (even half, same k/iters — the fit is
     // deterministic, so codebooks agree across builds)
-    val tmp = Files.createTempDirectory("graft-stream-vec-append-spec")
+    val tmp = graft.core.TempDirs.create("graft-stream-vec-append-spec")
     val base = s"$tmp/base"
     val all = Dedup.normalizedVectors(spark, dir)
     Similarity.writeIvfLayout(all.filter(col("vec_id") % 2 === 0), base, k = 16, iters = 10)

@@ -20,7 +20,7 @@ class StreamVecQuerySpec extends AnyFunSuite {
 
   test("streamed probe equals the one-shot batch probe; trickle equals one-shot") {
     import java.nio.file.{Files, Paths}
-    val tmp = Files.createTempDirectory("graft-stream-vec-query-spec")
+    val tmp = graft.core.TempDirs.create("graft-stream-vec-query-spec")
     val out = s"$tmp/corpus"
     val all = Dedup.normalizedVectors(spark, dir)
     Similarity.writeIvfLayout(all, out, k = 16, iters = 10)
@@ -57,7 +57,7 @@ class StreamVecQuerySpec extends AnyFunSuite {
 
   test("queries arriving after an append see the appended vectors") {
     import java.nio.file.Files
-    val tmp = Files.createTempDirectory("graft-stream-vec-query-append")
+    val tmp = graft.core.TempDirs.create("graft-stream-vec-query-append")
     val out = s"$tmp/corpus"
     val all = Dedup.normalizedVectors(spark, dir)
     // base layout: even half only

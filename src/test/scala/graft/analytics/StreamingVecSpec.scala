@@ -34,7 +34,7 @@ class StreamingVecSpec extends AnyFunSuite {
 
   test("trickled multi-file arrival equals the one-shot result") {
     import java.nio.file.{Files, Paths}
-    val tmp = Files.createTempDirectory("graft-stream-vec")
+    val tmp = graft.core.TempDirs.create("graft-stream-vec")
     val staging = s"$tmp/staging"
     spark.read.parquet(s"$dir/embeddings.parquet").repartition(3)
       .write.parquet(staging)

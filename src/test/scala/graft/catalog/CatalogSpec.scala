@@ -12,7 +12,7 @@ import graft.store.{Fixture, JsonFileStore, SparkTestSession}
 class CatalogSpec extends AnyFunSuite {
 
   test("ingest matches store.query() URIs; catalog filters prune") {
-    val dir = Files.createTempDirectory("graft-catalog")
+    val dir = graft.core.TempDirs.create("graft-catalog")
     Fixture.build(dir)
     val spark = SparkTestSession.spark
     val store = new JsonFileStore(dir.toString)
@@ -31,7 +31,7 @@ class CatalogSpec extends AnyFunSuite {
     assert(heatmaps.count() == 1)
 
     // persisted metadata table round-trips and still prunes
-    val metaPath = Files.createTempDirectory("graft-catalog-meta").resolve("catalog").toString
+    val metaPath = graft.core.TempDirs.create("graft-catalog-meta").resolve("catalog").toString
     Catalog.persist(catalog, metaPath)
     val reloaded = Catalog.load(spark, metaPath)
     assert(reloaded.select("uri").collect().map(_.getString(0)).toSet == catalogUris)
@@ -41,7 +41,7 @@ class CatalogSpec extends AnyFunSuite {
   }
 
   test("incremental refresh picks up added and removed assets") {
-    val dir = Files.createTempDirectory("graft-catalog-refresh")
+    val dir = graft.core.TempDirs.create("graft-catalog-refresh")
     Fixture.build(dir)
     val spark = SparkTestSession.spark
     val prior = Catalog.ingest(spark, dir.toString).cache()
@@ -83,7 +83,7 @@ class CatalogSpec extends AnyFunSuite {
     // (both literal '%' and codec-produced '%XX'), '+', unicode,
     // parens. A double decode would corrupt '%41' into 'A'; a naive
     // java.net.URI parse throws on a raw space.
-    val dir = Files.createTempDirectory("graft-catalog-paths")
+    val dir = graft.core.TempDirs.create("graft-catalog-paths")
     val names = Seq(
       "plain.json",
       "with space.json",
@@ -107,7 +107,7 @@ class CatalogSpec extends AnyFunSuite {
     // percent) must survive store-write → binaryFile listing →
     // executor reverse-parse → catalog row, and the catalog's meta
     // must equal the original DECODED args
-    val dir = Files.createTempDirectory("graft-catalog-oddargs")
+    val dir = graft.core.TempDirs.create("graft-catalog-oddargs")
     val spark = SparkTestSession.spark
     val store = new JsonFileStore(dir.toString)
     val odd = Seq("loc with space", "pct%41", "a/b slash", "plus+and=eq")

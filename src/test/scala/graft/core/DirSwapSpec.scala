@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class DirSwapSpec extends AnyFunSuite {
 
   private def mkLayout(tag: String): String = {
-    val base = Files.createTempDirectory("graft-dirswap").resolve("layout")
+    val base = graft.core.TempDirs.create("graft-dirswap").resolve("layout")
     Files.createDirectories(base)
     Files.writeString(base.resolve("data"), tag)
     base.toString

@@ -11,15 +11,15 @@ import graft.store.{AssetStore, Fixture, JsonFileStore, SparkTestSession, TableS
 class CopySpec extends AnyFunSuite {
 
   private def jsonFixture(): AssetStore = {
-    val dir = Files.createTempDirectory("graft-copy-src")
+    val dir = graft.core.TempDirs.create("graft-copy-src")
     Fixture.build(dir)
     new JsonFileStore(dir.toString)
   }
   private def freshJson(): AssetStore =
-    new JsonFileStore(Files.createTempDirectory("graft-copy-dst").toString)
+    new JsonFileStore(graft.core.TempDirs.create("graft-copy-dst").toString)
   private def freshTable(): AssetStore =
     new TableStore(SparkTestSession.spark,
-      Files.createTempDirectory("graft-copy-tbl").toString)
+      graft.core.TempDirs.create("graft-copy-tbl").toString)
 
   private def checkCopy(mk: () => AssetStore): Unit = {
     val src = jsonFixture()
@@ -69,11 +69,11 @@ class CopySpec extends AnyFunSuite {
 
   test("bare *.db resource dispatches to the table_store backend") {
     import graft.store.StoreRegistry
-    val path = Files.createTempDirectory("graft-ext").resolve("data.db").toString
+    val path = graft.core.TempDirs.create("graft-ext").resolve("data.db").toString
     val db = StoreRegistry.open(path, Some(SparkTestSession.spark))
     assert(db.name == "table_store")
     db.close()
-    val json = StoreRegistry.open(Files.createTempDirectory("graft-plain").toString)
+    val json = StoreRegistry.open(graft.core.TempDirs.create("graft-plain").toString)
     assert(json.name == "json_files")
     json.close()
     // unknown engine prefix errors like the reference's KeyError

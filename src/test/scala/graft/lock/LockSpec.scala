@@ -28,7 +28,7 @@ class LockSpec extends AnyFunSuite {
   }
 
   test("6 concurrent writers, exact counter sum through the lock") {
-    val dir = Files.createTempDirectory("graft-lock")
+    val dir = graft.core.TempDirs.create("graft-lock")
     val counterFile = dir.resolve("counter")
     Files.writeString(counterFile, "0")
     val lockFile = dir.resolve("lockfile")
@@ -52,7 +52,7 @@ class LockSpec extends AnyFunSuite {
   }
 
   test("release from a non-acquiring thread works (no thread ownership)") {
-    val dir = Files.createTempDirectory("graft-lock")
+    val dir = graft.core.TempDirs.create("graft-lock")
     val lock = new FileAdvisoryLock(dir.resolve("lockfile")) // acquired on construction
     assert(lock.isLocked)
     var failure: Option[Throwable] = None
@@ -65,7 +65,7 @@ class LockSpec extends AnyFunSuite {
   }
 
   test("6 OS processes × 25 increments, exact counter through the file lock") {
-    val dir = Files.createTempDirectory("graft-lock-proc")
+    val dir = graft.core.TempDirs.create("graft-lock-proc")
     val counterFile = dir.resolve("counter")
     Files.writeString(counterFile, "0")
     val lockFile = dir.resolve("lockfile")

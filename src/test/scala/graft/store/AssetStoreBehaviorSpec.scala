@@ -239,6 +239,11 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Spark 4's per-query checkpoint-checksum pool never shuts down
+      // (see EventStream.boundedDriveSession) — specs that start streams
+      // directly would otherwise leak 32 threads per started query
+      // across the suite
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .withExtensions(new graft.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
@@ -251,7 +256,7 @@ class JsonFileStoreSpec extends AnyFunSuite with AssetStoreBehavior {
   def supportsFilePath = true
   def rmExperimentRemoves = 20
   def makeStore(): AssetStore = {
-    val dir = Files.createTempDirectory("graft-jsondb")
+    val dir = graft.core.TempDirs.create("graft-jsondb")
     Fixture.build(dir)
     new JsonFileStore(dir.toString)
   }
@@ -271,7 +276,7 @@ class JsonFileStoreSpec extends AnyFunSuite with AssetStoreBehavior {
 
   test("json_files: symlinked project dir reads through canonical paths") {
     // reference symlink case (tests/jsondb/test_jsonfiledb.py:22-26)
-    val dir = Files.createTempDirectory("graft-symlink")
+    val dir = graft.core.TempDirs.create("graft-symlink")
     Fixture.build(dir)
     val link = dir.resolve("linked-project")
     Files.createSymbolicLink(link, dir.resolve("project"))
@@ -383,11 +388,11 @@ class TableStoreSpec extends AnyFunSuite with AssetStoreBehavior {
   /** Fixture loaded via cross-backend copy, mirroring how the reference
     * builds its sqlite fixture (`scripts/build_sqlite_test_database.py`). */
   def makeStore(): AssetStore = {
-    val jsonDir = Files.createTempDirectory("graft-jsondb-src")
+    val jsonDir = graft.core.TempDirs.create("graft-jsondb-src")
     Fixture.build(jsonDir)
     val src = new JsonFileStore(jsonDir.toString)
     val dst = new TableStore(SparkTestSession.spark,
-      Files.createTempDirectory("graft-tablestore").toString)
+      graft.core.TempDirs.create("graft-tablestore").toString)
     CopyDb.copyDbContents(src, dst)
     src.close()
     dst

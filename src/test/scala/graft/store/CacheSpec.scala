@@ -13,7 +13,7 @@ import graft.core.{AccessType, AssetValue}
 class CacheSpec extends AnyFunSuite {
 
   private def store(): JsonFileStore = {
-    val dir = Files.createTempDirectory("graft-cache")
+    val dir = graft.core.TempDirs.create("graft-cache")
     Fixture.build(dir)
     new JsonFileStore(dir.toString)
   }

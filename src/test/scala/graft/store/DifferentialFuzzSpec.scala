@@ -63,10 +63,10 @@ class DifferentialFuzzSpec extends AnyFunSuite {
 
   test("seeded random op sequences are backend-equivalent") {
     val spark = SparkTestSession.spark
-    val jsonDir = Files.createTempDirectory("graft-fuzz-json")
+    val jsonDir = graft.core.TempDirs.create("graft-fuzz-json")
     val a: AssetStore = new JsonFileStore(jsonDir.toString)
     val b: AssetStore = new TableStore(spark,
-      Files.createTempDirectory("graft-fuzz-tbl").toString)
+      graft.core.TempDirs.create("graft-fuzz-tbl").toString)
     val rnd = new scala.util.Random(20260812L)
     try {
       var step = 0

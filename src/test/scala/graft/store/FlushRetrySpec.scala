@@ -14,7 +14,7 @@ class FlushRetrySpec extends AnyFunSuite {
 
   test("buffered rows survive a failing parquet write and flush later") {
     val spark = SparkTestSession.spark
-    val db = new TableStore(spark, Files.createTempDirectory("graft-flushretry").toString)
+    val db = new TableStore(spark, graft.core.TempDirs.create("graft-flushretry").toString)
     try {
       db.putMenu("""{"v": 1}""", "p", "e")
       db.putMenu("""{"v": 2}""", "p", "e")

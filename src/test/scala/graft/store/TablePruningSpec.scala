@@ -15,7 +15,7 @@ class TablePruningSpec extends AnyFunSuite {
 
   test("point-read filters become partition pruning on the menu log") {
     val spark = SparkTestSession.spark
-    val db = new TableStore(spark, Files.createTempDirectory("graft-prune").toString)
+    val db = new TableStore(spark, graft.core.TempDirs.create("graft-prune").toString)
     try {
       for (p <- Seq("p1", "p2", "p3"); e <- Seq("e1", "e2"))
         db.putMenu(s"""{"p": "$p", "e": "$e"}""", p, e)
@@ -43,7 +43,7 @@ class TablePruningSpec extends AnyFunSuite {
 
   test("partition pruning survives compaction") {
     val spark = SparkTestSession.spark
-    val db = new TableStore(spark, Files.createTempDirectory("graft-prune2").toString)
+    val db = new TableStore(spark, graft.core.TempDirs.create("graft-prune2").toString)
     try {
       // an append-heavy history: 4 superseding versions per key
       for (v <- 1 to 4; p <- Seq("p1", "p2", "p3"); e <- Seq("e1", "e2"))

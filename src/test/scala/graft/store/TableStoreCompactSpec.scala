@@ -12,7 +12,7 @@ class TableStoreCompactSpec extends AnyFunSuite {
 
   test("compaction preserves reads and drops superseded rows") {
     val spark = SparkTestSession.spark
-    val db = new TableStore(spark, Files.createTempDirectory("graft-compact").toString)
+    val db = new TableStore(spark, graft.core.TempDirs.create("graft-compact").toString)
     db.putMenu("""{"v": 1}""", "p", "e")
     db.putMenu("""{"v": 2}""", "p", "e")
     db.putMenu("""{"v": 3}""", "p", "e2")
@@ -38,7 +38,7 @@ class TableStoreCompactSpec extends AnyFunSuite {
     * the store must restore it before any read can observe the gap. */
   test("open recovers a rewrite crashed between the two renames") {
     val spark = SparkTestSession.spark
-    val basedir = Files.createTempDirectory("graft-crash").toString
+    val basedir = graft.core.TempDirs.create("graft-crash").toString
     val db = new TableStore(spark, basedir)
     db.putMenu("""{"v": 1}""", "p", "e")
     db.flushAll(); db.close()
@@ -66,7 +66,7 @@ class TableStoreCompactSpec extends AnyFunSuite {
     * touching the live data. */
   test("open clears completed-swap debris without touching live data") {
     val spark = SparkTestSession.spark
-    val basedir = Files.createTempDirectory("graft-debris").toString
+    val basedir = graft.core.TempDirs.create("graft-debris").toString
     val db = new TableStore(spark, basedir)
     db.putMenu("""{"v": 9}""", "p", "e")
     db.flushAll(); db.close()
@@ -88,7 +88,7 @@ class TableStoreCompactSpec extends AnyFunSuite {
     * healed from a planted crash state. */
   test("retention vacuum on a healed store preserves pinned reads") {
     val spark = SparkTestSession.spark
-    val basedir = Files.createTempDirectory("graft-heal-vacuum").toString
+    val basedir = graft.core.TempDirs.create("graft-heal-vacuum").toString
     val db = new TableStore(spark, basedir)
     db.putMenu("""{"v": 1}""", "p", "e")
     db.putMenu("""{"v": 2}""", "p", "e")

@@ -12,7 +12,7 @@ class TableStoreTimeTravelSpec extends AnyFunSuite {
 
   test("reads at a pinned marker see none of the later mutations") {
     val db = new TableStore(spark,
-      Files.createTempDirectory("graft-travel-spec").toString)
+      graft.core.TempDirs.create("graft-travel-spec").toString)
     db.putMenu("""{"gen": 1}""", "p", "e1")
     db.putMenu("""{"doomed": true}""", "p", "e2")
     val snap = db.snapshotSeq()
@@ -46,7 +46,7 @@ class TableStoreTimeTravelSpec extends AnyFunSuite {
 
   test("retention vacuum: reads at or after the marker survive, the log shrinks, point reads still prune") {
     val db = new TableStore(spark,
-      Files.createTempDirectory("graft-vacuum-spec").toString)
+      graft.core.TempDirs.create("graft-vacuum-spec").toString)
     db.putMenu("""{"gen": 1}""", "p", "e1")
     db.putMenu("""{"doomed": true}""", "p", "e2")
     db.putMenu("""{"gen": 2}""", "p", "e1")
@@ -83,7 +83,7 @@ class TableStoreTimeTravelSpec extends AnyFunSuite {
 
   test("blob assets time-travel too: the marker returns the old bytes") {
     val db = new TableStore(spark,
-      Files.createTempDirectory("graft-travel-blob").toString)
+      graft.core.TempDirs.create("graft-travel-blob").toString)
     db.putReportImage(Array[Byte](1, 2, 3), "p", "e", "img.png")
     val snap = db.snapshotSeq()
     db.putReportImage(Array[Byte](9, 9), "p", "e", "img.png")

@@ -20,7 +20,7 @@ class RecoverySpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
   test("restart from checkpoint neither duplicates nor loses windows") {
-    val tmp = Files.createTempDirectory("graft-recovery")
+    val tmp = graft.core.TempDirs.create("graft-recovery")
 
     // split events into 3 TIME-CONTIGUOUS single-file batches: files
     // must arrive roughly in event-time order or the watermark from an

@@ -32,7 +32,7 @@ class StreamingSpec extends AnyFunSuite {
     // Materialize both from the canonical fixture and drive st01's
     // daily aggregation through each.
     import java.nio.file.Files
-    val tmp = Files.createTempDirectory("graft-ts-generations")
+    val tmp = graft.core.TempDirs.create("graft-ts-generations")
     val canonical = graft.analytics.Tables.events(spark, dir)
     // micros generation: TIMESTAMP_NTZ writes as timestamp[us],
     // isAdjustedToUTC=false — the round-6 fixture shape
@@ -61,7 +61,7 @@ class StreamingSpec extends AnyFunSuite {
     // first file lands AFTER the stream starts — the footer probe must
     // fall back to a declared schema instead of refusing to start
     import java.nio.file.Files
-    val tmp = Files.createTempDirectory("graft-stream-empty")
+    val tmp = graft.core.TempDirs.create("graft-stream-empty")
     Files.createDirectories(tmp.resolve("events.parquet"))
     val s = spark.newSession()
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
@@ -86,7 +86,7 @@ class StreamingSpec extends AnyFunSuite {
     // result — the property the production file/Kafka path relies on
     import java.nio.file.{Files, Paths}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tmp = Files.createTempDirectory("graft-stream-files")
+    val tmp = graft.core.TempDirs.create("graft-stream-files")
     // three single-file splits, each named events.parquet so the
     // source's pathGlobFilter matches: $tmp/split{i}/events.parquet
     val staging = s"$tmp/staging"
@@ -222,7 +222,7 @@ class StreamingSpec extends AnyFunSuite {
     // one-shot drive — and in-line compaction must keep the append
     // log's live-file count bounded as batches accumulate.
     import java.nio.file.{Files, Paths}
-    val tmp = Files.createTempDirectory("graft-ingest-cumulative")
+    val tmp = graft.core.TempDirs.create("graft-ingest-cumulative")
     val staging = s"$tmp/staging"
     spark.read.parquet(s"$dir/events.parquet").repartition(4)
       .write.parquet(staging)
@@ -252,7 +252,7 @@ class StreamingSpec extends AnyFunSuite {
       finally walk.close()
     }
     def drive(src: String, mfpt: Option[Int], compactEvery: Int): (String, Map[(String, String), String], Int) = {
-      val base = Files.createTempDirectory("graft-ingest-store").toString
+      val base = graft.core.TempDirs.create("graft-ingest-store").toString
       val db = new graft.store.TableStore(spark, base)
       try {
         EventStream.ingestEventsToStore(spark, src, db, mfpt, compactEvery)
@@ -280,7 +280,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("streaming retention vacuum: pinned reads survive, live payloads unchanged, history collapses") {
     import java.nio.file.{Files, Paths}
-    val tmp = Files.createTempDirectory("graft-st22-spec")
+    val tmp = graft.core.TempDirs.create("graft-st22-spec")
     val staging = s"$tmp/staging"
     spark.read.parquet(s"$dir/events.parquet").repartition(4)
       .write.parquet(staging)
@@ -303,7 +303,7 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => ((r.getString(0), r.getString(1)), r.getString(2))).toMap
     }
     // reference drive: same slicing, no vacuum — full history kept
-    val plainBase = Files.createTempDirectory("graft-st22-plain").toString
+    val plainBase = graft.core.TempDirs.create("graft-st22-plain").toString
     val plainDb = new graft.store.TableStore(spark, plainBase)
     val plainRows = try {
       EventStream.ingestEventsToStore(spark, src, plainDb, Some(1), 0)
@@ -311,7 +311,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally plainDb.close()
     // retained drive: marker after batch 2, vacuums mid-stream and at
     // end (the drive itself requires the pinned view stable per vacuum)
-    val base = Files.createTempDirectory("graft-st22-ret").toString
+    val base = graft.core.TempDirs.create("graft-st22-ret").toString
     val db = new graft.store.TableStore(spark, base)
     try {
       val marker = EventStream.ingestEventsToStoreRetained(
