@@ -485,12 +485,10 @@ object Multimodal {
       .start()
     q.processAllAvailable()
     q.stop()
-    // newest generation per doc wins; rm rows delete — then group
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("gen").desc)
-    val live = spark.read.parquet(index)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1 && col("op") === "put")
+    // newest generation per doc wins; rm rows delete (the shared
+    // append-log resolution) — then group
+    val live = graft.core.SegmentedIndex.resolveNewest(
+        spark.read.parquet(index), keyCol = "doc_id", genCol = "gen", opCol = "op")
       .select("doc_id", "ahash")
     // |groups|-bounded report materialized eagerly; the scoped append
     // log is deleted when this returns
@@ -836,7 +834,10 @@ object Multimodal {
     * Attachment rule is deterministic (every 4th doc carries one
     * image), so the whole plan stays window arithmetic — no explode,
     * no join, and the oracle is exact SQL. Per lang: sequences needed,
-    * text vs image token split, multimodal doc count, spanning docs. */
+    * text vs image token split, multimodal doc count, spanning docs.
+    * SCALE TIER: [[m11ShardedInterleavedPacking]] — the same packing
+    * over (lang, shard) windows, for when a single language's window
+    * partition would serialize on one task at 100 TB. */
   def m08InterleavedPacking(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("lang").orderBy("doc_id")

@@ -886,13 +886,8 @@ object Similarity {
     * duplicated. Plain layout only; the PQ layout (codes + `_refine`)
     * keeps its own lifecycle. */
   def deleteFromIvfCorpus(spark: SparkSession, out: String, ids: DataFrame): Unit =
-    ids.select(col("vec_id").cast("long").as("vec_id"))
-      .coalesce(1).write.mode("append").parquet(s"$out/_tombstones")
-
-  private def tombstonesOf(spark: SparkSession, out: String): Option[DataFrame] = {
-    val p = new java.io.File(s"$out/_tombstones")
-    if (p.isDirectory) Some(spark.read.parquet(p.toString)) else None
-  }
+    graft.core.SegmentedIndex.tombstone(
+      ids.select(col("vec_id").cast("long").as("vec_id")), out, uptoGen = None)
 
   /** [[writeIvfLayout]] under a GIVEN codebook — no fit: assign cells
     * with `cents` and write the partitioned layout + codebook. The
@@ -958,8 +953,8 @@ object Similarity {
     // the sidecar is bounded by deletions since the last compaction,
     // so the anti-join probe side broadcasts; layouts without the
     // sidecar pay nothing
-    val pruned = tombstonesOf(spark, out).fold(pruned1)(t =>
-      pruned1.join(broadcast(t), Seq("vec_id"), "left_anti"))
+    val pruned = graft.core.SegmentedIndex.live(spark, pruned1, out,
+      keyCol = "vec_id", genCol = None)
     val scored = broadcast(probesOf(queries)).join(pruned, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -1190,35 +1185,16 @@ object Similarity {
     * (st13's drive) runs it inline between its own probes/appends,
     * never concurrently with them — IvfAppendSpec pins the interleaved
     * probe/append/compact sequence losing and duplicating nothing. */
-  def compactIvfCorpus(spark: SparkSession, out: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    import scala.util.Using
-    import graft.core.DirSwap
-    DirSwap.recover(out)
-    val tmp = DirSwap.compactingPath(out)
-    // compaction APPLIES tombstones: drop the deleted rows from the
-    // rewrite and leave the sidecar behind — after the swap the
-    // deletions are physical and the probe's anti-join disappears
-    val snap0 = spark.read.parquet(out)
-    val snap = tombstonesOf(spark, out).fold(snap0)(t =>
-      snap0.join(broadcast(t), Seq("vec_id"), "left_anti"))
-    snap
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
-    // sidecars are underscore-prefixed, so the snapshot read above
-    // never sees them — copy each one over verbatim (recursively: the
-    // PQ layout's `_refine` sidecar is itself cell-partitioned);
-    // `_tombstones` is the exception: it was just applied, so the
-    // compacted layout starts with a clean slate
-    Using.resource(Files.list(Paths.get(out))) { sides =>
-      sides.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("_") && Files.isDirectory(p)
-          && p.getFileName.toString != "_tombstones")
-        .foreach(side => DirSwap.copyTree(side, tmp.resolve(side.getFileName.toString)))
+  def compactIvfCorpus(spark: SparkSession, out: String): Unit =
+    // compaction APPLIES tombstones (the live view) and rewrites
+    // cell-partitioned; sidecar carry + tombstone clearing + the
+    // two-rename swap are the shared SegmentedIndex shell
+    graft.core.SegmentedIndex.compactWith(out) { tmp =>
+      graft.core.SegmentedIndex.live(spark, spark.read.parquet(out), out,
+          keyCol = "vec_id", genCol = None)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
     }
-    DirSwap.swapInto(out)
-  }
 
   /** s11 gate: incremental-ingest round trip — write a base layout
     * from the even vec_ids (the "already-indexed" corpus), APPEND the

@@ -245,15 +245,8 @@ object TextOps {
   private[analytics] def deleteFromPostings(spark: SparkSession, out: String,
                                             docIds: DataFrame,
                                             uptoGen: Long = Long.MaxValue): Unit =
-    docIds.select(col("doc_id")).distinct()
-      .withColumn("upto_gen", lit(uptoGen))
-      .coalesce(1).write.mode("append").parquet(out + "/_tombstones")
-
-  private def postingsTombstones(spark: SparkSession, out: String): Option[DataFrame] =
-    if (java.nio.file.Files.exists(java.nio.file.Paths.get(out, "_tombstones")))
-      Some(spark.read.parquet(out + "/_tombstones")
-        .groupBy("doc_id").agg(max(col("upto_gen")).as("upto_gen")))
-    else None
+    graft.core.SegmentedIndex.tombstone(docIds.select(col("doc_id")), out,
+      uptoGen = Some(uptoGen))
 
   /** Stored schema of a postings layout — read EXPLICITLY everywhere
     * so a fully-tombstoned, freshly-compacted layout (zero data files)
@@ -267,14 +260,10 @@ object TextOps {
   /** Live postings of a layout: stored rows minus tombstone-covered
     * generations (diff-bounded broadcast anti-join — disappears after
     * compaction). */
-  private[analytics] def postingsLive(spark: SparkSession, out: String): DataFrame = {
-    val raw = spark.read.schema(postingsSchema).parquet(out)
-    postingsTombstones(spark, out).fold(raw) { t =>
-      raw.join(broadcast(t.withColumnRenamed("doc_id", "_t_doc")),
-          col("doc_id") === col("_t_doc") && col("gen") <= col("upto_gen"),
-          "left_anti")
-    }
-  }
+  private[analytics] def postingsLive(spark: SparkSession, out: String): DataFrame =
+    graft.core.SegmentedIndex.live(spark,
+      spark.read.schema(postingsSchema).parquet(out), out,
+      keyCol = "doc_id", genCol = Some("gen"))
 
   private val dfSidecarSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType),
@@ -310,23 +299,11 @@ object TextOps {
     * carry every other underscore sidecar (`_df`) verbatim. The swap
     * is the shared crash-safe two-rename ([[graft.core.DirSwap]]) —
     * the TableStore/IVF discipline; single-maintainer, like both. */
-  private[analytics] def compactPostings(spark: SparkSession, out: String): Unit = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    import scala.util.Using
-    import graft.core.DirSwap
-    DirSwap.recover(out)
-    val tmp = DirSwap.compactingPath(out)
-    postingsLive(spark, out).repartition(col("term"))
-      .write.mode("overwrite").parquet(tmp.toString)
-    Using.resource(Files.list(Paths.get(out))) { sides =>
-      sides.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("_") && Files.isDirectory(p)
-          && p.getFileName.toString != "_tombstones")
-        .foreach(p => DirSwap.copyTree(p, tmp.resolve(p.getFileName.toString)))
+  private[analytics] def compactPostings(spark: SparkSession, out: String): Unit =
+    graft.core.SegmentedIndex.compactWith(out) { tmp =>
+      postingsLive(spark, out).repartition(col("term"))
+        .write.mode("overwrite").parquet(tmp)
     }
-    DirSwap.swapInto(out)
-  }
 
   /** Incremental `_df` sidecar maintenance: fold the diff's per-term
     * removed/added document counts into the stored counts — a

@@ -1,0 +1,110 @@
+package graft.core
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+import scala.util.Using
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The segmented-index lifecycle shared by every stored, incrementally
+  * maintained index in this library — inverted postings (p10/st23),
+  * the IVF vector corpus (p08/s11/st13), and the image-fingerprint
+  * append log (m12/st24):
+  *
+  *  - DELETE is an O(|diff|) tombstone append into a `_tombstones`
+  *    sidecar — no data file is touched. Tombstones are optionally
+  *    GENERATION-SCOPED (the Lucene per-segment delete): a tombstone
+  *    suppresses a key's rows at or below its `upto_gen`, so a
+  *    re-append at a higher generation is live immediately and a
+  *    streaming maintainer never needs a mid-stream compaction.
+  *  - LIVE is the stored rows minus tombstone-covered rows: a
+  *    broadcast anti-join bounded by the diff, gone after compaction.
+  *  - COMPACT rewrites the live rows into a sibling staging dir,
+  *    carries every other underscore sidecar verbatim, clears the
+  *    tombstones (the epoch boundary that makes same-key re-adds
+  *    safe), and publishes with [[DirSwap]]'s crash-safe two-rename.
+  *
+  * Index-specific policy stays with the owner: the stored schema, the
+  * rewrite's partitioning (term-hashed postings vs cell-partitioned
+  * IVF dirs), and probe semantics. Everything the three owners had
+  * triplicated — tombstone format, live anti-join, sidecar carry,
+  * swap discipline — lives here once. Single-maintainer, like every
+  * DirSwap owner: delete/append/compact are sequenced by one loop,
+  * never run concurrently with each other. */
+object SegmentedIndex {
+
+  /** Tombstone `keys` (one column, the index's key) in the layout at
+    * `out`. `uptoGen = Some(g)` writes generation-scoped tombstones;
+    * `None` writes plain key tombstones (suppress every generation —
+    * the IVF corpus's epoch-wide delete). One bounded file per call. */
+  def tombstone(keys: DataFrame, out: String, uptoGen: Option[Long]): Unit = {
+    val keyCol = keys.columns.head
+    val rows = keys.select(col(keyCol)).distinct()
+    uptoGen.fold(rows)(g => rows.withColumn("upto_gen", lit(g)))
+      .coalesce(1).write.mode("append").parquet(s"$out/_tombstones")
+  }
+
+  /** The accumulated tombstones, max-folded per key (a key deleted
+    * twice keeps the widest suppression), or None when the sidecar
+    * does not exist. `genScoped` must match how [[tombstone]] wrote
+    * them. */
+  def tombstonesOf(spark: SparkSession, out: String,
+                   genScoped: Boolean): Option[DataFrame] =
+    if (!Files.isDirectory(Paths.get(out, "_tombstones"))) None
+    else {
+      val raw = spark.read.parquet(s"$out/_tombstones")
+      Some(if (genScoped)
+        raw.groupBy(raw.columns.head).agg(max(col("upto_gen")).as("upto_gen"))
+      else raw.distinct())
+    }
+
+  /** `raw` minus tombstone-covered rows: the diff-bounded broadcast
+    * anti-join every probe/report pays between compactions. For
+    * gen-scoped layouts `genCol` names the stored generation column;
+    * a row is suppressed when its generation is at or below the
+    * tombstone's `upto_gen`. */
+  def live(spark: SparkSession, raw: DataFrame, out: String,
+           keyCol: String, genCol: Option[String]): DataFrame =
+    tombstonesOf(spark, out, genScoped = genCol.isDefined).fold(raw) { t =>
+      val ts = broadcast(t.withColumnRenamed(keyCol, "_t_key"))
+      genCol match {
+        case Some(g) => raw.join(ts,
+          col(keyCol) === col("_t_key") && col(g) <= col("upto_gen"), "left_anti")
+        case None => raw.join(ts, col(keyCol) === col("_t_key"), "left_anti")
+      }
+    }
+
+  /** The compaction shell every owner shares: heal a crashed prior
+    * swap, hand the caller the staging dir to write the rewrite into
+    * (the owner chooses partitioning), carry every underscore sidecar
+    * EXCEPT the just-applied `_tombstones` verbatim, and publish with
+    * the two-rename swap. */
+  def compactWith(out: String)(writeRewrite: String => Unit): Unit = {
+    DirSwap.recover(out)
+    val tmp = DirSwap.compactingPath(out)
+    writeRewrite(tmp.toString)
+    Using.resource(Files.list(Paths.get(out))) { sides =>
+      sides.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("_") && Files.isDirectory(p)
+          && p.getFileName.toString != "_tombstones")
+        .foreach(side => DirSwap.copyTree(side, tmp.resolve(side.getFileName.toString)))
+    }
+    DirSwap.swapInto(out)
+  }
+
+  /** Newest-generation-per-key resolution for APPEND-LOG indexes (the
+    * image-fingerprint log): (key, gen, op) rows where the newest
+    * generation wins and `op == "rm"` rows delete — the TableStore's
+    * newest-row-wins semantics applied to an index artifact, needing
+    * no tombstone sidecar at all. */
+  def resolveNewest(log: DataFrame, keyCol: String, genCol: String,
+                    opCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(genCol).desc)
+    log.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col(opCol) === "put")
+      .drop("_rn", genCol, opCol)
+  }
+}

@@ -1,0 +1,128 @@
+package graft.analytics
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only maintenance-scaling probe (test scope — not shipped): the
+  * incremental index-maintenance loops claim cost ∝ DIFF, never corpus
+  * — this prices that claim empirically. The corpus is replicated
+  * `REP`× (ScaleProbe's id-offset replicas) while the diff stays FIXED
+  * (the same ~200 ids at both scales); a diff-proportional loop then
+  * times near-flat from 1× to REP×.
+  *
+  *   SPARK_GRAFT_REP=10 sbt "Test/runMain graft.analytics.MaintenanceProbe"
+  *
+  * Probed loops and their expected shapes:
+  *  - postings maintenance (p10's ops: tombstone → diff append → df
+  *    sidecar fold): flat — tombstone/append are O(|diff|), the fold is
+  *    |vocab|-bounded. (Compaction is excluded: it is the amortized
+  *    corpus rewrite by design, priced by the store probes.)
+  *  - IVF corpus maintenance (p08's ops: tombstone → stored-codebook
+  *    diff append): flat — nothing reads the stored data files.
+  *  - kNN-edge maintenance (g07's maintainKnnEdges): LINEAR in corpus
+  *    (the admission test is one corpus scan against the broadcast
+  *    diff) — the receipt is ratio ≈ REP, against the N² rebuild's
+  *    ratio ≈ REP². The rebuild itself is not timed at REP× (that is
+  *    the quadratic baseline the maintenance path exists to avoid).
+  */
+object MaintenanceProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val rep = sys.env.getOrElse("SPARK_GRAFT_REP", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    // REP× replicas of the two corpus tables (ScaleProbe's recipe)
+    val big = graft.core.TempDirs.create(s"graft-maint-x$rep").toString
+    def reps = spark.range(rep).select(col("id").as("_rep"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDocs = docs.count()
+    docs.crossJoin(reps)
+      .withColumn("doc_id", col("doc_id") + col("_rep") * lit(nDocs))
+      .withColumn("text", concat(col("text"), lit(" rep"), col("_rep")))
+      .drop("_rep")
+      .repartition(32).write.mode("overwrite").parquet(s"$big/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nEmb = emb.count()
+    emb.crossJoin(reps)
+      .withColumn("vec_id", col("vec_id") + col("_rep") * lit(nEmb))
+      .drop("_rep")
+      .repartition(32).write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+
+    val DiffN = 200 // fixed diff: the same low ids exist at both scales
+
+    // ---- postings maintenance: tombstone + diff append + sidecar fold
+    def postingsMaint(dir: String): Double = {
+      val out = graft.core.TempDirs.create("graft-maint-postings")
+        .resolve("postings").toString
+      val corpus = Tables.documents(spark, dir)
+      TextOps.writePostingsLayout(spark, corpus, out) // untimed: the build
+      val diff = corpus.filter(col("doc_id") < DiffN)
+      val t0 = System.nanoTime()
+      TextOps.deleteFromPostings(spark, out, diff.select("doc_id"))
+      TextOps.appendPostings(diff, out)
+      val delta = TextOps.postingsOf(diff)
+        .groupBy("term").agg(count(lit(1)).as("n"))
+      TextOps.updateDfSidecar(spark, out, delta, delta)
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); dt
+    }
+
+    // ---- IVF corpus maintenance: tombstone + stored-codebook append
+    def ivfMaint(dir: String): Double = {
+      val out = graft.core.TempDirs.create("graft-maint-ivf")
+        .resolve("corpus").toString
+      Similarity.writeIvfLayout(Dedup.normalizedVectors(spark, dir),
+        out, k = 16, iters = 10) // untimed: the build + fit
+      val cents = Similarity.readIvfCodebook(spark, out)
+      val diff = Tables.embeddings(spark, dir).filter(col("vec_id") < DiffN)
+      val t0 = System.nanoTime()
+      Similarity.deleteFromIvfCorpus(spark, out,
+        diff.select(col("vec_id")))
+      Similarity.appendIvfCorpusWith(cents, out, diff,
+        spark.read.parquet(out).columns.toSet)
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); dt
+    }
+
+    // ---- kNN-edge maintenance: recompute-set + diff-bounded rebuild
+    def knnMaint(dir: String): Double = {
+      val a = Dedup.normalizedVectors(spark, dir)
+      val edgesA = Similarity.knnGraphExact(a, k = 5)
+        .localCheckpoint(true) // untimed: yesterday's artifact
+      val dirty = a.filter(col("vec_id") < DiffN / 2).select("vec_id")
+      val newIds = a.filter(col("vec_id") >= DiffN / 2 && col("vec_id") < DiffN)
+        .select("vec_id")
+      val t0 = System.nanoTime()
+      Graph.maintainKnnEdges(a, edgesA, a, dirty, newIds).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); dt
+    }
+
+    def probe(name: String, f: String => Double, expect: String): Unit = {
+      f("/root/testdata/sf0.001") // untimed warmup: classload + codegen
+      val t1 = f(sfDir)
+      val tb = f(big)
+      println(f"[maint] $name%-18s 1x=$t1%7.2fs ${rep}x=$tb%7.2fs " +
+        f"ratio=${tb / t1}%5.1f (expect $expect)")
+    }
+    probe("postings_maintain", postingsMaint, "~1 (diff-bounded)")
+    probe("ivf_maintain", ivfMaint, "~1 (diff-bounded)")
+    // the kNN exact-graph build at REP× is quadratic — skip the big
+    // build above REP=4 unless explicitly asked, and say so
+    if (rep <= 4 || sys.env.contains("SPARK_GRAFT_KNN_BIG"))
+      probe("knn_maintain", knnMaint, s"~$rep (one admission scan)")
+    else println(s"[maint] knn_maintain skipped at rep=$rep (its untimed " +
+      "exact-graph build is O(N²); run with SPARK_GRAFT_REP<=4 or set " +
+      "SPARK_GRAFT_KNN_BIG)")
+    spark.stop()
+  }
+}

@@ -15,7 +15,15 @@ import graft.store.SparkTestSession
   */
 class PlanSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
-  private lazy val spark = SparkTestSession.spark
+  private lazy val spark = {
+    val s = SparkTestSession.spark
+    // several pins match scans by layout path suffix (".../corpus",
+    // "_refine") in the PRINTED plan; the default 100-char metadata
+    // truncation cuts those suffixes off now that temp layouts live
+    // under the longer per-process /tmp/graft-tmp/<pid> root
+    s.conf.set("spark.sql.maxMetadataStringLength", "400")
+    s
+  }
 
   test("q01: filter pushdown and column pruning reach the lineitem scan") {
     val plan = Relational.q01PricingSummary(spark, dir)
