@@ -240,6 +240,12 @@ object Verify {
           eqDumps("p08_incremental_index",
             graft.analytics.Pipeline.p08FullRebuildProbe(spark, sfDir))
         },
+        // p11: the PQ-coded index's maintenance loop must equal a full
+        // PQ rebuild of snapshot B under the same quantizers
+        inv("p11_eq_fullrebuild") {
+          eqDumps("p11_incremental_pq_index",
+            graft.analytics.Pipeline.p11FullRebuildProbe(spark, sfDir))
+        },
         // g07: diff-driven maintenance of the kNN-edge artifact must
         // equal a from-scratch rebuild of snapshot B, row for row
         inv("g07_eq_fullrebuild") {

@@ -409,12 +409,30 @@ object Pipeline {
     * a revised document moves in embedding space, which is what makes
     * incremental re-embedding meaningful. The usual stub contract:
     * swap in a model tower and nothing else changes. */
-  private def textEmbed(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    transform(sequence(lit(1), lit(P08Dim)),
+  private def textEmbed(text: org.apache.spark.sql.Column,
+                        dim: Int = P08Dim): org.apache.spark.sql.Column =
+    transform(sequence(lit(1), lit(dim)),
       i => (pmod(xxhash64(text, i), lit(1000L)).cast("double") / lit(500.0)) - lit(1.0))
 
   private def p08Vectors(rows: DataFrame): DataFrame =
     rows.select(col("doc_id").as("vec_id"), textEmbed(col("text")).as("embedding"))
+
+  // p11's PQ tier slices 8 subspaces of 8 dims, so its stub embeds at
+  // the PQ layout's native dimension (same content-sensitive hash)
+  private def p11Vectors(rows: DataFrame): DataFrame =
+    rows.select(col("doc_id").as("vec_id"),
+      textEmbed(col("text"), Similarity.PqDim).as("embedding"))
+
+  private def p11Normalized(rows: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions._
+    p11Vectors(rows)
+      .select(col("vec_id"), as_double_array(col("embedding")).as("v"))
+      .withColumn("norm", array_norm(col("v")))
+  }
+
+  private def p11QuerySet(docs: DataFrame): DataFrame =
+    p11Normalized(docs.filter(col("doc_id") % 100 === 0))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
 
   private def p08Normalized(rows: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions._
@@ -485,6 +503,57 @@ object Pipeline {
     Similarity.writeIvfLayoutWith(cents,
       p08Normalized(Dedup.cdcSnapshotBText(docs)), out)
     Similarity.ivfStoredTopK(spark, out, p08QuerySet(docs), k = 10)
+      .orderBy("query_id", "rnk").localCheckpoint(true)
+  }
+
+  /** p11 gate: p08's incremental maintenance loop over the PQ-CODED
+    * stored index (s14's layout) — the epoch loop when even the raw
+    * vectors don't fit the serving tier:
+    *
+    *   1. yesterday's index: IVF-PQ layout (nibble-packed codes +
+    *      `_refine` raw sidecar + both codebooks) fit + written over
+    *      snapshot A;
+    *   2. d14's deleted+changed ids are TOMBSTONED
+    *      ([[Similarity.deleteFromIvfPqCorpus]] — O(|diff|); ADC
+    *      probes exclude them immediately);
+    *   3. compaction applies the tombstones physically to the codes
+    *      AND the refine sidecar and clears them — the epoch boundary;
+    *   4. changed+added docs re-embed (diff-sized) and append under
+    *      the STORED codebooks — cells assigned, codes packed, raw
+    *      vectors into `_refine` — no refit.
+    *
+    * Result must equal a full PQ rebuild of snapshot B under the same
+    * quantizers (`p11_eq_fullrebuild`). Rows-only (k-means + PQ). */
+  def p11IncrementalPqIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-p11") { root =>
+    val docs = Tables.documents(spark, dir)
+    val out = root.resolve("index").toString
+    Similarity.writeIvfPqLayout(p11Normalized(docs), out, k = P08Cells, iters = 10)
+    val diff = Dedup.d14SnapshotCdc(spark, dir).select("doc_id", "change_type")
+    Similarity.deleteFromIvfPqCorpus(spark, out,
+      diff.filter(col("change_type").isin("deleted", "changed"))
+        .select(col("doc_id").as("vec_id")))
+    Similarity.compactIvfPqCorpus(spark, out)
+    val reEmbed = p11Vectors(Dedup.cdcSnapshotBText(docs).join(
+      diff.filter(col("change_type").isin("changed", "added")).select("doc_id"),
+      Seq("doc_id"), "left_semi"))
+    Similarity.appendIvfPqCorpus(spark, out, reEmbed)
+    Similarity.ivfPqStoredTopK(spark, out, p11QuerySet(docs), k = 10)
+      .orderBy("query_id", "rnk").localCheckpoint(true)
+  }
+
+  /** The PQ rebuild twin: snapshot B written from scratch under the
+    * SAME codebook fit (on snapshot A, as the incremental path's step
+    * 1 did). Called by Verify for `p11_eq_fullrebuild`. */
+  private[graft] def p11FullRebuildProbe(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-p11-rebuild") { root =>
+    val docs = Tables.documents(spark, dir)
+    val (cents, books) = Similarity.fitIvfPq(p11Normalized(docs),
+      k = P08Cells, iters = 10)
+    val out = root.resolve("index").toString
+    Similarity.writeIvfPqLayoutWith(cents, books,
+      p11Normalized(Dedup.cdcSnapshotBText(docs)), out)
+    Similarity.ivfPqStoredTopK(spark, out, p11QuerySet(docs), k = 10)
       .orderBy("query_id", "rnk").localCheckpoint(true)
   }
 
@@ -563,6 +632,7 @@ object Pipeline {
     "p06_coreset"           -> p06Coreset _,
     "p07_incremental_quality" -> p07IncrementalQuality _,
     "p08_incremental_index"   -> p08IncrementalIndex _,
+    "p11_incremental_pq_index" -> p11IncrementalPqIndex _,
   )
 
   val oracleSql: Map[String, String] = Map(

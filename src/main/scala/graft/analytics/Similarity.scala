@@ -363,6 +363,8 @@ object Similarity {
   // ---- IVF-PQ: product-quantized approximate scoring ----
   private val PqM = 8       // subspaces
   private val PqSubDim = 8  // dims per subspace (8×8 = 64)
+  /** Vector dimension the PQ layout assumes (PqM × PqSubDim). */
+  private[analytics] val PqDim = 64
   private val PqKs = 16     // centroids per subspace → 4-bit codes
 
   /** 1-based slice of the `m`-th subvector. */
@@ -1056,31 +1058,56 @@ object Similarity {
     val e = corpus.cache()
     try {
       val sample = localFitSample(e)
-      val cents = lloydIvf(sample, k, iters)
-      val books = lloydPq(sample, iters = 8)
-      val assigned = e.withColumn("cell", cellOf(cents, col("v"), col("norm")))
-      // nibble-pack the M 4-bit codes into one int: m-th code in bits
-      // [4m, 4m+4) — builtin shift/or expressions, fully codegen'd
-      val code = (0 until PqM).map(m =>
-          shiftleft(pqCell(books(m), subv(col("v"), m)), 4 * m))
-        .reduce(_.bitwiseOR(_))
-      assigned.select(col("vec_id"), col("norm"), col("cell"), code.as("code"))
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(out)
-      assigned.select(col("vec_id"), col("v"), col("norm"), col("cell"))
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$out/_refine")
-      val spark2 = corpus.sparkSession
-      import spark2.implicits._
-      cents.toSeq.map { case (c, v) => (c, v.toSeq) }
-        .toDF("cell", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$out/_codebook")
-      (for { m <- 0 until PqM; cell <- 0 until PqKs }
-        yield (m, cell, books(m)(cell).toSeq))
-        .toDF("m", "cell", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$out/_pq_codebooks")
+      writeIvfPqLayoutWith(lloydIvf(sample, k, iters), lloydPq(sample, iters = 8),
+        e, out)
     } finally e.unpersist()
   }
+
+  /** The deterministic IVF + PQ codebook fit [[writeIvfPqLayout]]
+    * runs, exposed so a rebuild twin can fit on snapshot A exactly as
+    * the incremental path's step 1 did. */
+  private[analytics] def fitIvfPq(corpus: DataFrame, k: Int = 16, iters: Int = 10)
+      : (Array[(Int, Array[Double])], Array[Array[Array[Double]]]) = {
+    val e = corpus.cache()
+    try {
+      val sample = localFitSample(e)
+      (lloydIvf(sample, k, iters), lloydPq(sample, iters = 8))
+    } finally e.unpersist()
+  }
+
+  /** [[writeIvfPqLayout]] under GIVEN codebooks — no fit. The p11
+    * rebuild twin uses this to prove incremental PQ maintenance ==
+    * full rebuild under the same quantizers (writeIvfLayoutWith's role
+    * for the plain layout). */
+  private[analytics] def writeIvfPqLayoutWith(cents: Array[(Int, Array[Double])],
+                                              books: Array[Array[Array[Double]]],
+                                              corpus: DataFrame, out: String): Unit = {
+    val assigned = corpus.withColumn("cell", cellOf(cents, col("v"), col("norm")))
+    assigned.select(col("vec_id"), col("norm"), col("cell"), pqCodeCol(books))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(out)
+    assigned.select(col("vec_id"), col("v"), col("norm"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$out/_refine")
+    val spark2 = corpus.sparkSession
+    import spark2.implicits._
+    cents.toSeq.map { case (c, v) => (c, v.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/_codebook")
+    (for { m <- 0 until PqM; cell <- 0 until PqKs }
+      yield (m, cell, books(m)(cell).toSeq))
+      .toDF("m", "cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/_pq_codebooks")
+  }
+
+  /** The nibble-packed PQ code of `v` under `books`: m-th 4-bit code
+    * in bits [4m, 4m+4) of one int — builtin shift/or expressions,
+    * fully codegen'd. Shared by the from-scratch writer and the
+    * stored-codebook append. */
+  private def pqCodeCol(books: Array[Array[Array[Double]]]): Column =
+    (0 until PqM).map(m =>
+        shiftleft(pqCell(books(m), subv(col("v"), m)), 4 * m))
+      .reduce(_.bitwiseOR(_)).as("code")
 
   /** The per-subspace PQ codebooks persisted by [[writeIvfPqLayout]] —
     * M×Ks rows, one driver-side collect. */
@@ -1090,6 +1117,52 @@ object Similarity {
     Array.tabulate(PqM)(m =>
       rows.filter(_._1 == m).sortBy(_._2).map(_._3))
   }
+
+  /** Tombstone vector ids in a stored IVF-PQ layout — the PQ member
+    * of the index-maintenance family ([[deleteFromIvfCorpus]]'s
+    * semantics over the code layout): O(|ids|) sidecar append, probes
+    * exclude the ids at ADC time immediately, the next
+    * [[compactIvfPqCorpus]] drops code AND refine rows physically.
+    * Same single-maintainer + epoch discipline as the plain layout. */
+  def deleteFromIvfPqCorpus(spark: SparkSession, out: String, ids: DataFrame): Unit =
+    graft.core.SegmentedIndex.tombstone(
+      ids.select(col("vec_id").cast("long").as("vec_id")), out, uptoGen = None)
+
+  /** Append vectors to a stored IVF-PQ layout under its STORED
+    * codebooks (no refit): assign cells, nibble-pack codes, append to
+    * the code layout; raw vectors land in the `_refine` sidecar with
+    * the same cell partitioning. Cost ∝ batch, never corpus. */
+  def appendIvfPqCorpus(spark: SparkSession, out: String, vecs: DataFrame): Unit = {
+    import graft.functions.VectorFunctions._
+    val cents = readIvfCodebook(spark, out)
+    val books = readPqCodebooks(spark, out)
+    val assigned = vecs
+      .select(col("vec_id"), as_double_array(col("embedding")).as("v"))
+      .withColumn("norm", array_norm(col("v")))
+      .withColumn("cell", cellOf(cents, col("v"), col("norm")))
+    assigned.select(col("vec_id"), col("norm"), col("cell"), pqCodeCol(books))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(out)
+    assigned.select(col("vec_id"), col("v"), col("norm"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$out/_refine")
+  }
+
+  /** Compact a stored IVF-PQ layout: apply tombstones physically to
+    * BOTH the code layout and the `_refine` raw-vector sidecar (the
+    * refine rows carry the same tombstoned ids — copying them verbatim
+    * would keep deleted vectors on disk forever), rewrite one file per
+    * cell each, carry the two codebooks, clear the tombstones, publish
+    * with the shared two-rename swap. */
+  def compactIvfPqCorpus(spark: SparkSession, out: String): Unit =
+    graft.core.SegmentedIndex.compactWith(out, skipSidecars = Set("_refine")) { tmp =>
+      def liveOf(path: String) = graft.core.SegmentedIndex.live(spark,
+        spark.read.parquet(path), out, keyCol = "vec_id", genCol = None)
+      liveOf(out).repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      liveOf(s"$out/_refine").repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/_refine")
+    }
 
   /** Probe a [[writeIvfPqLayout]] index: both codebooks are K-row /
     * M×Ks-row driver reads, the probed cells land as PARTITION filters
@@ -1118,8 +1191,13 @@ object Similarity {
         1, nProbe).getField("cell")).as("cell"))
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
-    val codeScan = spark.read.parquet(out)
-      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+    // tombstoned ids (deleteFromIvfPqCorpus) excluded at ADC time —
+    // the refine join needs no exclusion of its own because its ids
+    // come from this shortlist
+    val codeScan = graft.core.SegmentedIndex.live(spark,
+      spark.read.parquet(out)
+        .filter(col("cell").isin(probedCells.map(Int.box): _*)),
+      out, keyCol = "vec_id", genCol = None)
     val adcSum = (0 until PqM).map { m =>
       element_at(element_at(col("luts"), m + 1),
         shiftright(col("code"), 4 * m).bitwiseAND(lit(15)) + 1)

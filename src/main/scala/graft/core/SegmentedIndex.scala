@@ -81,14 +81,20 @@ object SegmentedIndex {
     * (the owner chooses partitioning), carry every underscore sidecar
     * EXCEPT the just-applied `_tombstones` verbatim, and publish with
     * the two-rename swap. */
-  def compactWith(out: String)(writeRewrite: String => Unit): Unit = {
+  def compactWith(out: String, skipSidecars: Set[String] = Set.empty)
+                 (writeRewrite: String => Unit): Unit = {
     DirSwap.recover(out)
     val tmp = DirSwap.compactingPath(out)
     writeRewrite(tmp.toString)
+    // `_tombstones` is always skipped (just applied — the epoch
+    // boundary); `skipSidecars` names sidecars the owner rewrote
+    // itself inside writeRewrite (e.g. a refine sidecar that must also
+    // drop tombstoned rows instead of copying verbatim)
+    val skip = skipSidecars + "_tombstones"
     Using.resource(Files.list(Paths.get(out))) { sides =>
       sides.iterator().asScala
         .filter(p => p.getFileName.toString.startsWith("_") && Files.isDirectory(p)
-          && p.getFileName.toString != "_tombstones")
+          && !skip.contains(p.getFileName.toString))
         .foreach(side => DirSwap.copyTree(side, tmp.resolve(side.getFileName.toString)))
     }
     DirSwap.swapInto(out)
