@@ -246,6 +246,11 @@ object Verify {
           eqDumps("p11_incremental_pq_index",
             graft.analytics.Pipeline.p11FullRebuildProbe(spark, sfDir))
         },
+        // st25: the streamed PQ maintainer must land exactly where the
+        // batch loop lands (and transitively equal the full rebuild)
+        inv("st25_eq_p11") {
+          eqDumps("st25_stream_pq_maintain", read("p11_incremental_pq_index"))
+        },
         // g07: diff-driven maintenance of the kNN-edge artifact must
         // equal a from-scratch rebuild of snapshot B, row for row
         inv("g07_eq_fullrebuild") {

@@ -401,7 +401,7 @@ object Pipeline {
       .select(col("doc_id"), col("source"), TextOps.qualityPass.as("pass"))
 
   private val P08Dim = 16
-  private val P08Cells = 16
+  private[analytics] val P08Cells = 16
 
   /** Content-derived stub embedding: [[P08Dim]] components hashed from
     * the text (xxhash64, per-component seed), scaled into [-1, 1).
@@ -419,18 +419,18 @@ object Pipeline {
 
   // p11's PQ tier slices 8 subspaces of 8 dims, so its stub embeds at
   // the PQ layout's native dimension (same content-sensitive hash)
-  private def p11Vectors(rows: DataFrame): DataFrame =
+  private[analytics] def p11Vectors(rows: DataFrame): DataFrame =
     rows.select(col("doc_id").as("vec_id"),
       textEmbed(col("text"), Similarity.PqDim).as("embedding"))
 
-  private def p11Normalized(rows: DataFrame): DataFrame = {
+  private[analytics] def p11Normalized(rows: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions._
     p11Vectors(rows)
       .select(col("vec_id"), as_double_array(col("embedding")).as("v"))
       .withColumn("norm", array_norm(col("v")))
   }
 
-  private def p11QuerySet(docs: DataFrame): DataFrame =
+  private[analytics] def p11QuerySet(docs: DataFrame): DataFrame =
     p11Normalized(docs.filter(col("doc_id") % 100 === 0))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
 

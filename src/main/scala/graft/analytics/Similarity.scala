@@ -1082,11 +1082,18 @@ object Similarity {
   private[analytics] def writeIvfPqLayoutWith(cents: Array[(Int, Array[Double])],
                                               books: Array[Array[Array[Double]]],
                                               corpus: DataFrame, out: String): Unit = {
+    // rows carry a GENERATION (0 at build): tombstones are gen-scoped
+    // (SegmentedIndex's postings semantics), so a streaming maintainer
+    // can delete-and-re-append the same id within one batch with no
+    // compaction in between — the re-append's higher gen is live
+    // immediately
     val assigned = corpus.withColumn("cell", cellOf(cents, col("v"), col("norm")))
     assigned.select(col("vec_id"), col("norm"), col("cell"), pqCodeCol(books))
+      .withColumn("gen", lit(0L))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(out)
     assigned.select(col("vec_id"), col("v"), col("norm"), col("cell"))
+      .withColumn("gen", lit(0L))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$out/_refine")
     val spark2 = corpus.sparkSession
@@ -1124,26 +1131,38 @@ object Similarity {
     * exclude the ids at ADC time immediately, the next
     * [[compactIvfPqCorpus]] drops code AND refine rows physically.
     * Same single-maintainer + epoch discipline as the plain layout. */
-  def deleteFromIvfPqCorpus(spark: SparkSession, out: String, ids: DataFrame): Unit =
+  def deleteFromIvfPqCorpus(spark: SparkSession, out: String, ids: DataFrame,
+                            uptoGen: Long = Long.MaxValue): Unit =
     graft.core.SegmentedIndex.tombstone(
-      ids.select(col("vec_id").cast("long").as("vec_id")), out, uptoGen = None)
+      ids.select(col("vec_id").cast("long").as("vec_id")), out,
+      uptoGen = Some(uptoGen))
 
   /** Append vectors to a stored IVF-PQ layout under its STORED
     * codebooks (no refit): assign cells, nibble-pack codes, append to
     * the code layout; raw vectors land in the `_refine` sidecar with
     * the same cell partitioning. Cost ∝ batch, never corpus. */
-  def appendIvfPqCorpus(spark: SparkSession, out: String, vecs: DataFrame): Unit = {
+  def appendIvfPqCorpus(spark: SparkSession, out: String, vecs: DataFrame,
+                        gen: Long = 0L): Unit =
+    appendIvfPqCorpusWith(readIvfCodebook(spark, out),
+      readPqCodebooks(spark, out), out, vecs, gen)
+
+  /** [[appendIvfPqCorpus]] with pre-collected codebooks — the
+    * per-batch entry for a streaming maintainer (st13's *With rule:
+    * the codebook reads happen once per stream, not per microbatch). */
+  def appendIvfPqCorpusWith(cents: Array[(Int, Array[Double])],
+                            books: Array[Array[Array[Double]]],
+                            out: String, vecs: DataFrame, gen: Long = 0L): Unit = {
     import graft.functions.VectorFunctions._
-    val cents = readIvfCodebook(spark, out)
-    val books = readPqCodebooks(spark, out)
     val assigned = vecs
       .select(col("vec_id"), as_double_array(col("embedding")).as("v"))
       .withColumn("norm", array_norm(col("v")))
       .withColumn("cell", cellOf(cents, col("v"), col("norm")))
     assigned.select(col("vec_id"), col("norm"), col("cell"), pqCodeCol(books))
+      .withColumn("gen", lit(gen))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(out)
     assigned.select(col("vec_id"), col("v"), col("norm"), col("cell"))
+      .withColumn("gen", lit(gen))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$out/_refine")
   }
@@ -1157,7 +1176,7 @@ object Similarity {
   def compactIvfPqCorpus(spark: SparkSession, out: String): Unit =
     graft.core.SegmentedIndex.compactWith(out, skipSidecars = Set("_refine")) { tmp =>
       def liveOf(path: String) = graft.core.SegmentedIndex.live(spark,
-        spark.read.parquet(path), out, keyCol = "vec_id", genCol = None)
+        spark.read.parquet(path), out, keyCol = "vec_id", genCol = Some("gen"))
       liveOf(out).repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(tmp)
       liveOf(s"$out/_refine").repartition(col("cell"))
@@ -1191,13 +1210,13 @@ object Similarity {
         1, nProbe).getField("cell")).as("cell"))
     val probedCells = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).sorted
-    // tombstoned ids (deleteFromIvfPqCorpus) excluded at ADC time —
-    // the refine join needs no exclusion of its own because its ids
-    // come from this shortlist
+    // tombstoned generations (deleteFromIvfPqCorpus) excluded at ADC
+    // time — gen-scoped, so a same-epoch re-append at a higher gen is
+    // probe-visible with no compaction in between
     val codeScan = graft.core.SegmentedIndex.live(spark,
       spark.read.parquet(out)
         .filter(col("cell").isin(probedCells.map(Int.box): _*)),
-      out, keyCol = "vec_id", genCol = None)
+      out, keyCol = "vec_id", genCol = Some("gen"))
     val adcSum = (0 until PqM).map { m =>
       element_at(element_at(col("luts"), m + 1),
         shiftright(col("code"), 4 * m).bitwiseAND(lit(15)) + 1)
@@ -1209,8 +1228,14 @@ object Similarity {
         (adcSum / (col("qnorm") * col("norm"))).as("adc_sim"))
     val shortlist = rankTopK(adc, k * refine, "adc_sim")
       .select(col("query_id"), col("neighbor_id"))
-    val refineScan = spark.read.parquet(s"$out/_refine")
-      .filter(col("cell").isin(probedCells.map(Int.box): _*))
+    // the refine sidecar carries the SAME tombstoned generations (a
+    // re-appended id has old + new raw rows until compaction) — apply
+    // the identical live view before the shortlist join, or the exact
+    // rerank would score the id against both
+    val refineScan = graft.core.SegmentedIndex.live(spark,
+        spark.read.parquet(s"$out/_refine")
+          .filter(col("cell").isin(probedCells.map(Int.box): _*)),
+        out, keyCol = "vec_id", genCol = Some("gen"))
       .select(col("vec_id").as("neighbor_id"), col("v"), col("norm"))
     val exact = shortlist
       .join(refineScan, "neighbor_id")

@@ -727,6 +727,72 @@ object StreamingQueries {
         .localCheckpoint(true)
     }
 
+  /** st25 gate: STREAMING IVF-PQ index maintenance — p11's epoch loop
+    * consumed from a CDC change FEED (st23's shape for the PQ-coded
+    * vector tier): each microbatch GENERATION-SCOPED-tombstones its
+    * deleted+changed ids (covers gens below this batch's, so the
+    * batch's own re-append is live immediately — the postings move,
+    * now on the PQ layout), re-embeds ONLY the batch's changed+added
+    * docs (content-derived stub at the PQ dimension) and appends codes
+    * + refine rows at the batch's generation under the STORED
+    * codebooks (collected once per stream). NO per-batch compaction —
+    * per-batch work is diff-bounded; ONE end-of-stream compaction
+    * applies the tombstones physically to codes AND refine. Per-doc
+    * change rows are independent and ops commute across docs, so the
+    * final index is slicing-invariant: the probe must equal p11's
+    * batch loop exactly (Verify: `st25_eq_p11`, and transitively the
+    * full PQ rebuild). Rows-only (k-means + PQ). */
+  def st25StreamPqMaintain(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-st25") { tmp =>
+    val out = tmp.resolve("index").toString
+    val docs = Tables.documents(spark, dir)
+    Similarity.writeIvfPqLayout(Pipeline.p11Normalized(docs), out,
+      k = Pipeline.P08Cells, iters = 10)
+    // the change feed: d14's diff rows with snapshot-B text for
+    // changed/added (deletes carry none), re-laid into 3 files and
+    // trickled one per batch
+    val feedDir = tmp.resolve("feed").toString
+    val diff = Dedup.d14SnapshotCdc(spark, dir).select("doc_id", "change_type")
+    diff
+      .join(Dedup.cdcSnapshotBText(docs).select(col("doc_id"), col("text")),
+        Seq("doc_id"), "left")
+      .repartition(3).write.parquet(feedDir)
+    val s = EventStream.boundedDriveSession(spark)
+    val feedSchema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("change_type", org.apache.spark.sql.types.StringType)
+      .add("text", org.apache.spark.sql.types.StringType)
+    val cents = Similarity.readIvfCodebook(s, out)
+    val books = Similarity.readPqCodebooks(s, out)
+    val gen = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = s.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bs = batch.sparkSession
+        val g = gen.incrementAndGet()
+        val dirty = batch
+          .filter(col("change_type").isin("deleted", "changed"))
+          .select(col("doc_id").as("vec_id")).localCheckpoint(true)
+        if (!dirty.isEmpty)
+          Similarity.deleteFromIvfPqCorpus(bs, out, dirty, uptoGen = g - 1)
+        val add = batch
+          .filter(col("change_type").isin("changed", "added"))
+          .select(col("doc_id"), col("text"))
+        if (!add.isEmpty)
+          Similarity.appendIvfPqCorpusWith(cents, books, out,
+            Pipeline.p11Vectors(add), gen = g)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    Similarity.compactIvfPqCorpus(spark, out)
+    // |queries|×k report materialized eagerly; the scoped layout is
+    // deleted when this returns
+    Similarity.ivfPqStoredTopK(spark, out, Pipeline.p11QuerySet(docs), k = 10)
+      .orderBy("query_id", "rnk").localCheckpoint(true)
+  }
+
   /** The st23 drive on a fresh process-root layout (cleaned at JVM
     * exit), returning the maintained path (split out for PostingsSpec's
     * frame-level comparison with p10). */
@@ -811,6 +877,7 @@ object StreamingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st23_stream_postings" -> st23StreamPostings _,
+    "st25_stream_pq_maintain" -> st25StreamPqMaintain _,
     "st22_stream_retention" -> st22StreamRetention _,
     "st21_stream_hll_state" -> st21StreamHllState _,
     "st01_stream_daily" -> st01StreamDaily _,

@@ -78,6 +78,39 @@ class PqMaintenanceSpec extends AnyFunSuite {
       "delete -> compact -> re-append round trip must restore the probe exactly")
   }
 
+  test("gen-scoped tombstone: same-epoch delete + re-append is live with NO compaction") {
+    import spark.implicits._
+    val out = graft.core.TempDirs.create("graft-pq-gen-spec").resolve("index").toString
+    val vecs = Dedup.normalizedVectors(spark, dir)
+    Similarity.writeIvfPqLayout(vecs, out, k = 8, iters = 5)
+    val queries = vecs.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
+    val victim = Similarity.ivfPqStoredTopK(spark, out, queries, k = 10)
+      .filter(col("rnk") === 1).select("neighbor_id").first().getLong(0)
+    // the streaming-batch move: tombstone covering gen 0, re-append at
+    // gen 1 in the same epoch — no compaction in between
+    Similarity.deleteFromIvfPqCorpus(spark, out, Seq(victim).toDF("vec_id"),
+      uptoGen = 0L)
+    Similarity.appendIvfPqCorpus(spark, out,
+      Tables.embeddings(spark, dir).filter(col("vec_id") === victim), gen = 1L)
+    val probe = Similarity.ivfPqStoredTopK(spark, out, queries, k = 10)
+    assert(probe.filter(col("neighbor_id") === victim).count() > 0,
+      "re-append above the tombstoned generation must be live immediately")
+    // and exactly ONCE per query list: the old refine row must not
+    // double-score the id (the refine-side live view)
+    assert(probe.groupBy("query_id", "neighbor_id").count()
+      .filter(col("count") > 1).isEmpty,
+      "probe returned a (query, neighbor) pair more than once — stale refine row scored")
+  }
+
+  test("st25 streamed PQ maintenance equals the p11 batch loop") {
+    val streamed = StreamingQueries.st25StreamPqMaintain(spark, dir)
+    val batch = Pipeline.p11IncrementalPqIndex(spark, dir)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "streamed PQ maintainer drifted from the batch loop")
+  }
+
   test("p11 incremental PQ maintenance equals the full rebuild of snapshot B") {
     val maintained = Pipeline.p11IncrementalPqIndex(spark, dir)
     val rebuilt = Pipeline.p11FullRebuildProbe(spark, dir)
