@@ -251,6 +251,12 @@ object Verify {
         inv("st25_eq_p11") {
           eqDumps("st25_stream_pq_maintain", read("p11_incremental_pq_index"))
         },
+        // st26: the streamed kNN maintainer's final graph must land
+        // exactly where g07's batch loop lands (and transitively equal
+        // the full rebuild of snapshot B)
+        inv("st26_eq_g07") {
+          eqDumps("st26_stream_knn_maintain", read("g07_incremental_knn"))
+        },
         // g07: diff-driven maintenance of the kNN-edge artifact must
         // equal a from-scratch rebuild of snapshot B, row for row
         inv("g07_eq_fullrebuild") {

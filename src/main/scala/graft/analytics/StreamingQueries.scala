@@ -793,6 +793,79 @@ object StreamingQueries {
       .orderBy("query_id", "rnk").localCheckpoint(true)
   }
 
+  /** st26 gate: STREAMING kNN-graph maintenance — g07's diff-driven
+    * loop consumed from a vector CDC feed, the last maintained index
+    * family to gain a streamed twin (vectors st13, postings st23,
+    * images st24, PQ st25). The feed carries the Debezium after-image
+    * (new vector for changed/added rows, id-only deletes); each
+    * microbatch runs [[Graph.maintainKnnEdges]] against the CURRENT
+    * corpus + edge snapshots and double-buffers both to parquet — the
+    * inductive invariant is that the stored edges are always the EXACT
+    * graph of the stored corpus, so per-batch maintenance composes to
+    * the one-shot result under ANY slicing: the final graph must equal
+    * g07's batch loop (Verify: `st26_eq_g07`) and transitively the
+    * full rebuild of snapshot B. Per-batch cost is the admission scan
+    * × broadcast batch-diff + |touched|·N recompute — diff-bounded,
+    * never N². Rows-only (kNN maintenance). */
+  def st26StreamKnnMaintain(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-st26") { tmp =>
+    val a0 = Dedup.normalizedVectors(spark, dir)
+    val b = Graph.vectorSnapshotB(a0)
+    // generation 0: yesterday's corpus + the shared stored edge artifact
+    a0.select(col("vec_id"), col("v"), col("norm"))
+      .write.parquet(tmp.resolve("corpus_0").toString)
+    Similarity.knnEdges(spark, dir)
+      .write.parquet(tmp.resolve("edges_0").toString)
+    // the change feed, after-image convention
+    val feedDir = tmp.resolve("feed").toString
+    val deleted = a0.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id"), lit("deleted").as("change_type"),
+        lit(null).cast("array<double>").as("v"), lit(null).cast("double").as("norm"))
+    val changed = b.filter(col("vec_id") % 10 === 3)
+      .select(col("vec_id"), lit("changed").as("change_type"), col("v"), col("norm"))
+    val added = b.filter(col("vec_id") < 0)
+      .select(col("vec_id"), lit("added").as("change_type"), col("v"), col("norm"))
+    deleted.unionByName(changed).unionByName(added)
+      .repartition(3).write.parquet(feedDir)
+    val s = EventStream.boundedDriveSession(spark)
+    val feedSchema = new org.apache.spark.sql.types.StructType()
+      .add("vec_id", org.apache.spark.sql.types.LongType)
+      .add("change_type", org.apache.spark.sql.types.StringType)
+      .add("v", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+      .add("norm", org.apache.spark.sql.types.DoubleType)
+    val gen = new java.util.concurrent.atomic.AtomicLong(0L)
+    val q = s.readStream.schema(feedSchema)
+      .option("maxFilesPerTrigger", "1").parquet(feedDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bs = batch.sparkSession
+        val g = gen.incrementAndGet()
+        val aCur = bs.read.parquet(tmp.resolve(s"corpus_${g - 1}").toString)
+        val eCur = bs.read.parquet(tmp.resolve(s"edges_${g - 1}").toString)
+        val dirtyOld = batch
+          .filter(col("change_type").isin("deleted", "changed"))
+          .select("vec_id").localCheckpoint(true)
+        val newRows = batch
+          .filter(col("change_type").isin("changed", "added"))
+          .select(col("vec_id"), col("v"), col("norm")).localCheckpoint(true)
+        val bCur = aCur.join(broadcast(dirtyOld), Seq("vec_id"), "left_anti")
+          .unionByName(newRows)
+        bCur.write.parquet(tmp.resolve(s"corpus_$g").toString)
+        Graph.maintainKnnEdges(aCur, eCur,
+            bs.read.parquet(tmp.resolve(s"corpus_$g").toString),
+            dirtyOld, newRows.select("vec_id"))
+          .write.parquet(tmp.resolve(s"edges_$g").toString)
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // |5N|-bounded final graph materialized eagerly; the scoped
+    // double-buffer chain is deleted when this returns
+    spark.read.parquet(tmp.resolve(s"edges_${gen.get()}").toString)
+      .orderBy("vec_id", "rnk").localCheckpoint(true)
+  }
+
   /** The st23 drive on a fresh process-root layout (cleaned at JVM
     * exit), returning the maintained path (split out for PostingsSpec's
     * frame-level comparison with p10). */
@@ -878,6 +951,7 @@ object StreamingQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st23_stream_postings" -> st23StreamPostings _,
     "st25_stream_pq_maintain" -> st25StreamPqMaintain _,
+    "st26_stream_knn_maintain" -> st26StreamKnnMaintain _,
     "st22_stream_retention" -> st22StreamRetention _,
     "st21_stream_hll_state" -> st21StreamHllState _,
     "st01_stream_daily" -> st01StreamDaily _,
