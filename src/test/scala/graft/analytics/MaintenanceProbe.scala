@@ -93,6 +93,21 @@ object MaintenanceProbe {
       spark.catalog.clearCache(); dt
     }
 
+    // ---- IVF-PQ maintenance: gen-scoped tombstone + coded append
+    def pqMaint(dir: String): Double = {
+      val out = graft.core.TempDirs.create("graft-maint-pq")
+        .resolve("index").toString
+      Similarity.writeIvfPqLayout(Dedup.normalizedVectors(spark, dir),
+        out, k = 16, iters = 10) // untimed: the build + both fits
+      val diff = Tables.embeddings(spark, dir).filter(col("vec_id") < DiffN)
+      val t0 = System.nanoTime()
+      Similarity.deleteFromIvfPqCorpus(spark, out,
+        diff.select(col("vec_id")), uptoGen = 0L)
+      Similarity.appendIvfPqCorpus(spark, out, diff, gen = 1L)
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache(); dt
+    }
+
     // ---- kNN-edge maintenance: recompute-set + diff-bounded rebuild
     def knnMaint(dir: String): Double = {
       val a = Dedup.normalizedVectors(spark, dir)
@@ -116,6 +131,7 @@ object MaintenanceProbe {
     }
     probe("postings_maintain", postingsMaint, "~1 (diff-bounded)")
     probe("ivf_maintain", ivfMaint, "~1 (diff-bounded)")
+    probe("pq_maintain", pqMaint, "~1 (diff-bounded)")
     // the kNN exact-graph build at REP× is quadratic — skip the big
     // build above REP=4 unless explicitly asked, and say so
     if (rep <= 4 || sys.env.contains("SPARK_GRAFT_KNN_BIG"))
