@@ -430,6 +430,20 @@ object Pipeline {
       .withColumn("norm", array_norm(col("v")))
   }
 
+  /** The deterministic PQ codebook fit over snapshot A, memoized per
+    * (JVM, dataset): p11, its rebuild twin, and st25 all fit the SAME
+    * corpus with the same params, and the fit is a pure function of it
+    * — one k-means + one PQ fit instead of three. Codebook-sized
+    * driver state (K cells + M×Ks sub-centroids). */
+  private val p11Fits = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[(Int, Array[Double])], Array[Array[Array[Double]]])]()
+
+  private[analytics] def p11Codebooks(spark: SparkSession, dir: String)
+      : (Array[(Int, Array[Double])], Array[Array[Array[Double]]]) =
+    p11Fits.computeIfAbsent(dir, _ =>
+      Similarity.fitIvfPq(p11Normalized(Tables.documents(spark, dir)),
+        k = P08Cells, iters = 10))
+
   private[analytics] def p11QuerySet(docs: DataFrame): DataFrame =
     p11Normalized(docs.filter(col("doc_id") % 100 === 0))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
@@ -528,7 +542,8 @@ object Pipeline {
     graft.core.TempDirs.scoped("graft-p11") { root =>
     val docs = Tables.documents(spark, dir)
     val out = root.resolve("index").toString
-    Similarity.writeIvfPqLayout(p11Normalized(docs), out, k = P08Cells, iters = 10)
+    val (cents, books) = p11Codebooks(spark, dir)
+    Similarity.writeIvfPqLayoutWith(cents, books, p11Normalized(docs), out)
     val diff = Dedup.d14SnapshotCdc(spark, dir).select("doc_id", "change_type")
     Similarity.deleteFromIvfPqCorpus(spark, out,
       diff.filter(col("change_type").isin("deleted", "changed"))
@@ -548,8 +563,7 @@ object Pipeline {
   private[graft] def p11FullRebuildProbe(spark: SparkSession, dir: String): DataFrame =
     graft.core.TempDirs.scoped("graft-p11-rebuild") { root =>
     val docs = Tables.documents(spark, dir)
-    val (cents, books) = Similarity.fitIvfPq(p11Normalized(docs),
-      k = P08Cells, iters = 10)
+    val (cents, books) = p11Codebooks(spark, dir)
     val out = root.resolve("index").toString
     Similarity.writeIvfPqLayoutWith(cents, books,
       p11Normalized(Dedup.cdcSnapshotBText(docs)), out)

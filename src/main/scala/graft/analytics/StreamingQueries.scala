@@ -746,8 +746,9 @@ object StreamingQueries {
     graft.core.TempDirs.scoped("graft-st25") { tmp =>
     val out = tmp.resolve("index").toString
     val docs = Tables.documents(spark, dir)
-    Similarity.writeIvfPqLayout(Pipeline.p11Normalized(docs), out,
-      k = Pipeline.P08Cells, iters = 10)
+    val (fitCents, fitBooks) = Pipeline.p11Codebooks(spark, dir)
+    Similarity.writeIvfPqLayoutWith(fitCents, fitBooks,
+      Pipeline.p11Normalized(docs), out)
     // the change feed: d14's diff rows with snapshot-B text for
     // changed/added (deletes carry none), re-laid into 3 files and
     // trickled one per batch
