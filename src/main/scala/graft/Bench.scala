@@ -247,7 +247,16 @@ object Bench {
       .map { case (f, t) => s"\"$f\":${sc3(t)}" }.mkString("{", ",", "}")
     val famsWarm = famTotals(warm)
       .map { case (f, t) => s"\"$f\":${sc3(t)}" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${sc3(total)},"unit":"sec","total_warm":${sc3(totalWarm)},"n_queries":${results.size},"families":$fams,"families_warm":$famsWarm,"errors":$errors,"per_query_file":"$perQueryFile","sf":"$sfDir"}""")
+    // steady-state digest on the metric line itself: thread count at
+    // the end of each warm pass. Warm numbers only mean something if
+    // the driver is steady — flat thread counts here are the receipt
+    // (the r11 regression read ~1.4k and climbing); full counters per
+    // query live in the file's "aging" array.
+    val endSnap = graft.core.Diag.snap(spark)
+    val w1Thr = diags.lift(2 * results.size - 1)
+      .flatMap("\"threads\":(\\d+)".r.findFirstMatchIn(_)).map(_.group(1)).getOrElse("-1")
+    val steady = s"""{"threads_warm1":$w1Thr,"threads_warm2":${endSnap.threads}}"""
+    println(s"""{"metric":"total","value":${sc3(total)},"unit":"sec","total_warm":${sc3(totalWarm)},"n_queries":${results.size},"families":$fams,"families_warm":$famsWarm,"steady":$steady,"errors":$errors,"per_query_file":"$perQueryFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }
