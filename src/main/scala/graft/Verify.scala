@@ -251,6 +251,28 @@ object Verify {
         inv("st25_eq_p11") {
           eqDumps("st25_stream_pq_maintain", read("p11_incremental_pq_index"))
         },
+        // t41: the quantile sketch's rank guarantee, tie-safe and valid
+        // under any partition/merge order — for each reported quantile,
+        // fraction(< q) ≤ p + ε and fraction(≤ q) ≥ p − ε with
+        // ε = 1/accuracy (max violation across all (lang, p) rows;
+        // 0.0 = every sketched quantile inside its band)
+        inv("t41_max_rank_err") {
+          val eps = 1.0 / graft.analytics.TextOps.T41Accuracy
+          val byLang = graft.analytics.Tables.documents(spark, sfDir)
+            .select(col("lang"),
+              org.apache.spark.sql.functions.size(
+                split(trim(col("text")), "\\s+")).cast("long").as("n"))
+            .collect().map(r => (r.getString(0), r.getLong(1)))
+            .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+          val errs = read("t41_quantile_sketch").collect().map { r =>
+            val (lang, p, q) = (r.getString(0), r.getDouble(2), r.getLong(3))
+            val ns = byLang(lang)
+            val fracLt = ns.count(_ < q).toDouble / ns.length
+            val fracLe = ns.count(_ <= q).toDouble / ns.length
+            math.max(math.max(fracLt - p - eps, p - eps - fracLe), 0.0)
+          }
+          math.floor(errs.max * 1e6 + 0.5) / 1e6
+        },
         // st26: the streamed kNN maintainer's final graph must land
         // exactly where g07's batch loop lands (and transitively equal
         // the full rebuild of snapshot B)

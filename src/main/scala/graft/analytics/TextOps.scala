@@ -1087,7 +1087,41 @@ object TextOps {
       .orderBy("lang", "bucket")
   }
 
+  /** The sketch accuracy knob for [[t41QuantileSketch]]: rank error ≤
+    * 1/accuracy of the group size (Greenwald–Khanna guarantee). */
+  private[graft] val T41Accuracy = 1000
+
+  /** t41 gate: MERGEABLE approximate quantiles of the per-doc token
+    * counts, per language — the sketch tier of exact percentiles (what
+    * q39's HLL is to exact distinct): `percentile_approx` builds a
+    * bounded Greenwald–Khanna summary per partition and merges, ONE
+    * pass and codebook-sized state per group, where an exact
+    * percentile of a 100 TB score column pays a full per-group sort.
+    * Rank guarantee: each reported quantile's true rank is within
+    * N/accuracy of p·N — Verify emits the tie-safe two-sided check as
+    * `t41_rank_error` (fraction(< q) ≤ p + ε and fraction(≤ q) ≥
+    * p − ε), which holds under ANY partition/merge order even though
+    * the summary itself is not bit-deterministic across orders; the
+    * spec pins per-lang monotonicity and repeat-stability. Rows-only
+    * (the sketch is algorithm-specific; DuckDB's quantile is a
+    * different estimator). */
+  def t41QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    Tables.documents(spark, dir)
+      .select(col("lang"), size(tokens).cast("bigint").as("n_tok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+           percentile_approx(col("n_tok"),
+             array(ps.map(lit): _*), lit(T41Accuracy)).as("qs"))
+      .select(col("lang"), col("n_docs"), posexplode(col("qs")).as(Seq("i", "q")))
+      .select(col("lang"), col("n_docs"),
+        element_at(array(ps.map(lit): _*), col("i") + 1).as("p"),
+        col("q").cast("bigint").as("approx_q"))
+      .orderBy("lang", "p")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t41_quantile_sketch"   -> t41QuantileSketch _,
     "t01_lang_distribution" -> t01LangDistribution _,
     "t02_token_counts"      -> t02TokenCounts _,
     "t03_quality_scores"    -> t03QualityScores _,
