@@ -1099,12 +1099,18 @@ object TextOps {
     * percentile of a 100 TB score column pays a full per-group sort.
     * Rank guarantee: each reported quantile's true rank is within
     * N/accuracy of p·N — Verify emits the tie-safe two-sided check as
-    * `t41_rank_error` (fraction(< q) ≤ p + ε and fraction(≤ q) ≥
+    * `t41_max_rank_err` (fraction(< q) ≤ p + ε and fraction(≤ q) ≥
     * p − ε), which holds under ANY partition/merge order even though
     * the summary itself is not bit-deterministic across orders; the
-    * spec pins per-lang monotonicity and repeat-stability. Rows-only
-    * (the sketch is algorithm-specific; DuckDB's quantile is a
-    * different estimator). */
+    * spec pins per-lang monotonicity and repeat-stability.
+    * Complements [[Relational.q25ApproxPercentiles]], which pins the
+    * same sketch's EMPIRICAL value error against inline exact
+    * percentiles on the relational side: value error is what a user
+    * observes, the rank band is what the algorithm actually
+    * guarantees — this gate checks the guarantee itself, in the
+    * multi-quantile per-group form a quality-score distribution
+    * report uses. Rows-only (the sketch is algorithm-specific;
+    * DuckDB's quantile is a different estimator). */
   def t41QuantileSketch(spark: SparkSession, dir: String): DataFrame = {
     val ps = Seq(0.25, 0.5, 0.75, 0.95)
     Tables.documents(spark, dir)
