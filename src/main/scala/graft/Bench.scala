@@ -202,6 +202,18 @@ object Bench {
     val results = pass("cold")
     val warm1 = pass("warm1")
     val warm2 = pass("warm2")
+    // pool-name histogram at warm-pass end (digits/hashes stripped →
+    // pool prefixes): the thread COUNT on the metric line says whether
+    // the driver is steady; this names the pools the count lives in,
+    // so a plateau (or a leak) is attributable without a rerun
+    val threadHist = Thread.getAllStackTraces.keySet()
+      .toArray(Array.empty[Thread])
+      .map(_.getName.replaceAll("[0-9a-f-]{8,}|[0-9]+", "#"))
+      .groupBy(identity).view.mapValues(_.length).toSeq
+      .sortBy { case (n, c) => (-c, n) }.take(20)
+      .map { case (n, c) =>
+        s"""{"pool":"${n.replace("\\", "\\\\").replace("\"", "\\\"")}","n":$c}""" }
+      .mkString("[", ",", "]")
     // min-of-warm per query; an error (negative) in either pass stays
     // negative so it can never read as a fast query
     val warm = warm1.zip(warm2).map { case ((n, a), (_, b)) =>
@@ -234,6 +246,7 @@ object Bench {
         s""""queries_warm1":${fmt(warm1, 9)},""" +
         s""""queries_warm2":${fmt(warm2, 9)},""" +
         s""""errors":$errors,""" +
+        s""""thread_hist":$threadHist,""" +
         s""""aging":[${diags.mkString(",")}]}""" + "\n").getBytes("UTF-8"))
     // per-family (gate-prefix) subtotals of successful queries: small
     // enough to survive the tail window, coarse enough to localize a

@@ -273,6 +273,25 @@ object Verify {
           }
           math.floor(errs.max * 1e6 + 0.5) / 1e6
         },
+        // p12: the nightly composition's per-family digests must equal
+        // the standalone gates' dumps — ONE CDC application driving
+        // all five maintained families + quality lands each family
+        // exactly where its own gate lands
+        inv("p12_families_eq_standalone") {
+          val standalone = Map(
+            "g07_knn" -> "g07_incremental_knn",
+            "m12_images" -> "m12_image_index_maintenance",
+            "p07_quality" -> "p07_incremental_quality",
+            "p08_ivf" -> "p08_incremental_index",
+            "p10_postings" -> "p10_incremental_postings",
+            "p11_pq" -> "p11_incremental_pq_index")
+          val got = read("p12_nightly_pipeline").collect()
+            .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+          got.keySet == standalone.keySet && got.forall { case (fam, digest) =>
+            digest._1 > 0 &&
+              digest == graft.analytics.Pipeline.familyDigest(read(standalone(fam)))
+          }
+        },
         // st26: the streamed kNN maintainer's final graph must land
         // exactly where g07's batch loop lands (and transitively equal
         // the full rebuild of snapshot B)

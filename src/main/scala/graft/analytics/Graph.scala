@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph centrality over the corpus similarity graph — the
@@ -540,30 +540,40 @@ object Graph {
   def g07IncrementalKnn(spark: SparkSession, dir: String): DataFrame = {
     val a = Dedup.normalizedVectors(spark, dir)
     val b = vectorSnapshotB(a)
-    val maintained = maintainKnnEdges(a, Similarity.knnEdges(spark, dir), b,
-      g07DirtyOld(a), g07NewIds(b))
-    // WRITE-BACK: persist the maintained graph into its own stored
-    // location with the crash-safe two-rename swap (p10's pattern) and
-    // return a POST-SWAP read, so the gate proves the whole loop —
-    // maintain → stage → swap → serve from disk — not just the frame.
-    // The swap targets a g07-OWNED artifact, never the snapshot-A
-    // `knnEdges` layout: g01–g05/p06 are pinned (oracles and parity
-    // twins) to snapshot A's graph, and swapping the shared artifact
-    // in place would make their results depend on whether g07 had run
-    // yet. A production deployment has one consumer generation at a
-    // time and swaps its single artifact the same way.
-    val store = g07StoreDir(dir)
+    // The artifact is a g07-OWNED SEGMENTED layout (never the shared
+    // snapshot-A `knnEdges` — g01–g05/p06's oracles and parity twins
+    // are pinned to it), seeded once per (JVM, dataset) with snapshot
+    // A's edges as generation 0. Each application writes O(|touched|·k)
+    // rows — a gen-scoped tombstone for every list the diff touches
+    // plus the recomputed lists as a fresh segment — instead of
+    // rewriting the 5N-row artifact (the r12 verdict's one weak plan);
+    // a policy-driven compaction folds tombstones physically once they
+    // cover half the stored rows. Re-applying the same diff is
+    // IDEMPOTENT in the live view: the higher-generation re-append
+    // supersedes the prior epoch's rows via the gen-scoped tombstones.
+    val store = g07StoreDir(spark, dir)
     // single-maintainer within the JVM (parallel spec suites): the
-    // swap and the gate's own read-back serialize per store; the
-    // read-back materializes eagerly (5N rows) so no lazy scan can
-    // straddle a LATER swap's two-rename window
+    // tombstone/append/compact sequence and the gate's own read-back
+    // serialize per store; the read-back materializes eagerly (5N
+    // rows) so no lazy scan can straddle a later application
     g07StoreDirs.synchronized {
       graft.core.DirSwap.recover(store)
-      val staging = graft.core.DirSwap.compactingPath(store)
-      maintained.write.mode("overwrite").parquet(staging.toString)
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(store)))
-        graft.core.DirSwap.swapInto(store)
-      else java.nio.file.Files.move(staging, java.nio.file.Paths.get(store))
+      val raw = spark.read.parquet(store)
+      val gen = raw.agg(max(col("gen").cast("long"))).first().getLong(0) + 1
+      val live = graft.core.SegmentedIndex.live(spark, raw, store,
+        keyCol = "vec_id", genCol = Some("gen")).drop("gen")
+      applyKnnDiffToStore(a, live, b, g07DirtyOld(a), g07NewIds(b), store, gen,
+        cents = Some(Similarity.ivfCentroids(spark, dir)))
+      // compact on policy, not per epoch: rewrite only once tombstones
+      // cover CompactThreshold of stored rows (read-amp ≤ ~2× between
+      // compactions), carrying live rows into the epoch's one segment
+      graft.core.SegmentedIndex.maybeCompact(spark,
+        spark.read.parquet(store), store,
+        keyCol = "vec_id", genCol = Some("gen")) { tmp =>
+        graft.core.SegmentedIndex.live(spark, spark.read.parquet(store), store,
+            keyCol = "vec_id", genCol = Some("gen")).drop("gen")
+          .write.parquet(s"$tmp/gen=$gen")
+      }
       g07StoredEdges(spark, dir).localCheckpoint(true)
     }
   }
@@ -571,17 +581,30 @@ object Graph {
   private val g07StoreDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** The stored location of the MAINTAINED (snapshot-B) kNN artifact —
-    * one per (JVM, dataset), like the other stored indexes. */
-  private def g07StoreDir(dir: String): String =
-    g07StoreDirs.computeIfAbsent(dir, _ =>
-      graft.core.TempDirs.create("graft-g07-store").resolve("edges").toString)
+  /** The stored location of the maintained kNN artifact — one
+    * segmented layout per (JVM, dataset), seeded with snapshot A's
+    * edges at generation 0 (the build is the one corpus-proportional
+    * write; every application after it is diff-proportional). */
+  private def g07StoreDir(spark: SparkSession, dir: String): String =
+    g07StoreDirs.computeIfAbsent(dir, { _ =>
+      val store = graft.core.TempDirs.create("graft-g07-store")
+        .resolve("edges").toString
+      graft.core.SegmentedIndex.appendSegment(
+        Similarity.knnEdges(spark, dir), store, gen = 0L)
+      store
+    })
 
-  /** Read the maintained artifact back off disk (what a post-diff
-    * consumer sees). Verify pins `g07_store_eq_rebuild`: this stored
-    * layout must equal the from-scratch snapshot-B rebuild. */
-  private[graft] def g07StoredEdges(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(g07StoreDir(dir)).orderBy("vec_id", "rnk")
+  /** The live view of the maintained artifact (what a post-diff
+    * consumer sees: stored segments minus gen-scoped tombstones).
+    * Verify pins `g07_store_eq_rebuild`: this must equal the
+    * from-scratch snapshot-B rebuild. */
+  private[graft] def g07StoredEdges(spark: SparkSession, dir: String): DataFrame = {
+    val store = g07StoreDir(spark, dir)
+    graft.core.SegmentedIndex.live(spark, spark.read.parquet(store), store,
+        keyCol = "vec_id", genCol = Some("gen"))
+      .select("vec_id", "rnk", "neighbor_id", "cos_sim")
+      .orderBy("vec_id", "rnk")
+  }
 
   /** The fixture diff's old-side dirty ids (deleted + re-embedded). */
   private[analytics] def g07DirtyOld(a: DataFrame): DataFrame =
@@ -598,11 +621,15 @@ object Graph {
     * whose vectors left or moved) and `newIds` (B ids that are new or
     * re-embedded) — recompute only the lists the diff can touch and
     * keep every other stored list verbatim. Steps (1)–(3) above;
-    * all diff joins broadcast the (bounded) id frames. */
+    * all diff joins broadcast the (bounded) id frames. `cents` switches
+    * the admission test to the IVF-cell-pruned tier (same decisions,
+    * a fraction of the pair work — see [[gainersPruned]]). */
   private[analytics] def maintainKnnEdges(a: DataFrame, edgesA: DataFrame,
                                           b: DataFrame, dirtyOld: DataFrame,
-                                          newIds: DataFrame, k: Int = 5): DataFrame = {
-    val recomputeIds = knnRecomputeIds(a, edgesA, b, dirtyOld, newIds, k)
+                                          newIds: DataFrame, k: Int = 5,
+                                          cents: Option[Array[(Int, Array[Double])]] = None)
+      : DataFrame = {
+    val recomputeIds = knnRecomputeIds(a, edgesA, b, dirtyOld, newIds, k, cents)
     val recomputed = knnForQueries(
       b.join(recomputeIds, Seq("vec_id"), "left_semi"), b, k)
     val kept = edgesA
@@ -614,11 +641,14 @@ object Graph {
   /** The set of lists the diff can touch — steps (1)–(3) above.
     * Exposed so GraphSpec can pin that it stays a strict subset of
     * the surviving corpus and shrinks with the diff (the maintenance
-    * is genuinely incremental). */
+    * is genuinely incremental). `cents` selects the cell-pruned
+    * admission tier; GraphSpec pins that both tiers produce the SAME
+    * id set (the prune is an upper-bound argument, not a heuristic). */
   private[analytics] def knnRecomputeIds(a: DataFrame, edgesA: DataFrame,
                                          b: DataFrame, dirtyOld: DataFrame,
-                                         newIds: DataFrame, k: Int = 5): DataFrame = {
-    import graft.functions.VectorFunctions._
+                                         newIds: DataFrame, k: Int = 5,
+                                         cents: Option[Array[(Int, Array[Double])]] = None)
+      : DataFrame = {
     // (1) lists referencing a dirty (deleted|changed) neighbor
     val refRecompute = edgesA
       .join(broadcast(dirtyOld.withColumnRenamed("vec_id", "neighbor_id")),
@@ -626,16 +656,29 @@ object Graph {
       .select("vec_id").distinct()
     // the diff's new side: re-embedded vectors + additions (bounded)
     val newVecs = b.join(broadcast(newIds), Seq("vec_id"), "left_semi")
-    // (2) admission test: per-row k-th-best threshold vs every new
-    // vector — one corpus scan × broadcast diff. A row whose stored
-    // list is SHORT (fewer than k edges — a tiny corpus) has no real
-    // threshold: any new vector is admissible, so it recomputes
-    // whenever the diff adds anything (left join: a survivor with no
-    // stored list at all counts as short, not as unreachable)
     val kth = edgesA.groupBy("vec_id")
       .agg(min(col("cos_sim")).as("kth"), count(lit(1)).as("n_edges"))
     val survivors = a.join(broadcast(dirtyOld), Seq("vec_id"), "left_anti")
-    val gainers = survivors
+    val gainers = cents.fold(gainersExact(survivors, newVecs, kth, k))(cs =>
+      gainersPruned(survivors, newVecs, kth, k, cs))
+    // (3) + union; deleted ids fall out via the semi join against B
+    refRecompute
+      .unionByName(gainers)
+      .unionByName(newVecs.select("vec_id"))
+      .distinct()
+  }
+
+  /** (2) admission test, exact tier: per-row k-th-best threshold vs
+    * every new vector — one corpus scan × broadcast diff (N·|diff|
+    * pair work). A row whose stored list is SHORT (fewer than k edges
+    * — a tiny corpus) has no real threshold: any new vector is
+    * admissible, so it recomputes whenever the diff adds anything
+    * (left join: a survivor with no stored list at all counts as
+    * short, not as unreachable). */
+  private def gainersExact(survivors: DataFrame, newVecs: DataFrame,
+                           kth: DataFrame, k: Int): DataFrame = {
+    import graft.functions.VectorFunctions._
+    survivors
       .join(broadcast(newVecs.select(col("vec_id").as("nid"),
         col("v").as("nv"), col("norm").as("nnorm"))), col("vec_id") =!= col("nid"))
       .select(col("vec_id"),
@@ -644,11 +687,106 @@ object Graph {
       .join(kth, Seq("vec_id"), "left")
       .filter(col("kth").isNull || col("n_edges") < k || col("sim") >= col("kth"))
       .select("vec_id").distinct()
-    // (3) + union; deleted ids fall out via the semi join against B
-    refRecompute
-      .unionByName(gainers)
-      .unionByName(newVecs.select("vec_id"))
-      .distinct()
+  }
+
+  /** True cosine of `v` against every centroid, positionally — unlike
+    * [[Similarity.cellScores]]'s assignment score (dot/|v|, which may
+    * ignore centroid norms because argmax doesn't need them), the
+    * ANGULAR bound below needs the real angle, so the centroid norm
+    * divides here. Requires cell ids 0..K−1 in array position order
+    * (enforced by the caller) so `posexplode`/`element_at` indexing
+    * agrees with [[Similarity.cellOf]]'s assignment ids. */
+  private def cosToCents(cents: Array[(Int, Array[Double])],
+                         v: Column, norm: Column): Column = {
+    import graft.functions.VectorFunctions._
+    array(cents.toIndexedSeq.map { case (_, c) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      array_dot(v, typedLit(c)) / (norm * lit(cn))
+    }: _*)
+  }
+
+  /** (2) admission test, IVF-CELL-PRUNED tier — the same admission
+    * DECISIONS as [[gainersExact]] at a fraction of the pair work,
+    * by the angular triangle inequality: for a survivor r in cell c
+    * and a new vector n, angle(r,n) ≥ angle(n,μ_c) − angle(r,μ_c) ≥
+    * θ_cn − δ_c where δ_c is the cell's widest member angle, so
+    * cos(r,n) ≤ cos(max(0, θ_cn − δ_c)) — a TRUE upper bound, never a
+    * heuristic. A (cell, new-vector) pair whose bound can't reach the
+    * cell's weakest stored threshold min_kth is skipped wholesale;
+    * admitted pairs still run the exact per-row test, so the gainer
+    * set is IDENTICAL to the exact tier's (GraphSpec pins set
+    * equality). Pair work drops from N·|diff| to Σ_admitted |cell|·|n|
+    * — the s06 cell-prune move applied to maintenance admission.
+    * The 1e-4 slack absorbs the stored sims' 4-decimal rounding
+    * (rounded ≥ kth ⟹ true ≥ kth − 5e-5) plus acos/cos noise; loose
+    * only costs pruning, never a missed gainer. */
+  private def gainersPruned(survivors: DataFrame, newVecs: DataFrame,
+                            kth: DataFrame, k: Int,
+                            cents: Array[(Int, Array[Double])]): DataFrame = {
+    import graft.functions.VectorFunctions._
+    require(cents.zipWithIndex.forall { case ((c, _), i) => c == i },
+      "pruned admission requires contiguous 0-based cell ids")
+    def angle(c: Column) = acos(greatest(lit(-1.0), least(lit(1.0), c)))
+    val assigned = survivors
+      .withColumn("cell", Similarity.cellOf(cents, col("v"), col("norm")))
+      .withColumn("self_angle",
+        angle(element_at(cosToCents(cents, col("v"), col("norm")), col("cell") + 1)))
+      .join(kth, Seq("vec_id"), "left")
+    // short lists have no threshold: they recompute whenever the diff
+    // adds any OTHER vector (same ≠-id rule as the exact tier's join)
+    val short = assigned.filter(col("kth").isNull || col("n_edges") < k)
+      .join(broadcast(newVecs.select(col("vec_id").as("nid"))),
+        col("vec_id") =!= col("nid"), "left_semi")
+      .select("vec_id")
+    val full = assigned.filter(col("kth").isNotNull && col("n_edges") >= k)
+    // K-row cell profile: widest member angle + weakest threshold
+    val cellStats = full.groupBy("cell").agg(
+      max(col("self_angle")).as("delta"), min(col("kth")).as("min_kth"))
+    // each new vector probes all K cells; keep pairs the bound admits
+    val admitted = newVecs
+      .select(col("vec_id").as("nid"), col("v").as("nv"), col("norm").as("nnorm"))
+      .withColumn("cos_arr", cosToCents(cents, col("nv"), col("nnorm")))
+      .select(col("nid"), col("nv"), col("nnorm"),
+        posexplode(col("cos_arr")).as(Seq("cell", "cos_cn")))
+      .join(broadcast(cellStats), "cell")
+      .filter(cos(greatest(lit(0.0), angle(col("cos_cn")) - col("delta")))
+        >= col("min_kth") - lit(1e-4))
+      .select(col("cell"), col("nid"), col("nv"), col("nnorm"))
+    // exact per-row test, restricted to the admitted (cell, n) pairs
+    val fullGainers = full.join(broadcast(admitted), Seq("cell"))
+      .filter(col("vec_id") =!= col("nid") &&
+        Det.dround(array_dot(col("v"), col("nv")) / (col("norm") * col("nnorm")), 4)
+          >= col("kth"))
+      .select("vec_id").distinct()
+    short.unionByName(fullGainers).distinct()
+  }
+
+  /** One CDC application against a SEGMENTED edge store — the
+    * diff-proportional storage path shared by g07's epoch loop and
+    * st26's per-microbatch loop (p10's tombstone/append/compact shape
+    * moved onto the edge artifact): tombstone the recompute set plus
+    * the old-side dirty ids at `gen − 1`, append ONLY the recomputed
+    * lists as segment `gen` ([[graft.core.SegmentedIndex.appendSegment]]
+    * — an overwrite, so a replayed batch lands idempotently). Storage
+    * writes are O(|touched|·k) rows, never the 5N-row artifact; the
+    * MaintenanceProbe receipts the near-flat write cost at REP×.
+    * Returns |recompute set| (the write-amp the probe prices). */
+  private[analytics] def applyKnnDiffToStore(aCur: DataFrame, eCur: DataFrame,
+      bCur: DataFrame, dirtyOld: DataFrame, newIds: DataFrame,
+      store: String, gen: Long,
+      cents: Option[Array[(Int, Array[Double])]], k: Int = 5): Long = {
+    val recomputeIds = knnRecomputeIds(aCur, eCur, bCur, dirtyOld, newIds, k, cents)
+      .localCheckpoint(true)
+    val nRec = recomputeIds.count()
+    graft.core.SegmentedIndex.tombstone(
+      recomputeIds.unionByName(dirtyOld.select("vec_id")), store,
+      keyCol = "vec_id", uptoGen = Some(gen - 1))
+    if (nRec > 0)
+      graft.core.SegmentedIndex.appendSegment(
+        knnForQueries(bCur.join(recomputeIds, Seq("vec_id"), "left_semi"), bCur, k),
+        store, gen)
+    recomputeIds.unpersist()
+    nRec
   }
 
   /** The rebuild twin: snapshot B's exact kNN graph from scratch.

@@ -463,14 +463,17 @@ object Multimodal {
       .add("doc_id", org.apache.spark.sql.types.LongType)
       .add("payload", org.apache.spark.sql.types.BinaryType)
       .add("change_type", org.apache.spark.sql.types.StringType)
-    val gen = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = s.readStream.schema(feedSchema)
       .option("maxFilesPerTrigger", "1").parquet(feedDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val bs = batch.sparkSession
         import bs.implicits._
-        val g = gen.incrementAndGet()
+        // replay-stable generation; a re-delivered batch re-appends
+        // IDENTICAL (doc_id, ahash, gen, op) rows, which resolveNewest's
+        // newest-per-key pick collapses — the append log is the one
+        // maintained layout that is replay-safe without segment dirs
+        val g = batchId + 1
         // decode + hash ONLY this batch's new content
         val puts = imageHashes(
             batch.filter(col("change_type").isin("changed", "added"))

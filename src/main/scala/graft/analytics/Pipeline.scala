@@ -444,6 +444,48 @@ object Pipeline {
       Similarity.fitIvfPq(p11Normalized(Tables.documents(spark, dir)),
         k = P08Cells, iters = 10))
 
+  /** The snapshot-A IVF-PQ baseline LAYOUT, built once per (JVM,
+    * dataset) into a process-root dir (r12 finding #3: p11 and st25
+    * each re-ran the full corpus assignment + nibble-packing in-gate
+    * on every invocation, even though the FIT was memoized). Gates
+    * [[copyBaseline]] it into their scoped dirs — file I/O instead of
+    * a corpus re-encode — and mutate the COPY; the baseline itself is
+    * immutable, like [[p11Codebooks]] and the m12 base artifact. */
+  private val p11BaseDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[analytics] def p11BaselineLayout(spark: SparkSession, dir: String): String =
+    p11BaseDirs.computeIfAbsent(dir, { _ =>
+      val p = graft.core.TempDirs.create("graft-p11-base")
+        .resolve("index").toString
+      val (cents, books) = p11Codebooks(spark, dir)
+      Similarity.writeIvfPqLayoutWith(cents, books,
+        p11Normalized(Tables.documents(spark, dir)), p)
+      p
+    })
+
+  /** The snapshot-A plain-IVF baseline layout, same discipline (p08's
+    * in-gate step 1). The memoized artifact also carries the codebook
+    * sidecar, so consumers re-read `cents` from the copy. */
+  private val p08BaseDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[analytics] def p08BaselineLayout(spark: SparkSession, dir: String): String =
+    p08BaseDirs.computeIfAbsent(dir, { _ =>
+      val p = graft.core.TempDirs.create("graft-p08-base")
+        .resolve("index").toString
+      Similarity.writeIvfLayout(p08Normalized(Tables.documents(spark, dir)), p,
+        k = P08Cells, iters = 10)
+      p
+    })
+
+  /** Copy a memoized baseline layout into a gate's scoped dir — file
+    * I/O instead of the corpus re-encode; the gate mutates the copy. */
+  private[analytics] def copyBaseline(base: String, to: java.nio.file.Path): String = {
+    graft.core.DirSwap.copyTree(java.nio.file.Paths.get(base), to)
+    to.toString
+  }
+
   private[analytics] def p11QuerySet(docs: DataFrame): DataFrame =
     p11Normalized(docs.filter(col("doc_id") % 100 === 0))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
@@ -483,11 +525,21 @@ object Pipeline {
     * emits the equality as `p08_eq_fullrebuild`. */
   def p08IncrementalIndex(spark: SparkSession, dir: String): DataFrame =
     graft.core.TempDirs.scoped("graft-p08") { root =>
+      p08MaintainAt(spark, dir, root,
+        Dedup.d14SnapshotCdc(spark, dir).select("doc_id", "change_type"))
+    }
+
+  /** The p08 loop on a caller-owned root with a caller-supplied diff
+    * frame — split out so p12's nightly composition can drive it from
+    * the SAME CDC application as the other families. */
+  private[analytics] def p08MaintainAt(spark: SparkSession, dir: String,
+                                       root: java.nio.file.Path,
+                                       diff: DataFrame): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val out = root.resolve("index").toString
-    val cents = Similarity.writeIvfLayout(p08Normalized(docs), out,
-      k = P08Cells, iters = 10)
-    val diff = Dedup.d14SnapshotCdc(spark, dir).select("doc_id", "change_type")
+    // yesterday's index arrives as a COPY of the memoized baseline —
+    // no per-invocation fit + corpus re-assignment (r12 finding #3)
+    val out = copyBaseline(p08BaselineLayout(spark, dir), root.resolve("index"))
+    val cents = Similarity.readIvfCodebook(spark, out)
     Similarity.deleteFromIvfCorpus(spark, out,
       diff.filter(col("change_type").isin("deleted", "changed"))
         .select(col("doc_id").as("vec_id")))
@@ -540,11 +592,20 @@ object Pipeline {
     * quantizers (`p11_eq_fullrebuild`). Rows-only (k-means + PQ). */
   def p11IncrementalPqIndex(spark: SparkSession, dir: String): DataFrame =
     graft.core.TempDirs.scoped("graft-p11") { root =>
+      p11MaintainAt(spark, dir, root,
+        Dedup.d14SnapshotCdc(spark, dir).select("doc_id", "change_type"))
+    }
+
+  /** The p11 loop on a caller-owned root with a caller-supplied diff
+    * frame (p12's nightly composition drives it from the shared CDC
+    * application). */
+  private[analytics] def p11MaintainAt(spark: SparkSession, dir: String,
+                                       root: java.nio.file.Path,
+                                       diff: DataFrame): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val out = root.resolve("index").toString
-    val (cents, books) = p11Codebooks(spark, dir)
-    Similarity.writeIvfPqLayoutWith(cents, books, p11Normalized(docs), out)
-    val diff = Dedup.d14SnapshotCdc(spark, dir).select("doc_id", "change_type")
+    // yesterday's index arrives as a COPY of the memoized baseline —
+    // no per-invocation corpus re-encode (r12 finding #3)
+    val out = copyBaseline(p11BaselineLayout(spark, dir), root.resolve("index"))
     Similarity.deleteFromIvfPqCorpus(spark, out,
       diff.filter(col("change_type").isin("deleted", "changed"))
         .select(col("doc_id").as("vec_id")))
@@ -598,7 +659,8 @@ object Pipeline {
       // |vocab|-bounded report materialized eagerly; the scoped layout
       // is deleted when this returns
       TextOps.postingsReport(spark,
-        p10MaintainAt(spark, dir, root.resolve("postings").toString))
+        p10MaintainAt(spark, dir, root.resolve("postings").toString,
+          Dedup.d14SnapshotCdc(spark, dir).select("doc_id", "change_type")))
         .localCheckpoint(true)
     }
 
@@ -608,12 +670,13 @@ object Pipeline {
     * rebuild of snapshot B. */
   private[graft] def p10Maintain(spark: SparkSession, dir: String): String =
     p10MaintainAt(spark, dir,
-      graft.core.TempDirs.create("graft-p10").resolve("postings").toString)
+      graft.core.TempDirs.create("graft-p10").resolve("postings").toString,
+      Dedup.d14SnapshotCdc(spark, dir).select("doc_id", "change_type"))
 
-  private def p10MaintainAt(spark: SparkSession, dir: String, out: String): String = {
+  private def p10MaintainAt(spark: SparkSession, dir: String, out: String,
+                            diff: DataFrame): String = {
     val docs = Tables.documents(spark, dir)
     TextOps.writePostingsLayout(spark, docs, out)
-    val diff = Dedup.d14SnapshotCdc(spark, dir).select("doc_id", "change_type")
     val dirty = diff.filter(col("change_type").isin("deleted", "changed"))
       .select("doc_id")
     // per-term df delta of the OUTGOING postings, tokenized from the
@@ -637,8 +700,64 @@ object Pipeline {
     out
   }
 
+  /** Order-independent digest of a result frame — (row count, sum of
+    * per-row crc32 over the JSON encoding). Shared by the p12 summary
+    * and Verify's `p12_families_eq_standalone` invariant, so the
+    * equality check can't drift from the gate's own encoding. */
+  private[graft] def familyDigest(df: DataFrame): (Long, Long) = {
+    val r = df.agg(count(lit(1)),
+      sum(crc32(to_json(struct(df.columns.map(col): _*))))).first()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** p12 gate: the NIGHTLY COMPOSITION — one d14 CDC application
+    * driving ALL FIVE maintained index families plus the incremental
+    * quality rescoring in a single pipeline run, the production
+    * "nightly diff" job the standalone gates rehearse one family at a
+    * time:
+    *
+    *  - kNN graph (g07's segmented tombstone/append/compact loop on
+    *    the stored edge artifact),
+    *  - image fingerprints (m12's diff-only decode+hash),
+    *  - quality scores (p07's diff-only rescoring),
+    *  - IVF corpus (p08's tombstone → compact → stored-codebook
+    *    append), PQ codes+refine (p11's gen-scoped twin), and the
+    *    inverted postings (p10's loop with the df-sidecar fold) —
+    *    these three consume ONE localCheckpointed diff frame; g07,
+    *    m12 and p07 apply the same fixture diff by construction
+    *    (their inputs are derived images/vectors, not document text).
+    *
+    * Output: one (family, n_rows, checksum) row per family, the
+    * digest over the family's FULL post-maintenance result — Verify
+    * pins every row equal to the standalone gate's dump
+    * (`p12_families_eq_standalone`), so the loops provably compose:
+    * sharing one diff, one process temp root, and the memoized
+    * baselines changes nothing about where each family lands.
+    * Rows-only (a composition receipt has no SQL oracle). */
+  def p12NightlyPipeline(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-p12") { root =>
+      import spark.implicits._
+      val diff = Dedup.d14SnapshotCdc(spark, dir)
+        .select("doc_id", "change_type").localCheckpoint(true)
+      val families: Seq[(String, DataFrame)] = Seq(
+        "g07_knn" -> Graph.g07IncrementalKnn(spark, dir),
+        "m12_images" -> Multimodal.m12ImageIndexMaintenance(spark, dir),
+        "p07_quality" -> p07IncrementalQuality(spark, dir),
+        "p08_ivf" -> p08MaintainAt(spark, dir, root.resolve("ivf"), diff),
+        "p10_postings" -> TextOps.postingsReport(spark,
+          p10MaintainAt(spark, dir, root.resolve("postings").toString, diff)),
+        "p11_pq" -> p11MaintainAt(spark, dir, root.resolve("pq"), diff))
+      val rows = families.map { case (f, df) =>
+        val (n, c) = familyDigest(df); (f, n, c)
+      }
+      diff.unpersist()
+      rows.toDF("family", "n_rows", "checksum")
+        .orderBy("family").localCheckpoint(true)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p10_incremental_postings" -> p10IncrementalPostings _,
+    "p12_nightly_pipeline"  -> p12NightlyPipeline _,
     "p01_curation_pipeline" -> p01CurationPipeline _,
     "p02_semdedup_pipeline" -> p02SemdedupPipeline _,
     "p03_dataset_report"    -> p03DatasetReport _,

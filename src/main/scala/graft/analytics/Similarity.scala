@@ -889,7 +889,8 @@ object Similarity {
     * keeps its own lifecycle. */
   def deleteFromIvfCorpus(spark: SparkSession, out: String, ids: DataFrame): Unit =
     graft.core.SegmentedIndex.tombstone(
-      ids.select(col("vec_id").cast("long").as("vec_id")), out, uptoGen = None)
+      ids.select(col("vec_id").cast("long").as("vec_id")), out,
+      keyCol = "vec_id", uptoGen = None)
 
   /** [[writeIvfLayout]] under a GIVEN codebook — no fit: assign cells
     * with `cents` and write the partitioned layout + codebook. The
@@ -1135,7 +1136,7 @@ object Similarity {
                             uptoGen: Long = Long.MaxValue): Unit =
     graft.core.SegmentedIndex.tombstone(
       ids.select(col("vec_id").cast("long").as("vec_id")), out,
-      uptoGen = Some(uptoGen))
+      keyCol = "vec_id", uptoGen = Some(uptoGen))
 
   /** Append vectors to a stored IVF-PQ layout under its STORED
     * codebooks (no refit): assign cells, nibble-pack codes, append to

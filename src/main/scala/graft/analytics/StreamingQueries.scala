@@ -744,11 +744,11 @@ object StreamingQueries {
     * full PQ rebuild). Rows-only (k-means + PQ). */
   def st25StreamPqMaintain(spark: SparkSession, dir: String): DataFrame =
     graft.core.TempDirs.scoped("graft-st25") { tmp =>
-    val out = tmp.resolve("index").toString
     val docs = Tables.documents(spark, dir)
-    val (fitCents, fitBooks) = Pipeline.p11Codebooks(spark, dir)
-    Similarity.writeIvfPqLayoutWith(fitCents, fitBooks,
-      Pipeline.p11Normalized(docs), out)
+    // yesterday's index arrives as a COPY of the memoized baseline —
+    // no per-invocation corpus re-encode (r12 finding #3)
+    val out = Pipeline.copyBaseline(
+      Pipeline.p11BaselineLayout(spark, dir), tmp.resolve("index"))
     // the change feed: d14's diff rows with snapshot-B text for
     // changed/added (deletes carry none), re-laid into 3 files and
     // trickled one per batch
@@ -765,13 +765,19 @@ object StreamingQueries {
       .add("text", org.apache.spark.sql.types.StringType)
     val cents = Similarity.readIvfCodebook(s, out)
     val books = Similarity.readPqCodebooks(s, out)
-    val gen = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = s.readStream.schema(feedSchema)
       .option("maxFilesPerTrigger", "1").parquet(feedDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val bs = batch.sparkSession
-        val g = gen.incrementAndGet()
+        // generation from the replay-stable batchId (gen 0 is the
+        // base layout): a re-delivered batch re-tombstones
+        // idempotently (max-fold); the code/refine APPENDS are flat
+        // parquet appends, so full replay idempotency would need the
+        // per-generation segment layout — fine for this bounded
+        // single-shot drive, duplicated codes on a real at-least-once
+        // source until the PQ layout adopts appendSegment
+        val g = batchId + 1
         val dirty = batch
           .filter(col("change_type").isin("deleted", "changed"))
           .select(col("doc_id").as("vec_id")).localCheckpoint(true)
@@ -799,24 +805,40 @@ object StreamingQueries {
     * family to gain a streamed twin (vectors st13, postings st23,
     * images st24, PQ st25). The feed carries the Debezium after-image
     * (new vector for changed/added rows, id-only deletes); each
-    * microbatch runs [[Graph.maintainKnnEdges]] against the CURRENT
-    * corpus + edge snapshots and double-buffers both to parquet — the
-    * inductive invariant is that the stored edges are always the EXACT
-    * graph of the stored corpus, so per-batch maintenance composes to
-    * the one-shot result under ANY slicing: the final graph must equal
-    * g07's batch loop (Verify: `st26_eq_g07`) and transitively the
-    * full rebuild of snapshot B. Per-batch cost is the admission scan
-    * × broadcast batch-diff + |touched|·N recompute — diff-bounded,
-    * never N². Rows-only (kNN maintenance). */
+    * microbatch applies [[Graph.applyKnnDiffToStore]] to a SEGMENTED
+    * edge store and the matching tombstone/append pair to a segmented
+    * corpus store — per-batch storage writes are O(|touched|·k), never
+    * the corpus+edge double-buffer rewrite the r12 shape paid. The
+    * inductive invariant is that the stores' LIVE views are always the
+    * exact corpus and its exact graph, so per-batch maintenance
+    * composes to the one-shot result under ANY slicing: the final
+    * graph must equal g07's batch loop (Verify: `st26_eq_g07`) and
+    * transitively the full rebuild of snapshot B.
+    *
+    * Replay safety (foreachBatch is at-least-once): generations derive
+    * from the framework's batchId — stable across retries — reads are
+    * [[graft.core.SegmentedIndex.liveAsOf]] the PREVIOUS generation
+    * (immutable once written), segment appends are per-generation
+    * OVERWRITES, and tombstone re-appends max-fold idempotently — so a
+    * re-delivered batch recomputes the same sets and lands on the same
+    * bytes. Per-batch pair work is the cell-pruned admission +
+    * |touched|·N recompute — diff-bounded, never N². Rows-only (kNN
+    * maintenance). */
   def st26StreamKnnMaintain(spark: SparkSession, dir: String): DataFrame =
     graft.core.TempDirs.scoped("graft-st26") { tmp =>
     val a0 = Dedup.normalizedVectors(spark, dir)
     val b = Graph.vectorSnapshotB(a0)
+    val corpusStore = tmp.resolve("corpus").toString
+    val edgeStore = tmp.resolve("edges").toString
     // generation 0: yesterday's corpus + the shared stored edge artifact
-    a0.select(col("vec_id"), col("v"), col("norm"))
-      .write.parquet(tmp.resolve("corpus_0").toString)
-    Similarity.knnEdges(spark, dir)
-      .write.parquet(tmp.resolve("edges_0").toString)
+    graft.core.SegmentedIndex.appendSegment(
+      a0.select(col("vec_id"), col("v"), col("norm")), corpusStore, gen = 0L)
+    graft.core.SegmentedIndex.appendSegment(
+      Similarity.knnEdges(spark, dir), edgeStore, gen = 0L)
+    // the codebook is a train-once artifact: the admission prune keeps
+    // its exactness whatever corpus the per-application cell profile
+    // (δ_c, min kth) is measured over
+    val cents = Similarity.ivfCentroids(spark, dir)
     // the change feed, after-image convention
     val feedDir = tmp.resolve("feed").toString
     val deleted = a0.filter(col("vec_id") % 10 === 7)
@@ -835,35 +857,55 @@ object StreamingQueries {
       .add("v", org.apache.spark.sql.types.ArrayType(
         org.apache.spark.sql.types.DoubleType))
       .add("norm", org.apache.spark.sql.types.DoubleType)
-    val gen = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = s.readStream.schema(feedSchema)
       .option("maxFilesPerTrigger", "1").parquet(feedDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val bs = batch.sparkSession
-        val g = gen.incrementAndGet()
-        val aCur = bs.read.parquet(tmp.resolve(s"corpus_${g - 1}").toString)
-        val eCur = bs.read.parquet(tmp.resolve(s"edges_${g - 1}").toString)
+        val g = batchId + 1 // gen 0 is the seed; batchId is replay-stable
         val dirtyOld = batch
           .filter(col("change_type").isin("deleted", "changed"))
           .select("vec_id").localCheckpoint(true)
         val newRows = batch
           .filter(col("change_type").isin("changed", "added"))
           .select(col("vec_id"), col("v"), col("norm")).localCheckpoint(true)
+        // the replay-stable pre-images: live as of the previous
+        // generation (immutable), never "whatever is on disk now"
+        val aCur = graft.core.SegmentedIndex.liveAsOf(bs,
+          bs.read.parquet(corpusStore), corpusStore,
+          keyCol = "vec_id", genCol = "gen", asOfGen = g - 1).drop("gen")
+        val eCur = graft.core.SegmentedIndex.liveAsOf(bs,
+          bs.read.parquet(edgeStore), edgeStore,
+          keyCol = "vec_id", genCol = "gen", asOfGen = g - 1).drop("gen")
+        // corpus maintenance: tombstone the batch's dirty ids, append
+        // its after-images as segment g
+        graft.core.SegmentedIndex.tombstone(dirtyOld, corpusStore,
+          keyCol = "vec_id", uptoGen = Some(g - 1))
+        graft.core.SegmentedIndex.appendSegment(newRows, corpusStore, g)
+        // edge maintenance against the batch's post-image corpus
         val bCur = aCur.join(broadcast(dirtyOld), Seq("vec_id"), "left_anti")
-          .unionByName(newRows)
-        bCur.write.parquet(tmp.resolve(s"corpus_$g").toString)
-        Graph.maintainKnnEdges(aCur, eCur,
-            bs.read.parquet(tmp.resolve(s"corpus_$g").toString),
-            dirtyOld, newRows.select("vec_id"))
-          .write.parquet(tmp.resolve(s"edges_$g").toString)
+          .unionByName(newRows).localCheckpoint(true)
+        Graph.applyKnnDiffToStore(aCur, eCur, bCur, dirtyOld,
+          newRows.select("vec_id"), edgeStore, g, Some(cents))
+        bCur.unpersist(); dirtyOld.unpersist(); newRows.unpersist(); ()
       }
       .start()
     q.processAllAvailable()
     q.stop()
+    // one END-OF-STREAM compaction on policy (the st13/st23/st25
+    // discipline): physically drop tombstone-covered rows once they
+    // pass the read-amp threshold — correctness never depends on it
+    def edgesLive = graft.core.SegmentedIndex.live(spark,
+      spark.read.parquet(edgeStore), edgeStore,
+      keyCol = "vec_id", genCol = Some("gen"))
+    graft.core.SegmentedIndex.maybeCompact(spark,
+      spark.read.parquet(edgeStore), edgeStore,
+      keyCol = "vec_id", genCol = Some("gen")) { tmpDir =>
+      edgesLive.drop("gen").write.parquet(s"$tmpDir/gen=0")
+    }
     // |5N|-bounded final graph materialized eagerly; the scoped
-    // double-buffer chain is deleted when this returns
-    spark.read.parquet(tmp.resolve(s"edges_${gen.get()}").toString)
+    // segmented stores are deleted when this returns
+    edgesLive.select("vec_id", "rnk", "neighbor_id", "cos_sim")
       .orderBy("vec_id", "rnk").localCheckpoint(true)
   }
 
@@ -896,13 +938,15 @@ object StreamingQueries {
       .add("change_type", org.apache.spark.sql.types.StringType)
       .add("text", org.apache.spark.sql.types.StringType)
       .add("old_text", org.apache.spark.sql.types.StringType)
-    val gen = new java.util.concurrent.atomic.AtomicLong(0L)
     val q = s.readStream.schema(feedSchema)
       .option("maxFilesPerTrigger", "1").parquet(feedDir)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val bs = batch.sparkSession
-        val g = gen.incrementAndGet()
+        // replay-stable generation (st25's convention); the postings
+        // appends are flat parquet appends — idempotent tombstones,
+        // single-shot assumption on the append side
+        val g = batchId + 1
         val dirtyRows = batch
           .filter(col("change_type").isin("deleted", "changed"))
           .select(col("doc_id"), col("old_text")).localCheckpoint(true)

@@ -246,7 +246,7 @@ object TextOps {
                                             docIds: DataFrame,
                                             uptoGen: Long = Long.MaxValue): Unit =
     graft.core.SegmentedIndex.tombstone(docIds.select(col("doc_id")), out,
-      uptoGen = Some(uptoGen))
+      keyCol = "doc_id", uptoGen = Some(uptoGen))
 
   /** Stored schema of a postings layout — read EXPLICITLY everywhere
     * so a fully-tombstoned, freshly-compacted layout (zero data files)

@@ -35,12 +35,16 @@ import org.apache.spark.sql.functions._
   * never run concurrently with each other. */
 object SegmentedIndex {
 
-  /** Tombstone `keys` (one column, the index's key) in the layout at
-    * `out`. `uptoGen = Some(g)` writes generation-scoped tombstones;
-    * `None` writes plain key tombstones (suppress every generation —
-    * the IVF corpus's epoch-wide delete). One bounded file per call. */
-  def tombstone(keys: DataFrame, out: String, uptoGen: Option[Long]): Unit = {
-    val keyCol = keys.columns.head
+  /** Tombstone `keys` under `keyCol` (explicit — [[live]] later joins
+    * on the same name, and a positional guess would silently tombstone
+    * the wrong column of a multi-column frame) in the layout at `out`.
+    * `uptoGen = Some(g)` writes generation-scoped tombstones; `None`
+    * writes plain key tombstones (suppress every generation — the IVF
+    * corpus's epoch-wide delete). One bounded file per call; re-writing
+    * the same keys is idempotent ([[tombstonesOf]] max-folds per key),
+    * so an at-least-once maintainer may replay this safely. */
+  def tombstone(keys: DataFrame, out: String, keyCol: String,
+                uptoGen: Option[Long]): Unit = {
     val rows = keys.select(col(keyCol)).distinct()
     uptoGen.fold(rows)(g => rows.withColumn("upto_gen", lit(g)))
       .coalesce(1).write.mode("append").parquet(s"$out/_tombstones")
@@ -75,6 +79,76 @@ object SegmentedIndex {
         case None => raw.join(ts, col(keyCol) === col("_t_key"), "left_anti")
       }
     }
+
+  /** [[live]] as of generation `asOfGen` — the TIME-TRAVEL read that
+    * makes an at-least-once streaming maintainer deterministic: only
+    * segments at or below `asOfGen` and only tombstones earlier batches
+    * wrote (`upto_gen < asOfGen`, by the writer convention that batch g
+    * tombstones up to g−1). Generations ≤ asOfGen are immutable once
+    * batch asOfGen commits — batch g only overwrites segment g and
+    * appends tombstones at g−1 — so a REPLAYED batch g reading
+    * `liveAsOf(g−1)` sees exactly what its first attempt saw, computes
+    * the same recompute set, and its segment-overwrite + tombstone
+    * re-append land idempotently. Gen-scoped layouts only; the
+    * tombstone filter runs BEFORE the per-key max-fold (a later batch's
+    * wider tombstone must not mask an earlier batch's). */
+  def liveAsOf(spark: SparkSession, raw: DataFrame, out: String,
+               keyCol: String, genCol: String, asOfGen: Long): DataFrame = {
+    val upTo = raw.filter(col(genCol) <= asOfGen)
+    if (!Files.isDirectory(Paths.get(out, "_tombstones"))) upTo
+    else {
+      val t = spark.read.parquet(s"$out/_tombstones")
+        .filter(col("upto_gen") < asOfGen)
+        .groupBy(keyCol).agg(max(col("upto_gen")).as("upto_gen"))
+      val ts = broadcast(t.withColumnRenamed(keyCol, "_t_key"))
+      upTo.join(ts,
+        col(keyCol) === col("_t_key") && col(genCol) <= col("upto_gen"), "left_anti")
+    }
+  }
+
+  /** Write one GENERATION SEGMENT of a partition-dir layout: rows land
+    * under `out/gen=<g>` with OVERWRITE, so an at-least-once maintainer
+    * replaying generation g replaces its own prior attempt instead of
+    * duplicating it (the exactly-once move parquet `append` can't
+    * give). Reading `out` recovers `gen` as a partition column, which
+    * is exactly the [[live]] `genCol`; Spark's file listing skips the
+    * underscore sidecars. The frame must not itself carry a `gen`
+    * column. */
+  def appendSegment(rows: DataFrame, out: String, gen: Long): Unit =
+    rows.write.mode("overwrite").parquet(s"$out/gen=$gen")
+
+  /** Fraction of stored rows a fresh probe's anti-join would drop —
+    * the read-amplification signal [[maybeCompact]]'s policy reads.
+    * Two counts over the layout; 0.0 when no tombstones exist. */
+  def coveredFraction(spark: SparkSession, raw: DataFrame, out: String,
+                      keyCol: String, genCol: Option[String]): Double =
+    tombstonesOf(spark, out, genScoped = genCol.isDefined).fold(0.0) { _ =>
+      val total = raw.count()
+      if (total == 0L) 0.0
+      else 1.0 - live(spark, raw, out, keyCol, genCol).count().toDouble / total
+    }
+
+  /** Default [[maybeCompact]] trigger: compact once tombstones cover
+    * this fraction of stored rows, bounding steady-state read-amp of
+    * the live anti-join at 1/(1−threshold) ≈ 2× between compactions. */
+  val CompactThreshold = 0.5
+
+  /** Policy-driven compaction — the when-to-compact decision the
+    * owners previously made by convention (every epoch, or at end of
+    * stream): measure the tombstone-covered row fraction and run
+    * `writeRewrite` through [[compactWith]] only past `threshold`.
+    * Returns whether a compaction ran, so callers can assert the
+    * policy in specs. Same single-maintainer contract as the pieces. */
+  def maybeCompact(spark: SparkSession, raw: => DataFrame, out: String,
+                   keyCol: String, genCol: Option[String],
+                   threshold: Double = CompactThreshold,
+                   skipSidecars: Set[String] = Set.empty)
+                  (writeRewrite: String => Unit): Boolean = {
+    val frac = coveredFraction(spark, raw, out, keyCol, genCol)
+    val due = frac > threshold
+    if (due) compactWith(out, skipSidecars)(writeRewrite)
+    due
+  }
 
   /** The compaction shell every owner shares: heal a crashed prior
     * swap, hand the caller the staging dir to write the rewrite into

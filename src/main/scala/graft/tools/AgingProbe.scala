@@ -35,12 +35,18 @@ object AgingProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val qs = graft.SparkEntry.queries
     for (i <- 1 to reps; g <- gates) {
+      // mirror the bench's FULL between-queries hygiene (clearCache +
+      // new-RDD unpersist sweep + provider unload) so the probe
+      // measures the same steady state the bench reports — gates that
+      // return localCheckpoint(true) frames would otherwise pin RDD
+      // blocks until GC and noise the heap counter this tool reads
+      val preIds = spark.sparkContext.getPersistentRDDs.keySet
       val t0 = System.nanoTime()
       val n = qs(g)(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      // mirror the bench's between-queries hygiene so the probe measures
-      // the same steady state the bench reports
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) => if (!preIds.contains(id)) rdd.unpersist(false) }
       org.apache.spark.sql.graftdiag.StateShim.unloadAllProviders()
       val d = graft.core.Diag.snap(spark)
       println(s"""{"iter":$i,"gate":"$g","rows":$n,"sec":${f"$dt%.3f"},"diag":${d.json}}""")

@@ -274,6 +274,41 @@ class GraphSpec extends AnyFunSuite {
     assert(inc.nonEmpty && inc == full)
   }
 
+  test("cell-pruned admission computes the SAME recompute set as the exact tier") {
+    // the prune is an angular-triangle-inequality UPPER BOUND, never a
+    // heuristic: pair work drops, decisions don't — pin id-set
+    // equality of the recompute sets AND row equality of the
+    // maintained graphs, both on g07's 30% fixture diff and on a 1%
+    // re-embed-only diff (where the prune actually bites)
+    val a = Dedup.normalizedVectors(spark, dir)
+    val b = Graph.vectorSnapshotB(a)
+    val edgesA = Similarity.s05KnnGraph(spark, dir)
+    val cents = Similarity.ivfCentroids(spark, dir)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSet
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val dirtyOld = Graph.g07DirtyOld(a)
+    val newIds = Graph.g07NewIds(b)
+    val exactSet = ids(Graph.knnRecomputeIds(a, edgesA, b, dirtyOld, newIds))
+    val prunedSet = ids(Graph.knnRecomputeIds(a, edgesA, b, dirtyOld, newIds,
+      cents = Some(cents)))
+    assert(exactSet.nonEmpty && prunedSet == exactSet)
+    assert(rows(Graph.maintainKnnEdges(a, edgesA, b, dirtyOld, newIds,
+        cents = Some(cents)))
+      == rows(Graph.maintainKnnEdges(a, edgesA, b, dirtyOld, newIds)))
+    // the small diff: 1% of vectors re-embedded, nothing deleted/added
+    val changed = col("vec_id") % 100 === 3
+    val rot = expr("transform(sequence(1, size(v)), k -> v[k % size(v)])")
+    val b1 = a.filter(!changed).select(col("vec_id"), col("v"), col("norm"))
+      .unionByName(a.filter(changed).select(col("vec_id"), rot.as("v"), col("norm")))
+    val dirty1 = a.filter(changed).select("vec_id")
+    val exact1 = ids(Graph.knnRecomputeIds(a, edgesA, b1, dirty1, dirty1))
+    val pruned1 = ids(Graph.knnRecomputeIds(a, edgesA, b1, dirty1, dirty1,
+      cents = Some(cents)))
+    assert(exact1.nonEmpty && pruned1 == exact1)
+  }
+
   test("kNN maintenance with short stored lists: an addition still reaches every survivor") {
     // a 4-vector corpus at k=5 gives every row a SHORT (3-edge) list —
     // there is no k-th-best admission threshold, so adding a vector

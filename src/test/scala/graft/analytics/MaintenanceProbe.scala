@@ -19,11 +19,20 @@ import org.apache.spark.sql.functions._
   *    corpus rewrite by design, priced by the store probes.)
   *  - IVF corpus maintenance (p08's ops: tombstone → stored-codebook
   *    diff append): flat — nothing reads the stored data files.
-  *  - kNN-edge maintenance (g07's maintainKnnEdges): LINEAR in corpus
-  *    (the admission test is one corpus scan against the broadcast
-  *    diff) — the receipt is ratio ≈ REP, against the N² rebuild's
-  *    ratio ≈ REP². The rebuild itself is not timed at REP× (that is
-  *    the quadratic baseline the maintenance path exists to avoid).
+  *  - kNN-edge maintenance (g07's segmented-store loop,
+  *    [[Graph.applyKnnDiffToStore]]): STORAGE writes are
+  *    diff-proportional (tombstone + recomputed-lists segment — the
+  *    r13 fix; receipted as rows written, near-flat), and the
+  *    admission test runs the IVF-CELL-PRUNED tier, so the timed
+  *    ratio lands BELOW the exact tier's ≈ REP corpus scan (the
+  *    exact tier is timed beside it for the comparison; the N²
+  *    rebuild's ratio ≈ REP² is not timed at REP× at all).
+  *
+  * Replicas ROTATE the embedding per replica index (deterministic,
+  * norm-preserving) — exact-copy replicas would make every top-k list
+  * a tie-block of clones and the admission thresholds degenerate to
+  * 1.0, flattering the prune; rotated replicas keep the similarity
+  * structure realistic while the diff stays the same 200 ids.
   */
 object MaintenanceProbe {
   def main(args: Array[String]): Unit = {
@@ -54,6 +63,9 @@ object MaintenanceProbe {
     val nEmb = emb.count()
     emb.crossJoin(reps)
       .withColumn("vec_id", col("vec_id") + col("_rep") * lit(nEmb))
+      .withColumn("embedding", expr(
+        "transform(sequence(1, size(embedding)), " +
+          "k -> embedding[CAST((k - 1 + _rep) % size(embedding) AS INT)])"))
       .drop("_rep")
       .repartition(32).write.mode("overwrite").parquet(s"$big/embeddings.parquet")
 
@@ -108,18 +120,33 @@ object MaintenanceProbe {
       spark.catalog.clearCache(); dt
     }
 
-    // ---- kNN-edge maintenance: recompute-set + diff-bounded rebuild
-    def knnMaint(dir: String): Double = {
+    // ---- kNN-edge maintenance, g07's segmented-store loop: timed
+    // application (pruned admission + recompute + tombstone/segment
+    // writes) plus a DETERMINISTIC storage receipt (rows written)
+    def knnMaintTiers(dir: String): (Double, Double, Long, Long) = {
       val a = Dedup.normalizedVectors(spark, dir)
       val edgesA = Similarity.knnGraphExact(a, k = 5)
         .localCheckpoint(true) // untimed: yesterday's artifact
+      val store = graft.core.TempDirs.create("graft-maint-knn")
+        .resolve("edges").toString
+      graft.core.SegmentedIndex.appendSegment(edgesA, store, gen = 0L) // untimed
+      val cents = Similarity.ivfCentroids(spark, dir) // untimed: train-once
       val dirty = a.filter(col("vec_id") < DiffN / 2).select("vec_id")
       val newIds = a.filter(col("vec_id") >= DiffN / 2 && col("vec_id") < DiffN)
         .select("vec_id")
       val t0 = System.nanoTime()
+      val nRec = Graph.applyKnnDiffToStore(a, edgesA, a, dirty, newIds,
+        store, gen = 1L, cents = Some(cents))
+      val tPruned = (System.nanoTime() - t0) / 1e9
+      // storage receipt: appended segment rows + tombstone rows — the
+      // write-amp the r13 segmented path bounds by the diff
+      val rowsWritten = spark.read.parquet(s"$store/gen=1").count() +
+        spark.read.parquet(s"$store/_tombstones").count()
+      val t1 = System.nanoTime()
       Graph.maintainKnnEdges(a, edgesA, a, dirty, newIds).count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache(); dt
+      val tExact = (System.nanoTime() - t1) / 1e9
+      spark.catalog.clearCache()
+      (tPruned, tExact, rowsWritten, nRec)
     }
 
     def probe(name: String, f: String => Double, expect: String): Unit = {
@@ -134,9 +161,18 @@ object MaintenanceProbe {
     probe("pq_maintain", pqMaint, "~1 (diff-bounded)")
     // the kNN exact-graph build at REP× is quadratic — skip the big
     // build above REP=4 unless explicitly asked, and say so
-    if (rep <= 4 || sys.env.contains("SPARK_GRAFT_KNN_BIG"))
-      probe("knn_maintain", knnMaint, s"~$rep (one admission scan)")
-    else println(s"[maint] knn_maintain skipped at rep=$rep (its untimed " +
+    if (rep <= 4 || sys.env.contains("SPARK_GRAFT_KNN_BIG")) {
+      knnMaintTiers("/root/testdata/sf0.001") // untimed warmup
+      val (p1, e1, w1, n1) = knnMaintTiers(sfDir)
+      val (pb, eb, wb, nb) = knnMaintTiers(big)
+      println(f"[maint] knn_maintain pruned 1x=$p1%7.2fs ${rep}x=$pb%7.2fs " +
+        f"ratio=${pb / p1}%5.1f (expect <$rep: cell-pruned admission)")
+      println(f"[maint] knn_maintain exact  1x=$e1%7.2fs ${rep}x=$eb%7.2fs " +
+        f"ratio=${eb / e1}%5.1f (expect ~$rep: one admission scan)")
+      println(f"[maint] knn_storage rows    1x=$w1%7d  ${rep}x=$wb%7d  " +
+        f"ratio=${wb.toDouble / w1}%5.1f recompute=$n1%d/$nb%d " +
+        "(expect near-flat: segmented tombstone+append, never the 5N artifact)")
+    } else println(s"[maint] knn_maintain skipped at rep=$rep (its untimed " +
       "exact-graph build is O(N²); run with SPARK_GRAFT_REP<=4 or set " +
       "SPARK_GRAFT_KNN_BIG)")
     spark.stop()
