@@ -627,9 +627,11 @@ object Graph {
   private[analytics] def maintainKnnEdges(a: DataFrame, edgesA: DataFrame,
                                           b: DataFrame, dirtyOld: DataFrame,
                                           newIds: DataFrame, k: Int = 5,
-                                          cents: Option[Array[(Int, Array[Double])]] = None)
+                                          cents: Option[Array[(Int, Array[Double])]] = None,
+                                          admission: String = "auto")
       : DataFrame = {
-    val recomputeIds = knnRecomputeIds(a, edgesA, b, dirtyOld, newIds, k, cents)
+    val recomputeIds = knnRecomputeIds(a, edgesA, b, dirtyOld, newIds, k, cents,
+      admission)
     val recomputed = knnForQueries(
       b.join(recomputeIds, Seq("vec_id"), "left_semi"), b, k)
     val kept = edgesA
@@ -641,26 +643,34 @@ object Graph {
   /** The set of lists the diff can touch — steps (1)–(3) above.
     * Exposed so GraphSpec can pin that it stays a strict subset of
     * the surviving corpus and shrinks with the diff (the maintenance
-    * is genuinely incremental). `cents` selects the cell-pruned
+    * is genuinely incremental). `cents` enables the cell-pruned
     * admission tier; GraphSpec pins that both tiers produce the SAME
-    * id set (the prune is an upper-bound argument, not a heuristic). */
+    * id set (the prune is an upper-bound argument, not a heuristic).
+    * `admission`: `"auto"` (cost-based choice per application — the
+    * gates' setting), `"pruned"` (force the cell join; specs/probes),
+    * anything else falls back to exact. */
   private[analytics] def knnRecomputeIds(a: DataFrame, edgesA: DataFrame,
                                          b: DataFrame, dirtyOld: DataFrame,
                                          newIds: DataFrame, k: Int = 5,
-                                         cents: Option[Array[(Int, Array[Double])]] = None)
+                                         cents: Option[Array[(Int, Array[Double])]] = None,
+                                         admission: String = "auto")
       : DataFrame = {
     // (1) lists referencing a dirty (deleted|changed) neighbor
     val refRecompute = edgesA
       .join(broadcast(dirtyOld.withColumnRenamed("vec_id", "neighbor_id")),
         Seq("neighbor_id"), "left_semi")
       .select("vec_id").distinct()
-    // the diff's new side: re-embedded vectors + additions (bounded)
+    // the diff's new side: re-embedded vectors + additions — BOUNDED,
+    // and consumed by three subplans (admission probes, the short-row
+    // semi join, the recompute union), so materialize the |diff| rows
+    // once instead of re-deriving them with a corpus scan per use
     val newVecs = b.join(broadcast(newIds), Seq("vec_id"), "left_semi")
+      .select("vec_id", "v", "norm").localCheckpoint(true)
     val kth = edgesA.groupBy("vec_id")
       .agg(min(col("cos_sim")).as("kth"), count(lit(1)).as("n_edges"))
     val survivors = a.join(broadcast(dirtyOld), Seq("vec_id"), "left_anti")
     val gainers = cents.fold(gainersExact(survivors, newVecs, kth, k))(cs =>
-      gainersPruned(survivors, newVecs, kth, k, cs))
+      gainersPruned(survivors, newVecs, kth, k, cs, admission))
     // (3) + union; deleted ids fall out via the semi join against B
     refRecompute
       .unionByName(gainers)
@@ -705,6 +715,17 @@ object Graph {
     }: _*)
   }
 
+  /** Past this admitted-work fraction of the exact scan's pair work,
+    * the cell prune isn't buying enough to repay its own join
+    * machinery — run the plain broadcast scan instead. */
+  private val PrunedWorkCutoff = 0.5
+
+  /** Below this many survivor×new-vector pairs the exact scan is
+    * sub-second on any executor count, so the decision profile scan
+    * (2K dots/row + a kth join) can never pay for itself — skip
+    * straight to exact. Two cheap counts decide. */
+  private val PrunedMinPairWork = 100000000L
+
   /** (2) admission test, IVF-CELL-PRUNED tier — the same admission
     * DECISIONS as [[gainersExact]] at a fraction of the pair work,
     * by the angular triangle inequality: for a survivor r in cell c
@@ -715,17 +736,33 @@ object Graph {
     * cell's weakest stored threshold min_kth is skipped wholesale;
     * admitted pairs still run the exact per-row test, so the gainer
     * set is IDENTICAL to the exact tier's (GraphSpec pins set
-    * equality). Pair work drops from N·|diff| to Σ_admitted |cell|·|n|
-    * — the s06 cell-prune move applied to maintenance admission.
-    * The 1e-4 slack absorbs the stored sims' 4-decimal rounding
-    * (rounded ≥ kth ⟹ true ≥ kth − 5e-5) plus acos/cos noise; loose
-    * only costs pruning, never a missed gainer. */
+    * equality). Pair work drops from N·|diff| to Σ_admitted |cell|
+    * per admitted vector — the s06 cell-prune move applied to
+    * maintenance admission. The 1e-4 slack absorbs the stored sims'
+    * 4-decimal rounding (rounded ≥ kth ⟹ true ≥ kth − 5e-5) plus
+    * acos/cos noise; loose only costs pruning, never a missed gainer.
+    *
+    * The prune only pays when cells are TIGHT relative to the stored
+    * thresholds (clustered embeddings; or a matured index whose kth
+    * floors are high). On wide cells it admits everything and the
+    * cell join just re-spells the exact scan with extra machinery —
+    * measured 2× slower on the uniform fixture. So `"auto"` decides
+    * PER APPLICATION from the K-row cell profile it already computed:
+    * admitted work = Σ over admitted pairs of the cell's member
+    * count, vs the exact scan's |full|·|newVecs|; the pruned join
+    * runs only below [[PrunedWorkCutoff]]. The decision costs one
+    * narrow profile scan (2K dots/row) + a |diff|·K-row probe — the
+    * bound computations the pruned join needs anyway. */
   private def gainersPruned(survivors: DataFrame, newVecs: DataFrame,
                             kth: DataFrame, k: Int,
-                            cents: Array[(Int, Array[Double])]): DataFrame = {
+                            cents: Array[(Int, Array[Double])],
+                            admission: String): DataFrame = {
     import graft.functions.VectorFunctions._
     require(cents.zipWithIndex.forall { case ((c, _), i) => c == i },
       "pruned admission requires contiguous 0-based cell ids")
+    if (admission != "pruned" &&
+        survivors.count() * math.max(1L, newVecs.count()) < PrunedMinPairWork)
+      return gainersExact(survivors, newVecs, kth, k)
     def angle(c: Column) = acos(greatest(lit(-1.0), least(lit(1.0), c)))
     val assigned = survivors
       .withColumn("cell", Similarity.cellOf(cents, col("v"), col("norm")))
@@ -739,25 +776,49 @@ object Graph {
         col("vec_id") =!= col("nid"), "left_semi")
       .select("vec_id")
     val full = assigned.filter(col("kth").isNotNull && col("n_edges") >= k)
-    // K-row cell profile: widest member angle + weakest threshold
-    val cellStats = full.groupBy("cell").agg(
-      max(col("self_angle")).as("delta"), min(col("kth")).as("min_kth"))
+    // K-row cell profile: widest member angle, weakest threshold,
+    // member count — collected once (bounded), reused as literals by
+    // the probe, the work estimate, and the pruned join
+    val statsRows = full.groupBy("cell").agg(
+        max(col("self_angle")).as("delta"), min(col("kth")).as("min_kth"),
+        count(lit(1)).as("n_c"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    val spark2 = survivors.sparkSession
+    import spark2.implicits._
+    val statsDf = broadcast(
+      statsRows.toSeq.toDF("cell", "delta", "min_kth", "n_c"))
     // each new vector probes all K cells; keep pairs the bound admits
+    // (|diff|·K rows in, bounded out — checkpointed: the work estimate
+    // and the pruned join both consume it)
     val admitted = newVecs
       .select(col("vec_id").as("nid"), col("v").as("nv"), col("norm").as("nnorm"))
       .withColumn("cos_arr", cosToCents(cents, col("nv"), col("nnorm")))
       .select(col("nid"), col("nv"), col("nnorm"),
         posexplode(col("cos_arr")).as(Seq("cell", "cos_cn")))
-      .join(broadcast(cellStats), "cell")
+      .join(statsDf, "cell")
       .filter(cos(greatest(lit(0.0), angle(col("cos_cn")) - col("delta")))
         >= col("min_kth") - lit(1e-4))
-      .select(col("cell"), col("nid"), col("nv"), col("nnorm"))
-    // exact per-row test, restricted to the admitted (cell, n) pairs
-    val fullGainers = full.join(broadcast(admitted), Seq("cell"))
-      .filter(col("vec_id") =!= col("nid") &&
-        Det.dround(array_dot(col("v"), col("nv")) / (col("norm") * col("nnorm")), 4)
-          >= col("kth"))
-      .select("vec_id").distinct()
+      .select(col("cell"), col("nid"), col("nv"), col("nnorm"), col("n_c"))
+      .localCheckpoint(true)
+    val usePruned = admission match {
+      case "pruned" => true
+      case _ =>
+        val admittedWork = admitted.agg(sum(col("n_c"))).first() match {
+          case r if r.isNullAt(0) => 0L
+          case r => r.getLong(0)
+        }
+        val exactWork = statsRows.map(_._4).sum * math.max(1L, newVecs.count())
+        admittedWork < PrunedWorkCutoff * exactWork
+    }
+    val fullGainers =
+      if (usePruned)
+        // exact per-row test, restricted to the admitted (cell, n) pairs
+        full.join(broadcast(admitted.drop("n_c")), Seq("cell"))
+          .filter(col("vec_id") =!= col("nid") &&
+            Det.dround(array_dot(col("v"), col("nv")) / (col("norm") * col("nnorm")), 4)
+              >= col("kth"))
+          .select("vec_id").distinct()
+      else gainersExact(survivors, newVecs, kth, k)
     short.unionByName(fullGainers).distinct()
   }
 

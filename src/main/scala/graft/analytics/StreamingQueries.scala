@@ -883,6 +883,9 @@ object StreamingQueries {
           keyCol = "vec_id", uptoGen = Some(g - 1))
         graft.core.SegmentedIndex.appendSegment(newRows, corpusStore, g)
         // edge maintenance against the batch's post-image corpus
+        // (checkpointed: the recompute's admission + both sides of the
+        // |touched|·N pass re-read it — measured cheaper than lazy
+        // re-evaluation of the anti-join+union per consumer)
         val bCur = aCur.join(broadcast(dirtyOld), Seq("vec_id"), "left_anti")
           .unionByName(newRows).localCheckpoint(true)
         Graph.applyKnnDiffToStore(aCur, eCur, bCur, dirtyOld,

@@ -292,10 +292,10 @@ class GraphSpec extends AnyFunSuite {
     val newIds = Graph.g07NewIds(b)
     val exactSet = ids(Graph.knnRecomputeIds(a, edgesA, b, dirtyOld, newIds))
     val prunedSet = ids(Graph.knnRecomputeIds(a, edgesA, b, dirtyOld, newIds,
-      cents = Some(cents)))
+      cents = Some(cents), admission = "pruned"))
     assert(exactSet.nonEmpty && prunedSet == exactSet)
     assert(rows(Graph.maintainKnnEdges(a, edgesA, b, dirtyOld, newIds,
-        cents = Some(cents)))
+        cents = Some(cents), admission = "pruned"))
       == rows(Graph.maintainKnnEdges(a, edgesA, b, dirtyOld, newIds)))
     // the small diff: 1% of vectors re-embedded, nothing deleted/added
     val changed = col("vec_id") % 100 === 3
@@ -305,7 +305,7 @@ class GraphSpec extends AnyFunSuite {
     val dirty1 = a.filter(changed).select("vec_id")
     val exact1 = ids(Graph.knnRecomputeIds(a, edgesA, b1, dirty1, dirty1))
     val pruned1 = ids(Graph.knnRecomputeIds(a, edgesA, b1, dirty1, dirty1,
-      cents = Some(cents)))
+      cents = Some(cents), admission = "pruned"))
     assert(exact1.nonEmpty && pruned1 == exact1)
   }
 

@@ -500,6 +500,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"s16 gained a corpus-wide window:\n$plan")
   }
 
+  test("kNN pruned admission: survivors join admitted pairs as an equi hash join ON CELL") {
+    // the pruned tier's whole point is replacing the exact tier's
+    // survivors × newVecs nested loop (N·|diff| pair work) with a
+    // broadcast EQUI join on the cell key, bounded by the admitted
+    // (cell, new-vector) pairs — pin the join shape so a refactor
+    // can't silently fall back to the corpus-wide nested loop for
+    // the full-list rows (the short-list semi join is allowed to be
+    // a bounded nested loop: its probe side is one row)
+    val a = Dedup.normalizedVectors(spark, dir)
+    val b = Graph.vectorSnapshotB(a)
+    val plan = Graph.knnRecomputeIds(a, Similarity.s05KnnGraph(spark, dir), b,
+        Graph.g07DirtyOld(a), Graph.g07NewIds(b),
+        cents = Some(Similarity.ivfCentroids(spark, dir)), admission = "pruned")
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin \\[cell".r.findFirstIn(plan).isDefined,
+      s"pruned admission lost its cell equi join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"pruned admission gained a cross product:\n$plan")
+  }
+
   test("m07 alignment is one scan + one equi join, no shuffle beyond agg-free sort") {
     val plan = Multimodal.m07ClipAlign(spark, dir)
       .queryExecution.executedPlan.toString
