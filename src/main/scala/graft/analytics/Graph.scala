@@ -589,8 +589,9 @@ object Graph {
     g07StoreDirs.computeIfAbsent(dir, { _ =>
       val store = graft.core.TempDirs.create("graft-g07-store")
         .resolve("edges").toString
-      graft.core.SegmentedIndex.appendSegment(
-        Similarity.knnEdges(spark, dir), store, gen = 0L)
+      graft.core.DirSwap.copyTree(
+        java.nio.file.Paths.get(Similarity.knnEdgesPath(spark, dir)),
+        java.nio.file.Paths.get(store, "gen=0"))
       store
     })
 
@@ -835,8 +836,10 @@ object Graph {
   private[analytics] def applyKnnDiffToStore(aCur: DataFrame, eCur: DataFrame,
       bCur: DataFrame, dirtyOld: DataFrame, newIds: DataFrame,
       store: String, gen: Long,
-      cents: Option[Array[(Int, Array[Double])]], k: Int = 5): Long = {
-    val recomputeIds = knnRecomputeIds(aCur, eCur, bCur, dirtyOld, newIds, k, cents)
+      cents: Option[Array[(Int, Array[Double])]], k: Int = 5,
+      admission: String = "auto"): Long = {
+    val recomputeIds = knnRecomputeIds(aCur, eCur, bCur, dirtyOld, newIds, k, cents,
+        admission)
       .localCheckpoint(true)
     val nRec = recomputeIds.count()
     graft.core.SegmentedIndex.tombstone(

@@ -486,6 +486,20 @@ object Pipeline {
     to.toString
   }
 
+  /** The snapshot-A postings baseline (p10/st23/p12's in-gate step 1
+    * — a full-corpus tokenize + layout write per invocation until
+    * r13), memoized like the vector baselines. */
+  private val p10BaseDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[analytics] def p10BaselineLayout(spark: SparkSession, dir: String): String =
+    p10BaseDirs.computeIfAbsent(dir, { _ =>
+      val p = graft.core.TempDirs.create("graft-p10-base")
+        .resolve("postings").toString
+      TextOps.writePostingsLayout(spark, Tables.documents(spark, dir), p)
+      p
+    })
+
   private[analytics] def p11QuerySet(docs: DataFrame): DataFrame =
     p11Normalized(docs.filter(col("doc_id") % 100 === 0))
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qnorm"))
@@ -676,7 +690,10 @@ object Pipeline {
   private def p10MaintainAt(spark: SparkSession, dir: String, out: String,
                             diff: DataFrame): String = {
     val docs = Tables.documents(spark, dir)
-    TextOps.writePostingsLayout(spark, docs, out)
+    // yesterday's index arrives as a COPY of the memoized baseline —
+    // no per-invocation corpus re-tokenize (the vector families'
+    // discipline applied to the lexical index)
+    copyBaseline(p10BaselineLayout(spark, dir), java.nio.file.Paths.get(out))
     val dirty = diff.filter(col("change_type").isin("deleted", "changed"))
       .select("doc_id")
     // per-term df delta of the OUTGOING postings, tokenized from the
@@ -737,18 +754,32 @@ object Pipeline {
   def p12NightlyPipeline(spark: SparkSession, dir: String): DataFrame =
     graft.core.TempDirs.scoped("graft-p12") { root =>
       import spark.implicits._
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
       val diff = Dedup.d14SnapshotCdc(spark, dir)
         .select("doc_id", "change_type").localCheckpoint(true)
-      val families: Seq[(String, DataFrame)] = Seq(
-        "g07_knn" -> Graph.g07IncrementalKnn(spark, dir),
-        "m12_images" -> Multimodal.m12ImageIndexMaintenance(spark, dir),
-        "p07_quality" -> p07IncrementalQuality(spark, dir),
-        "p08_ivf" -> p08MaintainAt(spark, dir, root.resolve("ivf"), diff),
-        "p10_postings" -> TextOps.postingsReport(spark,
-          p10MaintainAt(spark, dir, root.resolve("postings").toString, diff)),
-        "p11_pq" -> p11MaintainAt(spark, dir, root.resolve("pq"), diff))
-      val rows = families.map { case (f, df) =>
-        val (n, c) = familyDigest(df); (f, n, c)
+      // the families are INDEPENDENT consumers of the one diff
+      // (separate layouts; the kNN store serializes on its own lock),
+      // so the nightly job applies them CONCURRENTLY — the realistic
+      // deployment shape, and the scheduler fills the gaps one
+      // family's small jobs leave. Each family's digest is a pure
+      // function of its result, so concurrency can't move where any
+      // family lands (the p12_families_eq_standalone pin would catch
+      // it if it could).
+      val families: Seq[(String, Future[(Long, Long)])] = Seq(
+        "g07_knn" -> Future(familyDigest(Graph.g07IncrementalKnn(spark, dir))),
+        "m12_images" -> Future(familyDigest(
+          Multimodal.m12ImageIndexMaintenance(spark, dir))),
+        "p07_quality" -> Future(familyDigest(p07IncrementalQuality(spark, dir))),
+        "p08_ivf" -> Future(familyDigest(
+          p08MaintainAt(spark, dir, root.resolve("ivf"), diff))),
+        "p10_postings" -> Future(familyDigest(TextOps.postingsReport(spark,
+          p10MaintainAt(spark, dir, root.resolve("postings").toString, diff)))),
+        "p11_pq" -> Future(familyDigest(
+          p11MaintainAt(spark, dir, root.resolve("pq"), diff))))
+      val rows = families.map { case (f, fut) =>
+        val (n, c) = Await.result(fut, Duration.Inf); (f, n, c)
       }
       diff.unpersist()
       rows.toDF("family", "n_rows", "checksum")

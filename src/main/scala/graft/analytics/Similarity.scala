@@ -545,13 +545,19 @@ object Similarity {
     * 4-decimal rounded double), so the g-gates' single-node parity
     * invariants are unaffected by the materialization. */
   private[graft] def knnEdges(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(knnEdgeDirs.computeIfAbsent(dir, { _ =>
+    spark.read.parquet(knnEdgesPath(spark, dir))
+
+  /** The memoized artifact's location — consumers that SEED a layout
+    * from it (g07's store, st26's scoped store) copy the files
+    * instead of re-writing 5N rows through a Spark job. */
+  private[analytics] def knnEdgesPath(spark: SparkSession, dir: String): String =
+    knnEdgeDirs.computeIfAbsent(dir, { _ =>
       val out = graft.core.TempDirs
         .create("graft-knn-edges").toString + "/edges"
       knnGraphExact(Dedup.normalizedVectors(spark, dir), k = 5)
         .write.mode("overwrite").parquet(out)
       out
-    }))
+    })
 
   private[analytics] def knnGraphExact(e: DataFrame, k: Int): DataFrame = {
     import graft.functions.VectorFunctions._

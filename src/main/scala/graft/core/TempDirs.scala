@@ -22,15 +22,37 @@ object TempDirs {
     * (by then every Spark job is done — gates never hand frames across
     * process boundaries). */
   lazy val processRoot: Path = {
+    val base = Files.createDirectories(
+      Paths.get(System.getProperty("java.io.tmpdir"), "graft-tmp"))
+    sweepDeadRoots(base)
     val r = Files.createTempDirectory(
-      Files.createDirectories(
-        Paths.get(System.getProperty("java.io.tmpdir"), "graft-tmp")),
-      ProcessHandle.current().pid().toString + "-")
+      base, ProcessHandle.current().pid().toString + "-")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       try DirSwap.deleteTree(r) catch { case _: Throwable => () },
       "graft-tempdirs-cleanup"))
     r
   }
+
+  /** Remove sibling roots whose owning process is gone — the one leak
+    * the exit hook can't cover (a SIGKILLed JVM never runs it). Root
+    * names lead with the owner's pid, so liveness is one
+    * ProcessHandle probe; a pid that was RECYCLED onto an unrelated
+    * process keeps the stale root until the next lucky sweep, which
+    * only delays cleanup, never deletes a live root (a live graft
+    * JVM's root is its own pid by construction). Racing sweepers are
+    * harmless: deleteTree tolerates the other's wins. */
+  private def sweepDeadRoots(base: Path): Unit =
+    try {
+      val self = ProcessHandle.current().pid()
+      scala.util.Using.resource(Files.list(base)) { siblings =>
+        siblings.iterator().forEachRemaining { p =>
+          val pid = p.getFileName.toString.takeWhile(_.isDigit)
+          if (pid.nonEmpty && pid.toLong != self &&
+              !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false))
+            try DirSwap.deleteTree(p) catch { case _: Throwable => () }
+        }
+      }
+    } catch { case _: Throwable => () }
 
   /** A fresh unique directory under the process root — for shared
     * artifacts memoized per (JVM, dataset). Lives until JVM exit. */

@@ -120,10 +120,12 @@ object MaintenanceProbe {
       spark.catalog.clearCache(); dt
     }
 
-    // ---- kNN-edge maintenance, g07's segmented-store loop: timed
-    // application (pruned admission + recompute + tombstone/segment
-    // writes) plus a DETERMINISTIC storage receipt (rows written)
-    def knnMaintTiers(dir: String): (Double, Double, Long, Long) = {
+    // ---- kNN-edge maintenance, g07's segmented-store loop: the full
+    // store application (auto admission + recompute + tombstone/
+    // segment writes), the two admission tiers FORCED in isolation
+    // (compute-only, so the comparison is apples-to-apples), and a
+    // DETERMINISTIC storage receipt (rows written)
+    def knnMaintTiers(dir: String): (Double, Double, Double, Long, Long) = {
       val a = Dedup.normalizedVectors(spark, dir)
       val edgesA = Similarity.knnGraphExact(a, k = 5)
         .localCheckpoint(true) // untimed: yesterday's artifact
@@ -137,16 +139,20 @@ object MaintenanceProbe {
       val t0 = System.nanoTime()
       val nRec = Graph.applyKnnDiffToStore(a, edgesA, a, dirty, newIds,
         store, gen = 1L, cents = Some(cents))
-      val tPruned = (System.nanoTime() - t0) / 1e9
+      val tApply = (System.nanoTime() - t0) / 1e9
       // storage receipt: appended segment rows + tombstone rows — the
       // write-amp the r13 segmented path bounds by the diff
       val rowsWritten = spark.read.parquet(s"$store/gen=1").count() +
         spark.read.parquet(s"$store/_tombstones").count()
       val t1 = System.nanoTime()
-      Graph.maintainKnnEdges(a, edgesA, a, dirty, newIds).count()
-      val tExact = (System.nanoTime() - t1) / 1e9
+      Graph.knnRecomputeIds(a, edgesA, a, dirty, newIds,
+        cents = Some(cents), admission = "pruned").count()
+      val tPruned = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      Graph.knnRecomputeIds(a, edgesA, a, dirty, newIds).count()
+      val tExact = (System.nanoTime() - t2) / 1e9
       spark.catalog.clearCache()
-      (tPruned, tExact, rowsWritten, nRec)
+      (tApply, tPruned, tExact, rowsWritten, nRec)
     }
 
     def probe(name: String, f: String => Double, expect: String): Unit = {
@@ -163,12 +169,15 @@ object MaintenanceProbe {
     // build above REP=4 unless explicitly asked, and say so
     if (rep <= 4 || sys.env.contains("SPARK_GRAFT_KNN_BIG")) {
       knnMaintTiers("/root/testdata/sf0.001") // untimed warmup
-      val (p1, e1, w1, n1) = knnMaintTiers(sfDir)
-      val (pb, eb, wb, nb) = knnMaintTiers(big)
-      println(f"[maint] knn_maintain pruned 1x=$p1%7.2fs ${rep}x=$pb%7.2fs " +
-        f"ratio=${pb / p1}%5.1f (expect <$rep: cell-pruned admission)")
-      println(f"[maint] knn_maintain exact  1x=$e1%7.2fs ${rep}x=$eb%7.2fs " +
-        f"ratio=${eb / e1}%5.1f (expect ~$rep: one admission scan)")
+      val (a1, p1, e1, w1, n1) = knnMaintTiers(sfDir)
+      val (ab, pb, eb, wb, nb) = knnMaintTiers(big)
+      println(f"[maint] knn_apply (auto)    1x=$a1%7.2fs ${rep}x=$ab%7.2fs " +
+        f"ratio=${ab / a1}%5.1f (expect <$rep: storage diff-bounded, " +
+        "admission picks the cheaper tier)")
+      println(f"[maint] knn_admission pruned 1x=$p1%6.2fs ${rep}x=$pb%7.2fs " +
+        f"ratio=${pb / p1}%5.1f (forced cell join)")
+      println(f"[maint] knn_admission exact  1x=$e1%6.2fs ${rep}x=$eb%7.2fs " +
+        f"ratio=${eb / e1}%5.1f (expect ~$rep: one corpus scan x diff)")
       println(f"[maint] knn_storage rows    1x=$w1%7d  ${rep}x=$wb%7d  " +
         f"ratio=${wb.toDouble / w1}%5.1f recompute=$n1%d/$nb%d " +
         "(expect near-flat: segmented tombstone+append, never the 5N artifact)")
