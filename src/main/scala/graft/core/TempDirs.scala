@@ -41,7 +41,7 @@ object TempDirs {
     * only delays cleanup, never deletes a live root (a live graft
     * JVM's root is its own pid by construction). Racing sweepers are
     * harmless: deleteTree tolerates the other's wins. */
-  private def sweepDeadRoots(base: Path): Unit =
+  private[core] def sweepDeadRoots(base: Path): Unit =
     try {
       val self = ProcessHandle.current().pid()
       scala.util.Using.resource(Files.list(base)) { siblings =>
