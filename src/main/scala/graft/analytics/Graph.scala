@@ -700,22 +700,6 @@ object Graph {
       .select("vec_id").distinct()
   }
 
-  /** True cosine of `v` against every centroid, positionally — unlike
-    * [[Similarity.cellScores]]'s assignment score (dot/|v|, which may
-    * ignore centroid norms because argmax doesn't need them), the
-    * ANGULAR bound below needs the real angle, so the centroid norm
-    * divides here. Requires cell ids 0..K−1 in array position order
-    * (enforced by the caller) so `posexplode`/`element_at` indexing
-    * agrees with [[Similarity.cellOf]]'s assignment ids. */
-  private def cosToCents(cents: Array[(Int, Array[Double])],
-                         v: Column, norm: Column): Column = {
-    import graft.functions.VectorFunctions._
-    array(cents.toIndexedSeq.map { case (_, c) =>
-      val cn = math.sqrt(c.map(x => x * x).sum)
-      array_dot(v, typedLit(c)) / (norm * lit(cn))
-    }: _*)
-  }
-
   /** Past this admitted-work fraction of the exact scan's pair work,
     * the cell prune isn't buying enough to repay its own join
     * machinery — run the plain broadcast scan instead. */
@@ -768,7 +752,7 @@ object Graph {
     val assigned = survivors
       .withColumn("cell", Similarity.cellOf(cents, col("v"), col("norm")))
       .withColumn("self_angle",
-        angle(element_at(cosToCents(cents, col("v"), col("norm")), col("cell") + 1)))
+        angle(element_at(Similarity.cosToCentroids(cents, col("v"), col("norm")), col("cell") + 1)))
       .join(kth, Seq("vec_id"), "left")
     // short lists have no threshold: they recompute whenever the diff
     // adds any OTHER vector (same ≠-id rule as the exact tier's join)
@@ -793,7 +777,7 @@ object Graph {
     // and the pruned join both consume it)
     val admitted = newVecs
       .select(col("vec_id").as("nid"), col("v").as("nv"), col("norm").as("nnorm"))
-      .withColumn("cos_arr", cosToCents(cents, col("nv"), col("nnorm")))
+      .withColumn("cos_arr", Similarity.cosToCentroids(cents, col("nv"), col("nnorm")))
       .select(col("nid"), col("nv"), col("nnorm"),
         posexplode(col("cos_arr")).as(Seq("cell", "cos_cn")))
       .join(statsDf, "cell")

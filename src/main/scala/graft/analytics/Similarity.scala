@@ -193,6 +193,26 @@ object Similarity {
                                 v: Column, norm: Column): Column =
     array_min(cellScores(cents, v, norm)).getField("cell")
 
+  /** True cosine of `v` against every centroid, positionally — unlike
+    * [[cellScores]]'s assignment score (which drops centroid norms
+    * because argmax doesn't need them), the ANGULAR BOUNDS built on
+    * this (maintenance admission in [[Graph]], radius-search pruning
+    * in [[rangeSearch]]) need the real angle, so the centroid norm
+    * divides here. Positional: callers index it with [[cellOf]]'s
+    * assignment id, which requires cell ids 0..K−1 in array order. */
+  private[analytics] def cosToCentroids(cents: Array[(Int, Array[Double])],
+                                        v: Column, norm: Column): Column = {
+    import graft.functions.VectorFunctions._
+    array(cents.toIndexedSeq.map { case (_, c) =>
+      val cn = math.sqrt(c.map(x => x * x).sum)
+      array_dot(v, typedLit(c)) / (norm * lit(cn))
+    }: _*)
+  }
+
+  /** Clamped arccos — the rounding-safe angle of a cosine column. */
+  private[analytics] def angleOf(c: Column): Column =
+    acos(greatest(lit(-1.0), least(lit(1.0), c)))
+
   /** Fit the IVF coarse quantizer (deterministic Lloyd iterations) and
     * assign every vector to its nearest cell. Returns the assigned
     * corpus (vec_id, v, norm, cell) and the fitted centroids — the
@@ -1511,7 +1531,76 @@ object Similarity {
       .orderBy("query_id", "rnk")
   }
 
+  /** Radius threshold for s19 — sits at the corpus's ~99.5th cosine
+    * percentile, so every SF returns a non-vacuous, bounded match set
+    * (59 / 62 / 851 rows at the three fixtures). */
+  val RangeTau = 0.25
+
+  /** s19 gate: exact cosine RANGE search (radius query) — "every
+    * neighbor scoring at or above τ", the retrieval dual of top-k
+    * (dedup candidate generation, recall-oriented retrieval, and the
+    * serving shape of a similarity JOIN with one bounded side). Cell
+    * pruning is SOUND, not approximate: the angular triangle
+    * inequality that bounds maintenance admission (g07) is promoted
+    * to a query operator — a cell is skipped only when
+    * cos(max(0, θ_qc − δ_c)) proves NO member can reach τ — so unlike
+    * the recall-floored top-k tiers this is a fully ORACLE-CHECKED
+    * exact result over a pruned scan. Scale shape: one narrow corpus
+    * pass for the K-row cell profile, a |queries|·K probe, then the
+    * exact test only inside admitted cells (an equi join on cell —
+    * partition-prunable when the corpus is the s09 stored layout). */
+  def s19RangeSearch(spark: SparkSession, dir: String): DataFrame = {
+    val (assigned, cents, _) = ivfFitDir(spark, dir)
+    val queries = assigned.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qnorm"))
+    rangeSearch(assigned, cents, queries, RangeTau)
+      .orderBy("query_id", "neighbor_id")
+  }
+
+  /** Radius search over an IVF-assigned corpus (vec_id, v, norm,
+    * cell): (query_id, neighbor_id, cos_sim) for every pair whose
+    * 4-decimal rounded cosine reaches `tau`. The 1e-4 prune slack
+    * absorbs the rounding (rounded ≥ τ ⟹ true ≥ τ − 5e-5) plus
+    * acos/cos noise — loose only costs pruning, never a missed
+    * match. */
+  private[analytics] def rangeSearch(assigned: DataFrame,
+      cents: Array[(Int, Array[Double])], queries: DataFrame,
+      tau: Double): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val admitted = rangeAdmitted(assigned, cents, queries, tau)
+    assigned.join(broadcast(admitted), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Det.dround(array_dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+  }
+
+  /** The admitted (cell, query) pairs — split out so RangeSearchSpec
+    * can pin that the bound genuinely PRUNES on clustered data while
+    * [[rangeSearch]] stays exact. */
+  private[analytics] def rangeAdmitted(assigned: DataFrame,
+      cents: Array[(Int, Array[Double])], queries: DataFrame,
+      tau: Double): DataFrame = {
+    require(cents.zipWithIndex.forall { case ((c, _), i) => c == i },
+      "range pruning requires contiguous 0-based cell ids")
+    val stats = assigned
+      .select(col("cell"), angleOf(element_at(
+        cosToCentroids(cents, col("v"), col("norm")), col("cell") + 1)).as("a"))
+      .groupBy("cell").agg(max(col("a")).as("delta"))
+    queries
+      .withColumn("cos_arr", cosToCentroids(cents, col("qv"), col("qnorm")))
+      .select(col("query_id"), col("qv"), col("qnorm"),
+        posexplode(col("cos_arr")).as(Seq("cell", "cos_qc")))
+      .join(broadcast(stats), "cell")
+      .filter(cos(greatest(lit(0.0), angleOf(col("cos_qc")) - col("delta")))
+        >= lit(tau) - lit(1e-4))
+      .select(col("cell"), col("query_id"), col("qv"), col("qnorm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_range_search"   -> s19RangeSearch _,
     "s01_ann_bruteforce" -> s01BruteForceTopK _,
     "s02_ann_lsh"        -> s02LshTopK _,
     "s03_ann_ivf"        -> s03IvfTopK _,
@@ -1532,6 +1621,20 @@ object Similarity {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // s19's cell pruning is a sound bound, so the pruned result must
+    // HASH-MATCH the brute-force radius scan — a fully exact oracle,
+    // unlike the recall-floored top-k tiers
+    "s19_range_search" ->
+      """WITH q AS (SELECT vec_id query_id, embedding q_emb FROM embeddings WHERE vec_id % 100 = 0),
+          scored AS (SELECT q.query_id, e.vec_id neighbor_id,
+            floor((list_aggregate(list_transform(range(1, len(q.q_emb)+1),
+                k -> CAST(q.q_emb[k] AS DOUBLE) * CAST(e.embedding[k] AS DOUBLE)), 'sum')
+              / (sqrt(list_aggregate(list_transform(q.q_emb, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum'))
+               * sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')))) * 10000.0 + 0.5) / 10000.0 AS cos_sim
+           FROM embeddings e JOIN q ON e.vec_id <> q.query_id)
+         SELECT query_id, neighbor_id, cos_sim
+         FROM scored WHERE cos_sim >= 0.25
+         ORDER BY query_id, neighbor_id""",
     // s17's scale/code/error arithmetic is engine-neutral IEEE (floor
     // rounding, sequential list folds) — exact oracle
     "s17_int8_quant" ->
