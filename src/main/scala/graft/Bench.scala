@@ -212,7 +212,11 @@ object Bench {
       .groupBy(identity).view.mapValues(_.length).toSeq
       .sortBy { case (n, c) => (-c, n) }.take(20)
       .map { case (n, c) =>
-        s"""{"pool":"${n.replace("\\", "\\\\").replace("\"", "\\\"")}","n":$c}""" }
+        // strip control chars too — a thread name containing e.g. a
+        // newline must not emit an invalid JSON line
+        val safe = n.replace("\\", "\\\\").replace("\"", "\\\"")
+          .filter(_ >= ' ')
+        s"""{"pool":"$safe","n":$c}""" }
       .mkString("[", ",", "]")
     // min-of-warm per query; an error (negative) in either pass stays
     // negative so it can never read as a fast query

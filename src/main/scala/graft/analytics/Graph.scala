@@ -672,11 +672,19 @@ object Graph {
     val survivors = a.join(broadcast(dirtyOld), Seq("vec_id"), "left_anti")
     val gainers = cents.fold(gainersExact(survivors, newVecs, kth, k))(cs =>
       gainersPruned(survivors, newVecs, kth, k, cs, admission))
-    // (3) + union; deleted ids fall out via the semi join against B
-    refRecompute
+    // (3) + union; deleted ids fall out via the semi join against B.
+    // Materialize the bounded id set eagerly so the newVecs checkpoint
+    // can be RELEASED here — without this, every epoch/microbatch
+    // leaked its |diff|-row block into the block manager for the JVM's
+    // lifetime (lineage is truncated, so unpersist-before-materialize
+    // would be unsafe; unpersist-after is not)
+    val ids = refRecompute
       .unionByName(gainers)
       .unionByName(newVecs.select("vec_id"))
       .distinct()
+      .localCheckpoint(true)
+    newVecs.unpersist()
+    ids
   }
 
   /** (2) admission test, exact tier: per-row k-th-best threshold vs
@@ -804,7 +812,11 @@ object Graph {
               >= col("kth"))
           .select("vec_id").distinct()
       else gainersExact(survivors, newVecs, kth, k)
-    short.unionByName(fullGainers).distinct()
+    // materialize before releasing the admitted checkpoint (same
+    // release discipline as knnRecomputeIds' newVecs)
+    val out = short.unionByName(fullGainers).distinct().localCheckpoint(true)
+    admitted.unpersist()
+    out
   }
 
   /** One CDC application against a SEGMENTED edge store — the
@@ -822,9 +834,9 @@ object Graph {
       store: String, gen: Long,
       cents: Option[Array[(Int, Array[Double])]], k: Int = 5,
       admission: String = "auto"): Long = {
+    // knnRecomputeIds returns an eagerly-checkpointed bounded frame
     val recomputeIds = knnRecomputeIds(aCur, eCur, bCur, dirtyOld, newIds, k, cents,
         admission)
-      .localCheckpoint(true)
     val nRec = recomputeIds.count()
     graft.core.SegmentedIndex.tombstone(
       recomputeIds.unionByName(dirtyOld.select("vec_id")), store,

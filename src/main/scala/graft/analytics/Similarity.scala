@@ -1625,7 +1625,7 @@ object Similarity {
     // HASH-MATCH the brute-force radius scan — a fully exact oracle,
     // unlike the recall-floored top-k tiers
     "s19_range_search" ->
-      """WITH q AS (SELECT vec_id query_id, embedding q_emb FROM embeddings WHERE vec_id % 100 = 0),
+      s"""WITH q AS (SELECT vec_id query_id, embedding q_emb FROM embeddings WHERE vec_id % 100 = 0),
           scored AS (SELECT q.query_id, e.vec_id neighbor_id,
             floor((list_aggregate(list_transform(range(1, len(q.q_emb)+1),
                 k -> CAST(q.q_emb[k] AS DOUBLE) * CAST(e.embedding[k] AS DOUBLE)), 'sum')
@@ -1633,7 +1633,7 @@ object Similarity {
                * sqrt(list_aggregate(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)), 'sum')))) * 10000.0 + 0.5) / 10000.0 AS cos_sim
            FROM embeddings e JOIN q ON e.vec_id <> q.query_id)
          SELECT query_id, neighbor_id, cos_sim
-         FROM scored WHERE cos_sim >= 0.25
+         FROM scored WHERE cos_sim >= $RangeTau
          ORDER BY query_id, neighbor_id""",
     // s17's scale/code/error arithmetic is engine-neutral IEEE (floor
     // rounding, sequential list folds) — exact oracle

@@ -670,9 +670,13 @@ object TextOps {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
       .filter(col("len") >= 3)
+    // two consumers (the global count table and the scored join) would
+    // each re-run the corpus trigram pass — materialize it once; the
+    // distinct (doc, tri) entries are far smaller than the raw text
     val tf = docs
       .select(col("doc_id"), explode(trigram_counts(col("text"))))
       .toDF("doc_id", "tri", "tf")
+      .localCheckpoint(true)
     val global = tf.groupBy("tri").agg(sum(col("tf")).as("cnt"))
     val total = docs.agg(sum(col("len") - 2)).first().getLong(0).toDouble
     val scored = tf.join(global, "tri")
@@ -680,11 +684,14 @@ object TextOps {
         Det.dround(col("tf") * log(lit(total) / col("cnt")), 6).as("contrib"))
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_tri"), Det.sumDec(col("contrib")).as("s"))
-    scored
+    val out = scored
       .select(col("doc_id"), col("n_tri"),
         Det.dround(col("s") / col("n_tri"), 4).as("avg_nll"))
       .withColumn("ppl", Det.dround(exp(col("avg_nll")), 2))
       .orderBy("doc_id")
+      .localCheckpoint(true)
+    tf.unpersist()
+    out
   }
 
   /** Top-of-vocabulary size for [[t22VocabCoverage]] — small enough

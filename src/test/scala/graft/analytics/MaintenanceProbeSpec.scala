@@ -53,23 +53,26 @@ class MaintenanceProbeSpec extends AnyFunSuite {
     out
   }
 
-  private def fileSizes(root: String): Map[String, Long] = {
+  /** (size, mtime) per file — a same-size in-place rewrite still
+    * changes mtime, so it counts as written below. */
+  private def fileSigs(root: String): Map[String, (Long, Long)] = {
     val p = Paths.get(root)
     if (!Files.isDirectory(p)) Map.empty
     else {
       val walk = Files.walk(p)
       try walk.iterator().asScala.filter(Files.isRegularFile(_))
-        .map(f => f.toString -> Files.size(f)).toMap
+        .map(f => f.toString ->
+          (Files.size(f), Files.getLastModifiedTime(f).toMillis)).toMap
       finally walk.close()
     }
   }
 
   /** Bytes in files the maintenance step created or changed. */
   private def written(root: String)(step: => Unit): Long = {
-    val before = fileSizes(root)
+    val before = fileSigs(root)
     step
-    fileSizes(root).collect {
-      case (f, sz) if !before.get(f).contains(sz) => sz
+    fileSigs(root).collect {
+      case (f, sig) if !before.get(f).contains(sig) => sig._1
     }.sum
   }
 
