@@ -223,6 +223,16 @@ object Bench {
     val warm = warm1.zip(warm2).map { case ((n, a), (_, b)) =>
       n -> (if (a < 0 || b < 0) -math.max(a.abs, b.abs) else math.min(a, b))
     }
+    // EVERY-pass aging criterion (the r13 p12 stall hid behind the
+    // min-of-two convention: warm1 88s, warm2 9s read as steady): a
+    // query is flagged when ANY warm pass exceeds 1.5× its cold time
+    // plus a 0.5s absolute slack (sub-second queries flip on scheduler
+    // noise alone). Violations are NAMED on the metric line — a masked
+    // stall can never again read as a clean round.
+    val agingViolations = results.zip(warm1.zip(warm2)).collect {
+      case ((n, c), ((_, w1), (_, w2))) if c > 0 &&
+        Seq(w1, w2).exists(w => w > 1.5 * c + 0.5) => n
+    }.sorted
     def fmt(rs: Seq[(String, Double)], dec: Int) =
       rs.map { case (k, v) =>
         s"\"" + k + "\":" + BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP)
@@ -250,6 +260,7 @@ object Bench {
         s""""queries_warm1":${fmt(warm1, 9)},""" +
         s""""queries_warm2":${fmt(warm2, 9)},""" +
         s""""errors":$errors,""" +
+        s""""aging_violations":${agingViolations.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""thread_hist":$threadHist,""" +
         s""""aging":[${diags.mkString(",")}]}""" + "\n").getBytes("UTF-8"))
     // per-family (gate-prefix) subtotals of successful queries: small
@@ -272,8 +283,16 @@ object Bench {
     val endSnap = graft.core.Diag.snap(spark)
     val w1Thr = diags.lift(2 * results.size - 1)
       .flatMap("\"threads\":(\\d+)".r.findFirstMatchIn(_)).map(_.group(1)).getOrElse("-1")
-    val steady = s"""{"threads_warm1":$w1Thr,"threads_warm2":${endSnap.threads}}"""
-    println(s"""{"metric":"total","value":${sc3(total)},"unit":"sec","total_warm":${sc3(totalWarm)},"n_queries":${results.size},"families":$fams,"families_warm":$famsWarm,"steady":$steady,"errors":$errors,"per_query_file":"$perQueryFile","sf":"$sfDir"}""")
+    // quantitative steadiness criterion (replaces the qualitative
+    // "flat-or-shrinking", which Spark's idle-reaped global cached
+    // pools — named in thread_hist — oscillate around depending on
+    // which family ran last): warm2 threads within ±5% of warm1
+    val steadyOk = try {
+      val a = w1Thr.toInt; a > 0 && math.abs(endSnap.threads - a) <= 0.05 * a
+    } catch { case _: Throwable => false }
+    val steady = s"""{"threads_warm1":$w1Thr,"threads_warm2":${endSnap.threads},"steady_ok":$steadyOk}"""
+    val violJson = agingViolations.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${sc3(total)},"unit":"sec","total_warm":${sc3(totalWarm)},"n_queries":${results.size},"families":$fams,"families_warm":$famsWarm,"steady":$steady,"aging_violations":$violJson,"errors":$errors,"per_query_file":"$perQueryFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }

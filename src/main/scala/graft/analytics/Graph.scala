@@ -557,10 +557,24 @@ object Graph {
     // serialize per store; the read-back materializes eagerly (5N
     // rows) so no lazy scan can straddle a later application
     g07StoreDirs.synchronized {
-      graft.core.DirSwap.recover(store)
-      val raw = spark.read.parquet(store)
-      val gen = raw.agg(max(col("gen").cast("long"))).first().getLong(0) + 1
-      val live = graft.core.SegmentedIndex.live(spark, raw, store,
+      // RESET to the snapshot-A seed first: the gate models ONE
+      // nightly application (yesterday's artifact + tonight's diff),
+      // and the fixture diff is the same every invocation — letting
+      // generations/tombstones pile up across invocations made pass
+      // N's state leak into pass N+1's timing (the r13 verdict's
+      // cross-pass confounder) without modeling anything real. The
+      // seed re-copy is one bounded file copy of the memoized
+      // snapshot-A edges; genuine multi-epoch accumulation (distinct
+      // successive diffs, policy compaction firing mid-chain) is
+      // g08's gate, not this one's.
+      val root = java.nio.file.Paths.get(store)
+      graft.core.DirSwap.deleteTree(root)
+      graft.core.DirSwap.copyTree(
+        java.nio.file.Paths.get(Similarity.knnEdgesPath(spark, dir)),
+        root.resolve("gen=0"))
+      val gen = 1L
+      val live = graft.core.SegmentedIndex.live(spark,
+        spark.read.parquet(store), store,
         keyCol = "vec_id", genCol = Some("gen")).drop("gen")
       applyKnnDiffToStore(a, live, b, g07DirtyOld(a), g07NewIds(b), store, gen,
         cents = Some(Similarity.ivfCentroids(spark, dir)))

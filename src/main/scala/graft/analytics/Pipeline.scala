@@ -754,9 +754,10 @@ object Pipeline {
   def p12NightlyPipeline(spark: SparkSession, dir: String): DataFrame =
     graft.core.TempDirs.scoped("graft-p12") { root =>
       import spark.implicits._
-      import scala.concurrent.{Await, Future}
+      import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
+      val t0 = System.nanoTime()
+      val thr0 = Thread.activeCount()
       val diff = Dedup.d14SnapshotCdc(spark, dir)
         .select("doc_id", "change_type").localCheckpoint(true)
       // the families are INDEPENDENT consumers of the one diff
@@ -766,23 +767,52 @@ object Pipeline {
       // family's small jobs leave. Each family's digest is a pure
       // function of its result, so concurrency can't move where any
       // family lands (the p12_families_eq_standalone pin would catch
-      // it if it could).
-      val families: Seq[(String, Future[(Long, Long)])] = Seq(
-        "g07_knn" -> Future(familyDigest(Graph.g07IncrementalKnn(spark, dir))),
-        "m12_images" -> Future(familyDigest(
-          Multimodal.m12ImageIndexMaintenance(spark, dir))),
-        "p07_quality" -> Future(familyDigest(p07IncrementalQuality(spark, dir))),
-        "p08_ivf" -> Future(familyDigest(
-          p08MaintainAt(spark, dir, root.resolve("ivf"), diff))),
-        "p10_postings" -> Future(familyDigest(TextOps.postingsReport(spark,
-          p10MaintainAt(spark, dir, root.resolve("postings").toString, diff)))),
-        "p11_pq" -> Future(familyDigest(
-          p11MaintainAt(spark, dir, root.resolve("pq"), diff))))
-      val rows = families.map { case (f, fut) =>
-        val (n, c) = Await.result(fut, Duration.Inf); (f, n, c)
-      }
+      // it if it could). The futures run on a DEDICATED fixed pool,
+      // not ExecutionContext.global: the six bodies all block inside
+      // Spark actions, and a gate must not compete with (or starve
+      // under) whatever else the process scheduled on the global pool
+      // — one of the r13 warm-repeat-stall suspects, removed by
+      // construction.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(6,
+        (r: Runnable) => { val t = new Thread(r, "p12-family"); t.setDaemon(true); t })
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      def timed(f: => (Long, Long)): Future[((Long, Long), Double)] =
+        Future { val s = System.nanoTime(); val d = f; (d, (System.nanoTime() - s) / 1e9) }
+      val rows = try {
+        val families: Seq[(String, Future[((Long, Long), Double)])] = Seq(
+          "g07_knn" -> timed(familyDigest(Graph.g07IncrementalKnn(spark, dir))),
+          "m12_images" -> timed(familyDigest(
+            Multimodal.m12ImageIndexMaintenance(spark, dir))),
+          "p07_quality" -> timed(familyDigest(p07IncrementalQuality(spark, dir))),
+          "p08_ivf" -> timed(familyDigest(
+            p08MaintainAt(spark, dir, root.resolve("ivf"), diff))),
+          "p10_postings" -> timed(familyDigest(TextOps.postingsReport(spark,
+            p10MaintainAt(spark, dir, root.resolve("postings").toString, diff)))),
+          "p11_pq" -> timed(familyDigest(
+            p11MaintainAt(spark, dir, root.resolve("pq"), diff))))
+        families.map { case (f, fut) =>
+          val ((n, c), sec) = Await.result(fut, Duration.Inf); (f, n, c, sec)
+        }
+      } finally pool.shutdown()
       diff.unpersist()
-      rows.toDF("family", "n_rows", "checksum")
+      // per-invocation profile receipt (the r13 verdict asked for
+      // per-family wall time + thread counts dumped on EVERY pass, so
+      // a warm-repeat stall is attributable to a family without a
+      // rerun) — best-effort append, never on the gate's hot path
+      try {
+        val line = rows.map { case (f, _, _, sec) =>
+          s""""$f":${(sec * 1000).round / 1000.0}""" }.mkString(",")
+        val total = (System.nanoTime() - t0) / 1e9
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("target", "p12_profile.jsonl"),
+          s"""{"total":${(total * 1000).round / 1000.0},"threads_start":$thr0,""" +
+            s""""threads_end":${Thread.activeCount()},"families":{$line}}""" + "\n",
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      } catch { case _: Throwable => () }
+      rows.map { case (f, n, c, _) => (f, n, c) }
+        .toDF("family", "n_rows", "checksum")
         .orderBy("family").localCheckpoint(true)
     }
 

@@ -824,10 +824,39 @@ object StreamingQueries {
     * bytes. Per-batch pair work is the cell-pruned admission +
     * |touched|·N recompute — diff-bounded, never N². Rows-only (kNN
     * maintenance). */
-  def st26StreamKnnMaintain(spark: SparkSession, dir: String): DataFrame =
-    graft.core.TempDirs.scoped("graft-st26") { tmp =>
+  def st26StreamKnnMaintain(spark: SparkSession, dir: String): DataFrame = {
     val a0 = Dedup.normalizedVectors(spark, dir)
     val b = Graph.vectorSnapshotB(a0)
+    // the change feed, after-image convention
+    val deleted = a0.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id"), lit("deleted").as("change_type"),
+        lit(null).cast("array<double>").as("v"), lit(null).cast("double").as("norm"))
+    val changed = b.filter(col("vec_id") % 10 === 3)
+      .select(col("vec_id"), lit("changed").as("change_type"), col("v"), col("norm"))
+    val added = b.filter(col("vec_id") < 0)
+      .select(col("vec_id"), lit("added").as("change_type"), col("v"), col("norm"))
+    graft.core.TempDirs.scoped("graft-st26") { tmp =>
+      val edgeStore = st26Drive(spark, dir, tmp,
+        deleted.unionByName(changed).unionByName(added))
+      // |5N|-bounded final graph materialized eagerly; the scoped
+      // segmented stores are deleted when this returns
+      graft.core.SegmentedIndex.live(spark,
+          spark.read.parquet(edgeStore), edgeStore,
+          keyCol = "vec_id", genCol = Some("gen"))
+        .select("vec_id", "rnk", "neighbor_id", "cos_sim")
+        .orderBy("vec_id", "rnk").localCheckpoint(true)
+    }
+  }
+
+  /** The st26 drive proper, parameterized on the change feed so the
+    * MaintenanceProbeSpec scratch receipt can run it with a FIXED
+    * diff against replicated corpora (the gate's own feed scales with
+    * the fixture). Seeds the segmented corpus + edge stores under
+    * `tmp`, streams the feed through the maintenance loop, compacts
+    * on policy, and returns the edge-store path. */
+  private[graft] def st26Drive(spark: SparkSession, dir: String,
+      tmp: java.nio.file.Path,
+      feed: DataFrame): String = {
     val corpusStore = tmp.resolve("corpus").toString
     val edgeStore = tmp.resolve("edges").toString
     // generation 0: yesterday's corpus + the shared stored edge
@@ -843,17 +872,8 @@ object StreamingQueries {
     // its exactness whatever corpus the per-application cell profile
     // (δ_c, min kth) is measured over
     val cents = Similarity.ivfCentroids(spark, dir)
-    // the change feed, after-image convention
     val feedDir = tmp.resolve("feed").toString
-    val deleted = a0.filter(col("vec_id") % 10 === 7)
-      .select(col("vec_id"), lit("deleted").as("change_type"),
-        lit(null).cast("array<double>").as("v"), lit(null).cast("double").as("norm"))
-    val changed = b.filter(col("vec_id") % 10 === 3)
-      .select(col("vec_id"), lit("changed").as("change_type"), col("v"), col("norm"))
-    val added = b.filter(col("vec_id") < 0)
-      .select(col("vec_id"), lit("added").as("change_type"), col("v"), col("norm"))
-    deleted.unionByName(changed).unionByName(added)
-      .repartition(3).write.parquet(feedDir)
+    feed.repartition(3).write.parquet(feedDir)
     val s = EventStream.boundedDriveSession(spark)
     val feedSchema = new org.apache.spark.sql.types.StructType()
       .add("vec_id", org.apache.spark.sql.types.LongType)
@@ -886,15 +906,24 @@ object StreamingQueries {
         graft.core.SegmentedIndex.tombstone(dirtyOld, corpusStore,
           keyCol = "vec_id", uptoGen = Some(g - 1))
         graft.core.SegmentedIndex.appendSegment(newRows, corpusStore, g)
-        // edge maintenance against the batch's post-image corpus
-        // (checkpointed: the recompute's admission + both sides of the
-        // |touched|·N pass re-read it — measured cheaper than lazy
-        // re-evaluation of the anti-join+union per consumer)
-        val bCur = aCur.join(broadcast(dirtyOld), Seq("vec_id"), "left_anti")
-          .unionByName(newRows).localCheckpoint(true)
+        // edge maintenance against the batch's post-image corpus,
+        // read FROM THE STORE the two writes above just produced:
+        // liveAsOf(g) = segments ≤ g minus this batch's (and earlier)
+        // tombstones — exactly aCur ∖ dirtyOld ∪ newRows, already on
+        // disk diff-incrementally. The r13 build re-derived it as an
+        // anti-join+union and localCheckpointed the FULL post-image
+        // corpus every microbatch — N rows of scratch per batch, the
+        // same E·N write-amp the segmented store exists to eliminate
+        // (the r13 verdict's named scale-killer). Each consumer now
+        // pays a parquet re-scan + the diff-bounded anti-join instead
+        // — read work, bounded by the corpus scan the admission pass
+        // does anyway, with zero per-batch scratch writes.
+        val bCur = graft.core.SegmentedIndex.liveAsOf(bs,
+          bs.read.parquet(corpusStore), corpusStore,
+          keyCol = "vec_id", genCol = "gen", asOfGen = g).drop("gen")
         Graph.applyKnnDiffToStore(aCur, eCur, bCur, dirtyOld,
           newRows.select("vec_id"), edgeStore, g, Some(cents))
-        bCur.unpersist(); dirtyOld.unpersist(); newRows.unpersist(); ()
+        dirtyOld.unpersist(); newRows.unpersist(); ()
       }
       .start()
     q.processAllAvailable()
@@ -910,10 +939,7 @@ object StreamingQueries {
       keyCol = "vec_id", genCol = Some("gen")) { tmpDir =>
       edgesLive.drop("gen").write.parquet(s"$tmpDir/gen=0")
     }
-    // |5N|-bounded final graph materialized eagerly; the scoped
-    // segmented stores are deleted when this returns
-    edgesLive.select("vec_id", "rnk", "neighbor_id", "cos_sim")
-      .orderBy("vec_id", "rnk").localCheckpoint(true)
+    edgeStore
   }
 
   /** st26's snapshot-A corpus in segment shape (vec_id, v, norm),

@@ -16,6 +16,13 @@ object BusDiag {
   def listenerCount(sc: SparkContext): Int =
     sc.listenerBus.listeners.size()
 
+  /** Drain the shared bus: block until every queued event has been
+    * delivered to every listener. Used by the maintenance-scratch
+    * receipt, whose block-update listener must observe a finished
+    * drive's LAST events before its byte counter is read. */
+  def waitUntilEmpty(sc: SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** Listener class-name histogram — names WHICH listener type is
     * accumulating when the count climbs. */
   def listenerHistogram(sc: SparkContext): Seq[(String, Int)] = {

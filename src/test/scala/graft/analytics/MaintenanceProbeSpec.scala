@@ -133,6 +133,52 @@ class MaintenanceProbeSpec extends AnyFunSuite {
     })
   }
 
+  test("st26 per-batch SCRATCH writes are diff-proportional (post-image read from the store)") {
+    // The r13 build re-derived the post-image corpus per microbatch
+    // and localCheckpointed it — N rows of executor scratch per batch
+    // (the r13 verdict's named scale-killer). The drive now reads the
+    // post-image back from the segmented corpus store, so the only
+    // RDD blocks a batch writes are its |diff|-bounded id frames.
+    // Receipt: total RDD-block bytes registered with the block manager
+    // during the drive (builds memoized out by a warm-up drive), 1×
+    // vs 3× corpus under the same fixed diff, must be near-flat —
+    // the old full-corpus checkpoint fails this at ~3×.
+    def scratch(d: String): Long = {
+      val a0 = Dedup.normalizedVectors(spark, d)
+      // same diff shape as the kNN store receipt above: ids < 20
+      // leave, ids 20..39 re-delivered (feed convention: after-image)
+      val deleted = a0.filter(col("vec_id") < DiffN / 2)
+        .select(col("vec_id"), lit("deleted").as("change_type"),
+          lit(null).cast("array<double>").as("v"),
+          lit(null).cast("double").as("norm"))
+      val changed = a0.filter(col("vec_id") >= DiffN / 2 && col("vec_id") < DiffN)
+        .select(col("vec_id"), lit("changed").as("change_type"),
+          col("v"), col("norm"))
+      val feed = deleted.unionByName(changed)
+      // warm-up drive: memoizes the corpus seed / edge / codebook
+      // builds (corpus-proportional by design) out of the measurement
+      graft.core.TempDirs.scoped("graft-maintspec-st26w") { t =>
+        StreamingQueries.st26Drive(spark, d, t, feed)
+      }
+      val bytes = new java.util.concurrent.atomic.AtomicLong()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onBlockUpdated(
+            e: org.apache.spark.scheduler.SparkListenerBlockUpdated): Unit = {
+          val b = e.blockUpdatedInfo
+          if (b.blockId.isRDD)
+            bytes.addAndGet(math.max(0L, b.memSize) + math.max(0L, b.diskSize))
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try graft.core.TempDirs.scoped("graft-maintspec-st26") { t =>
+        StreamingQueries.st26Drive(spark, d, t, feed)
+        org.apache.spark.graftdiag.BusDiag.waitUntilEmpty(spark.sparkContext)
+      } finally spark.sparkContext.removeSparkListener(l)
+      bytes.get()
+    }
+    flat("st26-scratch", scratch)
+  }
+
   test("kNN-edge maintenance writes are diff-proportional (segmented tombstone + recomputed segment)") {
     flat("knn", { d =>
       val a = Dedup.normalizedVectors(spark, d)

@@ -31,4 +31,23 @@ class NightlyPipelineSpec extends AnyFunSuite {
       assert(got(fam) == want, s"$fam: $dir composition drifted from standalone")
     }
   }
+
+  test("p12 repeat invocation stays within 2x of the first (no warm-repeat aging)") {
+    // the spec-scope twin of Bench's every-pass aging criterion: the
+    // r13 driver bench caught p12's SECOND run at 9.7× its first (a
+    // masked >60s stall). The gate is now per-invocation idempotent
+    // (g07 store resets to seed, families run on a dedicated pool),
+    // so a repeat must cost the same work. 2× + 2s slack absorbs
+    // suite-level GC/JIT noise at sf0.001 while a genuine stall (the
+    // r13 shape was ~10×) still fails loudly.
+    def timed(): Double = {
+      val t0 = System.nanoTime()
+      Pipeline.p12NightlyPipeline(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val first = timed()
+    val second = timed()
+    assert(second <= 2.0 * first + 2.0,
+      s"p12 repeat took ${second}s vs first ${first}s — warm-repeat aging")
+  }
 }
