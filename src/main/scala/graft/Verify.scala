@@ -312,6 +312,20 @@ object Verify {
           eqDumps0(graft.analytics.Graph.g07StoredEdges(spark, sfDir),
             graft.analytics.Graph.g07FullRebuildProbe(spark, sfDir))
         },
+        // g08: every epoch of the multi-epoch chain must equal its
+        // from-scratch rebuild (the eq_rebuild column IS the per-epoch
+        // pin, computed inside the gate against the live store)
+        inv("g08_eq_every_epoch") {
+          val rs = read("g08_multi_epoch_knn").collect()
+          rs.length == graft.analytics.Graph.G08Epochs &&
+            rs.forall(_.getAs[Boolean]("eq_rebuild"))
+        },
+        // g08: the policy compaction must have FIRED mid-chain (the
+        // diffs are sized to cross the covered-fraction threshold)
+        inv("g08_compaction_fired") {
+          read("g08_multi_epoch_knn").collect()
+            .exists(_.getAs[Boolean]("compacted"))
+        },
         inv("g05_parity_singlenode") {
           val lpaEdges = read("s05_knn_graph")
             .filter(col("cos_sim") >= graft.analytics.Graph.LpaCosMin)

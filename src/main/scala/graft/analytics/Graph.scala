@@ -870,8 +870,106 @@ object Graph {
         vectorSnapshotB(Dedup.normalizedVectors(spark, dir)), k = 5)
       .orderBy("vec_id", "rnk")
 
+  /** How many successive CDC epochs [[g08MultiEpochKnn]] chains. */
+  private[graft] val G08Epochs = 3
+
+  /** The corpus after `e` of [[G08Epochs]] successive, DISJOINT CDC
+    * epochs, as a pure function of snapshot A — epoch j deletes id
+    * class `3j−2` (mod 13), re-embeds class `3j−1` (rotation by j),
+    * and adds one new vector `-(id+1)` (rotation by j+1) per class
+    * `3j` row. Disjoint classes make every intermediate snapshot
+    * directly expressible, so the per-epoch rebuild twin needs no
+    * chained re-derivation; negative added ids are never touched by a
+    * later epoch (a negative value mod 13 can't equal a positive
+    * class). */
+  private[analytics] def g08Snapshot(a: DataFrame, e: Int): DataFrame = {
+    def rot(shift: Int) = expr(
+      s"transform(sequence(1, size(v)), k -> v[(k - 1 + $shift) % size(v)])")
+    val cls = col("vec_id") % 13
+    val gone = (1 to e).flatMap(j => Seq(3 * j - 2, 3 * j - 1))
+    val untouched =
+      (if (gone.isEmpty) a else a.filter(!cls.isin(gone.map(Int.box): _*)))
+        .select(col("vec_id"), col("v"), col("norm"))
+    val changed = (1 to e).map { j =>
+      a.filter(cls === 3 * j - 1)
+        .select(col("vec_id"), rot(j).as("v"), col("norm")) }
+    val added = (1 to e).map { j =>
+      a.filter(cls === 3 * j)
+        .select((col("vec_id") * -1 - 1).as("vec_id"),
+          rot(j + 1).as("v"), col("norm")) }
+    (changed ++ added).foldLeft(untouched)(_.unionByName(_))
+  }
+
+  /** g08 gate: MULTI-EPOCH maintenance of the segmented kNN-edge
+    * store — the accumulation path g07's single-application gate
+    * never exercises deterministically. [[G08Epochs]] successive,
+    * disjoint CDC diffs chain through ONE store; each epoch runs the
+    * same tombstone/append/policy-compact loop as g07, and the gate's
+    * output pins, PER EPOCH:
+    *
+    *  - `eq_rebuild`: the live view equals a from-scratch exact
+    *    rebuild of that epoch's snapshot (so correctness holds at
+    *    every intermediate state, before AND after the mid-chain
+    *    compaction — not just at the end);
+    *  - `covered_before` / `compacted`: the tombstone-covered
+    *    fraction at the policy decision and whether compaction ran —
+    *    the diffs are sized so [[graft.core.SegmentedIndex
+    *    .maybeCompact]] provably fires mid-chain (MultiEpochSpec
+    *    asserts the threshold crossing), instead of compaction only
+    *    ever firing incidentally across bench passes.
+    *
+    * Rows-only gate (the per-epoch equality columns ARE the check;
+    * Verify pins them as `g08_eq_every_epoch` / `g08_compaction_fired`). */
+  def g08MultiEpochKnn(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-g08") { tmp =>
+      import spark.implicits._
+      val store = tmp.resolve("edges").toString
+      val a = Dedup.normalizedVectors(spark, dir)
+      graft.core.DirSwap.copyTree(
+        java.nio.file.Paths.get(Similarity.knnEdgesPath(spark, dir)),
+        tmp.resolve("edges/gen=0"))
+      val cents = Some(Similarity.ivfCentroids(spark, dir))
+      def liveEdges = graft.core.SegmentedIndex.live(spark,
+        spark.read.parquet(store), store,
+        keyCol = "vec_id", genCol = Some("gen"))
+      val cls = col("vec_id") % 13
+      val rows = (1 to G08Epochs).map { e =>
+        val aCur = g08Snapshot(a, e - 1)
+        val bCur = g08Snapshot(a, e)
+        val dirtyOld = a.filter(cls === 3 * e - 2 || cls === 3 * e - 1)
+          .select("vec_id")
+        val newIds = a.filter(cls === 3 * e - 1).select("vec_id")
+          .unionByName(a.filter(cls === 3 * e)
+            .select((col("vec_id") * -1 - 1).as("vec_id")))
+        val nRec = applyKnnDiffToStore(aCur, liveEdges.drop("gen"), bCur,
+          dirtyOld, newIds, store, gen = e.toLong, cents = cents)
+        // one coveredFraction measurement drives BOTH the recorded
+        // column and the compaction decision (maybeCompact would
+        // re-measure; the policy — strictly above the threshold — is
+        // replicated verbatim)
+        val covered = graft.core.SegmentedIndex.coveredFraction(spark,
+          spark.read.parquet(store), store,
+          keyCol = "vec_id", genCol = Some("gen"))
+        val compacted = covered > graft.core.SegmentedIndex.CompactThreshold
+        if (compacted) graft.core.SegmentedIndex.compactWith(store) { stage =>
+          liveEdges.drop("gen").write.parquet(s"$stage/gen=$e")
+        }
+        val live = liveEdges.select("vec_id", "rnk", "neighbor_id", "cos_sim")
+        val rebuilt = Similarity.knnGraphExact(bCur, k = 5)
+          .select("vec_id", "rnk", "neighbor_id", "cos_sim")
+        val (nLive, liveCrc) = Pipeline.familyDigest(live)
+        val eq = (nLive, liveCrc) == Pipeline.familyDigest(rebuilt)
+        (e, nRec, nLive, math.floor(covered * 1000 + 0.5) / 1000,
+          compacted, eq)
+      }
+      rows.toDF("epoch", "n_recomputed", "n_live", "covered_before",
+          "compacted", "eq_rebuild")
+        .orderBy("epoch").localCheckpoint(true)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g07_incremental_knn" -> g07IncrementalKnn _,
+    "g08_multi_epoch_knn" -> g08MultiEpochKnn _,
     "g01_knn_pagerank" -> g01KnnPagerank _,
     "g02_ppr_retrieval" -> g02PprRetrieval _,
     "g03_clustering_coeff" -> g03ClusteringCoeff _,
