@@ -934,8 +934,12 @@ object Graph {
         keyCol = "vec_id", genCol = Some("gen"))
       val cls = col("vec_id") % 13
       val rows = (1 to G08Epochs).map { e =>
-        val aCur = g08Snapshot(a, e - 1)
-        val bCur = g08Snapshot(a, e)
+        // materialize both snapshots once per epoch: the apply's
+        // admission scan, the |touched|·N recompute, and the rebuild
+        // twin each consume them several times, and re-deriving the
+        // union-of-rotations plan per consumer triples the corpus work
+        val aCur = g08Snapshot(a, e - 1).localCheckpoint(true)
+        val bCur = g08Snapshot(a, e).localCheckpoint(true)
         val dirtyOld = a.filter(cls === 3 * e - 2 || cls === 3 * e - 1)
           .select("vec_id")
         val newIds = a.filter(cls === 3 * e - 1).select("vec_id")
@@ -959,6 +963,7 @@ object Graph {
           .select("vec_id", "rnk", "neighbor_id", "cos_sim")
         val (nLive, liveCrc) = Pipeline.familyDigest(live)
         val eq = (nLive, liveCrc) == Pipeline.familyDigest(rebuilt)
+        aCur.unpersist(); bCur.unpersist()
         (e, nRec, nLive, math.floor(covered * 1000 + 0.5) / 1000,
           compacted, eq)
       }
