@@ -668,7 +668,8 @@ object Graph {
                                          b: DataFrame, dirtyOld: DataFrame,
                                          newIds: DataFrame, k: Int = 5,
                                          cents: Option[Array[(Int, Array[Double])]] = None,
-                                         admission: String = "auto")
+                                         admission: String = "auto",
+                                         materialize: Boolean = true)
       : DataFrame = {
     // (1) lists referencing a dirty (deleted|changed) neighbor
     val refRecompute = edgesA
@@ -679,13 +680,17 @@ object Graph {
     // and consumed by three subplans (admission probes, the short-row
     // semi join, the recompute union), so materialize the |diff| rows
     // once instead of re-deriving them with a corpus scan per use
-    val newVecs = b.join(broadcast(newIds), Seq("vec_id"), "left_semi")
-      .select("vec_id", "v", "norm").localCheckpoint(true)
+    // `materialize = false` (PlanSpec only) keeps the full lineage so
+    // the admission join shape stays inspectable — the production
+    // checkpoints below hide it behind a `Scan ExistingRDD`
+    val newVecsRaw = b.join(broadcast(newIds), Seq("vec_id"), "left_semi")
+      .select("vec_id", "v", "norm")
+    val newVecs = if (materialize) newVecsRaw.localCheckpoint(true) else newVecsRaw
     val kth = edgesA.groupBy("vec_id")
       .agg(min(col("cos_sim")).as("kth"), count(lit(1)).as("n_edges"))
     val survivors = a.join(broadcast(dirtyOld), Seq("vec_id"), "left_anti")
     val gainers = cents.fold(gainersExact(survivors, newVecs, kth, k))(cs =>
-      gainersPruned(survivors, newVecs, kth, k, cs, admission))
+      gainersPruned(survivors, newVecs, kth, k, cs, admission, materialize))
     // (3) + union; deleted ids fall out via the semi join against B.
     // Materialize the bounded id set eagerly so the newVecs checkpoint
     // can be RELEASED here — without this, every epoch/microbatch
@@ -696,9 +701,11 @@ object Graph {
       .unionByName(gainers)
       .unionByName(newVecs.select("vec_id"))
       .distinct()
-      .localCheckpoint(true)
-    newVecs.unpersist()
-    ids
+    if (materialize) {
+      val cut = ids.localCheckpoint(true)
+      newVecs.unpersist()
+      cut
+    } else ids
   }
 
   /** (2) admission test, exact tier: per-row k-th-best threshold vs
@@ -763,7 +770,8 @@ object Graph {
   private def gainersPruned(survivors: DataFrame, newVecs: DataFrame,
                             kth: DataFrame, k: Int,
                             cents: Array[(Int, Array[Double])],
-                            admission: String): DataFrame = {
+                            admission: String,
+                            materialize: Boolean = true): DataFrame = {
     import graft.functions.VectorFunctions._
     require(cents.zipWithIndex.forall { case ((c, _), i) => c == i },
       "pruned admission requires contiguous 0-based cell ids")
@@ -797,7 +805,7 @@ object Graph {
     // each new vector probes all K cells; keep pairs the bound admits
     // (|diff|·K rows in, bounded out — checkpointed: the work estimate
     // and the pruned join both consume it)
-    val admitted = newVecs
+    val admittedRaw = newVecs
       .select(col("vec_id").as("nid"), col("v").as("nv"), col("norm").as("nnorm"))
       .withColumn("cos_arr", Similarity.cosToCentroids(cents, col("nv"), col("nnorm")))
       .select(col("nid"), col("nv"), col("nnorm"),
@@ -806,7 +814,7 @@ object Graph {
       .filter(cos(greatest(lit(0.0), angle(col("cos_cn")) - col("delta")))
         >= col("min_kth") - lit(1e-4))
       .select(col("cell"), col("nid"), col("nv"), col("nnorm"), col("n_c"))
-      .localCheckpoint(true)
+    val admitted = if (materialize) admittedRaw.localCheckpoint(true) else admittedRaw
     val usePruned = admission match {
       case "pruned" => true
       case _ =>
@@ -828,9 +836,12 @@ object Graph {
       else gainersExact(survivors, newVecs, kth, k)
     // materialize before releasing the admitted checkpoint (same
     // release discipline as knnRecomputeIds' newVecs)
-    val out = short.unionByName(fullGainers).distinct().localCheckpoint(true)
-    admitted.unpersist()
-    out
+    val out = short.unionByName(fullGainers).distinct()
+    if (materialize) {
+      val cut = out.localCheckpoint(true)
+      admitted.unpersist()
+      cut
+    } else out
   }
 
   /** One CDC application against a SEGMENTED edge store — the

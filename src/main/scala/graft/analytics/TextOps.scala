@@ -665,7 +665,16 @@ object TextOps {
     * decimal-summed (Det), so scores are independent of partitioning
     * and merge order; the same ln-then-floor-round shape as t13's idf
     * is already proven cross-engine. */
-  def t21LmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+  def t21LmPerplexity(spark: SparkSession, dir: String): DataFrame =
+    t21Build(spark, dir, materialize = true)
+
+  /** t21 with the checkpoints elidable: `materialize = false` keeps
+    * the full lineage visible so PlanSpec can pin that the gram table
+    * comes from the single-pass [[graft.functions.TrigramCounts]]
+    * expression (the production path's lineage cuts hide it behind a
+    * `Scan ExistingRDD`). The gate always materializes. */
+  private[graft] def t21Build(spark: SparkSession, dir: String,
+                              materialize: Boolean): DataFrame = {
     import graft.functions.TrigramCounts.trigram_counts
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), length(col("text")).as("len"))
@@ -673,10 +682,10 @@ object TextOps {
     // two consumers (the global count table and the scored join) would
     // each re-run the corpus trigram pass — materialize it once; the
     // distinct (doc, tri) entries are far smaller than the raw text
-    val tf = docs
+    val tfRaw = docs
       .select(col("doc_id"), explode(trigram_counts(col("text"))))
       .toDF("doc_id", "tri", "tf")
-      .localCheckpoint(true)
+    val tf = if (materialize) tfRaw.localCheckpoint(true) else tfRaw
     val global = tf.groupBy("tri").agg(sum(col("tf")).as("cnt"))
     val total = docs.agg(sum(col("len") - 2)).first().getLong(0).toDouble
     val scored = tf.join(global, "tri")
@@ -689,9 +698,13 @@ object TextOps {
         Det.dround(col("s") / col("n_tri"), 4).as("avg_nll"))
       .withColumn("ppl", Det.dround(exp(col("avg_nll")), 2))
       .orderBy("doc_id")
-      .localCheckpoint(true)
-    tf.unpersist()
-    out
+    if (materialize) {
+      // cut the result's lineage so the tf checkpoint can be RELEASED
+      // here instead of leaking its block for the JVM's lifetime
+      val cut = out.localCheckpoint(true)
+      tf.unpersist()
+      cut
+    } else out
   }
 
   /** Top-of-vocabulary size for [[t22VocabCoverage]] — small enough

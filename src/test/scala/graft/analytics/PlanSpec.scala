@@ -233,7 +233,12 @@ class PlanSpec extends AnyFunSuite {
     val d09 = Dedup.d09ExactSubstr(spark, dir).queryExecution.executedPlan.toString
     assert(d09.contains("gram_hashes"), s"d09 lost the rolling-hash expression:\n$d09")
     assert(!d09.toLowerCase.contains("substring"), s"d09 materializes gram strings:\n$d09")
-    val t21 = TextOps.t21LmPerplexity(spark, dir).queryExecution.executedPlan.toString
+    // materialize = false keeps the gate's lineage cuts out of the
+    // plan (the production checkpoints hide the expression behind a
+    // Scan ExistingRDD); the construction code is shared, so the
+    // inspected plan can't drift from the gate's
+    val t21 = TextOps.t21Build(spark, dir, materialize = false)
+      .queryExecution.executedPlan.toString
     assert(t21.contains("trigram_counts"), s"t21 lost the counts expression:\n$t21")
     assert(!t21.toLowerCase.contains("substring"), s"t21 materializes trigram strings:\n$t21")
   }
@@ -510,9 +515,13 @@ class PlanSpec extends AnyFunSuite {
     // a bounded nested loop: its probe side is one row)
     val a = Dedup.normalizedVectors(spark, dir)
     val b = Graph.vectorSnapshotB(a)
+    // materialize = false: the production path's leak-free checkpoint
+    // discipline cuts lineage, which would hide the join behind a
+    // Scan ExistingRDD — the lazy twin shares the construction code
     val plan = Graph.knnRecomputeIds(a, Similarity.s05KnnGraph(spark, dir), b,
         Graph.g07DirtyOld(a), Graph.g07NewIds(b),
-        cents = Some(Similarity.ivfCentroids(spark, dir)), admission = "pruned")
+        cents = Some(Similarity.ivfCentroids(spark, dir)), admission = "pruned",
+        materialize = false)
       .queryExecution.executedPlan.toString
     assert("BroadcastHashJoin \\[cell".r.findFirstIn(plan).isDefined,
       s"pruned admission lost its cell equi join:\n$plan")
