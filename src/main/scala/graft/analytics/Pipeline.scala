@@ -717,6 +717,128 @@ object Pipeline {
     out
   }
 
+  /** How many successive CDC epochs [[p13MultiEpochPostings]] chains. */
+  private[graft] val P13Epochs = 3
+
+  /** p13's per-epoch mutation classes (mod 16) — DISJOINT across
+    * epochs, so every intermediate snapshot is a direct function of
+    * the base table (the g08 trick applied to text: the per-epoch
+    * rebuild twin needs no chained re-derivation, and a dirty doc's
+    * previous-epoch text is always its ORIGINAL text). The churn is
+    * sized so the tombstone-covered fraction crosses the 0.5
+    * compaction threshold at epoch 2 with ~11% margin (4+1 of 16
+    * classes per epoch ⇒ covered ≈ 10/16 over stored ≈ 18/16), fires
+    * once, and stays under it at epoch 3 (≈ 0.40) — the policy
+    * compaction is pinned MID-chain, with a post-compaction epoch
+    * applied on the rewritten store. */
+  private[analytics] def p13DeleteClasses(e: Int): Seq[Int] = e match {
+    case 1 => Seq(1, 2, 3, 4)
+    case 2 => Seq(6, 7, 8, 9)
+    case _ => Seq(11, 12, 13)
+  }
+
+  private[analytics] def p13ChangeClass(e: Int): Int = e match {
+    case 1 => 5
+    case 2 => 10
+    case _ => 14
+  }
+
+  /** The documents table after `e` of [[P13Epochs]] successive CDC
+    * epochs — epoch j deletes [[p13DeleteClasses]](j), appends
+    * `" [e<j>]"` to class [[p13ChangeClass]](j)'s text, and (final
+    * epoch only) adds a copy of each class-0 doc under id
+    * `−(doc_id+1)` (never collides: corpus ids are non-negative, and
+    * negative ids mod 16 are ≤ 0, so no later rule touches them).
+    * Classes 15 and 0 survive all three epochs untouched. */
+  private[analytics] def p13SnapshotText(docs: DataFrame, e: Int): DataFrame = {
+    val cls = col("doc_id") % 16
+    val gone = (1 to e).flatMap(p13DeleteClasses)
+    val kept =
+      if (gone.isEmpty) docs.select(col("doc_id"), col("text"))
+      else docs.filter(!cls.isin(gone.map(Int.box): _*))
+        .select(col("doc_id"), col("text"))
+    val revised = (1 to e).foldLeft(kept)((d, j) =>
+      d.withColumn("text", when(cls === p13ChangeClass(j),
+        concat(col("text"), lit(s" [e$j]"))).otherwise(col("text"))))
+    if (e >= P13Epochs)
+      revised.unionByName(docs.filter(cls === 0)
+        .select((-(col("doc_id") + 1L)).as("doc_id"), col("text")))
+    else revised
+  }
+
+  /** The p13 chain: [[P13Epochs]] successive diff applications
+    * against ONE postings layout at `out` (seeded from the memoized
+    * snapshot-A baseline), compacting ONLY when the tombstone-covered
+    * fraction crosses the policy threshold — never per epoch, unlike
+    * p10's single application. Per epoch: gen-scoped tombstone for
+    * the dirty ids (`upto_gen = e−1`, so the re-appends at gen `e`
+    * are live immediately with no compaction between), diff-sized
+    * re-tokenize + append, |vocab|-bounded df-sidecar fold. Returns
+    * (epoch, n_dirty, covered_before, compacted) receipts;
+    * `onEpoch` fires after each epoch so MultiEpochPostingsSpec can
+    * pin live-state equality to a from-scratch rebuild of
+    * [[p13SnapshotText]] at EVERY epoch — before and after the
+    * mid-chain compaction. */
+  private[graft] def p13ChainAt(spark: SparkSession, dir: String, out: String,
+                                onEpoch: Int => Unit = _ => ())
+      : Seq[(Int, Long, Double, Boolean)] = {
+    val docs = Tables.documents(spark, dir)
+    copyBaseline(p10BaselineLayout(spark, dir), java.nio.file.Paths.get(out))
+    val cls = col("doc_id") % 16
+    (1 to P13Epochs).map { e =>
+      val dirty = docs.filter(
+          cls.isin(p13DeleteClasses(e).map(Int.box): _*) ||
+            cls === p13ChangeClass(e))
+        .select("doc_id")
+      // classes are disjoint across epochs, so the dirty docs'
+      // BEFORE-image text is the base table's — the removed df deltas
+      // tokenize the diff without reading the stored index
+      val removed = TextOps.postingsOf(
+          docs.join(broadcast(dirty), Seq("doc_id"), "left_semi"))
+        .groupBy("term").agg(count(lit(1)).as("n"))
+      TextOps.deleteFromPostings(spark, out, dirty, uptoGen = e - 1L)
+      val changedText = docs.filter(cls === p13ChangeClass(e))
+        .select(col("doc_id"),
+          concat(col("text"), lit(s" [e$e]")).as("text"))
+      val reTok = if (e == P13Epochs)
+        changedText.unionByName(docs.filter(cls === 0)
+          .select((-(col("doc_id") + 1L)).as("doc_id"), col("text")))
+      else changedText
+      TextOps.appendPostings(reTok, out, gen = e.toLong)
+      val added = TextOps.postingsOf(reTok)
+        .groupBy("term").agg(count(lit(1)).as("n"))
+      TextOps.updateDfSidecar(spark, out, removed, added)
+      // one measurement drives both the receipt and the compaction
+      // decision (the g08 convention: the policy — strictly above the
+      // threshold — is replicated verbatim so the receipt can't drift
+      // from what maybeCompact would have done)
+      val covered = TextOps.postingsCoveredFraction(spark, out)
+      val compacted = covered > graft.core.SegmentedIndex.CompactThreshold
+      if (compacted) TextOps.compactPostings(spark, out)
+      onEpoch(e)
+      (e, dirty.count(), math.floor(covered * 1000 + 0.5) / 1000, compacted)
+    }
+  }
+
+  /** p13 gate: MULTI-EPOCH maintenance of the inverted postings index
+    * — g08's epoch-chaining discipline applied to the lexical family,
+    * and the one multi-epoch gate that is fully ORACLE-CHECKED: the
+    * output is the final [[TextOps.postingsReport]] (term, df,
+    * total_tf) after three chained diff applications, and DuckDB
+    * derives the three-epoch snapshot independently and recounts it
+    * from scratch — a drifted sidecar fold, a lost or duplicated
+    * posting, or a compaction bug ANYWHERE in the chain fails the
+    * hash. The mid-chain policy compaction and per-epoch rebuild
+    * equality are pinned by MultiEpochPostingsSpec. */
+  def p13MultiEpochPostings(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-p13") { root =>
+      val out = root.resolve("postings").toString
+      p13ChainAt(spark, dir, out)
+      // |vocab|-bounded report materialized eagerly; the scoped layout
+      // is deleted when this returns
+      TextOps.postingsReport(spark, out).localCheckpoint(true)
+    }
+
   /** Order-independent digest of a result frame — (row count, sum of
     * per-row crc32 over the JSON encoding). Shared by the p12 summary
     * and Verify's `p12_families_eq_standalone` invariant, so the
@@ -819,6 +941,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p10_incremental_postings" -> p10IncrementalPostings _,
     "p12_nightly_pipeline"  -> p12NightlyPipeline _,
+    "p13_multi_epoch_postings" -> p13MultiEpochPostings _,
     "p01_curation_pipeline" -> p01CurationPipeline _,
     "p02_semdedup_pipeline" -> p02SemdedupPipeline _,
     "p03_dataset_report"    -> p03DatasetReport _,
@@ -830,6 +953,27 @@ object Pipeline {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // p13: DuckDB derives the THREE-EPOCH snapshot (disjoint mod-16
+    // classes: epochs delete 1-4/6-9/11-13, revise 5/10/14 with
+    // per-epoch suffixes, the final epoch adds class-0 copies under
+    // negated ids) and recounts it from scratch — the chained
+    // maintenance's final report must match term for term
+    "p13_multi_epoch_postings" ->
+      """WITH b AS (SELECT doc_id,
+                     CASE WHEN doc_id % 16 = 5  THEN text || ' [e1]'
+                          WHEN doc_id % 16 = 10 THEN text || ' [e2]'
+                          WHEN doc_id % 16 = 14 THEN text || ' [e3]'
+                          ELSE text END AS text
+                    FROM documents
+                    WHERE doc_id % 16 IN (0, 5, 10, 14, 15)
+                    UNION ALL
+                    SELECT -(doc_id + 1) AS doc_id, text
+                    FROM documents WHERE doc_id % 16 = 0),
+          tk AS (SELECT doc_id, lower(unnest(string_split_regex(trim(text), '\s+'))) term FROM b),
+          tk2 AS (SELECT * FROM tk WHERE term <> '')
+         SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+          CAST(count(*) AS BIGINT) AS total_tf
+         FROM tk2 GROUP BY term ORDER BY term""",
     // p10: DuckDB derives snapshot B and tokenizes it from scratch —
     // the maintained index's sidecar df and live tf totals must match
     // that independent recount term for term

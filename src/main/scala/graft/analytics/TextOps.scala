@@ -294,6 +294,16 @@ object TextOps {
     postingsOf(docs).withColumn("gen", lit(gen)).repartition(col("term"))
       .write.mode("append").parquet(out)
 
+  /** Tombstone-covered fraction of a postings layout's stored rows —
+    * the read-amp signal the compaction policy reads (p13's multi-epoch
+    * chain compacts only past [[graft.core.SegmentedIndex.CompactThreshold]],
+    * never per epoch). */
+  private[analytics] def postingsCoveredFraction(spark: SparkSession,
+                                                 out: String): Double =
+    graft.core.SegmentedIndex.coveredFraction(spark,
+      spark.read.schema(postingsSchema).parquet(out), out,
+      keyCol = "doc_id", genCol = Some("gen"))
+
   /** Compact a postings layout: apply tombstones physically, rewrite
     * term-hashed, clear the tombstone sidecar (the epoch boundary),
     * carry every other underscore sidecar (`_df`) verbatim. The swap
