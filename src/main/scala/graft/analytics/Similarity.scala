@@ -864,10 +864,16 @@ object Similarity {
   /** [[appendIvfCorpus]] with a pre-collected codebook and stored
     * column set — the per-batch entry a streaming ingest loop uses so
     * the K-row codebook read and the layout-schema listing happen once
-    * per stream, not once per microbatch. */
+    * per stream, not once per microbatch. `gen` names the published
+    * files (the plain IVF layout carries no generation COLUMN — its
+    * tombstones are epoch-wide, not gen-scoped), so a replayed
+    * at-least-once batch replaces its own prior append instead of
+    * duplicating it; generation numbers must be unique per layout
+    * lifetime except on replay (batchId-derived). */
   private[analytics] def appendIvfCorpusWith(cents: Array[(Int, Array[Double])],
                                              out: String, vecs: DataFrame,
-                                             storedCols: Set[String]): Unit = {
+                                             storedCols: Set[String],
+                                             gen: Long = 0L): Unit = {
     import graft.functions.VectorFunctions._
     // the stored layout defines the schema: carry exactly its metadata
     // columns through the append (batch columns the layout doesn't
@@ -881,13 +887,15 @@ object Similarity {
         s"[${missing.mkString(", ")}] the batch does not provide — appended " +
         "rows would read back with null metadata and filtered probes would " +
         "silently drop them")
-    vecs
-      .select(col("vec_id") +: as_double_array(col("embedding")).as("v") +:
-        meta.map(col): _*)
-      .withColumn("norm", array_norm(col("v")))
-      .withColumn("cell", cellOf(cents, col("v"), col("norm")))
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(out)
+    graft.core.SegmentedIndex.publishGeneration(out, gen) { stage =>
+      vecs
+        .select(col("vec_id") +: as_double_array(col("embedding")).as("v") +:
+          meta.map(col): _*)
+        .withColumn("norm", array_norm(col("v")))
+        .withColumn("cell", cellOf(cents, col("v"), col("norm")))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(stage)
+    }
   }
 
   /** Tombstone vector ids in a stored IVF layout — the DELETE half of
@@ -1184,14 +1192,22 @@ object Similarity {
       .select(col("vec_id"), as_double_array(col("embedding")).as("v"))
       .withColumn("norm", array_norm(col("v")))
       .withColumn("cell", cellOf(cents, col("v"), col("norm")))
-    assigned.select(col("vec_id"), col("norm"), col("cell"), pqCodeCol(books))
-      .withColumn("gen", lit(gen))
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(out)
-    assigned.select(col("vec_id"), col("v"), col("norm"), col("cell"))
-      .withColumn("gen", lit(gen))
-      .repartition(col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$out/_refine")
+    // both writes are per-generation OVERWRITES (gen-named files via
+    // publishGeneration), so an at-least-once maintainer replaying a
+    // batch replaces its own prior code AND refine rows instead of
+    // duplicating them
+    graft.core.SegmentedIndex.publishGeneration(out, gen) { stage =>
+      assigned.select(col("vec_id"), col("norm"), col("cell"), pqCodeCol(books))
+        .withColumn("gen", lit(gen))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(stage)
+    }
+    graft.core.SegmentedIndex.publishGeneration(s"$out/_refine", gen) { stage =>
+      assigned.select(col("vec_id"), col("v"), col("norm"), col("cell"))
+        .withColumn("gen", lit(gen))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(stage)
+    }
   }
 
   /** Compact a stored IVF-PQ layout: apply tombstones physically to

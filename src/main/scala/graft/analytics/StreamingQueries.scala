@@ -399,8 +399,13 @@ object StreamingQueries {
       .filter(col("vec_id") % 2 =!= 0)
       .writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Similarity.appendIvfCorpusWith(cents, out, batch, storedCols)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batchId-derived generation (replay-stable) names the
+        // published files, so a redelivered batch replaces its own
+        // prior append instead of duplicating it (idempotent between
+        // compactions; gen 0 is the seeded baseline's)
+        Similarity.appendIvfCorpusWith(cents, out, batch, storedCols,
+          gen = batchId + 1)
         // in-line maintenance, same knob as the event-store ingest:
         // every compactEvery batches the cell dirs are rewritten to one
         // file each, so probe read amplification is bounded by the
@@ -772,11 +777,10 @@ object StreamingQueries {
         val bs = batch.sparkSession
         // generation from the replay-stable batchId (gen 0 is the
         // base layout): a re-delivered batch re-tombstones
-        // idempotently (max-fold); the code/refine APPENDS are flat
-        // parquet appends, so full replay idempotency would need the
-        // per-generation segment layout — fine for this bounded
-        // single-shot drive, duplicated codes on a real at-least-once
-        // source until the PQ layout adopts appendSegment
+        // idempotently (max-fold), and the code/refine appends are
+        // per-generation OVERWRITES (gen-named files), so replay
+        // replaces its own prior attempt — idempotent up to the
+        // end-of-stream compaction, after which no redelivery exists
         val g = batchId + 1
         val dirty = batch
           .filter(col("change_type").isin("deleted", "changed"))
@@ -994,9 +998,10 @@ object StreamingQueries {
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val bs = batch.sparkSession
-        // replay-stable generation (st25's convention); the postings
-        // appends are flat parquet appends — idempotent tombstones,
-        // single-shot assumption on the append side
+        // replay-stable generation (st25's convention); tombstones
+        // max-fold idempotently and the postings append is a
+        // per-generation overwrite (gen-named files), so a
+        // redelivered batch lands on the same bytes
         val g = batchId + 1
         val dirtyRows = batch
           .filter(col("change_type").isin("deleted", "changed"))

@@ -288,11 +288,18 @@ object TextOps {
   /** Append re-tokenized postings for diff documents at generation
     * `gen` — the expensive tokenize pass sees ONLY the diff, never the
     * stored corpus. With gen-scoped tombstones a same-id re-append at
-    * a generation above the tombstone is live immediately. */
+    * a generation above the tombstone is live immediately. The append
+    * is a per-generation OVERWRITE
+    * ([[graft.core.SegmentedIndex.publishGeneration]] — gen-named
+    * files, staged then swapped), so an at-least-once maintainer
+    * replaying batch `gen` replaces its own prior attempt instead of
+    * duplicating it. */
   private[analytics] def appendPostings(docs: DataFrame, out: String,
                                         gen: Long = 1L): Unit =
-    postingsOf(docs).withColumn("gen", lit(gen)).repartition(col("term"))
-      .write.mode("append").parquet(out)
+    graft.core.SegmentedIndex.publishGeneration(out, gen) { stage =>
+      postingsOf(docs).withColumn("gen", lit(gen)).repartition(col("term"))
+        .write.mode("overwrite").parquet(stage)
+    }
 
   /** Tombstone-covered fraction of a postings layout's stored rows —
     * the read-amp signal the compaction policy reads (p13's multi-epoch

@@ -117,6 +117,68 @@ object SegmentedIndex {
   def appendSegment(rows: DataFrame, out: String, gen: Long): Unit =
     rows.write.mode("overwrite").parquet(s"$out/gen=$gen")
 
+  /** Per-generation OVERWRITE append for layouts whose generation
+    * cannot be a `gen=<g>` partition directory — the postings layout
+    * stores `gen` as an in-file column, and the IVF/PQ layouts
+    * partition by `cell=` — so [[appendSegment]]'s directory
+    * overwrite can't apply. Same idempotency by FILE NAMING instead:
+    * the batch's rows are staged under an invisible `_stage_gen<g>`
+    * dir, any PRIOR attempt's published files for this generation
+    * (name-prefixed `gen<g>-`) are deleted, and the staged part files
+    * move in under that prefix, mirroring the stage's partition-dir
+    * structure. An at-least-once maintainer replaying generation g
+    * therefore REPLACES its own earlier attempt instead of
+    * duplicating it, and a crash anywhere heals on replay: the stage
+    * is rebuilt from scratch, the prefix sweep removes a partial
+    * publish. Scope: a replay is idempotent only while the files are
+    * still gen-named — a compaction folds them into its rewrite, so
+    * the guarantee is "between compactions", which covers the bounded
+    * streaming drives (they compact at end of stream, after the last
+    * possible redelivery). Generation numbers must be unique per
+    * layout lifetime except when replaying (the stream's
+    * batchId-derived convention). Single-maintainer, like every
+    * layout op here. */
+  def publishGeneration(out: String, gen: Long)(stageWrite: String => Unit): Unit = {
+    val root = Paths.get(out)
+    val stage = root.resolve(s"_stage_gen$gen")
+    DirSwap.deleteTree(stage)
+    stageWrite(stage.toString)
+    val prefix = s"gen$gen-"
+    // sweep a prior attempt's published files for this generation
+    // (data dirs only: underscore sidecars are never gen-published)
+    def sweep(dir: java.nio.file.Path): Unit =
+      Using.resource(Files.list(dir)) { s =>
+        s.iterator().asScala.toList.foreach { p =>
+          val n = p.getFileName.toString
+          if (Files.isDirectory(p)) {
+            if (!n.startsWith("_") && !n.startsWith(".")) sweep(p)
+          } else if (n.startsWith(prefix)) Files.delete(p)
+        }
+      }
+    sweep(root)
+    // move the staged data files in under the generation prefix,
+    // mirroring partition dirs (cell=N/...); marker files stay behind
+    // and vanish with the stage
+    def publish(dir: java.nio.file.Path): Unit =
+      Using.resource(Files.list(dir)) { s =>
+        s.iterator().asScala.toList.foreach { p =>
+          val n = p.getFileName.toString
+          if (!n.startsWith("_") && !n.startsWith(".")) {
+            if (Files.isDirectory(p)) {
+              Files.createDirectories(root.resolve(stage.relativize(p).toString))
+              publish(p)
+            } else {
+              val rel = stage.relativize(p.getParent).toString
+              val tgtDir = if (rel.isEmpty) root else root.resolve(rel)
+              Files.move(p, tgtDir.resolve(prefix + n))
+            }
+          }
+        }
+      }
+    publish(stage)
+    DirSwap.deleteTree(stage)
+  }
+
   /** Fraction of stored rows a fresh probe's anti-join would drop —
     * the read-amplification signal [[maybeCompact]]'s policy reads.
     * Two counts over the layout; 0.0 when no tombstones exist. */
