@@ -326,6 +326,18 @@ object Verify {
           read("g08_multi_epoch_knn").collect()
             .exists(_.getAs[Boolean]("compacted"))
         },
+        // p14: the PQ family's multi-epoch chain, same convention —
+        // every epoch's probe equals the from-scratch re-encode of
+        // that epoch's snapshot, and the policy compaction fired
+        inv("p14_eq_every_epoch") {
+          val rs = read("p14_multi_epoch_pq").collect()
+          rs.length == graft.analytics.Pipeline.P13Epochs &&
+            rs.forall(_.getAs[Boolean]("eq_rebuild"))
+        },
+        inv("p14_compaction_fired") {
+          read("p14_multi_epoch_pq").collect()
+            .exists(_.getAs[Boolean]("compacted"))
+        },
         inv("g05_parity_singlenode") {
           val lpaEdges = read("s05_knn_graph")
             .filter(col("cos_sim") >= graft.analytics.Graph.LpaCosMin)

@@ -884,6 +884,11 @@ object Graph {
   /** How many successive CDC epochs [[g08MultiEpochKnn]] chains. */
   private[graft] val G08Epochs = 3
 
+  /** Memoized digests of g08's per-epoch rebuild twins (pure fixture
+    * functions — see the computeIfAbsent site). */
+  private val g08RebuildDigests =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (Long, Long)]()
+
   /** The corpus after `e` of [[G08Epochs]] successive, DISJOINT CDC
     * epochs, as a pure function of snapshot A — epoch j deletes id
     * class `3j−2` (mod 13), re-embeds class `3j−1` (rotation by j),
@@ -970,10 +975,18 @@ object Graph {
           liveEdges.drop("gen").write.parquet(s"$stage/gen=$e")
         }
         val live = liveEdges.select("vec_id", "rnk", "neighbor_id", "cos_sim")
-        val rebuilt = Similarity.knnGraphExact(bCur, k = 5)
-          .select("vec_id", "rnk", "neighbor_id", "cos_sim")
+        // the rebuild twin is the gate's CHECK — a pure function of
+        // the fixture (snapshot e's exact kNN graph), not part of the
+        // maintenance work the gate measures — so its digest is
+        // memoized per (dataset, epoch) like the seeded baselines:
+        // the first invocation per JVM pays the three exact rebuilds,
+        // warm passes re-digest only the maintained live view
+        val rebuiltDigest = g08RebuildDigests.computeIfAbsent((dir, e), { _ =>
+          Pipeline.familyDigest(Similarity.knnGraphExact(bCur, k = 5)
+            .select("vec_id", "rnk", "neighbor_id", "cos_sim"))
+        })
         val (nLive, liveCrc) = Pipeline.familyDigest(live)
-        val eq = (nLive, liveCrc) == Pipeline.familyDigest(rebuilt)
+        val eq = (nLive, liveCrc) == rebuiltDigest
         aCur.unpersist(); bCur.unpersist()
         (e, nRec, nLive, math.floor(covered * 1000 + 0.5) / 1000,
           compacted, eq)
