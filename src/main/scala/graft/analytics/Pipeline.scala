@@ -807,7 +807,7 @@ object Pipeline {
       TextOps.appendPostings(reTok, out, gen = e.toLong)
       val added = TextOps.postingsOf(reTok)
         .groupBy("term").agg(count(lit(1)).as("n"))
-      TextOps.updateDfSidecar(spark, out, removed, added)
+      TextOps.updateDfSidecar(spark, out, removed, added, gen = e.toLong)
       // one measurement drives both the receipt and the compaction
       // decision (the g08 convention: the policy — strictly above the
       // threshold — is replicated verbatim so the receipt can't drift

@@ -1036,7 +1036,7 @@ object StreamingQueries {
           case (r, a) =>
             val any = r.orElse(a).get
             TextOps.updateDfSidecar(bs, out,
-              r.getOrElse(any.limit(0)), a.getOrElse(any.limit(0)))
+              r.getOrElse(any.limit(0)), a.getOrElse(any.limit(0)), gen = g)
         }
       }
       .start()

@@ -269,8 +269,28 @@ object TextOps {
     org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("df", org.apache.spark.sql.types.LongType)))
 
-  private[analytics] def readDfSidecar(spark: SparkSession, out: String): DataFrame =
-    spark.read.schema(dfSidecarSchema).parquet(out + "/_df")
+  private val dfDeltaSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("term", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("delta", org.apache.spark.sql.types.LongType)))
+
+  /** The EFFECTIVE per-term document frequencies: the `_df` base
+    * (written at build, re-folded at compaction) plus the sum of the
+    * per-generation `_df_deltas` segments — all |vocab|-bounded.
+    * Terms whose effective df reaches 0 drop. */
+  private[analytics] def readDfSidecar(spark: SparkSession, out: String): DataFrame = {
+    val base = spark.read.schema(dfSidecarSchema).parquet(out + "/_df")
+    if (!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(out, "_df_deltas"))) base
+    else {
+      val deltas = spark.read.schema(dfDeltaSchema)
+        .parquet(out + "/_df_deltas")
+        .groupBy("term").agg(sum(col("delta")).as("delta"))
+      base.join(deltas, Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("df"), lit(0L)) + coalesce(col("delta"), lit(0L))).as("df"))
+        .filter(col("df") > 0)
+    }
+  }
 
   /** The maintained-index report p10 and st23 SHARE (they share one
     * oracle, so the report must be one definition): per term, df from
@@ -312,37 +332,44 @@ object TextOps {
       keyCol = "doc_id", genCol = Some("gen"))
 
   /** Compact a postings layout: apply tombstones physically, rewrite
-    * term-hashed, clear the tombstone sidecar (the epoch boundary),
-    * carry every other underscore sidecar (`_df`) verbatim. The swap
-    * is the shared crash-safe two-rename ([[graft.core.DirSwap]]) —
-    * the TableStore/IVF discipline; single-maintainer, like both. */
+    * term-hashed, clear the tombstone sidecar, and FOLD the
+    * accumulated `_df_deltas` segments into a fresh `_df` base (the
+    * epoch boundary: deltas, like tombstones, accumulate only between
+    * compactions). The swap is the shared crash-safe two-rename
+    * ([[graft.core.DirSwap]]) — the TableStore/IVF discipline;
+    * single-maintainer, like both. */
   private[analytics] def compactPostings(spark: SparkSession, out: String): Unit =
-    graft.core.SegmentedIndex.compactWith(out) { tmp =>
+    graft.core.SegmentedIndex.compactWith(out,
+        skipSidecars = Set("_df", "_df_deltas")) { tmp =>
       postingsLive(spark, out).repartition(col("term"))
         .write.mode("overwrite").parquet(tmp)
+      // source (`out/_df` + deltas) and target (`tmp/_df`) differ, so
+      // no read-overwrite cycle to cut here
+      readDfSidecar(spark, out)
+        .coalesce(1).write.mode("overwrite").parquet(tmp + "/_df")
     }
 
-  /** Incremental `_df` sidecar maintenance: fold the diff's per-term
-    * removed/added document counts into the stored counts — a
-    * |vocab|-bounded merge (the documented bounded-collect pattern:
-    * vocabulary-row frames collect like codebooks), so the sidecar
-    * never recounts the corpus. Terms whose df reaches 0 drop. */
+  /** Incremental `_df` sidecar maintenance: the diff's per-term
+    * removed/added document counts land as ONE per-generation DELTA
+    * segment (`_df_deltas/gen=<g>`, an overwrite — so a replayed
+    * at-least-once batch replaces its own prior fold instead of
+    * double-counting, the same idempotency the postings rows get from
+    * the gen-named appends; the pre-r14 in-place additive fold was
+    * the one remaining non-idempotent write in the maintainer loop).
+    * All |vocab|-bounded; [[readDfSidecar]] sums base + deltas at
+    * read time and [[compactPostings]] folds them into a fresh base
+    * at the epoch boundary, so deltas accumulate only between
+    * compactions. Terms whose effective df reaches 0 drop at read. */
   private[analytics] def updateDfSidecar(spark: SparkSession, out: String,
-                                         removed: DataFrame, added: DataFrame): Unit = {
-    val merged = readDfSidecar(spark, out)
-      .join(removed.select(col("term"), col("n").as("rem")), Seq("term"), "full_outer")
+                                         removed: DataFrame, added: DataFrame,
+                                         gen: Long = 1L): Unit = {
+    val delta = removed.select(col("term"), col("n").as("rem"))
       .join(added.select(col("term"), col("n").as("add")), Seq("term"), "full_outer")
       .select(col("term"),
-        (coalesce(col("df"), lit(0L)) - coalesce(col("rem"), lit(0L)) +
-          coalesce(col("add"), lit(0L))).as("df"))
-      .filter(col("df") > 0)
-    // the merge READS `_df` and this write OVERWRITES it — cut the
-    // cycle by materializing eagerly as executor blocks
-    // (localCheckpoint), never by collecting |vocab| rows to the
-    // driver: a whitespace-token vocabulary is not codebook-sized at
-    // 100 TB
-    merged.localCheckpoint(true)
-      .coalesce(1).write.mode("overwrite").parquet(out + "/_df")
+        (coalesce(col("add"), lit(0L)) - coalesce(col("rem"), lit(0L))).as("delta"))
+      .filter(col("delta") =!= 0L)
+      .coalesce(1)
+    graft.core.SegmentedIndex.appendSegment(delta, out + "/_df_deltas", gen)
   }
 
   /** The stored postings: (doc_id, term, tf). */

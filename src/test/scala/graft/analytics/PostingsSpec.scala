@@ -28,7 +28,7 @@ class PostingsSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
     // the incrementally-maintained df sidecar equals the rebuild's
     // recounted one, term for term
-    def sidecar(out: String) = spark.read.parquet(s"$out/_df").collect()
+    def sidecar(out: String) = TextOps.readDfSidecar(spark, out).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(sidecar(maintained) == sidecar(rebuilt))
     // deleted ids are gone, added ids are present
@@ -89,7 +89,7 @@ class PostingsSpec extends AnyFunSuite {
     val batch = Pipeline.p10Maintain(spark, dir)
     val got = rows(TextOps.postingsLive(spark, streamed))
     assert(got.nonEmpty && got == rows(TextOps.postingsLive(spark, batch)))
-    def sidecar(out: String) = spark.read.parquet(s"$out/_df").collect()
+    def sidecar(out: String) = TextOps.readDfSidecar(spark, out).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap
     assert(sidecar(streamed) == sidecar(batch))
   }

@@ -90,6 +90,18 @@ class ReplayIdempotencySpec extends AnyFunSuite {
     TextOps.appendPostings(extra, out, gen = 1L)
     assert(spark.read.parquet(out).count() == once,
       "replayed postings append duplicated rows")
+    // the df-sidecar fold is idempotent too: the batch's delta lands
+    // as a per-generation OVERWRITE segment, so a replay replaces its
+    // own prior fold instead of double-counting (the pre-r14 in-place
+    // additive fold was the loop's one remaining non-idempotent write)
+    def eff = TextOps.readDfSidecar(spark, out).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val rem = Seq(("alpha", 1L)).toDF("term", "n")
+    val add = Seq(("beta", 2L)).toDF("term", "n")
+    TextOps.updateDfSidecar(spark, out, rem, add, gen = 1L)
+    val foldedOnce = eff
+    TextOps.updateDfSidecar(spark, out, rem, add, gen = 1L)
+    assert(eff == foldedOnce, "replayed sidecar fold double-counted")
   }
 
   test("IVF-PQ append replay lands on the same stored code and refine rows") {
