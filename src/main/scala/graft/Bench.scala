@@ -294,9 +294,12 @@ object Bench {
     // quantitative steadiness criterion (replaces the qualitative
     // "flat-or-shrinking", which Spark's idle-reaped global cached
     // pools — named in thread_hist — oscillate around depending on
-    // which family ran last): warm2 threads within ±5% of warm1
+    // which family ran last): warm2 threads grow at most 5% over
+    // warm1. ONE-SIDED by design — the criterion hunts leaks, which
+    // are monotone GROWTH; a drop only means the 60s-keep-alive pools
+    // idle-reaped (e.g. after an I/O stall) and is healthy
     val steadyOk = try {
-      val a = w1Thr.toInt; a > 0 && math.abs(endSnap.threads - a) <= 0.05 * a
+      val a = w1Thr.toInt; a > 0 && endSnap.threads <= 1.05 * a
     } catch { case _: Throwable => false }
     val steady = s"""{"threads_warm1":$w1Thr,"threads_warm2":${endSnap.threads},"steady_ok":$steadyOk}"""
     val violJson = agingViolations.map("\"" + _ + "\"").mkString("[", ",", "]")
