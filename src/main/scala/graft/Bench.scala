@@ -207,8 +207,21 @@ object Bench {
     // what a 100 TB run would see per-query. Taking the min of two warm
     // runs keeps one GC/JIT storm from masquerading as a family
     // regression (both raw passes are preserved in the per-query file).
+    // flush filesystem write-back debt at pass boundaries, UNTIMED:
+    // the layout-writing gates leave dirty pages behind, and on a VM
+    // with slow flush the kernel's write-back threshold lands a
+    // 10-20s stall on whichever query happens to cross it — observed
+    // twice as a ~20s warm2 blip in the p-family region (run N's
+    // debt, run N+1's victim). Syncing between passes makes each
+    // pass's timings reflect its own queries' work; within-pass
+    // accumulation remains part of the measured cost, as it should be
+    def flush(): Unit =
+      try { new ProcessBuilder("sync").start().waitFor(); () }
+      catch { case _: Throwable => () }
     val results = pass("cold")
+    flush()
     val warm1 = pass("warm1")
+    flush()
     val warm2 = pass("warm2")
     // pool-name histogram at warm-pass end (digits/hashes stripped →
     // pool prefixes): the thread COUNT on the metric line says whether
