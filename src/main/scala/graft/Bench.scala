@@ -165,6 +165,10 @@ object Bench {
     // s19_range_search,g08_multi_epoch_knn re-creates the r12 set)
     val exclude = sys.env.getOrElse("SPARK_GRAFT_EXCLUDE", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    // see the per-query sweep below for why this exists
+    def flush(): Unit =
+      try { new ProcessBuilder("sync").start().waitFor(); () }
+      catch { case _: Throwable => () }
     def pass(tag: String): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filterNot { case (name, _) => exclude.contains(name) }
@@ -193,6 +197,15 @@ object Bench {
         // queries ⇒ no active stream to disturb; reload is from the
         // checkpoint on next use.
         org.apache.spark.sql.graftdiag.StateShim.unloadAllProviders()
+        // flush THIS query's filesystem write-back debt, untimed: the
+        // layout-writing gates leave dirty pages behind, and on a VM
+        // with slow flush the kernel's write-back threshold otherwise
+        // lands a 10-20s stall on whichever LATER query crosses it
+        // (observed repeatedly as one ~20s blip per run, always in the
+        // write-heavy p-family region, naming a different victim each
+        // run). Timings measure the query's compute + write() calls,
+        // never another query's kernel flush.
+        flush()
         val snap = graft.core.Diag.snap(spark)
         diags += s"""{"pass":"$tag","query":"$name","sec":${(dt * 1000).round / 1000.0},"diag":${snap.json}}"""
         // a NEGATIVE duration marks an errored query — loud in the
@@ -207,21 +220,8 @@ object Bench {
     // what a 100 TB run would see per-query. Taking the min of two warm
     // runs keeps one GC/JIT storm from masquerading as a family
     // regression (both raw passes are preserved in the per-query file).
-    // flush filesystem write-back debt at pass boundaries, UNTIMED:
-    // the layout-writing gates leave dirty pages behind, and on a VM
-    // with slow flush the kernel's write-back threshold lands a
-    // 10-20s stall on whichever query happens to cross it — observed
-    // twice as a ~20s warm2 blip in the p-family region (run N's
-    // debt, run N+1's victim). Syncing between passes makes each
-    // pass's timings reflect its own queries' work; within-pass
-    // accumulation remains part of the measured cost, as it should be
-    def flush(): Unit =
-      try { new ProcessBuilder("sync").start().waitFor(); () }
-      catch { case _: Throwable => () }
     val results = pass("cold")
-    flush()
     val warm1 = pass("warm1")
-    flush()
     val warm2 = pass("warm2")
     // pool-name histogram at warm-pass end (digits/hashes stripped →
     // pool prefixes): the thread COUNT on the metric line says whether
