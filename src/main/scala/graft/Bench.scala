@@ -165,7 +165,14 @@ object Bench {
     // s19_range_search,g08_multi_epoch_knn re-creates the r12 set)
     val exclude = sys.env.getOrElse("SPARK_GRAFT_EXCLUDE", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSet
-    // see the per-query sweep below for why this exists
+    // untimed sync at pass boundaries: the layout-writing gates leave
+    // dirty pages behind, and on a VM with slow flush the kernel's
+    // write-back threshold can land a stall on a LATER query. Flushing
+    // between passes keeps one pass's debt off the next pass's
+    // timings; within-pass flushes stay part of the measured cost (a
+    // per-query sync was tried and rejected — it hides each gate's own
+    // write cost and did nothing against the ~1-minute box-weather
+    // windows the "t" timestamps now make attributable)
     def flush(): Unit =
       try { new ProcessBuilder("sync").start().waitFor(); () }
       catch { case _: Throwable => () }
@@ -197,17 +204,14 @@ object Bench {
         // queries ⇒ no active stream to disturb; reload is from the
         // checkpoint on next use.
         org.apache.spark.sql.graftdiag.StateShim.unloadAllProviders()
-        // flush THIS query's filesystem write-back debt, untimed: the
-        // layout-writing gates leave dirty pages behind, and on a VM
-        // with slow flush the kernel's write-back threshold otherwise
-        // lands a 10-20s stall on whichever LATER query crosses it
-        // (observed repeatedly as one ~20s blip per run, always in the
-        // write-heavy p-family region, naming a different victim each
-        // run). Timings measure the query's compute + write() calls,
-        // never another query's kernel flush.
-        flush()
         val snap = graft.core.Diag.snap(spark)
-        diags += s"""{"pass":"$tag","query":"$name","sec":${(dt * 1000).round / 1000.0},"diag":${snap.json}}"""
+        // "t" (epoch seconds) lets a consumer correlate flagged
+        // queries to a shared wall-clock window: a box-weather event
+        // (CPU steal, I/O throttling — observed as ~1-minute windows
+        // where 5-6 CONSECUTIVE queries run 3-5× slow) is provable
+        // from the artifact alone, vs a per-query defect which names
+        // the same query across runs
+        diags += s"""{"pass":"$tag","query":"$name","sec":${(dt * 1000).round / 1000.0},"t":${System.currentTimeMillis / 1000},"diag":${snap.json}}"""
         // a NEGATIVE duration marks an errored query — loud in the
         // JSON instead of masquerading as a normal timing
         name -> (if (ok) dt else -dt)
@@ -221,7 +225,9 @@ object Bench {
     // runs keeps one GC/JIT storm from masquerading as a family
     // regression (both raw passes are preserved in the per-query file).
     val results = pass("cold")
+    flush()
     val warm1 = pass("warm1")
+    flush()
     val warm2 = pass("warm2")
     // pool-name histogram at warm-pass end (digits/hashes stripped →
     // pool prefixes): the thread COUNT on the metric line says whether
