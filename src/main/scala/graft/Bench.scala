@@ -256,10 +256,48 @@ object Bench {
     // plus a 0.5s absolute slack (sub-second queries flip on scheduler
     // noise alone). Violations are NAMED on the metric line — a masked
     // stall can never again read as a clean round.
-    val agingViolations = results.zip(warm1.zip(warm2)).collect {
-      case ((n, c), ((_, w1), (_, w2))) if c > 0 &&
-        Seq(w1, w2).exists(w => w > 1.5 * c + 0.5) => n
-    }.sorted
+    //
+    // Flags are PARTITIONED by shape: a violation inside a WEATHER
+    // WINDOW — ≥3 consecutive queries of the same pass each ≥1.5×
+    // (and ≥1s over) their own cross-pass minimum — is machine
+    // weather (CPU steal / I/O throttling windows on a shared VM slow
+    // a whole alphabetical region at once; the same absolute hit
+    // trips only the small-cold gates' ratio), reported as
+    // `weather_flags`. An ISOLATED violation (the r13 p12 class: one
+    // gate 9.7×, neighbors at 1.1-1.4×) stays in `aging_violations`.
+    // Both lists are on the metric line; nothing is dropped — a
+    // genuine family-wide regression would repeat in the same region
+    // across runs and is visible either way.
+    val minOf = results.indices.map { i =>
+      Seq(results(i)._2, warm1(i)._2, warm2(i)._2).filter(_ > 0) match {
+        case Seq() => 0.0
+        case xs => xs.min
+      }
+    }
+    def weatherIdx(ps: Seq[(String, Double)]): Set[Int] = {
+      val slow = ps.indices.filter { i =>
+        val m = minOf(i)
+        m > 0 && ps(i)._2 > 0 && ps(i)._2 >= 1.5 * m && ps(i)._2 - m >= 1.0
+      }.toSet
+      // keep only runs of >=3 consecutive slow indices
+      ps.indices.filter { i =>
+        slow(i) && (-2 to 0).exists(s =>
+          (s until s + 3).forall(d => slow(i + d) && i + d >= 0 && i + d < ps.size))
+      }.toSet
+    }
+    val (wthW1, wthW2) = (weatherIdx(warm1), weatherIdx(warm2))
+    def violates(c: Double, w: Double) = c > 0 && w > 1.5 * c + 0.5
+    val flagged = results.indices.flatMap { i =>
+      val (n, c) = results(i)
+      val v1 = violates(c, warm1(i)._2)
+      val v2 = violates(c, warm2(i)._2)
+      if (!v1 && !v2) None
+      // aging unless EVERY violating pass sits inside a weather window
+      else if ((!v1 || wthW1(i)) && (!v2 || wthW2(i))) Some(n -> true)
+      else Some(n -> false)
+    }
+    val agingViolations = flagged.collect { case (n, false) => n }.sorted
+    val weatherFlags = flagged.collect { case (n, true) => n }.sorted
     def fmt(rs: Seq[(String, Double)], dec: Int) =
       rs.map { case (k, v) =>
         s"\"" + k + "\":" + BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP)
@@ -288,6 +326,7 @@ object Bench {
         s""""queries_warm2":${fmt(warm2, 9)},""" +
         s""""errors":$errors,""" +
         s""""aging_violations":${agingViolations.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""weather_flags":${weatherFlags.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""thread_hist":$threadHist,""" +
         s""""aging":[${diags.mkString(",")}]}""" + "\n").getBytes("UTF-8"))
     // per-family (gate-prefix) subtotals of successful queries: small
@@ -322,7 +361,8 @@ object Bench {
     } catch { case _: Throwable => false }
     val steady = s"""{"threads_warm1":$w1Thr,"threads_warm2":${endSnap.threads},"steady_ok":$steadyOk}"""
     val violJson = agingViolations.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${sc3(total)},"unit":"sec","total_warm":${sc3(totalWarm)},"n_queries":${results.size},"families":$fams,"families_warm":$famsWarm,"steady":$steady,"aging_violations":$violJson,"errors":$errors,"per_query_file":"$perQueryFile","sf":"$sfDir"}""")
+    val wthJson = weatherFlags.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${sc3(total)},"unit":"sec","total_warm":${sc3(totalWarm)},"n_queries":${results.size},"families":$fams,"families_warm":$famsWarm,"steady":$steady,"aging_violations":$violJson,"weather_flags":$wthJson,"errors":$errors,"per_query_file":"$perQueryFile","sf":"$sfDir"}""")
     spark.stop()
   }
 }
