@@ -857,9 +857,19 @@ object Similarity {
     * column set must MATCH the stored layout's, or the call fails fast:
     * silently appending a narrower schema would read back null metadata
     * and make filtered probes drop every appended vector. */
+  /** Fresh process-unique generation for AD-HOC appends (the
+    * convenience wrappers): repeated un-generationed appends must
+    * ACCUMULATE, never silently replace each other's gen-named files.
+    * Starts far above any batchId-derived generation a maintainer
+    * would pass explicitly for replay idempotency. */
+  private val adhocAppendGen =
+    new java.util.concurrent.atomic.AtomicLong(1000000000L)
+
+  private[analytics] def nextAdhocGen(): Long = adhocAppendGen.getAndIncrement()
+
   def appendIvfCorpus(spark: SparkSession, out: String, vecs: DataFrame): Unit =
     appendIvfCorpusWith(readIvfCodebook(spark, out), out, vecs,
-      spark.read.parquet(out).columns.toSet)
+      spark.read.parquet(out).columns.toSet, gen = nextAdhocGen())
 
   /** [[appendIvfCorpus]] with a pre-collected codebook and stored
     * column set — the per-batch entry a streaming ingest loop uses so
@@ -873,7 +883,7 @@ object Similarity {
   private[analytics] def appendIvfCorpusWith(cents: Array[(Int, Array[Double])],
                                              out: String, vecs: DataFrame,
                                              storedCols: Set[String],
-                                             gen: Long = 0L): Unit = {
+                                             gen: Long = nextAdhocGen()): Unit = {
     import graft.functions.VectorFunctions._
     // the stored layout defines the schema: carry exactly its metadata
     // columns through the append (batch columns the layout doesn't
@@ -1177,7 +1187,7 @@ object Similarity {
     * the code layout; raw vectors land in the `_refine` sidecar with
     * the same cell partitioning. Cost ∝ batch, never corpus. */
   def appendIvfPqCorpus(spark: SparkSession, out: String, vecs: DataFrame,
-                        gen: Long = 0L): Unit =
+                        gen: Long = nextAdhocGen()): Unit =
     appendIvfPqCorpusWith(readIvfCodebook(spark, out),
       readPqCodebooks(spark, out), out, vecs, gen)
 
@@ -1186,7 +1196,8 @@ object Similarity {
     * the codebook reads happen once per stream, not per microbatch). */
   def appendIvfPqCorpusWith(cents: Array[(Int, Array[Double])],
                             books: Array[Array[Array[Double]]],
-                            out: String, vecs: DataFrame, gen: Long = 0L): Unit = {
+                            out: String, vecs: DataFrame,
+                            gen: Long = nextAdhocGen()): Unit = {
     import graft.functions.VectorFunctions._
     val assigned = vecs
       .select(col("vec_id"), as_double_array(col("embedding")).as("v"))
