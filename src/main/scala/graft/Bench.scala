@@ -274,16 +274,43 @@ object Bench {
         case xs => xs.min
       }
     }
+    // A window is a maximal run of consecutive queries that are SLOW
+    // (≥1.5× their cross-pass min AND ≥1s over — the window's
+    // evidence) or merely ELEVATED (≥1.5× min with no absolute floor,
+    // OR ≥0.4s over it — a sub-second gate can't put 1s of excess on
+    // the board however hard the weather hits it, and a multi-second
+    // gate grazed at 1.4× still reads the same window). The run
+    // counts as weather when it holds ≥3 SLOW members; elevated
+    // members EXTEND the run without counting toward the 3 — the r14
+    // gap fix: one borderline gate (t08 at 0.91s excess, d05 at
+    // 1.48×/0.44s) used to split a genuine window and file its slow
+    // neighbors as aging. Thresholds validated by replaying the saved
+    // r14 runs: the warm2 t-region (t07–t18) and warm1 d-region file
+    // as weather, the aging list keeps only the isolated shapes.
+    // Cross-run repetition (below) is the guard against this rule
+    // absorbing a genuine regional regression.
     def weatherIdx(ps: Seq[(String, Double)]): Set[Int] = {
-      val slow = ps.indices.filter { i =>
+      def elevated(i: Int) = {
         val m = minOf(i)
-        m > 0 && ps(i)._2 > 0 && ps(i)._2 >= 1.5 * m && ps(i)._2 - m >= 1.0
-      }.toSet
-      // keep only runs of >=3 consecutive slow indices
-      ps.indices.filter { i =>
-        slow(i) && (-2 to 0).exists(s =>
-          (s until s + 3).forall(d => slow(i + d) && i + d >= 0 && i + d < ps.size))
-      }.toSet
+        m > 0 && ps(i)._2 > 0 &&
+          (ps(i)._2 >= 1.5 * m || ps(i)._2 - m >= 0.4)
+      }
+      def slow(i: Int) = {
+        val m = minOf(i)
+        m > 0 && ps(i)._2 >= 1.5 * m && ps(i)._2 - m >= 1.0
+      }
+      val out = scala.collection.mutable.Set.empty[Int]
+      var i = 0
+      while (i < ps.size) {
+        if (!elevated(i)) i += 1
+        else {
+          var j = i
+          while (j < ps.size && elevated(j)) j += 1
+          if ((i until j).count(slow) >= 3) out ++= (i until j)
+          i = j
+        }
+      }
+      out.toSet
     }
     val (wthW1, wthW2) = (weatherIdx(warm1), weatherIdx(warm2))
     def violates(c: Double, w: Double) = c > 0 && w > 1.5 * c + 0.5
@@ -296,8 +323,36 @@ object Bench {
       else if ((!v1 || wthW1(i)) && (!v2 || wthW2(i))) Some(n -> true)
       else Some(n -> false)
     }
-    val agingViolations = flagged.collect { case (n, false) => n }.sorted
-    val weatherFlags = flagged.collect { case (n, true) => n }.sorted
+    // CROSS-RUN repetition, enforced by the artifact instead of by
+    // hand: weather names a different victim each run, a regression
+    // repeats by name — so a weather-shaped flag whose gate was ALSO
+    // flagged (either list) in the PREVIOUS recorded run is PROMOTED
+    // back to aging_violations, and named in `promoted_repeats` so
+    // the line explains itself. The previous run comes from
+    // bench_history.jsonl (appended below, committed per round).
+    val histPath = java.nio.file.Paths.get("bench_history.jsonl")
+    val prevFlagged: Set[String] =
+      try {
+        val lines = java.nio.file.Files.readAllLines(histPath)
+        if (lines.isEmpty) Set.empty
+        else {
+          val last = lines.get(lines.size - 1)
+          def arr(key: String): Set[String] =
+            ("\"" + key + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(last)
+              .map(_.group(1).split(",").map(_.trim.stripPrefix("\"")
+                .stripSuffix("\"")).filter(_.nonEmpty).toSet)
+              .getOrElse(Set.empty)
+          arr("aging_violations") ++ arr("weather_flags")
+        }
+      } catch { case _: Throwable => Set.empty }
+    val promotedRepeats = flagged.collect {
+      case (n, true) if prevFlagged.contains(n) => n
+    }.sorted
+    val agingViolations =
+      (flagged.collect { case (n, false) => n } ++ promotedRepeats).sorted
+    val weatherFlags = flagged.collect {
+      case (n, true) if !prevFlagged.contains(n) => n
+    }.sorted
     def fmt(rs: Seq[(String, Double)], dec: Int) =
       rs.map { case (k, v) =>
         s"\"" + k + "\":" + BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP)
@@ -362,7 +417,23 @@ object Bench {
     val steady = s"""{"threads_warm1":$w1Thr,"threads_warm2":${endSnap.threads},"steady_ok":$steadyOk}"""
     val violJson = agingViolations.map("\"" + _ + "\"").mkString("[", ",", "]")
     val wthJson = weatherFlags.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${sc3(total)},"unit":"sec","total_warm":${sc3(totalWarm)},"n_queries":${results.size},"families":$fams,"families_warm":$famsWarm,"steady":$steady,"aging_violations":$violJson,"weather_flags":$wthJson,"errors":$errors,"per_query_file":"$perQueryFile","sf":"$sfDir"}""")
+    val promJson = promotedRepeats.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // per-gate CROSS-ROUND history: one self-contained line per run,
+    // appended to a COMMITTED file — the r14 verdict's item 1: the
+    // per-query map was overwritten each run, so an av/d-family drift
+    // could not be attributed gate-by-gate against the prior round
+    try {
+      val hist = s"""{"t":${System.currentTimeMillis / 1000},"sf":"$sfDir","n":${results.size},""" +
+        s""""value":${sc3(total)},"total_warm":${sc3(totalWarm)},""" +
+        s""""queries":${fmt(results, 3)},"queries_warm1":${fmt(warm1, 3)},""" +
+        s""""queries_warm2":${fmt(warm2, 3)},""" +
+        s""""aging_violations":$violJson,"weather_flags":$wthJson,""" +
+        s""""promoted_repeats":$promJson,"errors":$errors}""" + "\n"
+      java.nio.file.Files.writeString(histPath, hist,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":${sc3(total)},"unit":"sec","total_warm":${sc3(totalWarm)},"n_queries":${results.size},"families":$fams,"families_warm":$famsWarm,"steady":$steady,"aging_violations":$violJson,"weather_flags":$wthJson,"promoted_repeats":$promJson,"errors":$errors,"per_query_file":"$perQueryFile","history_file":"$histPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
