@@ -577,13 +577,18 @@ object Graph {
         spark.read.parquet(store), store,
         keyCol = "vec_id", genCol = Some("gen")).drop("gen")
       applyKnnDiffToStore(a, live, b, g07DirtyOld(a), g07NewIds(b), store, gen,
-        cents = Some(Similarity.ivfCentroids(spark, dir)))
+        cents = Some(Similarity.ivfCentroids(spark, dir)),
+        pureNewIds = Some(b.filter(col("vec_id") < 0).select("vec_id")))
       // compact on policy, not per epoch: rewrite only once tombstones
       // cover CompactThreshold of stored rows (read-amp ≤ ~2× between
-      // compactions), carrying live rows into the epoch's one segment
+      // compactions), carrying live rows into the epoch's one segment.
+      // The measurement is the metadata-cheap instance estimate — k
+      // edge rows per tombstoned (node, generation), exact for this
+      // store (see coveredFractionEstimate)
       graft.core.SegmentedIndex.maybeCompact(spark,
         spark.read.parquet(store), store,
-        keyCol = "vec_id", genCol = Some("gen")) { tmp =>
+        keyCol = "vec_id", genCol = Some("gen"),
+        rowsPerInstance = Similarity.KnnEdgeK.toDouble) { tmp =>
         graft.core.SegmentedIndex.live(spark, spark.read.parquet(store), store,
             keyCol = "vec_id", genCol = Some("gen")).drop("gen")
           .write.parquet(s"$tmp/gen=$gen")
@@ -858,13 +863,26 @@ object Graph {
       bCur: DataFrame, dirtyOld: DataFrame, newIds: DataFrame,
       store: String, gen: Long,
       cents: Option[Array[(Int, Array[Double])]], k: Int = 5,
-      admission: String = "auto"): Long = {
+      admission: String = "auto",
+      pureNewIds: Option[DataFrame] = None): Long = {
     // knnRecomputeIds returns an eagerly-checkpointed bounded frame
     val recomputeIds = knnRecomputeIds(aCur, eCur, bCur, dirtyOld, newIds, k, cents,
         admission)
     val nRec = recomputeIds.count()
+    // `pureNewIds` names the ids among `newIds` with NO stored rows
+    // (caller contract: truly first-seen at this generation). Dropping
+    // them from the tombstone write changes no live view — a tombstone
+    // on a never-stored key suppresses nothing — but keeps the
+    // sidecar's instance count equal to the covered row count / k,
+    // which is what makes the compaction policy's metadata-cheap
+    // covered estimate EXACT for this store. Diff-bounded broadcast
+    // anti-join; absent, every recompute id is tombstoned as before.
+    val tombstoneIds = recomputeIds.unionByName(dirtyOld.select("vec_id"))
+    val tombstoneStored = pureNewIds.fold(tombstoneIds)(pn =>
+      tombstoneIds.join(broadcast(pn.select(col("vec_id").as("_pn_id"))),
+        col("vec_id") === col("_pn_id"), "left_anti"))
     graft.core.SegmentedIndex.tombstone(
-      recomputeIds.unionByName(dirtyOld.select("vec_id")), store,
+      tombstoneStored, store,
       keyCol = "vec_id", uptoGen = Some(gen - 1))
     if (nRec > 0)
       graft.core.SegmentedIndex.appendSegment(
@@ -962,14 +980,19 @@ object Graph {
           .unionByName(a.filter(cls === 3 * e)
             .select((col("vec_id") * -1 - 1).as("vec_id")))
         val nRec = applyKnnDiffToStore(aCur, liveEdges.drop("gen"), bCur,
-          dirtyOld, newIds, store, gen = e.toLong, cents = cents)
-        // one coveredFraction measurement drives BOTH the recorded
-        // column and the compaction decision (maybeCompact would
-        // re-measure; the policy — strictly above the threshold — is
-        // replicated verbatim)
-        val covered = graft.core.SegmentedIndex.coveredFraction(spark,
+          dirtyOld, newIds, store, gen = e.toLong, cents = cents,
+          pureNewIds = Some(a.filter(cls === 3 * e)
+            .select((col("vec_id") * -1 - 1).as("vec_id"))))
+        // one covered measurement drives BOTH the recorded column and
+        // the compaction decision (maybeCompact would re-measure; the
+        // policy — strictly above the threshold — is replicated
+        // verbatim). The measurement is the metadata-cheap instance
+        // estimate (k rows per tombstoned (node, generation) — exact
+        // for this store; MaintainedStoreEstimateSpec pins it against
+        // the full anti-join)
+        val covered = graft.core.SegmentedIndex.coveredFractionEstimate(spark,
           spark.read.parquet(store), store,
-          keyCol = "vec_id", genCol = Some("gen"))
+          genScoped = true, rowsPerInstance = Similarity.KnnEdgeK.toDouble)
         val compacted = covered > graft.core.SegmentedIndex.CompactThreshold
         if (compacted) graft.core.SegmentedIndex.compactWith(store) { stage =>
           liveEdges.drop("gen").write.parquet(s"$stage/gen=$e")

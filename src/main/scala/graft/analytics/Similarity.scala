@@ -570,11 +570,17 @@ object Similarity {
   /** The memoized artifact's location — consumers that SEED a layout
     * from it (g07's store, st26's scoped store) copy the files
     * instead of re-writing 5N rows through a Spark job. */
+  /** Edge fan-out of the maintained kNN artifact: every (node,
+    * generation) stores exactly this many edge rows — the
+    * rows-per-tombstone-instance the g07/g08 compaction policy's
+    * metadata-cheap covered estimate multiplies by. */
+  private[analytics] val KnnEdgeK = 5
+
   private[analytics] def knnEdgesPath(spark: SparkSession, dir: String): String =
     knnEdgeDirs.computeIfAbsent(dir, { _ =>
       val out = graft.core.TempDirs
         .create("graft-knn-edges").toString + "/edges"
-      knnGraphExact(Dedup.normalizedVectors(spark, dir), k = 5)
+      knnGraphExact(Dedup.normalizedVectors(spark, dir), k = KnnEdgeK)
         .write.mode("overwrite").parquet(out)
       out
     })
@@ -857,33 +863,70 @@ object Similarity {
     * column set must MATCH the stored layout's, or the call fails fast:
     * silently appending a narrower schema would read back null metadata
     * and make filtered probes drop every appended vector. */
-  /** Fresh process-unique generation for AD-HOC appends (the
-    * convenience wrappers): repeated un-generationed appends must
-    * ACCUMULATE, never silently replace each other's gen-named files.
+  /** Fresh generation for AD-HOC appends (the convenience wrappers):
+    * repeated un-generationed appends must ACCUMULATE, never silently
+    * replace each other's gen-named files. Uniqueness is layered:
+    *
+    *  - the base folds the PID in (disjoint per-candidate ranges of
+    *    10M generations per pid), so two LIVE processes appending to
+    *    one layout can never draw the same generation — the r14
+    *    finding: a per-process counter restarting at the same seed
+    *    made the second JVM's first append sweep the first JVM's rows;
+    *  - before publishing, the chosen generation is checked against
+    *    the LAYOUT ([[graft.core.SegmentedIndex.generationPublished]],
+    *    a metadata walk) and bumped while taken, so a DEAD process's
+    *    published generations (pid since reused, or a crashed
+    *    maintainer's) are never swept either.
+    *
     * Starts far above any batchId-derived generation a maintainer
-    * would pass explicitly for replay idempotency. */
+    * would pass explicitly for replay idempotency. The check-and-bump
+    * is race-free across live processes because their candidate
+    * ranges are disjoint; stale on-disk generations have no live
+    * writer, so the check cannot race its subject.
+    * ForkedAdhocAppendSpec pins two concurrent JVMs accumulating. */
   private val adhocAppendGen =
-    new java.util.concurrent.atomic.AtomicLong(1000000000L)
+    new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private[analytics] def nextAdhocGen(): Long = adhocAppendGen.getAndIncrement()
+  private val adhocGenBase: Long =
+    1000000000L + ProcessHandle.current().pid() * 10000000L
 
+  private[analytics] def nextAdhocGen(out: String): Long = {
+    var g = adhocGenBase + adhocAppendGen.getAndIncrement()
+    while (graft.core.SegmentedIndex.generationPublished(out, g))
+      g = adhocGenBase + adhocAppendGen.getAndIncrement()
+    g
+  }
+
+  /** NOT reader-atomic: the publish sweeps a prior attempt's files
+    * before the staged files move in one-by-one, so a probe plan
+    * built MID-publish can see a partial generation (unlike
+    * [[graft.core.DirSwap]]'s two-rename, there is no atomic
+    * visibility point). Single-maintainer discipline extends to
+    * readers here: sequence appends and probe construction in one
+    * loop, or take the advisory lock
+    * ([[graft.lock.AdvisoryLock]]) around both. */
   def appendIvfCorpus(spark: SparkSession, out: String, vecs: DataFrame): Unit =
     appendIvfCorpusWith(readIvfCodebook(spark, out), out, vecs,
-      spark.read.parquet(out).columns.toSet, gen = nextAdhocGen())
+      spark.read.parquet(out).columns.toSet)
 
   /** [[appendIvfCorpus]] with a pre-collected codebook and stored
     * column set — the per-batch entry a streaming ingest loop uses so
     * the K-row codebook read and the layout-schema listing happen once
     * per stream, not once per microbatch. `gen` names the published
-    * files (the plain IVF layout carries no generation COLUMN — its
-    * tombstones are epoch-wide, not gen-scoped), so a replayed
-    * at-least-once batch replaces its own prior append instead of
-    * duplicating it; generation numbers must be unique per layout
-    * lifetime except on replay (batchId-derived). */
+    * files, so a replayed at-least-once batch replaces its own prior
+    * append instead of duplicating it; explicit generation numbers
+    * must be unique per layout lifetime except on replay
+    * (batchId-derived). The sidecar tombstones stay epoch-wide by
+    * default; the p15 chain reads the file-name generations back
+    * through [[withFileGen]] for gen-scoped deletes. */
   private[analytics] def appendIvfCorpusWith(cents: Array[(Int, Array[Double])],
                                              out: String, vecs: DataFrame,
                                              storedCols: Set[String],
-                                             gen: Long = nextAdhocGen()): Unit = {
+                                             gen: Long = -1L): Unit = {
+    // gen < 0 = "ad-hoc": draw a fresh cross-process-safe generation
+    // from the layout; an explicit non-negative gen is the replay
+    // (batchId-derived) contract and is published verbatim
+    val genPub = if (gen >= 0L) gen else nextAdhocGen(out)
     import graft.functions.VectorFunctions._
     // the stored layout defines the schema: carry exactly its metadata
     // columns through the append (batch columns the layout doesn't
@@ -897,7 +940,7 @@ object Similarity {
         s"[${missing.mkString(", ")}] the batch does not provide — appended " +
         "rows would read back with null metadata and filtered probes would " +
         "silently drop them")
-    graft.core.SegmentedIndex.publishGeneration(out, gen) { stage =>
+    graft.core.SegmentedIndex.publishGeneration(out, genPub) { stage =>
       vecs
         .select(col("vec_id") +: as_double_array(col("embedding")).as("v") +:
           meta.map(col): _*)
@@ -936,6 +979,52 @@ object Similarity {
       ids.select(col("vec_id").cast("long").as("vec_id")), out,
       keyCol = "vec_id", uptoGen = None)
 
+  /** The plain IVF layout's rows with their GENERATION recovered from
+    * the published file names (`gen<g>-part-…` — the
+    * [[graft.core.SegmentedIndex.publishGeneration]] prefix; unprefixed
+    * files — the initial build, or a compaction rewrite — read as
+    * generation 0). The layout stores no generation COLUMN, so this
+    * `_metadata.file_path` derivation is what lets the p15 multi-epoch
+    * chain run GEN-SCOPED tombstones (delete-then-re-add within one
+    * epoch, no compaction required between) over the unchanged stored
+    * schema: existing probes, appends, and layouts see nothing new.
+    * Metadata column, not a UDF over paths — stays inside codegen. */
+  private[analytics] def withFileGen(df: DataFrame): DataFrame = {
+    // ANSI-safe: regexp_extract yields "" for unprefixed files, and
+    // CaseWhen short-circuits before the cast ever sees it
+    val g = regexp_extract(col("_metadata.file_path"), "gen([0-9]+)-[^/]*$", 1)
+    df.withColumn("gen", when(g === "", lit(0L)).otherwise(g.cast("long")))
+  }
+
+  /** Gen-scoped logical deletion from a plain IVF layout: suppress
+    * `ids`' rows at or below `uptoGen` (file-name generations — see
+    * [[withFileGen]]). A later re-append at a higher generation is
+    * live immediately; the epoch-wide [[deleteFromIvfCorpus]] stays
+    * the single-application (p08) path. A layout must use ONE
+    * tombstone convention between compactions — the two sidecar
+    * schemas differ. */
+  def deleteFromIvfCorpusGenScoped(spark: SparkSession, out: String,
+                                   ids: DataFrame, uptoGen: Long): Unit =
+    graft.core.SegmentedIndex.tombstone(
+      ids.select(col("vec_id").cast("long").as("vec_id")), out,
+      keyCol = "vec_id", uptoGen = Some(uptoGen))
+
+  /** [[compactIvfCorpus]] for a layout carrying GEN-SCOPED tombstones
+    * ([[deleteFromIvfCorpusGenScoped]]): apply them against the
+    * file-name generations and rewrite cell-partitioned. The rewrite
+    * publishes unprefixed files — generation 0 — so every later
+    * gen-scoped tombstone (`upto_gen ≥ 0`) covers compacted rows
+    * exactly as it covered their pre-compaction originals. */
+  def compactIvfCorpusGenScoped(spark: SparkSession, out: String): Unit =
+    graft.core.SegmentedIndex.compactWith(out) { tmp =>
+      graft.core.SegmentedIndex.live(spark,
+          withFileGen(spark.read.parquet(out)), out,
+          keyCol = "vec_id", genCol = Some("gen"))
+        .drop("gen")
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    }
+
   /** [[writeIvfLayout]] under a GIVEN codebook — no fit: assign cells
     * with `cents` and write the partitioned layout + codebook. The
     * reference builder p08 uses to prove incremental maintenance ==
@@ -970,8 +1059,10 @@ object Similarity {
     * exact rerank, bounded top-k. */
   def ivfStoredTopK(spark: SparkSession, out: String,
                     queries: DataFrame, k: Int, nProbe: Int = 6,
-                    where: Option[org.apache.spark.sql.Column] = None): DataFrame =
-    ivfStoredTopKWith(readIvfCodebook(spark, out), spark, out, queries, k, nProbe, where)
+                    where: Option[org.apache.spark.sql.Column] = None,
+                    genScoped: Boolean = false): DataFrame =
+    ivfStoredTopKWith(readIvfCodebook(spark, out), spark, out, queries, k, nProbe,
+      where, genScoped)
 
   /** [[ivfStoredTopK]] with a pre-collected codebook — the per-batch
     * entry a query-serving stream uses so the K-row codebook read
@@ -980,7 +1071,8 @@ object Similarity {
   private[analytics] def ivfStoredTopKWith(centroids: Array[(Int, Array[Double])],
                     spark: SparkSession, out: String,
                     queries: DataFrame, k: Int, nProbe: Int = 6,
-                    where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+                    where: Option[org.apache.spark.sql.Column] = None,
+                    genScoped: Boolean = false): DataFrame = {
     import graft.functions.VectorFunctions._
     def probesOf(q: DataFrame) = q.select(col("query_id"), col("qv"), col("qnorm"),
       explode(slice(array_sort(cellScores(centroids, col("qv"), col("qnorm"))),
@@ -999,9 +1091,17 @@ object Similarity {
     // tombstoned ids (deleteFromIvfCorpus) are excluded at probe time:
     // the sidecar is bounded by deletions since the last compaction,
     // so the anti-join probe side broadcasts; layouts without the
-    // sidecar pay nothing
-    val pruned = graft.core.SegmentedIndex.live(spark, pruned1, out,
-      keyCol = "vec_id", genCol = None)
+    // sidecar pay nothing. `genScoped` layouts
+    // (deleteFromIvfCorpusGenScoped — the p15 chain) anti-join against
+    // the file-name generation instead, so a same-epoch re-append
+    // stays live.
+    val pruned =
+      if (genScoped)
+        graft.core.SegmentedIndex.live(spark, withFileGen(pruned1), out,
+          keyCol = "vec_id", genCol = Some("gen")).drop("gen")
+      else
+        graft.core.SegmentedIndex.live(spark, pruned1, out,
+          keyCol = "vec_id", genCol = None)
     val scored = broadcast(probesOf(queries)).join(pruned, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -1185,20 +1285,30 @@ object Similarity {
   /** Append vectors to a stored IVF-PQ layout under its STORED
     * codebooks (no refit): assign cells, nibble-pack codes, append to
     * the code layout; raw vectors land in the `_refine` sidecar with
-    * the same cell partitioning. Cost ∝ batch, never corpus. */
+    * the same cell partitioning. Cost ∝ batch, never corpus.
+    * NOT reader-atomic — and doubly so here: codes and `_refine`
+    * publish in two separate sweeps, so a probe plan built
+    * MID-publish can see codes without matching refine rows. Same
+    * contract as [[appendIvfCorpus]]: sequence appends and probe
+    * construction in one maintainer loop, or take the advisory lock
+    * around both. */
   def appendIvfPqCorpus(spark: SparkSession, out: String, vecs: DataFrame,
-                        gen: Long = nextAdhocGen()): Unit =
+                        gen: Long = -1L): Unit =
     appendIvfPqCorpusWith(readIvfCodebook(spark, out),
       readPqCodebooks(spark, out), out, vecs, gen)
 
   /** [[appendIvfPqCorpus]] with pre-collected codebooks — the
     * per-batch entry for a streaming maintainer (st13's *With rule:
-    * the codebook reads happen once per stream, not per microbatch). */
+    * the codebook reads happen once per stream, not per microbatch).
+    * `gen` < 0 = ad-hoc: a fresh cross-process-safe generation is
+    * drawn from the layout (see [[nextAdhocGen]]); explicit
+    * generations are the replay contract, published verbatim. */
   def appendIvfPqCorpusWith(cents: Array[(Int, Array[Double])],
                             books: Array[Array[Array[Double]]],
                             out: String, vecs: DataFrame,
-                            gen: Long = nextAdhocGen()): Unit = {
+                            gen: Long = -1L): Unit = {
     import graft.functions.VectorFunctions._
+    val genPub = if (gen >= 0L) gen else nextAdhocGen(out)
     val assigned = vecs
       .select(col("vec_id"), as_double_array(col("embedding")).as("v"))
       .withColumn("norm", array_norm(col("v")))
@@ -1207,15 +1317,15 @@ object Similarity {
     // publishGeneration), so an at-least-once maintainer replaying a
     // batch replaces its own prior code AND refine rows instead of
     // duplicating them
-    graft.core.SegmentedIndex.publishGeneration(out, gen) { stage =>
+    graft.core.SegmentedIndex.publishGeneration(out, genPub) { stage =>
       assigned.select(col("vec_id"), col("norm"), col("cell"), pqCodeCol(books))
-        .withColumn("gen", lit(gen))
+        .withColumn("gen", lit(genPub))
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(stage)
     }
-    graft.core.SegmentedIndex.publishGeneration(s"$out/_refine", gen) { stage =>
+    graft.core.SegmentedIndex.publishGeneration(s"$out/_refine", genPub) { stage =>
       assigned.select(col("vec_id"), col("v"), col("norm"), col("cell"))
-        .withColumn("gen", lit(gen))
+        .withColumn("gen", lit(genPub))
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(stage)
     }

@@ -925,8 +925,13 @@ object StreamingQueries {
         val bCur = graft.core.SegmentedIndex.liveAsOf(bs,
           bs.read.parquet(corpusStore), corpusStore,
           keyCol = "vec_id", genCol = "gen", asOfGen = g).drop("gen")
+        // `added` rows are first-seen by the CDC contract — excluded
+        // from the tombstone write so the compaction policy's
+        // instance-count estimate stays exact (no stored rows to cover)
         Graph.applyKnnDiffToStore(aCur, eCur, bCur, dirtyOld,
-          newRows.select("vec_id"), edgeStore, g, Some(cents))
+          newRows.select("vec_id"), edgeStore, g, Some(cents),
+          pureNewIds = Some(batch.filter(col("change_type") === "added")
+            .select("vec_id")))
         dirtyOld.unpersist(); newRows.unpersist(); ()
       }
       .start()
@@ -940,7 +945,8 @@ object StreamingQueries {
       keyCol = "vec_id", genCol = Some("gen"))
     graft.core.SegmentedIndex.maybeCompact(spark,
       spark.read.parquet(edgeStore), edgeStore,
-      keyCol = "vec_id", genCol = Some("gen")) { tmpDir =>
+      keyCol = "vec_id", genCol = Some("gen"),
+      rowsPerInstance = Similarity.KnnEdgeK.toDouble) { tmpDir =>
       edgesLive.drop("gen").write.parquet(s"$tmpDir/gen=0")
     }
     edgeStore

@@ -324,12 +324,35 @@ object TextOps {
   /** Tombstone-covered fraction of a postings layout's stored rows —
     * the read-amp signal the compaction policy reads (p13's multi-epoch
     * chain compacts only past [[graft.core.SegmentedIndex.CompactThreshold]],
-    * never per epoch). */
+    * never per epoch). Postings have VARIABLE rows per doc, so the
+    * generic per-instance estimate doesn't apply; instead the live row
+    * count comes off the layout's own `_df` sidecar (sum of per-term
+    * document frequencies == live (doc, term) posting rows, |vocab|-
+    * bounded) over the footer-only stored count — EXACT whenever the
+    * sidecar is (which the p13 oracle pins end-to-end), with no
+    * full-layout anti-join in the measurement path. Falls back to the
+    * exact anti-join for layouts without a sidecar. */
   private[analytics] def postingsCoveredFraction(spark: SparkSession,
                                                  out: String): Double =
-    graft.core.SegmentedIndex.coveredFraction(spark,
-      spark.read.schema(postingsSchema).parquet(out), out,
-      keyCol = "doc_id", genCol = Some("gen"))
+    if (graft.core.SegmentedIndex.tombstoneInstances(spark, out,
+        genScoped = true) == 0L) 0.0
+    else if (!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(out, "_df")))
+      graft.core.SegmentedIndex.coveredFraction(spark,
+        spark.read.schema(postingsSchema).parquet(out), out,
+        keyCol = "doc_id", genCol = Some("gen"))
+    else {
+      val total = spark.read.schema(postingsSchema).parquet(out).count()
+      if (total == 0L) 0.0
+      else {
+        val liveRows = readDfSidecar(spark, out)
+          .agg(sum(col("df"))).first() match {
+            case r if r.isNullAt(0) => 0L
+            case r => r.getLong(0)
+          }
+        math.max(0.0, 1.0 - liveRows.toDouble / total)
+      }
+    }
 
   /** Compact a postings layout: apply tombstones physically, rewrite
     * term-hashed, clear the tombstone sidecar, and FOLD the

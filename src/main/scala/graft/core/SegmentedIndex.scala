@@ -179,9 +179,32 @@ object SegmentedIndex {
     DirSwap.deleteTree(stage)
   }
 
-  /** Fraction of stored rows a fresh probe's anti-join would drop —
-    * the read-amplification signal [[maybeCompact]]'s policy reads.
-    * Two counts over the layout; 0.0 when no tombstones exist. */
+  /** Whether any published file of generation `gen` exists in the
+    * layout — a metadata walk of the data dirs for the `gen<g>-`
+    * prefix. Lets an AD-HOC (un-generationed) append refuse a
+    * generation some other process (a crashed maintainer, a reused
+    * pid) already published: [[publishGeneration]]'s prefix sweep
+    * REPLACES a prior attempt's files, which is the replay contract
+    * for an explicit generation and silent data loss for an ad-hoc
+    * one. */
+  def generationPublished(out: String, gen: Long): Boolean = {
+    val prefix = s"gen$gen-"
+    def walk(dir: java.nio.file.Path): Boolean =
+      Files.isDirectory(dir) && Using.resource(Files.list(dir)) { s =>
+        s.iterator().asScala.exists { p =>
+          val n = p.getFileName.toString
+          if (Files.isDirectory(p)) !n.startsWith("_") && !n.startsWith(".") && walk(p)
+          else n.startsWith(prefix)
+        }
+      }
+    walk(Paths.get(out))
+  }
+
+  /** EXACT fraction of stored rows a fresh probe's anti-join would
+    * drop — a full-layout anti-join plus two counts, so this is the
+    * SPEC-SIDE check (the estimate below is what the policy reads at
+    * scale; MaintainedStoreEstimateSpec pins the two equal on every
+    * maintained-store shape). 0.0 when no tombstones exist. */
   def coveredFraction(spark: SparkSession, raw: DataFrame, out: String,
                       keyCol: String, genCol: Option[String]): Double =
     tombstonesOf(spark, out, genScoped = genCol.isDefined).fold(0.0) { _ =>
@@ -190,6 +213,51 @@ object SegmentedIndex {
       else 1.0 - live(spark, raw, out, keyCol, genCol).count().toDouble / total
     }
 
+  /** Distinct tombstone INSTANCES in the sidecar: gen-scoped layouts
+    * count distinct (key, upto_gen) pairs — a key re-deleted at a
+    * later generation is a new instance, a REPLAYED at-least-once
+    * delete re-writing the same pair is not — plain layouts count
+    * distinct keys. One read of the diff-bounded sidecar; 0 when it
+    * does not exist. */
+  def tombstoneInstances(spark: SparkSession, out: String,
+                         genScoped: Boolean): Long =
+    if (!Files.isDirectory(Paths.get(out, "_tombstones"))) 0L
+    else spark.read.parquet(s"$out/_tombstones").distinct().count()
+
+  /** METADATA-CHEAP covered-fraction estimate — what [[maybeCompact]]
+    * reads instead of [[coveredFraction]]'s full-layout anti-join (at
+    * 100 TB that anti-join is a corpus-sized read just to decide
+    * whether to compact; this is a sidecar read plus a footer-only
+    * parquet count):
+    *
+    *   instances × rowsPerInstance / totalRows
+    *
+    * `rowsPerInstance` is the owner's per-(key, generation) row count
+    * — 1 for the vector layouts (one row per vec per generation), k
+    * for the kNN edge store (k edges per node per generation). Under
+    * the maintainer convention (batch g tombstones up to g−1 exactly
+    * the keys whose rows it replaces or removes, compaction clears
+    * the sidecar) every tombstone instance suppresses exactly one
+    * generation's rows of its key, so the estimate is EXACT for those
+    * layouts; a tombstone naming a key with no stored rows
+    * over-estimates, which only compacts EARLY (a wasted rewrite,
+    * never a correctness risk). Layouts with variable rows-per-key
+    * (postings) derive live counts from their own sidecar instead —
+    * see TextOps.postingsCoveredFraction. */
+  def coveredFractionEstimate(spark: SparkSession, raw: DataFrame, out: String,
+                              genScoped: Boolean,
+                              rowsPerInstance: Double = 1.0): Double = {
+    val instances = tombstoneInstances(spark, out, genScoped)
+    if (instances == 0L) 0.0
+    else {
+      // count-star over parquet decodes no column data: per-file
+      // footer row counts only — the metadata-cheap half
+      val total = raw.count()
+      if (total == 0L) 0.0
+      else math.min(1.0, instances * rowsPerInstance / total)
+    }
+  }
+
   /** Default [[maybeCompact]] trigger: compact once tombstones cover
     * this fraction of stored rows, bounding steady-state read-amp of
     * the live anti-join at 1/(1−threshold) ≈ 2× between compactions. */
@@ -197,16 +265,20 @@ object SegmentedIndex {
 
   /** Policy-driven compaction — the when-to-compact decision the
     * owners previously made by convention (every epoch, or at end of
-    * stream): measure the tombstone-covered row fraction and run
-    * `writeRewrite` through [[compactWith]] only past `threshold`.
-    * Returns whether a compaction ran, so callers can assert the
-    * policy in specs. Same single-maintainer contract as the pieces. */
+    * stream): measure the tombstone-covered fraction with the
+    * METADATA-CHEAP [[coveredFractionEstimate]] (the exact anti-join
+    * stays a spec-side check) and run `writeRewrite` through
+    * [[compactWith]] only past `threshold`. Returns whether a
+    * compaction ran, so callers can assert the policy in specs. Same
+    * single-maintainer contract as the pieces. */
   def maybeCompact(spark: SparkSession, raw: => DataFrame, out: String,
                    keyCol: String, genCol: Option[String],
                    threshold: Double = CompactThreshold,
-                   skipSidecars: Set[String] = Set.empty)
+                   skipSidecars: Set[String] = Set.empty,
+                   rowsPerInstance: Double = 1.0)
                   (writeRewrite: String => Unit): Boolean = {
-    val frac = coveredFraction(spark, raw, out, keyCol, genCol)
+    val frac = coveredFractionEstimate(spark, raw, out,
+      genScoped = genCol.isDefined, rowsPerInstance = rowsPerInstance)
     val due = frac > threshold
     if (due) compactWith(out, skipSidecars)(writeRewrite)
     due

@@ -126,6 +126,40 @@ class PlanSpec extends AnyFunSuite {
     assert(scanned == Seq(2), s"probed cells must select exactly 2 directories, got $scanned")
   }
 
+  test("gen-scoped stored probe (p15's path) keeps its cell PartitionFilters") {
+    // the file-name-generation live view (withFileGen + gen-scoped
+    // anti-join) rides ON TOP of the pruned scan — it must not cost
+    // the probe its partition pruning
+    import org.apache.spark.sql.functions.col
+    val tmp = graft.core.TempDirs.create("graft-ivf-genscoped-plan")
+    val out = s"$tmp/corpus"
+    Similarity.writeIvfCorpus(spark, dir, out)
+    val cents = Similarity.readIvfCodebook(spark, out)
+    Similarity.appendIvfCorpusWith(cents, out,
+      Tables.embeddings(spark, dir).limit(8)
+        .select(col("vec_id") + 1000000L as "vec_id", col("embedding")),
+      spark.read.parquet(out).columns.toSet, gen = 1L)
+    Similarity.deleteFromIvfCorpusGenScoped(spark, out,
+      spark.read.parquet(out).select("vec_id").limit(2), uptoGen = 0L)
+    val one = spark.read.parquet(out).orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("v"), col("norm")).collect().head
+    val spark2 = spark
+    import spark2.implicits._
+    val queries = Seq((one.getLong(0), one.getSeq[Double](1), one.getDouble(2)))
+      .toDF("query_id", "qv", "qnorm")
+    val df = Similarity.ivfStoredTopK(spark, out, queries, k = 5, nProbe = 2,
+      genScoped = true)
+    val plan = df.queryExecution.executedPlan.toString
+    val corpusScans = plan.linesIterator.filter(l =>
+      l.contains("FileScan parquet") && l.contains("corpus")
+        && !l.contains("_tombstones")).toList
+    assert(corpusScans.nonEmpty, s"no stored-corpus scan found:\n$plan")
+    corpusScans.foreach { scan =>
+      assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(scan).isDefined,
+        s"gen-scoped probe lost its cell PartitionFilters: $scan")
+    }
+  }
+
   test("ANN ranking never shuffles scored rows into per-query partitions (s02/s03/s04)") {
     // the ranking step must be the bounded top-k aggregate (partial
     // map-side reduction → query-sized exchange), never a row_number
