@@ -338,6 +338,29 @@ object Verify {
           read("p14_multi_epoch_pq").collect()
             .exists(_.getAs[Boolean]("compacted"))
         },
+        // p15: the plain-IVF family's multi-epoch chain (file-name
+        // generations + gen-scoped tombstones), same convention
+        inv("p15_eq_every_epoch") {
+          val rs = read("p15_multi_epoch_ivf").collect()
+          rs.length == graft.analytics.Pipeline.P13Epochs &&
+            rs.forall(_.getAs[Boolean]("eq_rebuild"))
+        },
+        inv("p15_compaction_fired") {
+          read("p15_multi_epoch_ivf").collect()
+            .exists(_.getAs[Boolean]("compacted"))
+        },
+        // m13: the image append-log family's multi-epoch chain, same
+        // convention (newest-per-key resolution, policy compaction
+        // from maintainer arithmetic)
+        inv("m13_eq_every_epoch") {
+          val rs = read("m13_multi_epoch_images").collect()
+          rs.length == graft.analytics.Pipeline.P13Epochs &&
+            rs.forall(_.getAs[Boolean]("eq_rebuild"))
+        },
+        inv("m13_compaction_fired") {
+          read("m13_multi_epoch_images").collect()
+            .exists(_.getAs[Boolean]("compacted"))
+        },
         inv("g05_parity_singlenode") {
           val lpaEdges = read("s05_knn_graph")
             .filter(col("cos_sim") >= graft.analytics.Graph.LpaCosMin)
@@ -524,7 +547,8 @@ object Verify {
               val until = math.max(math.min(bytes.length, from + 64), from + 1)
               val mean = bytes.slice(from, until)
                 .map(b => (b & 0xFF).toLong).sum.toDouble / (until - from)
-              (src, math.rint(mean * 100) / 100)
+              // Det half-up — the gate's (and the new oracle's) rounding
+              (src, graft.analytics.Det.droundD(mean, 2))
             }
           }
           val want = feats.groupBy(_._1).view

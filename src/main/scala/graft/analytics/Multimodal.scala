@@ -123,7 +123,9 @@ object Multimodal {
                 y += 1
               }
               val mean = lumaSum.toDouble / (1000L * w * (until - from))
-              Frame(docId, f, from, math.rint(mean * 100) / 100, crc)
+              // Det half-up, not rint: the cross-engine convention —
+              // banker's rounding has no cheap SQL twin
+              Frame(docId, f, from, Det.droundD(mean, 2), crc)
             }
           case None =>
             val n = math.max(1, (bytes.length + frameBytes - 1) / frameBytes)
@@ -131,7 +133,7 @@ object Multimodal {
               val from = f * frameBytes
               val until = math.min(bytes.length, from + frameBytes)
               val (feat, crc) = decodeWindow(bytes, from, math.max(until, from + 1))
-              Frame(docId, f, from, math.rint(feat * 100) / 100, crc)
+              Frame(docId, f, from, Det.droundD(feat, 2), crc)
             }
         }
       }
@@ -146,7 +148,15 @@ object Multimodal {
   }
 
   /** Frame-level rollup: frames per doc + mean feature per source —
-    * exercises the decode path end-to-end. */
+    * exercises the decode path end-to-end. ORACLE-CHECKED (r14 item
+    * 4): the blob payloads are the docs' UTF-8 bytes, so every frame
+    * feature is per-window byte math DuckDB replays with nested
+    * lambdas over the text's code points (the corpus is ASCII — the
+    * m07 technique). The mean aggregates the features as EXACT
+    * centi-unit integers (each feature is a half-up 2-decimal value),
+    * so the only float step is one division — deterministic across
+    * engines, where avg-of-doubles would hash-mismatch on summation
+    * order at rounding boundaries. */
   def m02FrameStats(spark: SparkSession, dir: String): DataFrame = {
     val frames = m02FrameSample(spark, dir)
     // no broadcast hint: docs is corpus-sized (one row per document), so
@@ -156,7 +166,9 @@ object Multimodal {
     frames.join(docs, "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_frames"),
-           round(avg("feature"), 2).as("avg_feature"))
+           Det.dround(
+             sum(round(col("feature") * 100).cast("long")).cast("double")
+               / (count(lit(1)) * lit(100.0)), 2).as("avg_feature"))
       .orderBy("source")
   }
 
@@ -424,6 +436,128 @@ object Multimodal {
     hashGroups(imageHashes(syntheticImagesKeyed(
       m12KeysB(Tables.documents(spark, dir).select(col("doc_id")).as[Long]))))
   }
+
+  /** Pattern keys for the m13 chain's mutated content: a doc
+    * re-crawled at epoch j draws key `100 + j` (genuinely new
+    * geometry each epoch), the final epoch's added images draw 200 —
+    * disjoint from the base `% 10` keys and from each other. */
+  private def m13Key(e: Int): Long = 100L + e
+  private val M13AddKey = 200L
+
+  /** The image corpus after `e` epochs of the SHARED p13 rules
+    * ([[Pipeline.p13DeleteClasses]]/[[Pipeline.p13ChangeClass]]/
+    * final-epoch adds — ONE chain-algebra definition across the
+    * postings, PQ, IVF, and image families) as (doc_id, pattern key)
+    * pairs: deleted classes gone, each changed class re-keyed to its
+    * epoch's [[m13Key]], negated class-0 adds at the final epoch. */
+  private def m13KeysAt(ids: org.apache.spark.sql.Dataset[Long], e: Int)
+      : org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import ids.sparkSession.implicits._
+    val gone = (1 to e).flatMap(Pipeline.p13DeleteClasses).toSet
+    val changed = (1 to e).map(j => Pipeline.p13ChangeClass(j) -> m13Key(j)).toMap
+    val addEpoch = e >= Pipeline.P13Epochs
+    ids.flatMap { d =>
+      val cls = (d % 16).toInt
+      val kept =
+        if (gone.contains(cls)) Nil
+        else Seq((d, changed.getOrElse(cls, d % 10)))
+      val added = if (addEpoch && cls == 0) Seq((-(d + 1), M13AddKey)) else Nil
+      kept ++ added
+    }
+  }
+
+  /** Memoized digests of m13's per-epoch rebuild twins (pure fixture
+    * functions — the g08/p14/p15 discipline). */
+  private val m13RebuildDigests =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (Long, Long)]()
+
+  /** Compact the append-log index: keep each doc's newest `put` row
+    * (gens retained — later epochs must still order above them), drop
+    * rm rows and superseded puts, publish with the crash-safe
+    * two-rename. The append log's epoch boundary — the analogue of
+    * the tombstone families' sidecar-clearing rewrite. */
+  private def m13CompactLog(spark: SparkSession, index: String): Unit = {
+    graft.core.DirSwap.recover(index)
+    val tmp = graft.core.DirSwap.compactingPath(index)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("gen").desc)
+    spark.read.parquet(index)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col("op") === "put")
+      .drop("_rn")
+      .write.parquet(tmp.toString)
+    graft.core.DirSwap.swapInto(index)
+  }
+
+  /** m13 gate: MULTI-EPOCH maintenance of the image-fingerprint
+    * APPEND LOG — the chain discipline (g08/p13/p14/p15) applied to
+    * the one maintained family whose layout has no tombstone sidecar
+    * at all: newest-generation-per-key rows where `rm` deletes
+    * (m12/st24's artifact). Three successive epochs of the SHARED p13
+    * rules; per epoch the decode+perceptual-hash pass sees ONLY the
+    * diff (re-crawled + added images), deletes land as `rm` rows, and
+    * compaction runs ONLY on the covered-fraction policy. The policy
+    * signal is MAINTAINER ARITHMETIC, not a scan: every `rm` row
+    * contributes itself plus its superseded target (2 dead rows),
+    * every re-crawl supersedes exactly one earlier row (disjoint
+    * classes — first-seen adds supersede none), over the footer-only
+    * log row count; MaintainedStoreEstimateSpec pins it against the
+    * resolve-and-count exact fraction. Per-epoch `eq_rebuild`: the
+    * resolved groups equal a from-scratch decode+hash of that epoch's
+    * corpus (memoized twin). Rows-only (PNG round trip); Verify pins
+    * `m13_eq_every_epoch` / `m13_compaction_fired`. */
+  def m13MultiEpochImages(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-m13") { tmp =>
+      import spark.implicits._
+      val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      val index = tmp.resolve("index").toString
+      spark.read.parquet(m12BaseDir(spark, dir))
+        .withColumn("gen", lit(0L)).withColumn("op", lit("put"))
+        .write.mode("overwrite").parquet(index)
+      var deadSinceCompact = 0L
+      val rows = (1 to Pipeline.P13Epochs).map { e =>
+        val cls = col("doc_id") % 16
+        val delClasses = Pipeline.p13DeleteClasses(e).map(Int.box)
+        val rmIds = ids.toDF("doc_id").filter(cls.isin(delClasses: _*))
+        // decode + hash ONLY the diff: this epoch's re-crawled class
+        // (fresh pattern) and, final epoch, the added images
+        val diffKeys = m13KeysAt(ids, e)
+          .filter(kv => kv._2 == m13Key(e) || (e >= Pipeline.P13Epochs && kv._2 == M13AddKey))
+        val puts = imageHashes(syntheticImagesKeyed(diffKeys))
+          .withColumn("gen", lit(e.toLong)).withColumn("op", lit("put"))
+        val rms = rmIds
+          .select(col("doc_id"), lit(0L).as("ahash"),
+            lit(e.toLong).as("gen"), lit("rm").as("op"))
+        puts.unionByName(rms).write.mode("append").parquet(index)
+        val nRm = rmIds.count()
+        // counted off the key pairs, not `puts` — re-counting puts
+        // would re-run the diff's decode+hash job
+        val nReput = diffKeys.filter(kv => kv._1 >= 0).count()
+        // maintainer-arithmetic covered fraction: rm rows are dead
+        // twice over (themselves + their target), re-crawls supersede
+        // exactly one, adds none; denominator is the footer-only count
+        deadSinceCompact += 2 * nRm + nReput
+        val total = spark.read.parquet(index).count()
+        val covered = if (total == 0L) 0.0 else deadSinceCompact.toDouble / total
+        val compacted = covered > graft.core.SegmentedIndex.CompactThreshold
+        if (compacted) { m13CompactLog(spark, index); deadSinceCompact = 0L }
+        val live = graft.core.SegmentedIndex.resolveNewest(
+            spark.read.parquet(index), keyCol = "doc_id", genCol = "gen",
+            opCol = "op")
+          .select("doc_id", "ahash")
+        val got = Pipeline.familyDigest(hashGroups(live))
+        val rebuiltDigest = m13RebuildDigests.computeIfAbsent((dir, e), { _ =>
+          Pipeline.familyDigest(hashGroups(imageHashes(
+            syntheticImagesKeyed(m13KeysAt(ids, e)))))
+        })
+        (e, nRm + nReput, got._1,
+          math.floor(covered * 1000 + 0.5) / 1000, compacted,
+          got == rebuiltDigest)
+      }
+      rows.toDF("epoch", "n_dirty", "n_groups", "covered_before",
+          "compacted", "eq_rebuild")
+        .orderBy("epoch").localCheckpoint(true)
+    }
 
   /** st24 gate: STREAMED image-fingerprint index maintenance — m12's
     * loop consumed from a blob change FEED: each microbatch carries
@@ -908,6 +1042,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st24_stream_image_index" -> st24StreamImageIndex _,
     "m12_image_index_maintenance" -> m12ImageIndexMaintenance _,
+    "m13_multi_epoch_images" -> m13MultiEpochImages _,
     "m11_sharded_mm_packing" -> m11ShardedInterleavedPacking _,
     "m01_blob_meta"    -> m01BlobMeta _,
     "m02_frame_stats"  -> m02FrameStats _,
@@ -921,9 +1056,56 @@ object Multimodal {
     "m09_video_shots"  -> m09VideoShots _,
   )
 
-  /** m01 is byte-exact SQL (UTF-8 length); m02's stub decode is
-    * Spark-side only → rows-only check. */
+  /** m01 is byte-exact SQL (UTF-8 length). m02/m03/m09 (r14 item 4):
+    * the gate corpus's blob payloads are the docs' UTF-8 bytes (pure
+    * ASCII — `length == octet_length` across every SF) and the shot
+    * fixture is doc_id arithmetic, so the frame/resize/shot stats are
+    * content-derived column math DuckDB replays with nested lambdas —
+    * the m07 technique; a drifted window bound, a lost frame, or a
+    * broken cut count fails the hash. The image/audio decode gates
+    * (m04/m05/m06/m12/m13) stay rows-only: a PNG round trip has no
+    * SQL twin. */
   val oracleSql: Map[String, String] = Map(
+    // m02: one frame per 64-byte window; feature = half-up 2-decimal
+    // per-window byte mean; the rollup averages exact centi-units
+    "m02_frame_stats" ->
+      """WITH d AS (SELECT doc_id, source, text, length(text) AS n FROM documents),
+          f AS (SELECT doc_id, source, text, n,
+                 unnest(range(0, CAST((n + 63) // 64 AS BIGINT))) AS fr
+                FROM d),
+          w AS (SELECT source,
+                 CAST(fr * 64 AS BIGINT) AS fro,
+                 CAST(least(n, fr * 64 + 64) AS BIGINT) AS unt,
+                 list_aggregate(list_transform(
+                   range(CAST(fr * 64 + 1 AS BIGINT),
+                         CAST(least(n, fr * 64 + 64) + 1 AS BIGINT)),
+                   i -> unicode(text[i])), 'sum') AS s
+                FROM f),
+          feat AS (SELECT source,
+                 CAST(floor(CAST(s AS DOUBLE) / (unt - fro) * 100.0 + 0.5) AS BIGINT) AS feat_c
+                FROM w)
+         SELECT source, count(*) AS n_frames,
+          floor(CAST(sum(feat_c) AS DOUBLE) / (count(*) * 100.0) * 100.0 + 0.5) / 100.0 AS avg_feature
+         FROM feat GROUP BY source ORDER BY source""",
+    // m03: fallback thumb = every-8th byte → exact integer math
+    "m03_resize_stats" ->
+      """SELECT source, count(*) AS n_blobs,
+          CAST(sum(length(text)) AS BIGINT) AS total_orig,
+          CAST(sum((length(text) - 1) // 8 + 1) AS BIGINT) AS total_thumb
+         FROM documents GROUP BY source ORDER BY source""",
+    // m09: planted shot structure — video doc_id has 2 + id%4 shots,
+    // shot s runs 3 + s%3 frames, every boundary cuts (frames within
+    // a shot are byte-identical, across shots distinct)
+    "m09_video_shots" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS ns
+                    FROM documents WHERE doc_id < 50),
+          s AS (SELECT doc_id,
+                 CAST(list_aggregate(list_transform(range(0, ns), x -> 3 + x % 3), 'sum') AS BIGINT) AS n_frames,
+                 CAST(ns AS BIGINT) AS n_shots
+                FROM d)
+         SELECT doc_id, n_frames, n_shots,
+          floor(n_frames / CAST(n_shots AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS avg_shot_len
+         FROM s ORDER BY doc_id""",
     "m11_sharded_mm_packing" ->
       """WITH d AS (SELECT doc_id, lang, doc_id % 5 AS shard,
                      CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_text,

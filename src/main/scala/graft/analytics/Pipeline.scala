@@ -766,6 +766,55 @@ object Pipeline {
     else revised
   }
 
+  /** Epoch `e`'s dirty ids under the shared p13 rules — ONE
+    * definition consumed by the postings (p13), PQ (p14), and plain
+    * IVF (p15) chains. */
+  private[analytics] def p13DirtyIds(docs: DataFrame, e: Int): DataFrame = {
+    val cls = col("doc_id") % 16
+    docs.filter(cls.isin(p13DeleteClasses(e).map(Int.box): _*) ||
+        cls === p13ChangeClass(e))
+      .select("doc_id")
+  }
+
+  /** Epoch `e`'s re-added documents (doc_id, text) under the shared
+    * p13 rules: the change class's revised text plus (final epoch
+    * only) the negated class-0 copies. A DIRECT construction off the
+    * base table — equal to `p13SnapshotText(docs, e)` semi-joined to
+    * the re-add ids because the epoch classes are disjoint (a changed
+    * doc's only revision is its own epoch's), but without deriving
+    * the full-corpus snapshot per epoch — the r14 verdict's p13+p14
+    * shared-work cut. ONE definition consumed by all three chains. */
+  private[analytics] def p13ReAddText(docs: DataFrame, e: Int): DataFrame = {
+    val cls = col("doc_id") % 16
+    val changed = docs.filter(cls === p13ChangeClass(e))
+      .select(col("doc_id"), concat(col("text"), lit(s" [e$e]")).as("text"))
+    if (e == P13Epochs)
+      changed.unionByName(docs.filter(cls === 0)
+        .select((-(col("doc_id") + 1L)).as("doc_id"), col("text")))
+    else changed
+  }
+
+  /** Memoized MATERIALIZED per-epoch snapshots (parquet under a
+    * process temp root, one write per (JVM, dataset, epoch)): the
+    * rebuild twins of ALL the multi-epoch chains (p13's spec-side
+    * postings rebuild, p14's PQ re-encode, p15's IVF re-encode)
+    * consume the same [[p13SnapshotText]] frames — deriving the
+    * union-of-revisions plan per consumer repeated the corpus scan
+    * once per chain per epoch (r14 verdict item 5). Parquet, not a
+    * cached RDD: Bench sweeps persistent RDDs between queries, and a
+    * path survives that where a localCheckpoint would not. */
+  private val p13SnapshotDirs =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  private[analytics] def p13SnapshotAt(spark: SparkSession, dir: String,
+                                       e: Int): DataFrame =
+    spark.read.parquet(p13SnapshotDirs.computeIfAbsent((dir, e), { _ =>
+      val p = graft.core.TempDirs.create(s"graft-p13-snap$e").toString + "/snap"
+      p13SnapshotText(Tables.documents(spark, dir), e)
+        .write.mode("overwrite").parquet(p)
+      p
+    }))
+
   /** The p13 chain: [[P13Epochs]] successive diff applications
     * against ONE postings layout at `out` (seeded from the memoized
     * snapshot-A baseline), compacting ONLY when the tombstone-covered
@@ -784,12 +833,8 @@ object Pipeline {
       : Seq[(Int, Long, Double, Boolean)] = {
     val docs = Tables.documents(spark, dir)
     copyBaseline(p10BaselineLayout(spark, dir), java.nio.file.Paths.get(out))
-    val cls = col("doc_id") % 16
     (1 to P13Epochs).map { e =>
-      val dirty = docs.filter(
-          cls.isin(p13DeleteClasses(e).map(Int.box): _*) ||
-            cls === p13ChangeClass(e))
-        .select("doc_id")
+      val dirty = p13DirtyIds(docs, e)
       // classes are disjoint across epochs, so the dirty docs'
       // BEFORE-image text is the base table's — the removed df deltas
       // tokenize the diff without reading the stored index
@@ -797,13 +842,7 @@ object Pipeline {
           docs.join(broadcast(dirty), Seq("doc_id"), "left_semi"))
         .groupBy("term").agg(count(lit(1)).as("n"))
       TextOps.deleteFromPostings(spark, out, dirty, uptoGen = e - 1L)
-      val changedText = docs.filter(cls === p13ChangeClass(e))
-        .select(col("doc_id"),
-          concat(col("text"), lit(s" [e$e]")).as("text"))
-      val reTok = if (e == P13Epochs)
-        changedText.unionByName(docs.filter(cls === 0)
-          .select((-(col("doc_id") + 1L)).as("doc_id"), col("text")))
-      else changedText
+      val reTok = p13ReAddText(docs, e)
       TextOps.appendPostings(reTok, out, gen = e.toLong)
       val added = TextOps.postingsOf(reTok)
         .groupBy("term").agg(count(lit(1)).as("n"))
@@ -873,39 +912,100 @@ object Pipeline {
       val cents = Similarity.readIvfCodebook(spark, out)
       val books = Similarity.readPqCodebooks(spark, out)
       val queries = p11QuerySet(docs)
-      val cls = col("doc_id") % 16
       val rows = (1 to P13Epochs).map { e =>
-        val dirty = docs.filter(
-            cls.isin(p13DeleteClasses(e).map(Int.box): _*) ||
-              cls === p13ChangeClass(e))
-          .select(col("doc_id").as("vec_id"))
+        val dirty = p13DirtyIds(docs, e).select(col("doc_id").as("vec_id"))
         Similarity.deleteFromIvfPqCorpus(spark, out, dirty, uptoGen = e - 1L)
-        val snapE = p13SnapshotText(docs, e)
-        val reAddIds = {
-          val changed = docs.filter(cls === p13ChangeClass(e)).select("doc_id")
-          if (e == P13Epochs)
-            changed.unionByName(docs.filter(cls === 0)
-              .select((-(col("doc_id") + 1L)).as("doc_id")))
-          else changed
-        }
-        val reEmbed = p11Vectors(
-          snapE.join(broadcast(reAddIds), Seq("doc_id"), "left_semi"))
+        // re-embed DIRECTLY off the shared re-add construction —
+        // equal to snapshot-e ⋉ re-add ids (disjoint classes) without
+        // the per-epoch full-corpus snapshot derivation the r14
+        // verdict priced (item 5)
+        val reEmbed = p11Vectors(p13ReAddText(docs, e))
         Similarity.appendIvfPqCorpusWith(cents, books, out, reEmbed, gen = e.toLong)
         // one measurement drives both the receipt and the decision
-        // (policy replicated verbatim — the g08/p13 convention)
-        val covered = graft.core.SegmentedIndex.coveredFraction(spark,
-          spark.read.parquet(out), out, keyCol = "vec_id", genCol = Some("gen"))
+        // (policy replicated verbatim — the g08/p13 convention); the
+        // measurement is the metadata-cheap instance estimate — one
+        // code row per (vec, generation), exact for this layout
+        val covered = graft.core.SegmentedIndex.coveredFractionEstimate(spark,
+          spark.read.parquet(out), out, genScoped = true)
         val compacted = covered > graft.core.SegmentedIndex.CompactThreshold
         if (compacted) Similarity.compactIvfPqCorpus(spark, out)
-        val probe = Similarity.ivfPqStoredTopK(spark, out, queries, k = 10)
-          .orderBy("query_id", "rnk")
-        val got = familyDigest(probe)
+        // familyDigest is order-independent (sum of per-row crc32), so
+        // the probe feeds it UNSORTED — the per-epoch sort bought
+        // nothing (r14 item 5's probe fold)
+        val got = familyDigest(
+          Similarity.ivfPqStoredTopK(spark, out, queries, k = 10))
         val rebuiltDigest = p14RebuildDigests.computeIfAbsent((dir, e), { _ =>
           graft.core.TempDirs.scoped("graft-p14-rebuild") { r2 =>
             val ro = r2.resolve("index").toString
-            Similarity.writeIvfPqLayoutWith(cents, books, p11Normalized(snapE), ro)
-            familyDigest(Similarity.ivfPqStoredTopK(spark, ro, queries, k = 10)
-              .orderBy("query_id", "rnk"))
+            Similarity.writeIvfPqLayoutWith(cents, books,
+              p11Normalized(p13SnapshotAt(spark, dir, e)), ro)
+            familyDigest(Similarity.ivfPqStoredTopK(spark, ro, queries, k = 10))
+          }
+        })
+        (e, dirty.count(), got._1,
+          math.floor(covered * 1000 + 0.5) / 1000, compacted,
+          got == rebuiltDigest)
+      }
+      rows.toDF("epoch", "n_dirty", "n_topk", "covered_before",
+          "compacted", "eq_rebuild")
+        .orderBy("epoch").localCheckpoint(true)
+    }
+
+  /** Memoized digests of p15's per-epoch rebuild twins (pure fixture
+    * functions — the g08/p14 discipline: the first invocation per JVM
+    * pays the three from-scratch re-encodes, warm passes re-digest
+    * only the maintained probe). */
+  private val p15RebuildDigests =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (Long, Long)]()
+
+  /** p15 gate: MULTI-EPOCH maintenance of the PLAIN IVF corpus — the
+    * shared p13 epoch rules ([[p13DeleteClasses]]/[[p13ChangeClass]]/
+    * final-epoch adds, ONE definition across the lexical, PQ, and
+    * plain-vector families) chained through ONE stored layout seeded
+    * from the memoized snapshot-A baseline. The plain layout stores
+    * no generation column, so the single-application loop (p08) had
+    * to compact between every delete and re-add; the chain instead
+    * reads the PUBLISHED FILE NAMES back as generations
+    * ([[Similarity.withFileGen]] — `gen<g>-part-…` from the appends,
+    * 0 for the build/compaction files) and runs GEN-SCOPED tombstones
+    * over them: per epoch, tombstone the dirty ids at `upto_gen =
+    * e−1`, re-embed + append the revised docs at generation `e` (live
+    * immediately), compact ONLY on the covered-fraction policy — the
+    * metadata-cheap instance estimate, one row per (vec, generation),
+    * exact for this layout. Per-epoch `eq_rebuild` = (gen-scoped
+    * probe over the maintained store) ≡ (snapshot e written from
+    * scratch under the same stored codebook); Verify pins
+    * `p15_eq_every_epoch` / `p15_compaction_fired`. Rows-only
+    * (k-means). */
+  def p15MultiEpochIvf(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-p15") { root =>
+      import spark.implicits._
+      val docs = Tables.documents(spark, dir)
+      val out = copyBaseline(p08BaselineLayout(spark, dir), root.resolve("index"))
+      val cents = Similarity.readIvfCodebook(spark, out)
+      val storedCols = spark.read.parquet(out).columns.toSet
+      val queries = p08QuerySet(docs)
+      val rows = (1 to P13Epochs).map { e =>
+        val dirty = p13DirtyIds(docs, e).select(col("doc_id").as("vec_id"))
+        Similarity.deleteFromIvfCorpusGenScoped(spark, out, dirty, uptoGen = e - 1L)
+        val reEmbed = p08Vectors(p13ReAddText(docs, e))
+        Similarity.appendIvfCorpusWith(cents, out, reEmbed, storedCols,
+          gen = e.toLong)
+        // one measurement drives both the receipt and the decision
+        // (the g08/p13/p14 convention, policy replicated verbatim)
+        val covered = graft.core.SegmentedIndex.coveredFractionEstimate(spark,
+          spark.read.parquet(out), out, genScoped = true)
+        val compacted = covered > graft.core.SegmentedIndex.CompactThreshold
+        if (compacted) Similarity.compactIvfCorpusGenScoped(spark, out)
+        val got = familyDigest(Similarity.ivfStoredTopKWith(cents, spark, out,
+          queries, k = 10, genScoped = true))
+        val rebuiltDigest = p15RebuildDigests.computeIfAbsent((dir, e), { _ =>
+          graft.core.TempDirs.scoped("graft-p15-rebuild") { r2 =>
+            val ro = r2.resolve("index").toString
+            Similarity.writeIvfLayoutWith(cents,
+              p08Normalized(p13SnapshotAt(spark, dir, e)), ro)
+            familyDigest(Similarity.ivfStoredTopKWith(cents, spark, ro,
+              queries, k = 10))
           }
         })
         (e, dirty.count(), got._1,
@@ -1021,6 +1121,7 @@ object Pipeline {
     "p12_nightly_pipeline"  -> p12NightlyPipeline _,
     "p13_multi_epoch_postings" -> p13MultiEpochPostings _,
     "p14_multi_epoch_pq" -> p14MultiEpochPq _,
+    "p15_multi_epoch_ivf" -> p15MultiEpochIvf _,
     "p01_curation_pipeline" -> p01CurationPipeline _,
     "p02_semdedup_pipeline" -> p02SemdedupPipeline _,
     "p03_dataset_report"    -> p03DatasetReport _,
