@@ -1087,6 +1087,58 @@ object Multimodal {
          SELECT source, count(*) AS n_frames,
           floor(CAST(sum(feat_c) AS DOUBLE) / (count(*) * 100.0) * 100.0 + 0.5) / 100.0 AS avg_feature
          FROM feat GROUP BY source ORDER BY source""",
+    // m04/m05/m06: the planted duplicate structures are pure doc_id
+    // arithmetic (one PNG pattern per doc_id%10, one waveform per
+    // doc_id%8 across gains, base/trim/re-edit triads per
+    // doc_id/3), so the decode→perceptual-hash→group pipelines are
+    // ORACLE-checked against an independent derivation of the
+    // planted groups — a decode drift, a hash that stops collapsing
+    // gain/scale variants, or a containment slip fails the hash
+    "m04_image_dups" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS group_rep,
+          count(*) AS n_images
+         FROM documents GROUP BY doc_id % 10 ORDER BY group_rep""",
+    // m12/st24: the CDC-mutated corpus's groups are the same
+    // arithmetic under the d14 rules — %10==7 deleted, %10==3
+    // re-crawled to its own new pattern, one −(id+1) add per %10==0
+    // doc — so BOTH the batch-maintained index and the streamed
+    // change-feed consumer are oracle-checked against the planted
+    // post-diff groups (on top of the maintained ≡ rebuilt ≡ streamed
+    // equality invariants)
+    "m12_image_index_maintenance" ->
+      """WITH m AS (SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 3 THEN 13 ELSE doc_id % 10 END AS k
+                FROM documents WHERE doc_id % 10 <> 7
+                UNION ALL
+                SELECT -(doc_id + 1), 20 FROM documents WHERE doc_id % 10 = 0)
+         SELECT CAST(min(doc_id) AS BIGINT) AS group_rep,
+          count(*) AS n_images
+         FROM m GROUP BY k ORDER BY group_rep""",
+    "st24_stream_image_index" ->
+      """WITH m AS (SELECT doc_id,
+                 CASE WHEN doc_id % 10 = 3 THEN 13 ELSE doc_id % 10 END AS k
+                FROM documents WHERE doc_id % 10 <> 7
+                UNION ALL
+                SELECT -(doc_id + 1), 20 FROM documents WHERE doc_id % 10 = 0)
+         SELECT CAST(min(doc_id) AS BIGINT) AS group_rep,
+          count(*) AS n_images
+         FROM m GROUP BY k ORDER BY group_rep""",
+    "m05_audio_dups" ->
+      """SELECT CAST(min(doc_id) AS BIGINT) AS group_rep,
+          count(*) AS n_blobs
+         FROM documents GROUP BY doc_id % 8 ORDER BY group_rep""",
+    "m06_video_dups" ->
+      """WITH v AS (SELECT doc_id // 3 AS g,
+                 max(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS v0,
+                 max(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END) AS v1,
+                 max(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END) AS v2
+                FROM documents GROUP BY 1),
+          p AS (SELECT CAST(1.0 AS DOUBLE) AS c, 10 AS s FROM v WHERE v0 = 1 AND v1 = 1
+                UNION ALL SELECT CAST(0.6667 AS DOUBLE), 8 FROM v WHERE v0 = 1 AND v2 = 1
+                UNION ALL SELECT CAST(0.6 AS DOUBLE), 6 FROM v WHERE v1 = 1 AND v2 = 1)
+         SELECT c AS containment, count(*) AS n_pairs,
+          CAST(sum(s) AS BIGINT) AS total_shared
+         FROM p GROUP BY c ORDER BY containment""",
     // m03: fallback thumb = every-8th byte → exact integer math
     "m03_resize_stats" ->
       """SELECT source, count(*) AS n_blobs,

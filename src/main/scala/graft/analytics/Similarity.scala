@@ -1309,26 +1309,33 @@ object Similarity {
                             gen: Long = -1L): Unit = {
     import graft.functions.VectorFunctions._
     val genPub = if (gen >= 0L) gen else nextAdhocGen(out)
+    // materialize the assigned batch ONCE: the codes and refine
+    // publishes below both consume it, and re-deriving the plan would
+    // run the (model-pass-shaped) embed + cell assignment twice per
+    // batch. Batch-sized, never corpus-sized — safe in a microbatch.
     val assigned = vecs
       .select(col("vec_id"), as_double_array(col("embedding")).as("v"))
       .withColumn("norm", array_norm(col("v")))
       .withColumn("cell", cellOf(cents, col("v"), col("norm")))
+      .localCheckpoint(true)
     // both writes are per-generation OVERWRITES (gen-named files via
     // publishGeneration), so an at-least-once maintainer replaying a
     // batch replaces its own prior code AND refine rows instead of
     // duplicating them
-    graft.core.SegmentedIndex.publishGeneration(out, genPub) { stage =>
-      assigned.select(col("vec_id"), col("norm"), col("cell"), pqCodeCol(books))
-        .withColumn("gen", lit(genPub))
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(stage)
-    }
-    graft.core.SegmentedIndex.publishGeneration(s"$out/_refine", genPub) { stage =>
-      assigned.select(col("vec_id"), col("v"), col("norm"), col("cell"))
-        .withColumn("gen", lit(genPub))
-        .repartition(col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(stage)
-    }
+    try {
+      graft.core.SegmentedIndex.publishGeneration(out, genPub) { stage =>
+        assigned.select(col("vec_id"), col("norm"), col("cell"), pqCodeCol(books))
+          .withColumn("gen", lit(genPub))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(stage)
+      }
+      graft.core.SegmentedIndex.publishGeneration(s"$out/_refine", genPub) { stage =>
+        assigned.select(col("vec_id"), col("v"), col("norm"), col("cell"))
+          .withColumn("gen", lit(genPub))
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(stage)
+      }
+    } finally { assigned.unpersist(); () }
   }
 
   /** Compact a stored IVF-PQ layout: apply tombstones physically to
@@ -1359,10 +1366,21 @@ object Similarity {
     * query-bounded, never corpus-bounded. */
   def ivfPqStoredTopK(spark: SparkSession, out: String,
                       queries: DataFrame, k: Int,
+                      nProbe: Int = 8, refine: Int = 16): DataFrame =
+    ivfPqStoredTopKWith(readIvfCodebook(spark, out), readPqCodebooks(spark, out),
+      spark, out, queries, k, nProbe, refine)
+
+  /** [[ivfPqStoredTopK]] with pre-collected codebooks — the *With rule
+    * (the per-epoch/per-batch entry: a maintenance chain or serving
+    * stream collects the train-once codebooks ONCE, not twice per
+    * probe call). */
+  private[analytics] def ivfPqStoredTopKWith(
+                      centroids: Array[(Int, Array[Double])],
+                      books: Array[Array[Array[Double]]],
+                      spark: SparkSession, out: String,
+                      queries: DataFrame, k: Int,
                       nProbe: Int = 8, refine: Int = 16): DataFrame = {
     import graft.functions.VectorFunctions._
-    val centroids = readIvfCodebook(spark, out)
-    val books = readPqCodebooks(spark, out)
     // per-query ADC lookup table, same shape as [[ivfPqTopK]]'s
     val luts = array((0 until PqM).map { m =>
       array((0 until PqKs).map { cell =>
