@@ -268,68 +268,18 @@ object Bench {
     // Both lists are on the metric line; nothing is dropped — a
     // genuine family-wide regression would repeat in the same region
     // across runs and is visible either way.
-    val minOf = results.indices.map { i =>
-      Seq(results(i)._2, warm1(i)._2, warm2(i)._2).filter(_ > 0) match {
-        case Seq() => 0.0
-        case xs => xs.min
-      }
-    }
-    // A window is a maximal run of consecutive queries that are SLOW
-    // (≥1.5× their cross-pass min AND ≥1s over — the window's
-    // evidence) or merely ELEVATED (≥1.5× min with no absolute floor,
-    // OR ≥0.4s over it — a sub-second gate can't put 1s of excess on
-    // the board however hard the weather hits it, and a multi-second
-    // gate grazed at 1.4× still reads the same window). The run
-    // counts as weather when it holds ≥3 SLOW members; elevated
-    // members EXTEND the run without counting toward the 3 — the r14
-    // gap fix: one borderline gate (t08 at 0.91s excess, d05 at
-    // 1.48×/0.44s) used to split a genuine window and file its slow
-    // neighbors as aging. Thresholds validated by replaying the saved
-    // r14 runs: the warm2 t-region (t07–t18) and warm1 d-region file
-    // as weather, the aging list keeps only the isolated shapes.
-    // Cross-run repetition (below) is the guard against this rule
-    // absorbing a genuine regional regression.
-    def weatherIdx(ps: Seq[(String, Double)]): Set[Int] = {
-      def elevated(i: Int) = {
-        val m = minOf(i)
-        m > 0 && ps(i)._2 > 0 &&
-          (ps(i)._2 >= 1.5 * m || ps(i)._2 - m >= 0.4)
-      }
-      def slow(i: Int) = {
-        val m = minOf(i)
-        m > 0 && ps(i)._2 >= 1.5 * m && ps(i)._2 - m >= 1.0
-      }
-      val out = scala.collection.mutable.Set.empty[Int]
-      var i = 0
-      while (i < ps.size) {
-        if (!elevated(i)) i += 1
-        else {
-          var j = i
-          while (j < ps.size && elevated(j)) j += 1
-          if ((i until j).count(slow) >= 3) out ++= (i until j)
-          i = j
-        }
-      }
-      out.toSet
-    }
-    val (wthW1, wthW2) = (weatherIdx(warm1), weatherIdx(warm2))
-    def violates(c: Double, w: Double) = c > 0 && w > 1.5 * c + 0.5
-    val flagged = results.indices.flatMap { i =>
-      val (n, c) = results(i)
-      val v1 = violates(c, warm1(i)._2)
-      val v2 = violates(c, warm2(i)._2)
-      if (!v1 && !v2) None
-      // aging unless EVERY violating pass sits inside a weather window
-      else if ((!v1 || wthW1(i)) && (!v2 || wthW2(i))) Some(n -> true)
-      else Some(n -> false)
-    }
-    // CROSS-RUN repetition, enforced by the artifact instead of by
-    // hand: weather names a different victim each run, a regression
-    // repeats by name — so a weather-shaped flag whose gate was ALSO
-    // flagged (either list) in the PREVIOUS recorded run is PROMOTED
-    // back to aging_violations, and named in `promoted_repeats` so
-    // the line explains itself. The previous run comes from
-    // bench_history.jsonl (appended below, committed per round).
+    // The partition itself is the PURE function BenchFlags.partition
+    // (weather-window rule incl. the r15 gap fix — elevated gates
+    // extend a window without counting toward its ≥3 slow members —
+    // and the cross-run repeat promotion), unit-tested by
+    // BenchFlagsSpec against the COMMITTED r14 run artifacts: the
+    // warm2 t-region and warm1 d-region must file as weather, the
+    // aging list must keep only the isolated shapes. The previous
+    // run's flags come from bench_history.jsonl (appended below,
+    // committed per round): weather names a different victim each
+    // run, a regression repeats by name — a weather-shaped flag whose
+    // gate was flagged in the previous run is PROMOTED back to
+    // aging_violations and named in `promoted_repeats`.
     val histPath = java.nio.file.Paths.get("bench_history.jsonl")
     val prevFlagged: Set[String] =
       try {
@@ -345,14 +295,12 @@ object Bench {
           arr("aging_violations") ++ arr("weather_flags")
         }
       } catch { case _: Throwable => Set.empty }
-    val promotedRepeats = flagged.collect {
-      case (n, true) if prevFlagged.contains(n) => n
-    }.sorted
-    val agingViolations =
-      (flagged.collect { case (n, false) => n } ++ promotedRepeats).sorted
-    val weatherFlags = flagged.collect {
-      case (n, true) if !prevFlagged.contains(n) => n
-    }.sorted
+    val part = BenchFlags.partition(
+      results.map(_._1).toIndexedSeq, results.map(_._2).toIndexedSeq,
+      warm1.map(_._2).toIndexedSeq, warm2.map(_._2).toIndexedSeq, prevFlagged)
+    val promotedRepeats = part.promoted
+    val agingViolations = part.aging
+    val weatherFlags = part.weather
     def fmt(rs: Seq[(String, Double)], dec: Int) =
       rs.map { case (k, v) =>
         s"\"" + k + "\":" + BigDecimal(v).setScale(dec, BigDecimal.RoundingMode.HALF_UP)

@@ -1,0 +1,88 @@
+package graft
+
+/** The bench flag partition as a PURE function — extracted from
+  * [[Bench]] so the weather-window rule, the aging criterion, and the
+  * cross-run repeat promotion are unit-testable against the committed
+  * per-gate run artifacts (BenchFlagsSpec replays the r14 driver run
+  * and the two r13-set re-timings and pins the partition the r14
+  * verdict asked for). Bench.main delegates here; all semantics
+  * documented at the call site there. */
+object BenchFlags {
+
+  final case class Partition(aging: Seq[String], weather: Seq[String],
+                             promoted: Seq[String])
+
+  /** Per-index cross-pass minimum of the positive durations (negative
+    * marks an errored query; 0 when every pass errored). */
+  def minOf(cold: IndexedSeq[Double], w1: IndexedSeq[Double],
+            w2: IndexedSeq[Double]): IndexedSeq[Double] =
+    cold.indices.map { i =>
+      Seq(cold(i), w1(i), w2(i)).filter(_ > 0) match {
+        case Seq() => 0.0
+        case xs => xs.min
+      }
+    }
+
+  /** Indices of `ps` inside a weather window: a maximal run of
+    * consecutive ELEVATED queries (≥1.5× their cross-pass min, or
+    * ≥0.4s over it) holding ≥3 SLOW members (≥1.5× AND ≥1s over).
+    * Elevated members extend a run without counting toward the 3 —
+    * the r15 gap fix (one borderline gate used to split a genuine
+    * window and file its slow neighbors as aging). */
+  def weatherIdx(ps: IndexedSeq[Double], mins: IndexedSeq[Double]): Set[Int] = {
+    def elevated(i: Int) = {
+      val m = mins(i)
+      m > 0 && ps(i) > 0 && (ps(i) >= 1.5 * m || ps(i) - m >= 0.4)
+    }
+    def slow(i: Int) = {
+      val m = mins(i)
+      m > 0 && ps(i) >= 1.5 * m && ps(i) - m >= 1.0
+    }
+    val out = scala.collection.mutable.Set.empty[Int]
+    var i = 0
+    while (i < ps.size) {
+      if (!elevated(i)) i += 1
+      else {
+        var j = i
+        while (j < ps.size && elevated(j)) j += 1
+        if ((i until j).count(slow) >= 3) out ++= (i until j)
+        i = j
+      }
+    }
+    out.toSet
+  }
+
+  /** The aging criterion: any warm pass above 1.5× cold + 0.5s. */
+  def violates(cold: Double, warm: Double): Boolean =
+    cold > 0 && warm > 1.5 * cold + 0.5
+
+  /** Full partition: violations split into aging (isolated shape) vs
+    * weather (every violating pass inside a window), with
+    * weather-shaped flags whose gate was ALSO flagged in the previous
+    * recorded run PROMOTED back to aging (weather names a different
+    * victim each run; a regression repeats by name). `names` must be
+    * the bench's sorted query order — windows are alphabetical
+    * adjacency. */
+  def partition(names: IndexedSeq[String], cold: IndexedSeq[Double],
+                w1: IndexedSeq[Double], w2: IndexedSeq[Double],
+                prevFlagged: Set[String]): Partition = {
+    val mins = minOf(cold, w1, w2)
+    val (wthW1, wthW2) = (weatherIdx(w1, mins), weatherIdx(w2, mins))
+    val flagged = names.indices.flatMap { i =>
+      val v1 = violates(cold(i), w1(i))
+      val v2 = violates(cold(i), w2(i))
+      if (!v1 && !v2) None
+      else if ((!v1 || wthW1(i)) && (!v2 || wthW2(i))) Some(names(i) -> true)
+      else Some(names(i) -> false)
+    }
+    val promoted = flagged.collect {
+      case (n, true) if prevFlagged.contains(n) => n
+    }.sorted
+    Partition(
+      aging = (flagged.collect { case (n, false) => n } ++ promoted).sorted,
+      weather = flagged.collect {
+        case (n, true) if !prevFlagged.contains(n) => n
+      }.sorted,
+      promoted = promoted)
+  }
+}

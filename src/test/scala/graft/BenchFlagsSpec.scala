@@ -1,0 +1,79 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench flag partition replayed over the COMMITTED r14 run
+  * artifacts — the r14 verdict item 2's done-criterion as a permanent
+  * machine check: under the gap-fixed window rule the r14 driver
+  * run's warm2 t-region (t07–t18) and warm1 d-region file as
+  * weather, the aging list keeps only the isolated shapes, and the
+  * cross-run promotion moves a repeating name back to aging. */
+class BenchFlagsSpec extends AnyFunSuite {
+
+  private def load(path: String): (IndexedSeq[String], IndexedSeq[Double],
+      IndexedSeq[Double], IndexedSeq[Double]) = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(path)))
+    def m(field: String): Map[String, Double] =
+      root.get(field).properties().asScala
+        .map(e => e.getKey -> e.getValue.asDouble()).toMap
+    val names = m("queries").keys.toIndexedSeq.sorted
+    (names, names.map(m("queries")), names.map(m("queries_warm1")),
+      names.map(m("queries_warm2")))
+  }
+
+  test("r14 driver run: t- and d-region windows file as weather, aging keeps the isolated shapes") {
+    val (names, cold, w1, w2) = load("bench_queries_r14.json")
+    val p = BenchFlags.partition(names, cold, w1, w2, prevFlagged = Set.empty)
+    // the verdict's named split victims — previously filed as aging by
+    // the gap — must now sit inside weather windows
+    val mustBeWeather = Seq("t07_ngram_langid", "t09_deterministic_sample",
+      "t10_shard_packing", "t11_bpe_tokens", "t16_mixture_sample",
+      "t18_boilerplate", "d06_dup_clusters", "d07_embedding_lsh_pairs")
+    mustBeWeather.foreach(n =>
+      assert(p.weather.contains(n), s"$n should file as weather: $p"))
+    // the isolated shape stays visible — nothing regional hides it
+    assert(p.aging == Seq("p13_multi_epoch_postings"),
+      s"aging must keep exactly the isolated shape: ${p.aging}")
+  }
+
+  test("retime runs: disjoint aging lists, nothing repeats by name") {
+    val (n1, c1, a1, b1) = load("bench_queries_r14_retime_run1.json")
+    val (n2, c2, a2, b2) = load("bench_queries_r14_retime_run2.json")
+    val p1 = BenchFlags.partition(n1, c1, a1, b1, Set.empty)
+    val p2 = BenchFlags.partition(n2, c2, a2, b2, Set.empty)
+    assert(p1.aging.toSet.intersect(p2.aging.toSet).isEmpty,
+      s"retime aging lists must be disjoint (weather, not regression): " +
+        s"${p1.aging} vs ${p2.aging}")
+    // and neither repeats the driver run's isolated flag
+    assert(!p1.aging.contains("p13_multi_epoch_postings") &&
+      !p2.aging.contains("p13_multi_epoch_postings"))
+  }
+
+  test("cross-run promotion: a weather-shaped flag repeating by name moves to aging") {
+    val (names, cold, w1, w2) = load("bench_queries_r14.json")
+    val base = BenchFlags.partition(names, cold, w1, w2, Set.empty)
+    val repeat = base.weather.head
+    val p = BenchFlags.partition(names, cold, w1, w2, prevFlagged = Set(repeat))
+    assert(p.promoted == Seq(repeat))
+    assert(p.aging.contains(repeat) && !p.weather.contains(repeat))
+    assert((p.aging.toSet - repeat) == base.aging.toSet &&
+      p.weather.toSet == base.weather.toSet - repeat,
+      "promotion must move exactly the repeating name")
+  }
+
+  test("window mechanics: elevated gates extend a window without counting toward its 3 slow members") {
+    // five gates: slow, ELEVATED (bridges), slow, slow, clean
+    val mins = IndexedSeq(1.0, 0.5, 1.0, 1.0, 1.0)
+    val pass = IndexedSeq(2.5, 0.95, 2.6, 2.7, 1.05)
+    val w = BenchFlags.weatherIdx(pass, mins)
+    assert(w == Set(0, 1, 2, 3), s"bridged window lost members: $w")
+    // without the bridge (middle gate clean) the two-slow runs are NOT
+    // a window
+    val w2 = BenchFlags.weatherIdx(IndexedSeq(2.5, 0.55, 2.6, 2.7, 1.05), mins)
+    assert(w2 == Set.empty, s"a clean gate must still break a window: $w2")
+  }
+}
