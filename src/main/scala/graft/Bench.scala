@@ -180,6 +180,14 @@ object Bench {
     // steadiness criterion below — a distribution, not a point sample
     val passThreads =
       scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+    // per-pass FIXTURE time (graft.core.FixtureClock): wall clock the
+    // pass spent building once-per-JVM rebuild twins / seed stores /
+    // synthetic corpora inside memoized builders — check-and-fixture
+    // cost, not engine cost. Reported separately on the metric line
+    // (cold_engine vs cold_fixtures — the r15 item 3 split: m13's
+    // decode twin alone was 43.8s of the 576.8s cold headline); the
+    // per-query "fix" field in the aging diags attributes it.
+    val passFixtures = scala.collection.mutable.Map.empty[String, Double]
     def pass(tag: String): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filterNot { case (name, _) => exclude.contains(name) }
@@ -191,9 +199,12 @@ object Bench {
         // driver arrays, but the sweep must not bake that in) keeps
         // its only data copy
         val preIds = spark.sparkContext.getPersistentRDDs.keySet
+        val fix0 = graft.core.FixtureClock.totalNanos
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
+        val fixDt = (graft.core.FixtureClock.totalNanos - fix0) / 1e9
+        passFixtures(tag) = passFixtures.getOrElse(tag, 0.0) + fixDt
         // release the per-query cache so storage memory never leaks
         // across the run — BOTH the SQL cache and leftover
         // localCheckpoint RDD blocks (the iterative graph gates cut
@@ -215,7 +226,7 @@ object Bench {
         // where 5-6 CONSECUTIVE queries run 3-5× slow) is provable
         // from the artifact alone, vs a per-query defect which names
         // the same query across runs
-        diags += s"""{"pass":"$tag","query":"$name","sec":${(dt * 1000).round / 1000.0},"t":${System.currentTimeMillis / 1000},"diag":${snap.json}}"""
+        diags += s"""{"pass":"$tag","query":"$name","sec":${(dt * 1000).round / 1000.0},"fix":${(fixDt * 1000).round / 1000.0},"t":${System.currentTimeMillis / 1000},"diag":${snap.json}}"""
         passThreads.getOrElseUpdate(tag,
           scala.collection.mutable.ArrayBuffer.empty[Int]) += snap.threads
         // a NEGATIVE duration marks an errored query — loud in the
@@ -280,27 +291,49 @@ object Bench {
     // and the cross-run repeat promotion), unit-tested by
     // BenchFlagsSpec against the COMMITTED r14 run artifacts: the
     // warm2 t-region and warm1 d-region must file as weather, the
-    // aging list must keep only the isolated shapes. The previous
-    // run's flags come from bench_history.jsonl (appended below,
-    // committed per round): weather names a different victim each
-    // run, a regression repeats by name — a weather-shaped flag whose
-    // gate was flagged in the previous run is PROMOTED back to
-    // aging_violations and named in `promoted_repeats`.
-    val histPath = java.nio.file.Paths.get("bench_history.jsonl")
+    // aging list must keep only the isolated shapes. Prior runs'
+    // flags come from bench_history.jsonl (appended below, committed
+    // per round): weather names a different victim each run, a
+    // regression repeats by name — ANY flag, either shape, whose gate
+    // was also flagged within the LOOKBACK set is promoted to
+    // aging_violations and named in `promoted_repeats`. The lookback
+    // is the union of the last 3 recorded runs at the same sf (the
+    // r16 widening: r15's p12 flapped in runs 1 and 3, and a
+    // previous-run-only rule never saw the repeat). Parsing is real
+    // JSON (Jackson, per-line, loud on failure) against a repo-root-
+    // resolved path — a malformed line or a foreign CWD used to
+    // silently disable promotion.
+    val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO", System.getProperty("user.dir"))
+    val histPath = java.nio.file.Paths.get(repoRoot, "bench_history.jsonl")
+    val HistLookback = 3
     val prevFlagged: Set[String] =
-      try {
-        val lines = java.nio.file.Files.readAllLines(histPath)
-        if (lines.isEmpty) Set.empty
-        else {
-          val last = lines.get(lines.size - 1)
-          def arr(key: String): Set[String] =
-            ("\"" + key + "\":\\[([^\\]]*)\\]").r.findFirstMatchIn(last)
-              .map(_.group(1).split(",").map(_.trim.stripPrefix("\"")
-                .stripSuffix("\"")).filter(_.nonEmpty).toSet)
-              .getOrElse(Set.empty)
-          arr("aging_violations") ++ arr("weather_flags")
-        }
-      } catch { case _: Throwable => Set.empty }
+      if (!java.nio.file.Files.exists(histPath)) Set.empty
+      else try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        import scala.jdk.CollectionConverters._
+        def flagsOf(line: String): Option[(String, Set[String])] =
+          try {
+            val n = om.readTree(line)
+            val fs = (n.path("aging_violations").elements().asScala ++
+              n.path("weather_flags").elements().asScala).map(_.asText()).toSet
+            Some((n.path("sf").asText(), fs))
+          } catch {
+            case e: Throwable =>
+              System.err.println("[bench] unparseable bench_history.jsonl line " +
+                s"(${e.getMessage}); skipping it for the repeat lookback")
+              None
+          }
+        java.nio.file.Files.readAllLines(histPath).asScala
+          .filter(_.trim.nonEmpty)
+          .reverseIterator.flatMap(flagsOf)
+          .filter { case (sf, _) => sf == sfDir }
+          .take(HistLookback).flatMap(_._2).toSet
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] cannot read $histPath (${e.getMessage}); " +
+            "cross-run repeat promotion disabled for this run")
+          Set.empty
+      }
     val part = BenchFlags.partition(
       results.map(_._1).toIndexedSeq, results.map(_._2).toIndexedSeq,
       warm1.map(_._2).toIndexedSeq, warm2.map(_._2).toIndexedSeq, prevFlagged)
@@ -316,6 +349,14 @@ object Bench {
     // clean one; the errors list below carries the failures
     val total = results.collect { case (_, t) if t > 0 => t }.sum
     val totalWarm = warm.collect { case (_, t) if t > 0 => t }.sum
+    // the r15 item-3 split: cold decomposes into engine work vs
+    // once-per-JVM fixture/twin construction (FixtureClock), so the
+    // cold headline tracks the engine; warm fixture time should be ~0
+    // (memoized) and is reported as its own receipt of that
+    val coldFixtures = passFixtures.getOrElse("cold", 0.0)
+    val warmFixtures =
+      passFixtures.getOrElse("warm1", 0.0) + passFixtures.getOrElse("warm2", 0.0)
+    val coldEngine = math.max(0.0, total - coldFixtures)
     // errored queries (negative durations) ALSO listed by name, so a
     // consumer skimming the JSON can never read a failure as a fast
     // query; the union covers both passes
@@ -390,6 +431,7 @@ object Bench {
     try {
       val hist = s"""{"t":${System.currentTimeMillis / 1000},"sf":"$sfDir","n":${results.size},""" +
         s""""value":${sc3(total)},"total_warm":${sc3(totalWarm)},""" +
+        s""""cold_engine":${sc3(coldEngine)},"cold_fixtures":${sc3(coldFixtures)},""" +
         s""""queries":${fmt(results, 3)},"queries_warm1":${fmt(warm1, 3)},""" +
         s""""queries_warm2":${fmt(warm2, 3)},""" +
         s""""aging_violations":$violJson,"weather_flags":$wthJson,""" +
@@ -398,7 +440,7 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${sc3(total)},"unit":"sec","total_warm":${sc3(totalWarm)},"n_queries":${results.size},"families":$fams,"families_warm":$famsWarm,"steady":$steady,"aging_violations":$violJson,"weather_flags":$wthJson,"promoted_repeats":$promJson,"errors":$errors,"per_query_file":"$perQueryFile","history_file":"$histPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sc3(total)},"unit":"sec","total_warm":${sc3(totalWarm)},"cold_engine":${sc3(coldEngine)},"cold_fixtures":${sc3(coldFixtures)},"warm_fixtures":${sc3(warmFixtures)},"n_queries":${results.size},"families":$fams,"families_warm":$famsWarm,"steady":$steady,"aging_violations":$violJson,"weather_flags":$wthJson,"promoted_repeats":$promJson,"errors":$errors,"per_query_file":"$perQueryFile","history_file":"$histPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

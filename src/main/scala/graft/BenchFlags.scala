@@ -28,7 +28,15 @@ object BenchFlags {
     * ≥0.4s over it) holding ≥3 SLOW members (≥1.5× AND ≥1s over).
     * Elevated members extend a run without counting toward the 3 —
     * the r15 gap fix (one borderline gate used to split a genuine
-    * window and file its slow neighbors as aging). */
+    * window and file its slow neighbors as aging).
+    *
+    * Known, accepted delay (r15 advice): a genuine first-occurrence
+    * regression that happens to sit adjacent to ≥3 slow gates files
+    * as weather on ITS FIRST run and is only caught on the next run,
+    * when the cross-run promotion ([[partition]], now a 3-run
+    * lookback) sees it repeat by name — a one-round detection delay
+    * by design, traded for not flooding aging with whole weather
+    * windows. */
   def weatherIdx(ps: IndexedSeq[Double], mins: IndexedSeq[Double]): Set[Int] = {
     def elevated(i: Int) = {
       val m = mins(i)
@@ -57,12 +65,18 @@ object BenchFlags {
     cold > 0 && warm > 1.5 * cold + 0.5
 
   /** Full partition: violations split into aging (isolated shape) vs
-    * weather (every violating pass inside a window), with
-    * weather-shaped flags whose gate was ALSO flagged in the previous
-    * recorded run PROMOTED back to aging (weather names a different
-    * victim each run; a regression repeats by name). `names` must be
-    * the bench's sorted query order — windows are alphabetical
-    * adjacency. */
+    * weather (every violating pass inside a window), with ANY flag —
+    * either shape — whose gate was also flagged within the caller's
+    * lookback set PROMOTED to aging and named in `promoted` (weather
+    * names a different victim each run; a regression repeats by
+    * name). The r16 widening: promotion used to apply to
+    * weather-shaped repeats only, so an isolated-shaped flag
+    * flapping every OTHER run (r15's p12, flagged in runs 1 and 3)
+    * was never NAMED as a repeat — now the repeat itself is surfaced
+    * whatever the shape, and the caller passes the union of the last
+    * K=3 recorded runs' flags instead of just the previous run's.
+    * `names` must be the bench's sorted query order — windows are
+    * alphabetical adjacency. */
   def partition(names: IndexedSeq[String], cold: IndexedSeq[Double],
                 w1: IndexedSeq[Double], w2: IndexedSeq[Double],
                 prevFlagged: Set[String]): Partition = {
@@ -76,10 +90,10 @@ object BenchFlags {
       else Some(names(i) -> false)
     }
     val promoted = flagged.collect {
-      case (n, true) if prevFlagged.contains(n) => n
+      case (n, _) if prevFlagged.contains(n) => n
     }.sorted
     Partition(
-      aging = (flagged.collect { case (n, false) => n } ++ promoted).sorted,
+      aging = (flagged.collect { case (n, false) => n } ++ promoted).distinct.sorted,
       weather = flagged.collect {
         case (n, true) if !prevFlagged.contains(n) => n
       }.sorted,

@@ -541,10 +541,10 @@ object Verify {
         // its own 2-decimal grid
         inv("m02_parity_singlenode") {
           val feats = blobPayloads.flatMap { case (src, bytes) =>
-            val n = math.max(1, (bytes.length + 63) / 64)
+            val n = (bytes.length + 63) / 64 // 0 frames for an empty payload (gate ∧ oracle convention)
             (0 until n).map { f =>
               val from = f * 64
-              val until = math.max(math.min(bytes.length, from + 64), from + 1)
+              val until = math.min(bytes.length, from + 64)
               val mean = bytes.slice(from, until)
                 .map(b => (b & 0xFF).toLong).sum.toDouble / (until - from)
               // Det half-up — the gate's (and the new oracle's) rounding
@@ -623,6 +623,152 @@ object Verify {
         inv("st24_eq_m12") {
           eqDumps("st24_stream_image_index",
             read("m12_image_index_maintenance"))
+        },
+        // st09: per-cell occupancy of the streamed vector ingest must
+        // equal the one-shot batch assignment under the same memoized
+        // codebook (stateless per-row assignment + commutative
+        // aggregates cannot depend on microbatch slicing)
+        inv("st09_eq_batch") {
+          eqDumps("st09_stream_vec_ingest",
+            graft.analytics.StreamingQueries.st09BatchTwin(spark, sfDir))
+        },
+        // st13: the streamed grow-the-layout loop (append + inline
+        // compaction) must land the exact per-cell occupancy of the
+        // one-shot batch assignment under an independently-fit base
+        // codebook (deterministic fit ⇒ codebooks agree)
+        inv("st13_eq_batch") {
+          eqDumps("st13_stream_vec_append",
+            graft.analytics.StreamingQueries.st13BatchTwin(spark, sfDir))
+        },
+        // d03: ALL-PAIRS Hamming ground truth recomputed single-node
+        // from the same per-doc fingerprints (the expression itself is
+        // pinned in FunctionsSpec) — the chunk-banding candidate
+        // pipeline must be COMPLETE (pigeonhole) and exact; a silent
+        // banding bug can no longer hide behind a stable row count
+        inv("d03_pairs_complete_singlenode") {
+          val fps = graft.analytics.Dedup.d03Fingerprints(spark, sfDir)
+            .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+          val want = fps.indices.flatMap { a =>
+            val (i, fi) = fps(a)
+            (a + 1 until fps.length).flatMap { b =>
+              val (j, fj) = fps(b)
+              val h = java.lang.Long.bitCount(fi ^ fj)
+              if (h <= 3) Some((i, j, h.toLong)) else None
+            }
+          }
+          val got = read("d03_simhash_pairs").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+          got.nonEmpty && got == want
+        },
+        // d05: same convention for the winnowing tier — all-pairs
+        // shared-fingerprint counts + overlap coefficients from the
+        // collected per-doc fingerprint sets (the df cap of 2000 can't
+        // bind at sf0.01's 500 docs, so the postings pipeline must
+        // equal the unconditional ground truth row for row)
+        inv("d05_pairs_complete_singlenode") {
+          import graft.functions.WinnowFingerprints.winnow_fingerprints
+          val fs = graft.analytics.Tables.documents(spark, sfDir)
+            .select(col("doc_id"), winnow_fingerprints(col("text")).as("f"))
+            .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet)).sortBy(_._1)
+          val want = fs.indices.flatMap { a =>
+            val (i, fi) = fs(a)
+            (a + 1 until fs.length).flatMap { b =>
+              val (j, fj) = fs(b)
+              val shared = fi.count(fj)
+              if (shared >= 2)
+                Some((i, j, shared.toLong, graft.analytics.Det
+                  .droundD(shared.toDouble / math.min(fi.size, fj.size), 4)))
+              else None
+            }
+          }
+          val got = read("d05_winnow_pairs").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+          got.nonEmpty && got == want
+        },
+        // p06: the coreset's quota arithmetic and per-cell top-rank
+        // selection recomputed in plain Scala from the dumped s05
+        // edges (reference PageRank — g01's exact arithmetic) and the
+        // shared k-means assignment — everything downstream of the
+        // memoized fit independently re-derived, row for row
+        inv("p06_parity_singlenode") {
+          val ranks = graft.analytics.Graph.referencePagerank(knnEdges, seeds = None)
+            .map { case (id, r) => (id, graft.analytics.Det.droundD(r, 8)) }
+          val (assignedDf, _) = graft.analytics.Similarity.kmeansFitDir(spark, sfDir)
+          val assigned = assignedDf.select(col("vec_id"), col("cell")).collect()
+            .map(r => (r.getLong(0), r.getInt(1)))
+          val want = assigned.groupBy(_._2).toSeq.flatMap { case (cell, ms) =>
+            val quota = math.max(1L, ms.length / graft.analytics.Pipeline.CoresetFraction)
+            ms.flatMap { case (id, _) => ranks.get(id).map(r => (id, r)) }
+              .sortBy { case (id, r) => (-r, id) }
+              .take(quota.toInt).zipWithIndex
+              .map { case ((id, r), idx) =>
+                (cell.toLong, (idx + 1).toLong, id, r, ms.length.toLong) }
+          }.sortBy(t => (t._1, t._2))
+          val got = read("p06_coreset").collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+              r.getDouble(3), r.getLong(4))).toSeq
+          got.nonEmpty && got == want
+        },
+        // p02: the SemDeDup tier's pair stage + min-id union-find
+        // recomputed single-node (gate arithmetic: strict left-fold
+        // dot, norm product, ≥ 0.4) over the deterministic k-means
+        // assignment; the expected per-language stats then come from
+        // the same curationStats over the independently-derived
+        // survivor set — the whole pipeline downstream of the fit
+        // pinned, not just its cardinality
+        inv("p02_eq_singlenode_dedup") {
+          import graft.analytics.Pipeline
+          import graft.functions.VectorFunctions._
+          val docs = graft.analytics.Tables.documents(spark, sfDir)
+          // quality gate + stats via the shared construction; holdout
+          // OFF here — curate() dedups BEFORE the holdout
+          val qual = Pipeline.curate(docs,
+            Pipeline.CurationConfig(dedup = "none", holdoutModulus = 0))
+          val qe = graft.analytics.Tables.embeddings(spark, sfDir)
+            .select(col("vec_id"), as_double_array(col("embedding")).as("v"))
+            .join(qual.select(col("doc_id").as("vec_id")), "vec_id")
+            .withColumn("norm", array_norm(col("v")))
+          val k = math.max(1, math.min(16,
+            math.ceil(math.sqrt(qe.count().toDouble)).toInt))
+          val (assigned, _, _) = graft.analytics.Similarity.kmeansFit(qe, k = k)
+          val rows = assigned.select(col("vec_id"), col("cell"), col("v"), col("norm"))
+            .collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Double](2).toArray,
+              r.getDouble(3)))
+          // min-id union-find: every union keeps the smaller root, so
+          // each tree's root is its component's minimum id
+          val parent = scala.collection.mutable.Map.empty[Long, Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent.getOrElse(r, r) != r) r = parent(r)
+            var c = x
+            while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+            r
+          }
+          for {
+            cellGroup <- rows.filter(_._4 > 0).groupBy(_._2).values
+            sorted = cellGroup.sortBy(_._1)
+            a <- sorted.indices
+            b <- (a + 1) until sorted.length
+          } {
+            val (i, _, vi, ni) = sorted(a)
+            val (j, _, vj, nj) = sorted(b)
+            var dot = 0.0
+            var x = 0
+            while (x < vi.length) { dot += vi(x) * vj(x); x += 1 }
+            if (dot / (ni * nj) >= 0.4) {
+              val (ri, rj) = (find(i), find(j))
+              if (ri != rj) {
+                if (ri < rj) parent(rj) = ri else parent(ri) = rj
+              }
+            }
+          }
+          val dropped = rows.map(_._1).filter(id => find(id) != id).toSeq
+          val holdout = Pipeline.CurationConfig().holdoutModulus
+          val expect = Pipeline.curationStats(
+            qual.filter(!col("doc_id").isin(dropped: _*))
+              .filter(col("doc_id") % holdout =!= 0))
+          eqDumps("p02_semdedup_pipeline", expect)
         },
         // m09: shot count and frame layout are pure functions of
         // doc_id (2 + id%4 shots of 3 + s%3 frames) — segmentation

@@ -192,14 +192,24 @@ object Dedup {
               size(array_union(col("s_i"), col("s_j"))), 4).as("jaccard"))
   }
 
+  /** The d03 fingerprint frame (doc_id, simhash) — split out so
+    * Verify's `d03_pairs_complete_singlenode` invariant can recompute
+    * the ALL-PAIRS Hamming ground truth from the same fingerprints and
+    * pin the banding pipeline's completeness (the expression itself is
+    * pinned against the explode+aggregate formulation in
+    * FunctionsSpec). */
+  private[graft] def d03Fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.SimHash64.simhash64
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), simhash64(tokens).as("simhash"))
+  }
+
   /** 64-bit SimHash near-dup pairs with Hamming distance ≤ 3, candidate
     * generation via 4×16-bit chunk banding (pigeonhole-exact for ≤ 3).
     * Fingerprints come from the single-pass [[graft.functions.SimHash64]]
     * expression: one row per doc, no explode/aggregation state. */
   def d03SimHashPairs(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.SimHash64.simhash64
-    val fps = Tables.documents(spark, dir)
-      .select(col("doc_id"), simhash64(tokens).as("simhash"))
+    val fps = d03Fingerprints(spark, dir)
     // 4×16-bit chunk banding: pigeonhole guarantees every pair with
     // hamming ≤ 3 shares ≥ 1 chunk (the canonical 64-bit/k=3 near-dup
     // setting); 16-bit buckets keep candidate groups small, so the

@@ -605,12 +605,14 @@ object Graph {
     * edges at generation 0 (the build is the one corpus-proportional
     * write; every application after it is diff-proportional). */
   private def g07StoreDir(spark: SparkSession, dir: String): String =
-    g07StoreDirs.computeIfAbsent(dir, { _ =>
+    graft.core.FixtureClock.memo(g07StoreDirs, dir)({ _ =>
       val store = graft.core.TempDirs.create("graft-g07-store")
         .resolve("edges").toString
       graft.core.DirSwap.copyTree(
         java.nio.file.Paths.get(Similarity.knnEdgesPath(spark, dir)),
         java.nio.file.Paths.get(store, "gen=0"))
+      graft.core.SegmentedIndex.writeRowCount(store,
+        spark.read.parquet(s"$store/gen=0").count())
       store
     })
 
@@ -962,6 +964,10 @@ object Graph {
       graft.core.DirSwap.copyTree(
         java.nio.file.Paths.get(Similarity.knnEdgesPath(spark, dir)),
         tmp.resolve("edges/gen=0"))
+      // opt into the O(1) row-count sidecar: the policy's denominator
+      // comes from maintainer arithmetic, never a layout listing
+      graft.core.SegmentedIndex.writeRowCount(store,
+        spark.read.parquet(s"$store/gen=0").count())
       val cents = Some(Similarity.ivfCentroids(spark, dir))
       def liveEdges = graft.core.SegmentedIndex.live(spark,
         spark.read.parquet(store), store,
@@ -994,7 +1000,7 @@ object Graph {
           spark.read.parquet(store), store,
           genScoped = true, rowsPerInstance = Similarity.KnnEdgeK.toDouble)
         val compacted = covered > graft.core.SegmentedIndex.CompactThreshold
-        if (compacted) graft.core.SegmentedIndex.compactWith(store) { stage =>
+        if (compacted) graft.core.SegmentedIndex.compactWith(spark, store) { stage =>
           liveEdges.drop("gen").write.parquet(s"$stage/gen=$e")
         }
         val live = liveEdges.select("vec_id", "rnk", "neighbor_id", "cos_sim")
@@ -1004,7 +1010,7 @@ object Graph {
         // memoized per (dataset, epoch) like the seeded baselines:
         // the first invocation per JVM pays the three exact rebuilds,
         // warm passes re-digest only the maintained live view
-        val rebuiltDigest = g08RebuildDigests.computeIfAbsent((dir, e), { _ =>
+        val rebuiltDigest = graft.core.FixtureClock.memo(g08RebuildDigests, (dir, e))({ _ =>
           Pipeline.familyDigest(Similarity.knnGraphExact(bCur, k = 5)
             .select("vec_id", "rnk", "neighbor_id", "cos_sim"))
         })

@@ -128,11 +128,16 @@ object Multimodal {
               Frame(docId, f, from, Det.droundD(mean, 2), crc)
             }
           case None =>
-            val n = math.max(1, (bytes.length + frameBytes - 1) / frameBytes)
+            // ⌈len/frameBytes⌉ frames — ZERO for an empty payload,
+            // matching the m02 oracle's (n+63)//64 arithmetic (r15
+            // advice: the old one-frame minimum would have AIOOBE'd on
+            // an empty payload and diverged from the oracle; the
+            // planted corpus is non-empty, so dumps are unchanged)
+            val n = (bytes.length + frameBytes - 1) / frameBytes
             (0 until n).iterator.map { f =>
               val from = f * frameBytes
               val until = math.min(bytes.length, from + frameBytes)
-              val (feat, crc) = decodeWindow(bytes, from, math.max(until, from + 1))
+              val (feat, crc) = decodeWindow(bytes, from, until)
               Frame(docId, f, from, Det.droundD(feat, 2), crc)
             }
         }
@@ -403,7 +408,7 @@ object Multimodal {
     * pass runs once, every later invocation (m12, st24) reads the
     * parquet back. */
   private def m12BaseDir(spark: SparkSession, dir: String): String =
-    m12BaseDirs.computeIfAbsent(dir, { _ =>
+    graft.core.FixtureClock.memo(m12BaseDirs, dir)({ _ =>
       import spark.implicits._
       val p = graft.core.TempDirs.create("graft-m12")
         .resolve("ahash").toString
@@ -546,7 +551,7 @@ object Multimodal {
             opCol = "op")
           .select("doc_id", "ahash")
         val got = Pipeline.familyDigest(hashGroups(live))
-        val rebuiltDigest = m13RebuildDigests.computeIfAbsent((dir, e), { _ =>
+        val rebuiltDigest = graft.core.FixtureClock.memo(m13RebuildDigests, (dir, e))({ _ =>
           Pipeline.familyDigest(hashGroups(imageHashes(
             syntheticImagesKeyed(m13KeysAt(ids, e)))))
         })

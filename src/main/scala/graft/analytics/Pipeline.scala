@@ -302,8 +302,10 @@ object Pipeline {
     stages.unionByName(packed).orderBy("stage")
   }
 
-  /** Share of each cluster kept in the p06 coreset (denominator). */
-  private val CoresetFraction = 10L
+  /** Share of each cluster kept in the p06 coreset (denominator);
+    * graft-visible so Verify's p06 parity invariant derives its quota
+    * from the same constant. */
+  private[graft] val CoresetFraction = 10L
 
   /** p06 gate: centrality-guided coreset selection — the SemDeDup/
     * D4-style "keep the representative core of every region" step:
@@ -357,7 +359,7 @@ object Pipeline {
     * stored once per (JVM, sf dir) — the cached artifact an
     * incremental pipeline holds between runs. */
   private def ensureQualityScoresA(spark: SparkSession, dir: String): String =
-    qualityScoreDirs.computeIfAbsent(dir, { _ =>
+    graft.core.FixtureClock.memo(qualityScoreDirs, dir)({ _ =>
       val out = graft.core.TempDirs
         .create("graft-quality-scores").toString + "/scores"
       Tables.documents(spark, dir)
@@ -455,7 +457,7 @@ object Pipeline {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[analytics] def p11BaselineLayout(spark: SparkSession, dir: String): String =
-    p11BaseDirs.computeIfAbsent(dir, { _ =>
+    graft.core.FixtureClock.memo(p11BaseDirs, dir)({ _ =>
       val p = graft.core.TempDirs.create("graft-p11-base")
         .resolve("index").toString
       val (cents, books) = p11Codebooks(spark, dir)
@@ -471,7 +473,7 @@ object Pipeline {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[analytics] def p08BaselineLayout(spark: SparkSession, dir: String): String =
-    p08BaseDirs.computeIfAbsent(dir, { _ =>
+    graft.core.FixtureClock.memo(p08BaseDirs, dir)({ _ =>
       val p = graft.core.TempDirs.create("graft-p08-base")
         .resolve("index").toString
       Similarity.writeIvfLayout(p08Normalized(Tables.documents(spark, dir)), p,
@@ -493,7 +495,7 @@ object Pipeline {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private[analytics] def p10BaselineLayout(spark: SparkSession, dir: String): String =
-    p10BaseDirs.computeIfAbsent(dir, { _ =>
+    graft.core.FixtureClock.memo(p10BaseDirs, dir)({ _ =>
       val p = graft.core.TempDirs.create("graft-p10-base")
         .resolve("postings").toString
       TextOps.writePostingsLayout(spark, Tables.documents(spark, dir), p)
@@ -808,7 +810,7 @@ object Pipeline {
 
   private[analytics] def p13SnapshotAt(spark: SparkSession, dir: String,
                                        e: Int): DataFrame =
-    spark.read.parquet(p13SnapshotDirs.computeIfAbsent((dir, e), { _ =>
+    spark.read.parquet(graft.core.FixtureClock.memo(p13SnapshotDirs, (dir, e))({ _ =>
       val p = graft.core.TempDirs.create(s"graft-p13-snap$e").toString + "/snap"
       p13SnapshotText(Tables.documents(spark, dir), e)
         .write.mode("overwrite").parquet(p)
@@ -936,7 +938,7 @@ object Pipeline {
         // nothing (r14 item 5's probe fold)
         val got = familyDigest(
           Similarity.ivfPqStoredTopKWith(cents, books, spark, out, queries, k = 10))
-        val rebuiltDigest = p14RebuildDigests.computeIfAbsent((dir, e), { _ =>
+        val rebuiltDigest = graft.core.FixtureClock.memo(p14RebuildDigests, (dir, e))({ _ =>
           graft.core.TempDirs.scoped("graft-p14-rebuild") { r2 =>
             val ro = r2.resolve("index").toString
             Similarity.writeIvfPqLayoutWith(cents, books,
@@ -1005,7 +1007,7 @@ object Pipeline {
         if (compacted) Similarity.compactIvfCorpusGenScoped(spark, out)
         val got = familyDigest(Similarity.ivfStoredTopKWith(cents, spark, out,
           queries, k = 10, genScoped = true))
-        val rebuiltDigest = p15RebuildDigests.computeIfAbsent((dir, e), { _ =>
+        val rebuiltDigest = graft.core.FixtureClock.memo(p15RebuildDigests, (dir, e))({ _ =>
           graft.core.TempDirs.scoped("graft-p15-rebuild") { r2 =>
             val ro = r2.resolve("index").toString
             Similarity.writeIvfLayoutWith(cents,

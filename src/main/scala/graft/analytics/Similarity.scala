@@ -779,7 +779,7 @@ object Similarity {
   private val kmeansCache = new java.util.concurrent.ConcurrentHashMap[
     (String, Int, Int), Array[(Int, Array[Double])]]()
 
-  private[analytics] def kmeansFitDir(spark: SparkSession, dir: String,
+  private[graft] def kmeansFitDir(spark: SparkSession, dir: String,
                                       k: Int = 16, iters: Int = 5)
       : (DataFrame, Array[(Int, Array[Double])]) = {
     val cents = kmeansCache.computeIfAbsent((dir, k, iters), { _ =>
@@ -842,6 +842,10 @@ object Similarity {
     centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$out/_codebook")
+    // opt into the O(1) row-count sidecar (one footer count of the
+    // freshly-written layout; maintained by arithmetic from here)
+    graft.core.SegmentedIndex.writeRowCount(out,
+      spark2.read.parquet(out).count())
     centroids
   }
 
@@ -887,13 +891,26 @@ object Similarity {
   private val adhocAppendGen =
     new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Width of each pid's disjoint candidate range — crossing it would
+    * land in another pid's range, where the check-and-bump CAN race a
+    * live writer; exhaustion is therefore a loud failure, not a
+    * silent unsafety (r15 advice). 10M ad-hoc draws per process is
+    * ~300/s for a year. */
+  private val AdhocGenRangeWidth = 10000000L
   private val adhocGenBase: Long =
-    1000000000L + ProcessHandle.current().pid() * 10000000L
+    1000000000L + ProcessHandle.current().pid() * AdhocGenRangeWidth
 
   private[analytics] def nextAdhocGen(out: String): Long = {
-    var g = adhocGenBase + adhocAppendGen.getAndIncrement()
-    while (graft.core.SegmentedIndex.generationPublished(out, g))
-      g = adhocGenBase + adhocAppendGen.getAndIncrement()
+    def draw(): Long = {
+      val i = adhocAppendGen.getAndIncrement()
+      require(i < AdhocGenRangeWidth,
+        s"ad-hoc generation range exhausted for pid ${ProcessHandle.current().pid()}: " +
+          s"$i draws ≥ range width $AdhocGenRangeWidth — the next draw would cross " +
+          "into another process's range and could race a live writer")
+      adhocGenBase + i
+    }
+    var g = draw()
+    while (graft.core.SegmentedIndex.generationPublished(out, g)) g = draw()
     g
   }
 
@@ -940,7 +957,7 @@ object Similarity {
         s"[${missing.mkString(", ")}] the batch does not provide — appended " +
         "rows would read back with null metadata and filtered probes would " +
         "silently drop them")
-    graft.core.SegmentedIndex.publishGeneration(out, genPub) { stage =>
+    graft.core.SegmentedIndex.publishGeneration(vecs.sparkSession, out, genPub) { stage =>
       vecs
         .select(col("vec_id") +: as_double_array(col("embedding")).as("v") +:
           meta.map(col): _*)
@@ -1016,7 +1033,7 @@ object Similarity {
     * gen-scoped tombstone (`upto_gen ≥ 0`) covers compacted rows
     * exactly as it covered their pre-compaction originals. */
   def compactIvfCorpusGenScoped(spark: SparkSession, out: String): Unit =
-    graft.core.SegmentedIndex.compactWith(out) { tmp =>
+    graft.core.SegmentedIndex.compactWith(spark, out) { tmp =>
       graft.core.SegmentedIndex.live(spark,
           withFileGen(spark.read.parquet(out)), out,
           keyCol = "vec_id", genCol = Some("gen"))
@@ -1039,6 +1056,8 @@ object Similarity {
     cents.toSeq.map { case (c, v) => (c, v.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$out/_codebook")
+    graft.core.SegmentedIndex.writeRowCount(out,
+      spark2.read.parquet(out).count())
   }
 
   /** The codebook persisted by [[writeIvfCorpus]] — K rows, one
@@ -1250,6 +1269,8 @@ object Similarity {
       yield (m, cell, books(m)(cell).toSeq))
       .toDF("m", "cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$out/_pq_codebooks")
+    graft.core.SegmentedIndex.writeRowCount(out,
+      spark2.read.parquet(out).count())
   }
 
   /** The nibble-packed PQ code of `v` under `books`: m-th 4-bit code
@@ -1323,13 +1344,13 @@ object Similarity {
     // batch replaces its own prior code AND refine rows instead of
     // duplicating them
     try {
-      graft.core.SegmentedIndex.publishGeneration(out, genPub) { stage =>
+      graft.core.SegmentedIndex.publishGeneration(vecs.sparkSession, out, genPub) { stage =>
         assigned.select(col("vec_id"), col("norm"), col("cell"), pqCodeCol(books))
           .withColumn("gen", lit(genPub))
           .repartition(col("cell"))
           .write.mode("overwrite").partitionBy("cell").parquet(stage)
       }
-      graft.core.SegmentedIndex.publishGeneration(s"$out/_refine", genPub) { stage =>
+      graft.core.SegmentedIndex.publishGeneration(vecs.sparkSession, s"$out/_refine", genPub) { stage =>
         assigned.select(col("vec_id"), col("v"), col("norm"), col("cell"))
           .withColumn("gen", lit(genPub))
           .repartition(col("cell"))
@@ -1345,7 +1366,7 @@ object Similarity {
     * cell each, carry the two codebooks, clear the tombstones, publish
     * with the shared two-rename swap. */
   def compactIvfPqCorpus(spark: SparkSession, out: String): Unit =
-    graft.core.SegmentedIndex.compactWith(out, skipSidecars = Set("_refine")) { tmp =>
+    graft.core.SegmentedIndex.compactWith(spark, out, skipSidecars = Set("_refine")) { tmp =>
       def liveOf(path: String) = graft.core.SegmentedIndex.live(spark,
         spark.read.parquet(path), out, keyCol = "vec_id", genCol = Some("gen"))
       liveOf(out).repartition(col("cell"))
@@ -1474,7 +1495,7 @@ object Similarity {
     // compaction APPLIES tombstones (the live view) and rewrites
     // cell-partitioned; sidecar carry + tombstone clearing + the
     // two-rename swap are the shared SegmentedIndex shell
-    graft.core.SegmentedIndex.compactWith(out) { tmp =>
+    graft.core.SegmentedIndex.compactWith(spark, out) { tmp =>
       graft.core.SegmentedIndex.live(spark, spark.read.parquet(out), out,
           keyCol = "vec_id", genCol = None)
         .repartition(col("cell"))

@@ -347,10 +347,22 @@ object StoreQueries {
     "av08_store_served_dedup" -> av08StoreServedDedup _,
   )
 
-  /** Store ops run on their own fixture assets → rows-only checks,
-    * EXCEPT av08: it round-trips the documents table through the
-    * store, so t06's oracle over the parquet fixture is also av08's
-    * oracle — hash equality proves the round trip content-lossless. */
+  /** Store-op oracles. av08 round-trips the documents table through
+    * the store, so t06's oracle over the parquet fixture is also
+    * av08's oracle — hash equality proves the round trip
+    * content-lossless.
+    *
+    * The OTHER av gates run on the golden fixture tree, which is a
+    * compile-time constant ([[buildFixture]]) — so their expected
+    * outputs are constants too, and each gets a GOLDEN-EXPECTED
+    * oracle: the fixture's expected catalog/read/copy results spelled
+    * out as SQL literals (the r15 verdict's "replay the expected
+    * entries in DuckDB"). These pin the full store contract —
+    * reverse-parsed uris and routes, PEP 440 version resolution,
+    * legacy-layout fallback, content-filter output bytes, refresh
+    * incrementality, the CDC drift rows, and the time-travel/vacuum
+    * read matrix — where a rows-only check pinned nothing but
+    * cardinality. A failure here names the exact divergent row. */
   val oracleSql: Map[String, String] = Map(
     "av08_store_served_dedup" ->
       """WITH f AS (SELECT source, doc_id,
@@ -360,5 +372,105 @@ object StoreQueries {
          SELECT f.source, count(*) AS n_unique, CAST(sum(s.dups - 1) AS BIGINT) AS n_removed
          FROM s JOIN f ON s.doc_id = f.doc_id
          GROUP BY f.source ORDER BY f.source""",
+    // the fixture tree's expected catalog: one row per asset,
+    // reverse-parsed uri + route + template args (cfg versions carry
+    // the fixture's pyaerocom_version; project-level assets have no
+    // experiment)
+    "av01_catalog_ingest" ->
+      """SELECT * FROM (VALUES
+           ('/v0/config/project/experiment-old?version=0.0.5', 'CONFIG', 'project', 'experiment-old'),
+           ('/v0/config/project/experiment?version=0.13.5', 'CONFIG', 'project', 'experiment'),
+           ('/v0/experiments/project?version=0.0.1', 'EXPERIMENTS', 'project', CAST(NULL AS VARCHAR)),
+           ('/v0/heatmap/project/experiment/daily?version=0.13.5', 'HEATMAP', 'project', 'experiment'),
+           ('/v0/map/project/experiment-old/AERONET/od550aer/Column/model/od550aer?version=0.0.5', 'MAP', 'project', 'experiment-old'),
+           ('/v0/map/project/experiment/AERONET/od550aer/Column/model/od550aer?time=2024&version=0.13.5', 'MAP', 'project', 'experiment'),
+           ('/v0/menu/project/experiment?version=0.13.5', 'MENU', 'project', 'experiment'),
+           ('/v0/model_style/project?version=0.0.1', 'MODELS_STYLE', 'project', CAST(NULL AS VARCHAR)),
+           ('/v0/ranges/project/experiment?version=0.13.5', 'RANGES', 'project', 'experiment'),
+           ('/v0/report/project/experiment/summary?version=0.13.5', 'REPORT', 'project', 'experiment'),
+           ('/v0/ts/project/experiment/loc/AERONET/od550aer/Column?version=0.13.5', 'TIMESERIES', 'project', 'experiment')
+         ) AS t(uri, route, project, experiment) ORDER BY uri""",
+    // per-route asset counts after the cross-backend copy (11 fixture
+    // assets over 9 routes; CONFIG and MAP carry both experiments)
+    "av02_copy_etl" ->
+      """SELECT * FROM (VALUES
+           ('CONFIG', CAST(2 AS INTEGER)), ('EXPERIMENTS', CAST(1 AS INTEGER)),
+           ('HEATMAP', CAST(1 AS INTEGER)), ('MAP', CAST(2 AS INTEGER)),
+           ('MENU', CAST(1 AS INTEGER)), ('MODELS_STYLE', CAST(1 AS INTEGER)),
+           ('RANGES', CAST(1 AS INTEGER)), ('REPORT', CAST(1 AS INTEGER)),
+           ('TIMESERIES', CAST(1 AS INTEGER))
+         ) AS t(route, n_assets) ORDER BY route""",
+    // the content filters' exact output bytes: heatmap shell preserved
+    // down the region/time path, map filtered to the requested
+    // frequency+season, legacy layout returned verbatim
+    "av03_filtered_reads" ->
+      """SELECT * FROM (VALUES
+           ('heatmap_filtered', '{"od550aer":{"AERONET":{"Column":{"model":{"od550aer":{"Europe":{"2024":{"nmb":0.1}}}}}}}}'),
+           ('map_filtered', '[{"station_name":"s","latitude":0.0,"longitude":0.0,"Monthly":{"DJF":{"nmb":1.0}}}]'),
+           ('map_legacy_layout', '[{"old": true}]')
+         ) AS t(op, result) ORDER BY op""",
+    // bulk import: all 11 fixture assets land (version kwargs are the
+    // json layout's physical detail — the table backend lists logical
+    // uris), n_imported = 11 on every row
+    "av04_bulk_import" ->
+      """SELECT * FROM (VALUES
+           ('/v0/config/project/experiment'),
+           ('/v0/config/project/experiment-old'),
+           ('/v0/experiments/project'),
+           ('/v0/heatmap/project/experiment/daily'),
+           ('/v0/map/project/experiment-old/AERONET/od550aer/Column/model/od550aer'),
+           ('/v0/map/project/experiment/AERONET/od550aer/Column/model/od550aer?time=2024'),
+           ('/v0/menu/project/experiment'),
+           ('/v0/model_style/project'),
+           ('/v0/ranges/project/experiment'),
+           ('/v0/report/project/experiment/summary'),
+           ('/v0/ts/project/experiment/loc/AERONET/od550aer/Column')
+         ) AS t(uri) CROSS JOIN (SELECT CAST(11 AS BIGINT) AS n_imported) ORDER BY uri""",
+    // refresh incrementality: 11 initial assets, EXACTLY 2 files
+    // re-parsed (the added + the same-size-mtime-touched one), net
+    // count unchanged (one added, one deleted), refresh ≡ re-ingest
+    "av05_catalog_refresh" ->
+      """SELECT * FROM (VALUES
+           ('a_initial_assets', CAST(11 AS BIGINT)),
+           ('b_files_reparsed_on_refresh', CAST(2 AS BIGINT)),
+           ('c_refreshed_assets', CAST(11 AS BIGINT)),
+           ('d_added_asset_present', CAST(1 AS BIGINT)),
+           ('e_deleted_asset_gone', CAST(1 AS BIGINT)),
+           ('f_refresh_equals_reingest', CAST(1 AS BIGINT))
+         ) AS t(op, value) ORDER BY op""",
+    // the three planted divergences, exactly (sorted logical uris:
+    // index 0 overwritten in the replica, 1 deleted from it, 2
+    // removed from the source so the replica's copy reads as added)
+    "av06_store_drift" ->
+      """SELECT * FROM (VALUES
+           ('/v0/config/project/experiment', 'changed'),
+           ('/v0/config/project/experiment-old', 'deleted'),
+           ('/v0/experiments/project', 'added')
+         ) AS t(uri, change_type) ORDER BY uri""",
+    // the time-travel read matrix: at the marker e1 reads gen 1 and
+    // e2 exists; currently e1 reads gen 2 and e2 is deleted while e3
+    // arrived (2 assets both ways: {e1,e2} then {e1,e3})
+    "av07_time_travel" ->
+      """SELECT * FROM (VALUES
+           ('asof_e1', '{"gen": 1}'),
+           ('asof_e2_present', 'true'),
+           ('asof_n_assets', '2'),
+           ('current_e1', '{"gen": 2}'),
+           ('current_e2_present', 'false'),
+           ('current_n_assets', '2')
+         ) AS t(op, value) ORDER BY op""",
+    // retention vacuum: marker reads (e1=gen2, e2 deleted, 2 assets)
+    // and current reads (e1=gen4) identical before/after the vacuum,
+    // log strictly smaller
+    "av09_retention_vacuum" ->
+      """SELECT * FROM (VALUES
+           ('a_asof_e1', '{"gen": 2}'),
+           ('b_asof_e2_present', 'false'),
+           ('c_asof_n_assets', '2'),
+           ('d_current_e1', '{"gen": 4}'),
+           ('e_current_n_assets', '2'),
+           ('f_reads_unchanged_by_vacuum', 'true'),
+           ('g_log_shrunk', 'true')
+         ) AS t(op, value) ORDER BY op""",
   )
 }

@@ -229,6 +229,47 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("first_vec"))
   }
 
+  /** st09's batch twin: the full corpus assigned in ONE batch query
+    * under the same static-fit centroids ([[Similarity.ivfCentroids]]
+    * is memoized per dir, so the codebook is bit-identical to the
+    * stream's) — Verify pins `st09_eq_batch` (per-row stateless
+    * assignment + commutative count/min aggregates cannot depend on
+    * arrival slicing). */
+  private[graft] def st09BatchTwin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val centroids = Similarity.ivfCentroids(spark, dir)
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), as_double_array(col("embedding")).as("v"))
+      .withColumn("norm", array_norm(col("v")))
+      .withColumn("cell", Similarity.cellOf(centroids, col("v"), col("norm")))
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("first_vec"))
+  }
+
+  /** st13's batch twin: the full corpus assigned one-shot under a base
+    * codebook fit the same way as the gate's (even half, same k/iters
+    * — the fit is deterministic, so the codebooks agree across
+    * independent builds). Verify pins `st13_eq_batch`: the streamed
+    * grow-the-layout loop, whatever its microbatch slicing and
+    * compaction cadence, must land the exact per-cell occupancy of the
+    * one-shot assignment. The same parity is spec-pinned at sf0.001
+    * with trickle drives (StreamVecAppendSpec); the Verify invariant
+    * re-proves it against the sf0.01 dump every round. */
+  private[graft] def st13BatchTwin(spark: SparkSession, dir: String): DataFrame =
+    graft.core.TempDirs.scoped("graft-st13-twin") { tmp =>
+      val base = tmp.resolve("base").toString
+      val all = Dedup.normalizedVectors(spark, dir)
+      Similarity.writeIvfLayout(all.filter(col("vec_id") % 2 === 0), base,
+        k = 16, iters = 10)
+      val cents = Similarity.readIvfCodebook(spark, base)
+      // cents is a collected array — nothing below reads the scoped
+      // layout, but the aggregate is materialized before return anyway
+      all.withColumn("cell", Similarity.cellOf(cents, col("v"), col("norm")))
+        .groupBy(col("cell").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("first_vec"))
+        .localCheckpoint(true)
+    }
+
   /** Streaming mixture sampler — t16's fair-share re-balancing
     * applied as documents ARRIVE: the per-language rates fit on the
     * STATIC corpus before the stream starts (a |languages|-row table,
@@ -678,7 +719,7 @@ object StreamingQueries {
     // not the operation under test — stage it once per (JVM, dir)
     // like the other shared artifacts; the STORE stays per-invocation
     // (each drive must ingest into a fresh one)
-    val srcDir = st22FixtureDirs.computeIfAbsent(dir, { _ =>
+    val srcDir = graft.core.FixtureClock.memo(st22FixtureDirs, dir)({ _ =>
       val p = graft.core.TempDirs.create("graft-st22-fixture")
       Tables.events(spark, dir).repartitionByRange(4, col("ts"))
         .write.parquet(p.resolve("events.parquet").toString)
@@ -872,6 +913,13 @@ object StreamingQueries {
     graft.core.DirSwap.copyTree(
       java.nio.file.Paths.get(Similarity.knnEdgesPath(spark, dir)),
       tmp.resolve("edges/gen=0"))
+    // opt both stores into the O(1) row-count sidecar (footer counts
+    // of the just-copied seed segments; appends/compactions maintain
+    // the number from here by arithmetic)
+    graft.core.SegmentedIndex.writeRowCount(corpusStore,
+      spark.read.parquet(s"$corpusStore/gen=0").count())
+    graft.core.SegmentedIndex.writeRowCount(edgeStore,
+      spark.read.parquet(s"$edgeStore/gen=0").count())
     // the codebook is a train-once artifact: the admission prune keeps
     // its exactness whatever corpus the per-application cell profile
     // (δ_c, min kth) is measured over
@@ -959,7 +1007,7 @@ object StreamingQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def st26CorpusSeed(spark: SparkSession, dir: String): String =
-    st26SeedDirs.computeIfAbsent(dir, { _ =>
+    graft.core.FixtureClock.memo(st26SeedDirs, dir)({ _ =>
       val p = graft.core.TempDirs.create("graft-st26-seed")
         .resolve("corpus").toString
       Dedup.normalizedVectors(spark, dir)

@@ -227,6 +227,8 @@ object TextOps {
     spark.read.schema(postingsSchema).parquet(out)
       .groupBy("term").agg(count(lit(1)).as("df"))
       .coalesce(1).write.mode("overwrite").parquet(out + "/_df")
+    graft.core.SegmentedIndex.writeRowCount(out,
+      spark.read.schema(postingsSchema).parquet(out).count())
   }
 
   // ---- postings index maintenance (the IVF-corpus lifecycle applied
@@ -316,7 +318,7 @@ object TextOps {
     * duplicating it. */
   private[analytics] def appendPostings(docs: DataFrame, out: String,
                                         gen: Long = 1L): Unit =
-    graft.core.SegmentedIndex.publishGeneration(out, gen) { stage =>
+    graft.core.SegmentedIndex.publishGeneration(docs.sparkSession, out, gen) { stage =>
       postingsOf(docs).withColumn("gen", lit(gen)).repartition(col("term"))
         .write.mode("overwrite").parquet(stage)
     }
@@ -342,7 +344,10 @@ object TextOps {
         spark.read.schema(postingsSchema).parquet(out), out,
         keyCol = "doc_id", genCol = Some("gen"))
     else {
-      val total = spark.read.schema(postingsSchema).parquet(out).count()
+      // denominator from the maintained `_rowcount` sidecar when the
+      // layout tracks one (O(1), no listing); footer count otherwise
+      val total = graft.core.SegmentedIndex.readRowCount(out).getOrElse(
+        spark.read.schema(postingsSchema).parquet(out).count())
       if (total == 0L) 0.0
       else {
         val liveRows = readDfSidecar(spark, out)
@@ -362,7 +367,7 @@ object TextOps {
     * ([[graft.core.DirSwap]]) — the TableStore/IVF discipline;
     * single-maintainer, like both. */
   private[analytics] def compactPostings(spark: SparkSession, out: String): Unit =
-    graft.core.SegmentedIndex.compactWith(out,
+    graft.core.SegmentedIndex.compactWith(spark, out,
         skipSidecars = Set("_df", "_df_deltas")) { tmp =>
       postingsLive(spark, out).repartition(col("term"))
         .write.mode("overwrite").parquet(tmp)

@@ -35,6 +35,47 @@ import org.apache.spark.sql.functions._
   * never run concurrently with each other. */
 object SegmentedIndex {
 
+  // ---- O(1) row-count sidecar (the policy denominator) ----
+  //
+  // `_rowcount/total`: one tiny file holding the layout's stored row
+  // count, maintained by the same single maintainer that sequences
+  // append/tombstone/compact — m13's in-process maintainer arithmetic,
+  // persisted (the r15 verdict item 5). With it, the compaction
+  // policy's covered-fraction measurement reads NO layout metadata at
+  // all: numerator from the diff-bounded tombstone sidecar,
+  // denominator from this file — where the footer-only raw.count()
+  // it replaces still pays a full file LISTING, a metadata storm at
+  // millions of files. Opt-in: layouts written without the sidecar
+  // keep the footer-count fallback; MaintainedStoreEstimateSpec pins
+  // the sidecar equal to the footer count through every lifecycle op.
+
+  private def rowCountPath(out: String) = Paths.get(out, "_rowcount", "total")
+
+  /** The layout's maintained row count, or None when the layout does
+    * not track one. */
+  def readRowCount(out: String): Option[Long] = {
+    val p = rowCountPath(out)
+    if (!Files.isRegularFile(p)) None
+    else Some(Files.readString(p).trim.toLong)
+  }
+
+  /** (Re)write the maintained row count — crash-safe tmp+move; the
+    * single-maintainer contract serializes writers. */
+  def writeRowCount(out: String, n: Long): Unit = {
+    val p = rowCountPath(out)
+    Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling("total.tmp")
+    Files.writeString(tmp, n.toString)
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Adjust the maintained count by `delta` — a no-op for layouts that
+    * do not track one (never invents a count: a partial total would
+    * mis-steer the policy). */
+  def bumpRowCount(out: String, delta: Long): Unit =
+    readRowCount(out).foreach(n => writeRowCount(out, n + delta))
+
   /** Tombstone `keys` under `keyCol` (explicit — [[live]] later joins
     * on the same name, and a positional guess would silently tombstone
     * the wrong column of a multi-column frame) in the layout at `out`.
@@ -114,8 +155,19 @@ object SegmentedIndex {
     * is exactly the [[live]] `genCol`; Spark's file listing skips the
     * underscore sidecars. The frame must not itself carry a `gen`
     * column. */
-  def appendSegment(rows: DataFrame, out: String, gen: Long): Unit =
-    rows.write.mode("overwrite").parquet(s"$out/gen=$gen")
+  def appendSegment(rows: DataFrame, out: String, gen: Long): Unit = {
+    val seg = s"$out/gen=$gen"
+    val tracked = readRowCount(out).isDefined
+    // replay accounting: an at-least-once maintainer overwriting its
+    // own prior attempt must not double-count — charge the DELTA
+    // against whatever this segment held before (footer-only counts,
+    // segment-bounded)
+    val prior = if (tracked && Files.isDirectory(Paths.get(seg)))
+      rows.sparkSession.read.parquet(seg).count() else 0L
+    rows.write.mode("overwrite").parquet(seg)
+    if (tracked)
+      bumpRowCount(out, rows.sparkSession.read.parquet(seg).count() - prior)
+  }
 
   /** Per-generation OVERWRITE append for layouts whose generation
     * cannot be a `gen=<g>` partition directory — the postings layout
@@ -138,27 +190,44 @@ object SegmentedIndex {
     * layout lifetime except when replaying (the stream's
     * batchId-derived convention). Single-maintainer, like every
     * layout op here. */
-  def publishGeneration(out: String, gen: Long)(stageWrite: String => Unit): Unit = {
+  def publishGeneration(spark: => SparkSession, out: String, gen: Long)
+                       (stageWrite: String => Unit): Unit = {
+    // `spark` is BY-NAME: evaluated only when the layout tracks a row
+    // count (the footer counts below) — un-tracked layouts keep this
+    // pure file I/O, callable without a session
     val root = Paths.get(out)
     val stage = root.resolve(s"_stage_gen$gen")
     DirSwap.deleteTree(stage)
     stageWrite(stage.toString)
     val prefix = s"gen$gen-"
+    val tracked = readRowCount(out).isDefined
+    // footer-only row count of an explicit file list (never a layout
+    // listing) — batch-bounded, only paid when the layout tracks its
+    // row count
+    def fcount(files: Seq[java.nio.file.Path]): Long =
+      if (files.isEmpty) 0L
+      else spark.read.parquet(files.map(_.toString): _*).count()
     // sweep a prior attempt's published files for this generation
-    // (data dirs only: underscore sidecars are never gen-published)
-    def sweep(dir: java.nio.file.Path): Unit =
+    // (data dirs only: underscore sidecars are never gen-published);
+    // for replay accounting the swept rows are counted BEFORE deletion
+    val sweptB = Seq.newBuilder[java.nio.file.Path]
+    def collectSwept(dir: java.nio.file.Path): Unit =
       Using.resource(Files.list(dir)) { s =>
         s.iterator().asScala.toList.foreach { p =>
           val n = p.getFileName.toString
           if (Files.isDirectory(p)) {
-            if (!n.startsWith("_") && !n.startsWith(".")) sweep(p)
-          } else if (n.startsWith(prefix)) Files.delete(p)
+            if (!n.startsWith("_") && !n.startsWith(".")) collectSwept(p)
+          } else if (n.startsWith(prefix)) sweptB += p
         }
       }
-    sweep(root)
+    collectSwept(root)
+    val swept = sweptB.result()
+    val priorRows = if (tracked) fcount(swept) else 0L
+    swept.foreach(Files.delete)
     // move the staged data files in under the generation prefix,
     // mirroring partition dirs (cell=N/...); marker files stay behind
     // and vanish with the stage
+    val publishedB = Seq.newBuilder[java.nio.file.Path]
     def publish(dir: java.nio.file.Path): Unit =
       Using.resource(Files.list(dir)) { s =>
         s.iterator().asScala.toList.foreach { p =>
@@ -170,13 +239,16 @@ object SegmentedIndex {
             } else {
               val rel = stage.relativize(p.getParent).toString
               val tgtDir = if (rel.isEmpty) root else root.resolve(rel)
-              Files.move(p, tgtDir.resolve(prefix + n))
+              val tgt = tgtDir.resolve(prefix + n)
+              Files.move(p, tgt)
+              publishedB += tgt
             }
           }
         }
       }
     publish(stage)
     DirSwap.deleteTree(stage)
+    if (tracked) bumpRowCount(out, fcount(publishedB.result()) - priorRows)
   }
 
   /** Whether any published file of generation `gen` exists in the
@@ -222,7 +294,15 @@ object SegmentedIndex {
   def tombstoneInstances(spark: SparkSession, out: String,
                          genScoped: Boolean): Long =
     if (!Files.isDirectory(Paths.get(out, "_tombstones"))) 0L
-    else spark.read.parquet(s"$out/_tombstones").distinct().count()
+    else {
+      // explicit column selection per schema (r15 advice: a blanket
+      // distinct() happened to work for both sidecar shapes, leaving
+      // the parameter dead and the intent implicit)
+      val raw = spark.read.parquet(s"$out/_tombstones")
+      val keyed = if (genScoped) raw.select(col(raw.columns.head), col("upto_gen"))
+                  else raw.select(col(raw.columns.head))
+      keyed.distinct().count()
+    }
 
   /** METADATA-CHEAP covered-fraction estimate — what [[maybeCompact]]
     * reads instead of [[coveredFraction]]'s full-layout anti-join (at
@@ -250,9 +330,12 @@ object SegmentedIndex {
     val instances = tombstoneInstances(spark, out, genScoped)
     if (instances == 0L) 0.0
     else {
-      // count-star over parquet decodes no column data: per-file
-      // footer row counts only — the metadata-cheap half
-      val total = raw.count()
+      // denominator: the maintained `_rowcount` sidecar when the
+      // layout tracks one — O(1), no listing at all; otherwise a
+      // count-star over parquet (decodes no column data — per-file
+      // footer row counts only, but the file LISTING itself is a
+      // metadata walk a million-file layout shouldn't pay per epoch)
+      val total = readRowCount(out).getOrElse(raw.count())
       if (total == 0L) 0.0
       else math.min(1.0, instances * rowsPerInstance / total)
     }
@@ -280,25 +363,32 @@ object SegmentedIndex {
     val frac = coveredFractionEstimate(spark, raw, out,
       genScoped = genCol.isDefined, rowsPerInstance = rowsPerInstance)
     val due = frac > threshold
-    if (due) compactWith(out, skipSidecars)(writeRewrite)
+    if (due) compactWith(spark, out, skipSidecars)(writeRewrite)
     due
   }
 
   /** The compaction shell every owner shares: heal a crashed prior
     * swap, hand the caller the staging dir to write the rewrite into
     * (the owner chooses partitioning), carry every underscore sidecar
-    * EXCEPT the just-applied `_tombstones` verbatim, and publish with
-    * the two-rename swap. */
-  def compactWith(out: String, skipSidecars: Set[String] = Set.empty)
+    * EXCEPT the just-applied `_tombstones` (and the row-count sidecar
+    * — stale after the rewrite, refreshed below) verbatim, and
+    * publish with the two-rename swap. For a tracked layout the
+    * maintained count is re-based from the fresh rewrite's footers —
+    * a listing of exactly what was just written, proportionally free
+    * against the corpus-sized rewrite itself. */
+  def compactWith(spark: SparkSession, out: String,
+                  skipSidecars: Set[String] = Set.empty)
                  (writeRewrite: String => Unit): Unit = {
+    val tracked = readRowCount(out).isDefined
     DirSwap.recover(out)
     val tmp = DirSwap.compactingPath(out)
     writeRewrite(tmp.toString)
     // `_tombstones` is always skipped (just applied — the epoch
-    // boundary); `skipSidecars` names sidecars the owner rewrote
-    // itself inside writeRewrite (e.g. a refine sidecar that must also
-    // drop tombstoned rows instead of copying verbatim)
-    val skip = skipSidecars + "_tombstones"
+    // boundary), `_rowcount` too (rewritten fresh below);
+    // `skipSidecars` names sidecars the owner rewrote itself inside
+    // writeRewrite (e.g. a refine sidecar that must also drop
+    // tombstoned rows instead of copying verbatim)
+    val skip = skipSidecars + "_tombstones" + "_rowcount"
     Using.resource(Files.list(Paths.get(out))) { sides =>
       sides.iterator().asScala
         .filter(p => p.getFileName.toString.startsWith("_") && Files.isDirectory(p)
@@ -306,6 +396,10 @@ object SegmentedIndex {
         .foreach(side => DirSwap.copyTree(side, tmp.resolve(side.getFileName.toString)))
     }
     DirSwap.swapInto(out)
+    if (tracked) writeRowCount(out,
+      // a rewrite that compacted everything away has no readable
+      // parquet schema — that IS zero stored rows
+      try spark.read.parquet(out).count() catch { case _: Throwable => 0L })
   }
 
   /** Newest-generation-per-key resolution for APPEND-LOG indexes (the

@@ -65,6 +65,43 @@ class BenchFlagsSpec extends AnyFunSuite {
       "promotion must move exactly the repeating name")
   }
 
+  test("r15 history replay: the K=3 lookback names p12's every-other-run repeat") {
+    // the committed r15 driver/builder runs (bench_history.jsonl lines
+    // 1-5 at sf0.1; line 0 is the r14 driver run): p12 flagged in run
+    // 1 AND run 3 — non-adjacent, so the old previous-run-only rule
+    // never saw the repeat (the r15 verdict's finding 2). Replaying
+    // run 3 with the union of the prior three recorded runs' flags
+    // (Bench's widened lookback) must name p12 in promoted_repeats.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get("bench_history.jsonl")).asScala
+      .filter(_.trim.nonEmpty)
+      .map(mapper.readTree)
+      .filter(_.path("sf").asText() == "/root/testdata/sf0.1")
+      .toIndexedSeq
+    assume(lines.size >= 4, "needs the committed r15 history")
+    def flags(i: Int): Set[String] =
+      (lines(i).path("aging_violations").elements().asScala ++
+        lines(i).path("weather_flags").elements().asScala).map(_.asText()).toSet
+    // line 3 = the r15 run that re-flagged p12
+    val run = lines(3)
+    def m(field: String): Map[String, Double] =
+      run.get(field).properties().asScala
+        .map(e => e.getKey -> e.getValue.asDouble()).toMap
+    val names = m("queries").keys.toIndexedSeq.sorted
+    val lookback = flags(0) ++ flags(1) ++ flags(2)
+    assert(lookback.contains("p12_nightly_pipeline"),
+      "the committed history must carry p12's run-1 flag")
+    val p = BenchFlags.partition(names, names.map(m("queries")),
+      names.map(m("queries_warm1")), names.map(m("queries_warm2")), lookback)
+    assert(p.promoted.contains("p12_nightly_pipeline"),
+      s"the every-other-run flapper must be NAMED as a repeat: $p")
+    assert(p.aging.contains("p12_nightly_pipeline"))
+    // the run's genuinely-new isolated flags stay in aging untouched
+    Seq("g08_multi_epoch_knn", "q14_promo_share", "t19_source_overlap")
+      .foreach(n => assert(p.aging.contains(n), s"$n must stay in aging: $p"))
+  }
+
   test("window mechanics: elevated gates extend a window without counting toward its 3 slow members") {
     // five gates: slow, ELEVATED (bridges), slow, slow, clean
     val mins = IndexedSeq(1.0, 0.5, 1.0, 1.0, 1.0)

@@ -76,6 +76,119 @@ class MaintainedStoreEstimateSpec extends AnyFunSuite {
     assert(SegmentedIndex.tombstoneInstances(spark, out, genScoped = false) == 0L)
   }
 
+  test("tracked layout: _rowcount equals the footer count through append / replay / tombstone / compact") {
+    import spark.implicits._
+    val out = TempDirs.create("graft-est-tracked").resolve("edges").toString
+    def footer: Long = spark.read.parquet(out).count()
+    def sidecar: Long = SegmentedIndex.readRowCount(out)
+      .getOrElse(fail("layout lost its row-count sidecar"))
+    SegmentedIndex.appendSegment(
+      (1L to 10L).flatMap(i => Seq((i, "a"), (i, "b"))).toDF("id", "payload"),
+      out, gen = 0L)
+    SegmentedIndex.writeRowCount(out, footer) // opt in after the seed
+    // append: arithmetic, no listing
+    SegmentedIndex.appendSegment(
+      Seq((2L, "a1"), (2L, "b1"), (11L, "a1"), (11L, "b1")).toDF("id", "payload"),
+      out, gen = 1L)
+    assert(sidecar == footer, s"append drifted: $sidecar != $footer")
+    // REPLAY of generation 1 with different content: the overwrite's
+    // delta accounting must re-base, not double-count
+    SegmentedIndex.appendSegment(
+      Seq((2L, "a1"), (2L, "b1")).toDF("id", "payload"), out, gen = 1L)
+    assert(sidecar == footer, s"replayed append drifted: $sidecar != $footer")
+    // tombstones change NO stored rows
+    SegmentedIndex.tombstone(Seq(1L, 2L).toDF("id"), out, "id", uptoGen = Some(0L))
+    assert(sidecar == footer, s"tombstone moved the row count: $sidecar != $footer")
+    // the estimate (sidecar denominator) still equals the exact anti-join
+    val (e, g) = exactOf(out, 2)
+    assert(math.abs(e - g) < Tol, s"tracked estimate $g != exact $e")
+    // compaction re-bases the count from the fresh rewrite
+    val compacted = SegmentedIndex.maybeCompact(spark,
+      spark.read.parquet(out), out, keyCol = "id", genCol = Some("gen"),
+      threshold = 0.0, rowsPerInstance = 2.0) { tmp =>
+      SegmentedIndex.live(spark, spark.read.parquet(out), out,
+          keyCol = "id", genCol = Some("gen")).drop("gen")
+        .write.parquet(s"$tmp/gen=0")
+    }
+    assert(compacted, "the 0-threshold policy must fire")
+    assert(sidecar == footer, s"compaction drifted: $sidecar != $footer")
+  }
+
+  test("tracked layout via publishGeneration: published and replayed generations keep the count exact") {
+    import spark.implicits._
+    val out = TempDirs.create("graft-est-pub").resolve("corpus").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    SegmentedIndex.writeRowCount(out, 0L)
+    def footer: Long = spark.read.parquet(out).count()
+    def sidecar: Long = SegmentedIndex.readRowCount(out).get
+    SegmentedIndex.publishGeneration(spark, out, 1L) { stage =>
+      (1L to 6L).map(i => (i, s"v$i")).toDF("id", "payload")
+        .coalesce(1).write.parquet(stage)
+    }
+    assert(sidecar == 6L && sidecar == footer)
+    // replay with a narrower batch: sweep + re-publish re-bases
+    SegmentedIndex.publishGeneration(spark, out, 1L) { stage =>
+      (1L to 4L).map(i => (i, s"v$i")).toDF("id", "payload")
+        .coalesce(1).write.parquet(stage)
+    }
+    assert(sidecar == 4L && sidecar == footer,
+      s"replayed publish drifted: $sidecar != $footer")
+    SegmentedIndex.publishGeneration(spark, out, 2L) { stage =>
+      Seq((9L, "v9")).toDF("id", "payload").coalesce(1).write.parquet(stage)
+    }
+    assert(sidecar == 5L && sidecar == footer)
+  }
+
+  test("tracked policy path reads NO layout data: the estimate survives the data files vanishing") {
+    import spark.implicits._
+    // generic estimate: with a _rowcount sidecar the denominator is
+    // the maintained number and the numerator is the tombstone
+    // sidecar — the layout's data can be GONE and the measurement
+    // still answers (the r15 item 5 done-criterion: no layout listing
+    // in the policy path). raw is passed as null to prove it is
+    // never touched.
+    val out = TempDirs.create("graft-est-noscan").resolve("edges").toString
+    SegmentedIndex.appendSegment(
+      (1L to 10L).flatMap(i => Seq((i, "a"), (i, "b"))).toDF("id", "payload"),
+      out, gen = 0L)
+    SegmentedIndex.writeRowCount(out, 20L)
+    SegmentedIndex.tombstone((1L to 4L).toDF("id"), out, "id", uptoGen = Some(0L))
+    graft.core.DirSwap.deleteTree(java.nio.file.Paths.get(out, "gen=0"))
+    val est = SegmentedIndex.coveredFractionEstimate(spark, null, out,
+      genScoped = true, rowsPerInstance = 2.0)
+    assert(est == 8.0 / 20, s"no-scan estimate wrong: $est")
+  }
+
+  test("tracked postings policy path reads only sidecars: measurement survives the data files vanishing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha alpha delta"),
+      (3L, "beta beta beta epsilon")).toDF("doc_id", "text")
+    val out = TempDirs.create("graft-est-postings-noscan").resolve("postings").toString
+    TextOps.writePostingsLayout(spark, docs, out)
+    val before = TextOps.postingsCoveredFraction(spark, out)
+    assert(before == 0.0)
+    val dirty = Seq(1L).toDF("doc_id")
+    val removed = TextOps.postingsOf(docs.join(dirty, Seq("doc_id"), "left_semi"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    TextOps.deleteFromPostings(spark, out, dirty, uptoGen = 0L)
+    TextOps.updateDfSidecar(spark, out, removed,
+      removed.limit(0), gen = 1L)
+    val withData = TextOps.postingsCoveredFraction(spark, out)
+    // vanish the data files (keep every underscore sidecar): the
+    // sidecar-derived measurement must not notice
+    import scala.jdk.CollectionConverters._
+    scala.util.Using.resource(java.nio.file.Files.list(
+        java.nio.file.Paths.get(out))) { s =>
+      s.iterator().asScala.toList
+        .filterNot(_.getFileName.toString.startsWith("_"))
+        .foreach(graft.core.DirSwap.deleteTree)
+    }
+    val withoutData = TextOps.postingsCoveredFraction(spark, out)
+    assert(withData > 0.0 && withData == withoutData,
+      s"postings measurement touched the data files: $withData vs $withoutData")
+  }
+
   test("postings sidecar variant: estimate == exact anti-join under the maintainer discipline") {
     import spark.implicits._
     val docs = Seq(

@@ -563,6 +563,55 @@ class PlanSpec extends AnyFunSuite {
       s"pruned admission gained a cross product:\n$plan")
   }
 
+  test("segmented-store live view: the tombstone anti-join is broadcast, keyed on the store key") {
+    // the between-compactions read-amp story (g07/g08/p13/p14/p15/
+    // st26): tombstones are diff-bounded, so the live view's anti-join
+    // must BROADCAST them against the stored scan — a sort-merge here
+    // would shuffle the full layout just to subtract a diff
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val out = graft.core.TempDirs.create("graft-live-plan").resolve("edges").toString
+    graft.core.SegmentedIndex.appendSegment(
+      (1L to 50L).map(i => (i, i % 7)).toDF("id", "payload"), out, gen = 0L)
+    graft.core.SegmentedIndex.tombstone(Seq(1L, 2L, 3L).toDF("id"), out, "id",
+      uptoGen = Some(0L))
+    val plan = graft.core.SegmentedIndex.live(spark,
+        spark.read.parquet(out), out, keyCol = "id", genCol = Some("gen"))
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin \\[id".r.findFirstIn(plan).isDefined &&
+        plan.contains("LeftAnti"),
+      s"live view lost its broadcast anti-join on the key:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"tombstone subtraction shuffles the layout:\n$plan")
+  }
+
+  test("m13 newest-per-key resolution is ONE exchange + ONE window") {
+    // the append-log family's read path: resolveNewest must cost
+    // exactly one hash-partition exchange feeding one window — a
+    // second exchange (or a join) here multiplies every log read
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val log = graft.core.TempDirs.create("graft-resolve-plan").resolve("log").toString
+    (1L to 40L).map(i => (i % 10, i, if (i % 9 == 0) "rm" else "put", i * 31))
+      .toDF("doc_id", "gen", "op", "ahash").write.parquet(log)
+    val plan = graft.core.SegmentedIndex.resolveNewest(
+        spark.read.parquet(log), "doc_id", "gen", "op")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).length == 1,
+      s"newest-per-key resolution gained a shuffle:\n$plan")
+    assert("Window \\[".r.findAllIn(plan).length == 1,
+      s"expected exactly the one resolution window:\n$plan")
+    // and the rank-1 cut must pre-reduce MAP-SIDE (WindowGroupLimit
+    // Partial below the exchange): only each partition's newest row
+    // per key ships, never the whole log
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"resolution lost its map-side group-limit pre-reduction:\n$plan")
+    assert(!plan.toLowerCase.contains("join"),
+      s"resolution gained a join:\n$plan")
+  }
+
   test("m07 alignment is one scan + one equi join, no shuffle beyond agg-free sort") {
     val plan = Multimodal.m07ClipAlign(spark, dir)
       .queryExecution.executedPlan.toString
