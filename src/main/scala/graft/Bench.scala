@@ -204,7 +204,11 @@ object Bench {
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         val fixDt = (graft.core.FixtureClock.totalNanos - fix0) / 1e9
-        passFixtures(tag) = passFixtures.getOrElse(tag, 0.0) + fixDt
+        // successful queries only, like `total` below — an errored
+        // gate's whole duration is excluded from the pass total, so
+        // counting its fixture time would subtract it from OTHER
+        // gates' engine share and break the decomposition's additivity
+        if (ok) passFixtures(tag) = passFixtures.getOrElse(tag, 0.0) + fixDt
         // release the per-query cache so storage memory never leaks
         // across the run — BOTH the SQL cache and leftover
         // localCheckpoint RDD blocks (the iterative graph gates cut

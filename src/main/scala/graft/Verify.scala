@@ -656,25 +656,33 @@ object Verify {
               if (h <= 3) Some((i, j, h.toLong)) else None
             }
           }
+          // sorted on the gate's own key so the check never couples
+          // to parquet collect() row order
           val got = read("d03_simhash_pairs").collect()
             .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+            .sortBy(t => (t._1, t._2))
           got.nonEmpty && got == want
         },
         // d05: same convention for the winnowing tier — all-pairs
         // shared-fingerprint counts + overlap coefficients from the
-        // collected per-doc fingerprint sets (the df cap of 2000 can't
-        // bind at sf0.01's 500 docs, so the postings pipeline must
-        // equal the unconditional ground truth row for row)
+        // collected per-doc fingerprint sets. The gate's df cap
+        // (postings lists wider than MaxShingleDf are dropped) is
+        // REPLICATED here so the invariant stays exact at any corpus
+        // density, not just where the cap can't bind.
         inv("d05_pairs_complete_singlenode") {
           import graft.functions.WinnowFingerprints.winnow_fingerprints
           val fs = graft.analytics.Tables.documents(spark, sfDir)
             .select(col("doc_id"), winnow_fingerprints(col("text")).as("f"))
             .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet)).sortBy(_._1)
+          val df = fs.iterator.flatMap(_._2).toSeq.groupBy(identity)
+            .view.mapValues(_.size).toMap
+          val countable: Long => Boolean =
+            fp => df(fp) >= 2 && df(fp) <= graft.analytics.Dedup.MaxShingleDf
           val want = fs.indices.flatMap { a =>
             val (i, fi) = fs(a)
             (a + 1 until fs.length).flatMap { b =>
               val (j, fj) = fs(b)
-              val shared = fi.count(fj)
+              val shared = fi.count(fp => fj(fp) && countable(fp))
               if (shared >= 2)
                 Some((i, j, shared.toLong, graft.analytics.Det
                   .droundD(shared.toDouble / math.min(fi.size, fj.size), 4)))
@@ -683,6 +691,7 @@ object Verify {
           }
           val got = read("d05_winnow_pairs").collect()
             .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+            .sortBy(t => (t._1, t._2))
           got.nonEmpty && got == want
         },
         // p06: the coreset's quota arithmetic and per-cell top-rank
@@ -707,6 +716,7 @@ object Verify {
           val got = read("p06_coreset").collect()
             .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
               r.getDouble(3), r.getLong(4))).toSeq
+            .sortBy(t => (t._1, t._2))
           got.nonEmpty && got == want
         },
         // p02: the SemDeDup tier's pair stage + min-id union-find

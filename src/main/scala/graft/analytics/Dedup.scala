@@ -59,7 +59,7 @@ object Dedup {
     * over-reported — conservative for a ≥-threshold near-dup filter).
     * When exact values matter at scale, re-verify surviving pairs with
     * an exact set intersection as d02 does. */
-  private val MaxShingleDf = 2000
+  private[graft] val MaxShingleDf = 2000
 
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.2) via a
     * postings-list inverted index: ONE pass over the corpus builds

@@ -572,6 +572,13 @@ object Graph {
       graft.core.DirSwap.copyTree(
         java.nio.file.Paths.get(Similarity.knnEdgesPath(spark, dir)),
         root.resolve("gen=0"))
+      // re-opt into the O(1) row-count sidecar AFTER the reset (the
+      // deleteTree above wipes it with the store); the seed count is
+      // memoized — one driver-side footer walk per (JVM, dataset),
+      // not per invocation, and never a Spark job
+      graft.core.SegmentedIndex.writeRowCount(store,
+        g07SeedCounts.computeIfAbsent(dir, _ => graft.core.SegmentedIndex
+          .footerRowCountOf(java.nio.file.Paths.get(store, "gen=0"))))
       val gen = 1L
       val live = graft.core.SegmentedIndex.live(spark,
         spark.read.parquet(store), store,
@@ -611,10 +618,16 @@ object Graph {
       graft.core.DirSwap.copyTree(
         java.nio.file.Paths.get(Similarity.knnEdgesPath(spark, dir)),
         java.nio.file.Paths.get(store, "gen=0"))
-      graft.core.SegmentedIndex.writeRowCount(store,
-        spark.read.parquet(s"$store/gen=0").count())
+      // no _rowcount here: the gate's per-invocation reset wipes and
+      // re-seeds the store, writing the sidecar there (memoized count)
       store
     })
+
+  /** Footer row count of the memoized snapshot-A edge seed, counted
+    * once per (JVM, dataset) — g07's per-invocation reset re-writes
+    * the `_rowcount` sidecar from this instead of re-counting. */
+  private val g07SeedCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** The live view of the maintained artifact (what a post-diff
     * consumer sees: stored segments minus gen-scoped tombstones).
@@ -967,7 +980,8 @@ object Graph {
       // opt into the O(1) row-count sidecar: the policy's denominator
       // comes from maintainer arithmetic, never a layout listing
       graft.core.SegmentedIndex.writeRowCount(store,
-        spark.read.parquet(s"$store/gen=0").count())
+        graft.core.SegmentedIndex.footerRowCountOf(
+          java.nio.file.Paths.get(store, "gen=0")))
       val cents = Some(Similarity.ivfCentroids(spark, dir))
       def liveEdges = graft.core.SegmentedIndex.live(spark,
         spark.read.parquet(store), store,
@@ -1000,7 +1014,7 @@ object Graph {
           spark.read.parquet(store), store,
           genScoped = true, rowsPerInstance = Similarity.KnnEdgeK.toDouble)
         val compacted = covered > graft.core.SegmentedIndex.CompactThreshold
-        if (compacted) graft.core.SegmentedIndex.compactWith(spark, store) { stage =>
+        if (compacted) graft.core.SegmentedIndex.compactWith(store) { stage =>
           liveEdges.drop("gen").write.parquet(s"$stage/gen=$e")
         }
         val live = liveEdges.select("vec_id", "rnk", "neighbor_id", "cos_sim")

@@ -842,10 +842,11 @@ object Similarity {
     centroids.toSeq.map { case (c, v) => (c, v.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$out/_codebook")
-    // opt into the O(1) row-count sidecar (one footer count of the
-    // freshly-written layout; maintained by arithmetic from here)
+    // opt into the O(1) row-count sidecar (one driver-side footer
+    // walk of the freshly-written layout — no Spark job; maintained
+    // by arithmetic from here)
     graft.core.SegmentedIndex.writeRowCount(out,
-      spark2.read.parquet(out).count())
+      graft.core.SegmentedIndex.footerRowCountOf(java.nio.file.Paths.get(out)))
     centroids
   }
 
@@ -957,7 +958,7 @@ object Similarity {
         s"[${missing.mkString(", ")}] the batch does not provide — appended " +
         "rows would read back with null metadata and filtered probes would " +
         "silently drop them")
-    graft.core.SegmentedIndex.publishGeneration(vecs.sparkSession, out, genPub) { stage =>
+    graft.core.SegmentedIndex.publishGeneration(out, genPub) { stage =>
       vecs
         .select(col("vec_id") +: as_double_array(col("embedding")).as("v") +:
           meta.map(col): _*)
@@ -1033,7 +1034,7 @@ object Similarity {
     * gen-scoped tombstone (`upto_gen ≥ 0`) covers compacted rows
     * exactly as it covered their pre-compaction originals. */
   def compactIvfCorpusGenScoped(spark: SparkSession, out: String): Unit =
-    graft.core.SegmentedIndex.compactWith(spark, out) { tmp =>
+    graft.core.SegmentedIndex.compactWith(out) { tmp =>
       graft.core.SegmentedIndex.live(spark,
           withFileGen(spark.read.parquet(out)), out,
           keyCol = "vec_id", genCol = Some("gen"))
@@ -1057,7 +1058,7 @@ object Similarity {
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$out/_codebook")
     graft.core.SegmentedIndex.writeRowCount(out,
-      spark2.read.parquet(out).count())
+      graft.core.SegmentedIndex.footerRowCountOf(java.nio.file.Paths.get(out)))
   }
 
   /** The codebook persisted by [[writeIvfCorpus]] — K rows, one
@@ -1270,7 +1271,7 @@ object Similarity {
       .toDF("m", "cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$out/_pq_codebooks")
     graft.core.SegmentedIndex.writeRowCount(out,
-      spark2.read.parquet(out).count())
+      graft.core.SegmentedIndex.footerRowCountOf(java.nio.file.Paths.get(out)))
   }
 
   /** The nibble-packed PQ code of `v` under `books`: m-th 4-bit code
@@ -1344,13 +1345,13 @@ object Similarity {
     // batch replaces its own prior code AND refine rows instead of
     // duplicating them
     try {
-      graft.core.SegmentedIndex.publishGeneration(vecs.sparkSession, out, genPub) { stage =>
+      graft.core.SegmentedIndex.publishGeneration(out, genPub) { stage =>
         assigned.select(col("vec_id"), col("norm"), col("cell"), pqCodeCol(books))
           .withColumn("gen", lit(genPub))
           .repartition(col("cell"))
           .write.mode("overwrite").partitionBy("cell").parquet(stage)
       }
-      graft.core.SegmentedIndex.publishGeneration(vecs.sparkSession, s"$out/_refine", genPub) { stage =>
+      graft.core.SegmentedIndex.publishGeneration(s"$out/_refine", genPub) { stage =>
         assigned.select(col("vec_id"), col("v"), col("norm"), col("cell"))
           .withColumn("gen", lit(genPub))
           .repartition(col("cell"))
@@ -1366,7 +1367,7 @@ object Similarity {
     * cell each, carry the two codebooks, clear the tombstones, publish
     * with the shared two-rename swap. */
   def compactIvfPqCorpus(spark: SparkSession, out: String): Unit =
-    graft.core.SegmentedIndex.compactWith(spark, out, skipSidecars = Set("_refine")) { tmp =>
+    graft.core.SegmentedIndex.compactWith(out, skipSidecars = Set("_refine")) { tmp =>
       def liveOf(path: String) = graft.core.SegmentedIndex.live(spark,
         spark.read.parquet(path), out, keyCol = "vec_id", genCol = Some("gen"))
       liveOf(out).repartition(col("cell"))
@@ -1495,7 +1496,7 @@ object Similarity {
     // compaction APPLIES tombstones (the live view) and rewrites
     // cell-partitioned; sidecar carry + tombstone clearing + the
     // two-rename swap are the shared SegmentedIndex shell
-    graft.core.SegmentedIndex.compactWith(spark, out) { tmp =>
+    graft.core.SegmentedIndex.compactWith(out) { tmp =>
       graft.core.SegmentedIndex.live(spark, spark.read.parquet(out), out,
           keyCol = "vec_id", genCol = None)
         .repartition(col("cell"))

@@ -913,13 +913,15 @@ object StreamingQueries {
     graft.core.DirSwap.copyTree(
       java.nio.file.Paths.get(Similarity.knnEdgesPath(spark, dir)),
       tmp.resolve("edges/gen=0"))
-    // opt both stores into the O(1) row-count sidecar (footer counts
-    // of the just-copied seed segments; appends/compactions maintain
-    // the number from here by arithmetic)
+    // opt both stores into the O(1) row-count sidecar (driver-side
+    // footer counts of the just-copied seed segments — no Spark job;
+    // appends/compactions maintain the number from here by arithmetic)
     graft.core.SegmentedIndex.writeRowCount(corpusStore,
-      spark.read.parquet(s"$corpusStore/gen=0").count())
+      graft.core.SegmentedIndex.footerRowCountOf(
+        java.nio.file.Paths.get(corpusStore, "gen=0")))
     graft.core.SegmentedIndex.writeRowCount(edgeStore,
-      spark.read.parquet(s"$edgeStore/gen=0").count())
+      graft.core.SegmentedIndex.footerRowCountOf(
+        java.nio.file.Paths.get(edgeStore, "gen=0")))
     // the codebook is a train-once artifact: the admission prune keeps
     // its exactness whatever corpus the per-application cell profile
     // (δ_c, min kth) is measured over

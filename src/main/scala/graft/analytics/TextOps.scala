@@ -228,7 +228,7 @@ object TextOps {
       .groupBy("term").agg(count(lit(1)).as("df"))
       .coalesce(1).write.mode("overwrite").parquet(out + "/_df")
     graft.core.SegmentedIndex.writeRowCount(out,
-      spark.read.schema(postingsSchema).parquet(out).count())
+      graft.core.SegmentedIndex.footerRowCountOf(java.nio.file.Paths.get(out)))
   }
 
   // ---- postings index maintenance (the IVF-corpus lifecycle applied
@@ -318,7 +318,7 @@ object TextOps {
     * duplicating it. */
   private[analytics] def appendPostings(docs: DataFrame, out: String,
                                         gen: Long = 1L): Unit =
-    graft.core.SegmentedIndex.publishGeneration(docs.sparkSession, out, gen) { stage =>
+    graft.core.SegmentedIndex.publishGeneration(out, gen) { stage =>
       postingsOf(docs).withColumn("gen", lit(gen)).repartition(col("term"))
         .write.mode("overwrite").parquet(stage)
     }
@@ -367,7 +367,7 @@ object TextOps {
     * ([[graft.core.DirSwap]]) — the TableStore/IVF discipline;
     * single-maintainer, like both. */
   private[analytics] def compactPostings(spark: SparkSession, out: String): Unit =
-    graft.core.SegmentedIndex.compactWith(spark, out,
+    graft.core.SegmentedIndex.compactWith(out,
         skipSidecars = Set("_df", "_df_deltas")) { tmp =>
       postingsLive(spark, out).repartition(col("term"))
         .write.mode("overwrite").parquet(tmp)

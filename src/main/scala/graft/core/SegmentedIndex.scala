@@ -76,6 +76,45 @@ object SegmentedIndex {
   def bumpRowCount(out: String, delta: Long): Unit =
     readRowCount(out).foreach(n => writeRowCount(out, n + delta))
 
+  /** DRIVER-SIDE parquet-footer row count of an explicit file list —
+    * no Spark job at all (the first cut of the row-count tracking
+    * counted via `spark.read.parquet(...).count()`, and the per-job
+    * overhead taxed every tracked append/publish measurably: the
+    * maintained-store gates regressed ~0.5-2s warm each). Reading a
+    * footer is microseconds per file; the lists here are always
+    * batch- or segment-bounded, never the layout. */
+  def footerRows(files: Seq[java.nio.file.Path]): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    files.iterator.map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new org.apache.hadoop.fs.Path(p.toUri), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRecordCount finally r.close()
+    }.sum
+  }
+
+  /** [[footerRows]] over a directory tree's DATA files (underscore/
+    * dot-prefixed sidecars and markers skipped) — used to (re)base a
+    * layout's maintained count from a bounded tree: a fresh segment,
+    * a just-compacted rewrite, a copied seed. */
+  def footerRowCountOf(root: java.nio.file.Path): Long =
+    if (!Files.isDirectory(root)) 0L
+    else {
+      val dataFiles = Seq.newBuilder[java.nio.file.Path]
+      def walk(dir: java.nio.file.Path): Unit =
+        Using.resource(Files.list(dir)) { s =>
+          s.iterator().asScala.toList.foreach { p =>
+            val n = p.getFileName.toString
+            if (!n.startsWith("_") && !n.startsWith(".")) {
+              if (Files.isDirectory(p)) walk(p)
+              else if (n.endsWith(".parquet")) dataFiles += p
+            }
+          }
+        }
+      walk(root)
+      footerRows(dataFiles.result())
+    }
+
   /** Tombstone `keys` under `keyCol` (explicit — [[live]] later joins
     * on the same name, and a positional guess would silently tombstone
     * the wrong column of a multi-column frame) in the layout at `out`.
@@ -156,17 +195,24 @@ object SegmentedIndex {
     * underscore sidecars. The frame must not itself carry a `gen`
     * column. */
   def appendSegment(rows: DataFrame, out: String, gen: Long): Unit = {
-    val seg = s"$out/gen=$gen"
+    val seg = Paths.get(out, s"gen=$gen")
     val tracked = readRowCount(out).isDefined
     // replay accounting: an at-least-once maintainer overwriting its
     // own prior attempt must not double-count — charge the DELTA
-    // against whatever this segment held before (footer-only counts,
-    // segment-bounded)
-    val prior = if (tracked && Files.isDirectory(Paths.get(seg)))
-      rows.sparkSession.read.parquet(seg).count() else 0L
-    rows.write.mode("overwrite").parquet(seg)
-    if (tracked)
-      bumpRowCount(out, rows.sparkSession.read.parquet(seg).count() - prior)
+    // against whatever this segment held before. Driver-side footer
+    // reads, segment-bounded, no Spark job. A CRASHED prior attempt's
+    // half-written files count whatever footers they committed (0 for
+    // none) — the overwrite below is the heal. Crash-window drift
+    // note: an attempt that died between its write and its bump
+    // leaves the sidecar LOW, which only over-states the covered
+    // fraction — compaction fires EARLY and re-bases the count (the
+    // estimate's safe direction, like its never-stored-key
+    // over-count).
+    val prior = if (tracked)
+      try footerRowCountOf(seg) catch { case _: Throwable => 0L }
+    else 0L
+    rows.write.mode("overwrite").parquet(seg.toString)
+    if (tracked) bumpRowCount(out, footerRowCountOf(seg) - prior)
   }
 
   /** Per-generation OVERWRITE append for layouts whose generation
@@ -190,23 +236,23 @@ object SegmentedIndex {
     * layout lifetime except when replaying (the stream's
     * batchId-derived convention). Single-maintainer, like every
     * layout op here. */
-  def publishGeneration(spark: => SparkSession, out: String, gen: Long)
+  def publishGeneration(out: String, gen: Long)
                        (stageWrite: String => Unit): Unit = {
-    // `spark` is BY-NAME: evaluated only when the layout tracks a row
-    // count (the footer counts below) — un-tracked layouts keep this
-    // pure file I/O, callable without a session
     val root = Paths.get(out)
     val stage = root.resolve(s"_stage_gen$gen")
     DirSwap.deleteTree(stage)
     stageWrite(stage.toString)
     val prefix = s"gen$gen-"
     val tracked = readRowCount(out).isDefined
-    // footer-only row count of an explicit file list (never a layout
-    // listing) — batch-bounded, only paid when the layout tracks its
-    // row count
-    def fcount(files: Seq[java.nio.file.Path]): Long =
-      if (files.isEmpty) 0L
-      else spark.read.parquet(files.map(_.toString): _*).count()
+    // driver-side footer row count of an explicit file list (never a
+    // layout listing, never a Spark job) — batch-bounded, only paid
+    // when the layout tracks its row count. Crash-window drift note:
+    // an attempt that died between moving its files in and bumping
+    // the count leaves the sidecar LOW (this replay then charges the
+    // orphans as priorRows), which only over-states the covered
+    // fraction — compaction fires early and re-bases (the safe
+    // direction).
+    def fcount(files: Seq[java.nio.file.Path]): Long = footerRows(files)
     // sweep a prior attempt's published files for this generation
     // (data dirs only: underscore sidecars are never gen-published);
     // for replay accounting the swept rows are counted BEFORE deletion
@@ -363,7 +409,7 @@ object SegmentedIndex {
     val frac = coveredFractionEstimate(spark, raw, out,
       genScoped = genCol.isDefined, rowsPerInstance = rowsPerInstance)
     val due = frac > threshold
-    if (due) compactWith(spark, out, skipSidecars)(writeRewrite)
+    if (due) compactWith(out, skipSidecars)(writeRewrite)
     due
   }
 
@@ -374,10 +420,9 @@ object SegmentedIndex {
     * — stale after the rewrite, refreshed below) verbatim, and
     * publish with the two-rename swap. For a tracked layout the
     * maintained count is re-based from the fresh rewrite's footers —
-    * a listing of exactly what was just written, proportionally free
-    * against the corpus-sized rewrite itself. */
-  def compactWith(spark: SparkSession, out: String,
-                  skipSidecars: Set[String] = Set.empty)
+    * a driver-side walk of exactly what was just written,
+    * proportionally free against the corpus-sized rewrite itself. */
+  def compactWith(out: String, skipSidecars: Set[String] = Set.empty)
                  (writeRewrite: String => Unit): Unit = {
     val tracked = readRowCount(out).isDefined
     DirSwap.recover(out)
@@ -396,10 +441,7 @@ object SegmentedIndex {
         .foreach(side => DirSwap.copyTree(side, tmp.resolve(side.getFileName.toString)))
     }
     DirSwap.swapInto(out)
-    if (tracked) writeRowCount(out,
-      // a rewrite that compacted everything away has no readable
-      // parquet schema — that IS zero stored rows
-      try spark.read.parquet(out).count() catch { case _: Throwable => 0L })
+    if (tracked) writeRowCount(out, footerRowCountOf(Paths.get(out)))
   }
 
   /** Newest-generation-per-key resolution for APPEND-LOG indexes (the

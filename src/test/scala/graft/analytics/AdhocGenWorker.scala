@@ -13,10 +13,7 @@ object AdhocGenWorker {
     val n = args(1).toInt
     for (i <- 0 until n) {
       val g = Similarity.nextAdhocGen(out)
-      // by-name session arg: never evaluated — this layout carries no
-      // row-count sidecar, so the publish stays pure file I/O
-      graft.core.SegmentedIndex.publishGeneration(
-          sys.error("untracked layout must not need a session"), out, g) { stage =>
+      graft.core.SegmentedIndex.publishGeneration(out, g) { stage =>
         val p = java.nio.file.Paths.get(stage,
           s"part-${ProcessHandle.current().pid()}-$i")
         java.nio.file.Files.createDirectories(p.getParent)

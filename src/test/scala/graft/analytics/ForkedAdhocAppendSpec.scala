@@ -56,8 +56,7 @@ class ForkedAdhocAppendSpec extends AnyFunSuite {
     // simulate a dead process (reused pid / crashed maintainer) that
     // already published THIS process's next candidate generation
     Files.writeString(Paths.get(out, s"gen${g1 + 1}-part-stale"), "stale")
-    graft.core.SegmentedIndex.publishGeneration(
-        sys.error("untracked layout must not need a session"), out, g1) { stage =>
+    graft.core.SegmentedIndex.publishGeneration(out, g1) { stage =>
       Files.createDirectories(Paths.get(stage))
       Files.writeString(Paths.get(stage, "part-a"), "a"); ()
     }
@@ -66,8 +65,7 @@ class ForkedAdhocAppendSpec extends AnyFunSuite {
     // matters: the stale generation is never reused
     assert(g2 != g1 + 1 && g2 > g1,
       s"expected the stale gen ${g1 + 1} skipped, got $g2")
-    graft.core.SegmentedIndex.publishGeneration(
-        sys.error("untracked layout must not need a session"), out, g2) { stage =>
+    graft.core.SegmentedIndex.publishGeneration(out, g2) { stage =>
       Files.createDirectories(Paths.get(stage))
       Files.writeString(Paths.get(stage, "part-b"), "b"); ()
     }

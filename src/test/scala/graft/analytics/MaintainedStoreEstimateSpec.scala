@@ -121,19 +121,19 @@ class MaintainedStoreEstimateSpec extends AnyFunSuite {
     SegmentedIndex.writeRowCount(out, 0L)
     def footer: Long = spark.read.parquet(out).count()
     def sidecar: Long = SegmentedIndex.readRowCount(out).get
-    SegmentedIndex.publishGeneration(spark, out, 1L) { stage =>
+    SegmentedIndex.publishGeneration(out, 1L) { stage =>
       (1L to 6L).map(i => (i, s"v$i")).toDF("id", "payload")
         .coalesce(1).write.parquet(stage)
     }
     assert(sidecar == 6L && sidecar == footer)
     // replay with a narrower batch: sweep + re-publish re-bases
-    SegmentedIndex.publishGeneration(spark, out, 1L) { stage =>
+    SegmentedIndex.publishGeneration(out, 1L) { stage =>
       (1L to 4L).map(i => (i, s"v$i")).toDF("id", "payload")
         .coalesce(1).write.parquet(stage)
     }
     assert(sidecar == 4L && sidecar == footer,
       s"replayed publish drifted: $sidecar != $footer")
-    SegmentedIndex.publishGeneration(spark, out, 2L) { stage =>
+    SegmentedIndex.publishGeneration(out, 2L) { stage =>
       Seq((9L, "v9")).toDF("id", "payload").coalesce(1).write.parquet(stage)
     }
     assert(sidecar == 5L && sidecar == footer)

@@ -33,11 +33,11 @@ class ReplayIdempotencySpec extends AnyFunSuite {
   test("publishGeneration: a replay replaces its own prior attempt; other generations survive") {
     val out = TempDirs.create("graft-pubgen").resolve("layout").toString
     Files.createDirectories(Paths.get(out))
-    SegmentedIndex.publishGeneration(spark, out, 1) { stage =>
+    SegmentedIndex.publishGeneration(out, 1) { stage =>
       Seq((1L, "a"), (2L, "b")).toDF("id", "v")
         .repartition(1).write.mode("overwrite").parquet(stage)
     }
-    SegmentedIndex.publishGeneration(spark, out, 2) { stage =>
+    SegmentedIndex.publishGeneration(out, 2) { stage =>
       Seq((3L, "c")).toDF("id", "v")
         .repartition(1).write.mode("overwrite").parquet(stage)
     }
@@ -45,7 +45,7 @@ class ReplayIdempotencySpec extends AnyFunSuite {
     // replay generation 1 with DIFFERENT content (a redelivered batch
     // recomputes the same frame in production; different content here
     // proves the old files are really gone, not shadowed)
-    SegmentedIndex.publishGeneration(spark, out, 1) { stage =>
+    SegmentedIndex.publishGeneration(out, 1) { stage =>
       Seq((9L, "z")).toDF("id", "v")
         .repartition(1).write.mode("overwrite").parquet(stage)
     }
@@ -63,11 +63,11 @@ class ReplayIdempotencySpec extends AnyFunSuite {
     val out = TempDirs.create("graft-pubgen-part").resolve("layout").toString
     Files.createDirectories(Paths.get(out, "_sidecar"))
     Files.write(Paths.get(out, "_sidecar", "keep.txt"), "x".getBytes)
-    SegmentedIndex.publishGeneration(spark, out, 1) { stage =>
+    SegmentedIndex.publishGeneration(out, 1) { stage =>
       Seq((1L, 0), (2L, 1)).toDF("id", "cell")
         .repartition(1).write.mode("overwrite").partitionBy("cell").parquet(stage)
     }
-    SegmentedIndex.publishGeneration(spark, out, 1) { stage =>
+    SegmentedIndex.publishGeneration(out, 1) { stage =>
       Seq((5L, 0)).toDF("id", "cell")
         .repartition(1).write.mode("overwrite").partitionBy("cell").parquet(stage)
     }

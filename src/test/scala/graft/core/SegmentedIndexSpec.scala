@@ -54,7 +54,7 @@ class SegmentedIndexSpec extends AnyFunSuite {
     // a non-tombstone sidecar that must survive the rewrite verbatim
     Seq(("meta", 7L)).toDF("k", "v").write.parquet(s"$out/_side")
     SegmentedIndex.tombstone(Seq(1L).toDF("id"), out, keyCol = "id", uptoGen = Some(Long.MaxValue))
-    SegmentedIndex.compactWith(spark, out) { tmp =>
+    SegmentedIndex.compactWith(out) { tmp =>
       SegmentedIndex.live(spark, spark.read.parquet(out), out,
           keyCol = "id", genCol = Some("gen"))
         .write.mode("overwrite").parquet(tmp)
