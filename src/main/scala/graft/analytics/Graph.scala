@@ -592,7 +592,7 @@ object Graph {
       // The measurement is the metadata-cheap instance estimate — k
       // edge rows per tombstoned (node, generation), exact for this
       // store (see coveredFractionEstimate)
-      graft.core.SegmentedIndex.maybeCompact(spark,
+      graft.core.SegmentedIndex.maybeCompact(
         spark.read.parquet(store), store,
         keyCol = "vec_id", genCol = Some("gen"),
         rowsPerInstance = Similarity.KnnEdgeK.toDouble) { tmp =>
@@ -970,6 +970,15 @@ object Graph {
     * Rows-only gate (the per-epoch equality columns ARE the check;
     * Verify pins them as `g08_eq_every_epoch` / `g08_compaction_fired`). */
   def g08MultiEpochKnn(spark: SparkSession, dir: String): DataFrame =
+    g08MultiEpochKnn(spark, dir, rebuildCheck = true)
+
+  /** [[g08MultiEpochKnn]] with the per-epoch rebuild twin optional:
+    * `rebuildCheck = false` is the dev-probe mode (ChainProbe's 10×
+    * replication sweep), where the O(N²) exact-rebuild CHECK would
+    * dwarf the maintenance work being priced — `eq_rebuild` reads
+    * null there, never a fabricated verdict. Gates always check. */
+  private[graft] def g08MultiEpochKnn(spark: SparkSession, dir: String,
+                                      rebuildCheck: Boolean): DataFrame =
     graft.core.TempDirs.scoped("graft-g08") { tmp =>
       import spark.implicits._
       val store = tmp.resolve("edges").toString
@@ -1010,9 +1019,10 @@ object Graph {
         // estimate (k rows per tombstoned (node, generation) — exact
         // for this store; MaintainedStoreEstimateSpec pins it against
         // the full anti-join)
-        val covered = graft.core.SegmentedIndex.coveredFractionEstimate(spark,
+        val covered = graft.core.SegmentedIndex.coveredFractionEstimate(
           spark.read.parquet(store), store,
-          genScoped = true, rowsPerInstance = Similarity.KnnEdgeK.toDouble)
+          genScoped = true, rowsPerInstance = Similarity.KnnEdgeK.toDouble,
+          requireTracked = true)
         val compacted = covered > graft.core.SegmentedIndex.CompactThreshold
         if (compacted) graft.core.SegmentedIndex.compactWith(store) { stage =>
           liveEdges.drop("gen").write.parquet(s"$stage/gen=$e")
@@ -1024,12 +1034,14 @@ object Graph {
         // memoized per (dataset, epoch) like the seeded baselines:
         // the first invocation per JVM pays the three exact rebuilds,
         // warm passes re-digest only the maintained live view
-        val rebuiltDigest = graft.core.FixtureClock.memo(g08RebuildDigests, (dir, e))({ _ =>
-          Pipeline.familyDigest(Similarity.knnGraphExact(bCur, k = 5)
-            .select("vec_id", "rnk", "neighbor_id", "cos_sim"))
-        })
         val (nLive, liveCrc) = Pipeline.familyDigest(live)
-        val eq = (nLive, liveCrc) == rebuiltDigest
+        val eq: Option[Boolean] = if (!rebuildCheck) None else {
+          val rebuiltDigest = graft.core.FixtureClock.memo(g08RebuildDigests, (dir, e))({ _ =>
+            Pipeline.familyDigest(Similarity.knnGraphExact(bCur, k = 5)
+              .select("vec_id", "rnk", "neighbor_id", "cos_sim"))
+          })
+          Some((nLive, liveCrc) == rebuiltDigest)
+        }
         aCur.unpersist(); bCur.unpersist()
         (e, nRec, nLive, math.floor(covered * 1000 + 0.5) / 1000,
           compacted, eq)
@@ -1041,7 +1053,7 @@ object Graph {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g07_incremental_knn" -> g07IncrementalKnn _,
-    "g08_multi_epoch_knn" -> g08MultiEpochKnn _,
+    "g08_multi_epoch_knn" -> ((s, d) => g08MultiEpochKnn(s, d)),
     "g01_knn_pagerank" -> g01KnnPagerank _,
     "g02_ppr_retrieval" -> g02PprRetrieval _,
     "g03_clustering_coeff" -> g03ClusteringCoeff _,

@@ -907,6 +907,13 @@ object Pipeline {
     * `p14_eq_every_epoch` and `p14_compaction_fired` from the
     * columns, the g08 convention. Rows-only (k-means + PQ). */
   def p14MultiEpochPq(spark: SparkSession, dir: String): DataFrame =
+    p14MultiEpochPq(spark, dir, rebuildCheck = true)
+
+  /** [[p14MultiEpochPq]] with the rebuild twin optional — the g08
+    * probe-mode convention (ChainProbe): `rebuildCheck = false` skips
+    * the from-scratch re-encode check and `eq_rebuild` reads null. */
+  private[graft] def p14MultiEpochPq(spark: SparkSession, dir: String,
+                                     rebuildCheck: Boolean): DataFrame =
     graft.core.TempDirs.scoped("graft-p14") { root =>
       import spark.implicits._
       val docs = Tables.documents(spark, dir)
@@ -929,8 +936,9 @@ object Pipeline {
         // (policy replicated verbatim — the g08/p13 convention); the
         // measurement is the metadata-cheap instance estimate — one
         // code row per (vec, generation), exact for this layout
-        val covered = graft.core.SegmentedIndex.coveredFractionEstimate(spark,
-          spark.read.parquet(out), out, genScoped = true)
+        val covered = graft.core.SegmentedIndex.coveredFractionEstimate(
+          spark.read.parquet(out), out, genScoped = true,
+          requireTracked = true)
         val compacted = covered > graft.core.SegmentedIndex.CompactThreshold
         if (compacted) Similarity.compactIvfPqCorpus(spark, out)
         // familyDigest is order-independent (sum of per-row crc32), so
@@ -938,18 +946,20 @@ object Pipeline {
         // nothing (r14 item 5's probe fold)
         val got = familyDigest(
           Similarity.ivfPqStoredTopKWith(cents, books, spark, out, queries, k = 10))
-        val rebuiltDigest = graft.core.FixtureClock.memo(p14RebuildDigests, (dir, e))({ _ =>
-          graft.core.TempDirs.scoped("graft-p14-rebuild") { r2 =>
-            val ro = r2.resolve("index").toString
-            Similarity.writeIvfPqLayoutWith(cents, books,
-              p11Normalized(p13SnapshotAt(spark, dir, e)), ro)
-            familyDigest(Similarity.ivfPqStoredTopKWith(cents, books,
-              spark, ro, queries, k = 10))
-          }
-        })
+        val eq: Option[Boolean] = if (!rebuildCheck) None else {
+          val rebuiltDigest = graft.core.FixtureClock.memo(p14RebuildDigests, (dir, e))({ _ =>
+            graft.core.TempDirs.scoped("graft-p14-rebuild") { r2 =>
+              val ro = r2.resolve("index").toString
+              Similarity.writeIvfPqLayoutWith(cents, books,
+                p11Normalized(p13SnapshotAt(spark, dir, e)), ro)
+              familyDigest(Similarity.ivfPqStoredTopKWith(cents, books,
+                spark, ro, queries, k = 10))
+            }
+          })
+          Some(got == rebuiltDigest)
+        }
         (e, dirty.count(), got._1,
-          math.floor(covered * 1000 + 0.5) / 1000, compacted,
-          got == rebuiltDigest)
+          math.floor(covered * 1000 + 0.5) / 1000, compacted, eq)
       }
       queries.unpersist()
       rows.toDF("epoch", "n_dirty", "n_topk", "covered_before",
@@ -984,6 +994,13 @@ object Pipeline {
     * `p15_eq_every_epoch` / `p15_compaction_fired`. Rows-only
     * (k-means). */
   def p15MultiEpochIvf(spark: SparkSession, dir: String): DataFrame =
+    p15MultiEpochIvf(spark, dir, rebuildCheck = true)
+
+  /** [[p15MultiEpochIvf]] with the rebuild twin optional — the g08
+    * probe-mode convention (ChainProbe): `rebuildCheck = false` skips
+    * the from-scratch re-encode check and `eq_rebuild` reads null. */
+  private[graft] def p15MultiEpochIvf(spark: SparkSession, dir: String,
+                                      rebuildCheck: Boolean): DataFrame =
     graft.core.TempDirs.scoped("graft-p15") { root =>
       import spark.implicits._
       val docs = Tables.documents(spark, dir)
@@ -1001,24 +1018,27 @@ object Pipeline {
           gen = e.toLong)
         // one measurement drives both the receipt and the decision
         // (the g08/p13/p14 convention, policy replicated verbatim)
-        val covered = graft.core.SegmentedIndex.coveredFractionEstimate(spark,
-          spark.read.parquet(out), out, genScoped = true)
+        val covered = graft.core.SegmentedIndex.coveredFractionEstimate(
+          spark.read.parquet(out), out, genScoped = true,
+          requireTracked = true)
         val compacted = covered > graft.core.SegmentedIndex.CompactThreshold
         if (compacted) Similarity.compactIvfCorpusGenScoped(spark, out)
         val got = familyDigest(Similarity.ivfStoredTopKWith(cents, spark, out,
           queries, k = 10, genScoped = true))
-        val rebuiltDigest = graft.core.FixtureClock.memo(p15RebuildDigests, (dir, e))({ _ =>
-          graft.core.TempDirs.scoped("graft-p15-rebuild") { r2 =>
-            val ro = r2.resolve("index").toString
-            Similarity.writeIvfLayoutWith(cents,
-              p08Normalized(p13SnapshotAt(spark, dir, e)), ro)
-            familyDigest(Similarity.ivfStoredTopKWith(cents, spark, ro,
-              queries, k = 10))
-          }
-        })
+        val eq: Option[Boolean] = if (!rebuildCheck) None else {
+          val rebuiltDigest = graft.core.FixtureClock.memo(p15RebuildDigests, (dir, e))({ _ =>
+            graft.core.TempDirs.scoped("graft-p15-rebuild") { r2 =>
+              val ro = r2.resolve("index").toString
+              Similarity.writeIvfLayoutWith(cents,
+                p08Normalized(p13SnapshotAt(spark, dir, e)), ro)
+              familyDigest(Similarity.ivfStoredTopKWith(cents, spark, ro,
+                queries, k = 10))
+            }
+          })
+          Some(got == rebuiltDigest)
+        }
         (e, dirty.count(), got._1,
-          math.floor(covered * 1000 + 0.5) / 1000, compacted,
-          got == rebuiltDigest)
+          math.floor(covered * 1000 + 0.5) / 1000, compacted, eq)
       }
       queries.unpersist()
       rows.toDF("epoch", "n_dirty", "n_topk", "covered_before",
@@ -1129,8 +1149,8 @@ object Pipeline {
     "p10_incremental_postings" -> p10IncrementalPostings _,
     "p12_nightly_pipeline"  -> p12NightlyPipeline _,
     "p13_multi_epoch_postings" -> p13MultiEpochPostings _,
-    "p14_multi_epoch_pq" -> p14MultiEpochPq _,
-    "p15_multi_epoch_ivf" -> p15MultiEpochIvf _,
+    "p14_multi_epoch_pq" -> ((s, d) => p14MultiEpochPq(s, d)),
+    "p15_multi_epoch_ivf" -> ((s, d) => p15MultiEpochIvf(s, d)),
     "p01_curation_pipeline" -> p01CurationPipeline _,
     "p02_semdedup_pipeline" -> p02SemdedupPipeline _,
     "p03_dataset_report"    -> p03DatasetReport _,

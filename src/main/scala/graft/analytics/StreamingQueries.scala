@@ -993,7 +993,7 @@ object StreamingQueries {
     def edgesLive = graft.core.SegmentedIndex.live(spark,
       spark.read.parquet(edgeStore), edgeStore,
       keyCol = "vec_id", genCol = Some("gen"))
-    graft.core.SegmentedIndex.maybeCompact(spark,
+    graft.core.SegmentedIndex.maybeCompact(
       spark.read.parquet(edgeStore), edgeStore,
       keyCol = "vec_id", genCol = Some("gen"),
       rowsPerInstance = Similarity.KnnEdgeK.toDouble) { tmpDir =>

@@ -323,6 +323,34 @@ object TextOps {
         .write.mode("overwrite").parquet(stage)
     }
 
+  /** DRIVER-SIDE twin of [[readDfSidecar]]'s effective-df fold,
+    * summed: live (doc, term) posting rows = Σ max-with-0 of
+    * (base df + Σ deltas) per term. The sidecars are |vocab|-bounded
+    * by contract — the same bound that lets the Spark fold run as a
+    * broadcast-sized agg — so folding them in the driver costs
+    * microseconds and keeps the compaction-policy path free of Spark
+    * jobs entirely (the r16 verdict's item 7 applied to the postings
+    * family, whose rows-per-key varies so the generic instance
+    * estimate can't serve it). Term-by-term, exactly like the Spark
+    * fold: a (buggy) negative effective df clamps to 0 here as the
+    * `filter(df > 0)` drops it there. */
+  private def dfSidecarLiveRows(out: String): Long = {
+    val eff = new java.util.HashMap[String, Long]()
+    def fold(dirName: String, field: String): Unit =
+      graft.core.SegmentedIndex.foreachSidecarRow(
+          java.nio.file.Paths.get(out, dirName)) { g =>
+        if (g.getFieldRepetitionCount(field) > 0) {
+          val term = g.getString("term", 0)
+          eff.merge(term, g.getLong(field, 0), (a, b) => a + b)
+        }
+      }
+    fold("_df", "df")
+    fold("_df_deltas", "delta")
+    var total = 0L
+    eff.values.forEach(v => if (v > 0) total += v)
+    total
+  }
+
   /** Tombstone-covered fraction of a postings layout's stored rows —
     * the read-amp signal the compaction policy reads (p13's multi-epoch
     * chain compacts only past [[graft.core.SegmentedIndex.CompactThreshold]],
@@ -330,13 +358,14 @@ object TextOps {
     * generic per-instance estimate doesn't apply; instead the live row
     * count comes off the layout's own `_df` sidecar (sum of per-term
     * document frequencies == live (doc, term) posting rows, |vocab|-
-    * bounded) over the footer-only stored count — EXACT whenever the
-    * sidecar is (which the p13 oracle pins end-to-end), with no
-    * full-layout anti-join in the measurement path. Falls back to the
-    * exact anti-join for layouts without a sidecar. */
+    * bounded, folded DRIVER-SIDE — [[dfSidecarLiveRows]]) over the
+    * maintained `_rowcount` denominator — EXACT whenever the sidecar
+    * is (which the p13 oracle pins end-to-end), with no Spark job at
+    * all in the measurement path. Falls back to the exact anti-join
+    * for layouts without a sidecar. */
   private[analytics] def postingsCoveredFraction(spark: SparkSession,
                                                  out: String): Double =
-    if (graft.core.SegmentedIndex.tombstoneInstances(spark, out,
+    if (graft.core.SegmentedIndex.tombstoneInstances(out,
         genScoped = true) == 0L) 0.0
     else if (!java.nio.file.Files.isDirectory(
         java.nio.file.Paths.get(out, "_df")))
@@ -349,14 +378,7 @@ object TextOps {
       val total = graft.core.SegmentedIndex.readRowCount(out).getOrElse(
         spark.read.schema(postingsSchema).parquet(out).count())
       if (total == 0L) 0.0
-      else {
-        val liveRows = readDfSidecar(spark, out)
-          .agg(sum(col("df"))).first() match {
-            case r if r.isNullAt(0) => 0L
-            case r => r.getLong(0)
-          }
-        math.max(0.0, 1.0 - liveRows.toDouble / total)
-      }
+      else math.max(0.0, 1.0 - dfSidecarLiveRows(out).toDouble / total)
     }
 
   /** Compact a postings layout: apply tombstones physically, rewrite

@@ -22,7 +22,7 @@ class MaintainedStoreEstimateSpec extends AnyFunSuite {
   private def exactOf(out: String, rowsPerKey: Int): (Double, Double) = {
     val exact = SegmentedIndex.coveredFraction(spark,
       spark.read.parquet(out), out, keyCol = "id", genCol = Some("gen"))
-    val est = SegmentedIndex.coveredFractionEstimate(spark,
+    val est = SegmentedIndex.coveredFractionEstimate(
       spark.read.parquet(out), out, genScoped = true,
       rowsPerInstance = rowsPerKey.toDouble)
     (exact, est)
@@ -61,7 +61,7 @@ class MaintainedStoreEstimateSpec extends AnyFunSuite {
     SegmentedIndex.tombstone((1L to 3L).toDF("id"), out, "id", uptoGen = None)
     val exact = SegmentedIndex.coveredFraction(spark,
       spark.read.parquet(out), out, keyCol = "id", genCol = None)
-    val est = SegmentedIndex.coveredFractionEstimate(spark,
+    val est = SegmentedIndex.coveredFractionEstimate(
       spark.read.parquet(out), out, genScoped = false)
     assert(math.abs(exact - est) < Tol, s"plain estimate $est != exact $exact")
     assert(est == 3.0 / 8)
@@ -71,9 +71,9 @@ class MaintainedStoreEstimateSpec extends AnyFunSuite {
     import spark.implicits._
     val out = TempDirs.create("graft-est-none").resolve("corpus").toString
     Seq((1L, "x")).toDF("id", "payload").write.parquet(out)
-    assert(SegmentedIndex.coveredFractionEstimate(spark,
+    assert(SegmentedIndex.coveredFractionEstimate(
       spark.read.parquet(out), out, genScoped = false) == 0.0)
-    assert(SegmentedIndex.tombstoneInstances(spark, out, genScoped = false) == 0L)
+    assert(SegmentedIndex.tombstoneInstances(out, genScoped = false) == 0L)
   }
 
   test("tracked layout: _rowcount equals the footer count through append / replay / tombstone / compact") {
@@ -103,7 +103,7 @@ class MaintainedStoreEstimateSpec extends AnyFunSuite {
     val (e, g) = exactOf(out, 2)
     assert(math.abs(e - g) < Tol, s"tracked estimate $g != exact $e")
     // compaction re-bases the count from the fresh rewrite
-    val compacted = SegmentedIndex.maybeCompact(spark,
+    val compacted = SegmentedIndex.maybeCompact(
       spark.read.parquet(out), out, keyCol = "id", genCol = Some("gen"),
       threshold = 0.0, rowsPerInstance = 2.0) { tmp =>
       SegmentedIndex.live(spark, spark.read.parquet(out), out,
@@ -154,8 +154,8 @@ class MaintainedStoreEstimateSpec extends AnyFunSuite {
     SegmentedIndex.writeRowCount(out, 20L)
     SegmentedIndex.tombstone((1L to 4L).toDF("id"), out, "id", uptoGen = Some(0L))
     graft.core.DirSwap.deleteTree(java.nio.file.Paths.get(out, "gen=0"))
-    val est = SegmentedIndex.coveredFractionEstimate(spark, null, out,
-      genScoped = true, rowsPerInstance = 2.0)
+    val est = SegmentedIndex.coveredFractionEstimate(null, out,
+      genScoped = true, rowsPerInstance = 2.0, requireTracked = true)
     assert(est == 8.0 / 20, s"no-scan estimate wrong: $est")
   }
 
@@ -214,5 +214,97 @@ class MaintainedStoreEstimateSpec extends AnyFunSuite {
     assert(math.abs(est - exact) < Tol,
       s"postings sidecar estimate $est != exact $exact")
     assert(est > 0.0)
+  }
+
+  /** Spark jobs submitted while `body` runs — the machine check that
+    * a policy measurement is driver-side metadata only. The listener
+    * bus is drained before and after so a previous test's stragglers
+    * can't leak into the count. */
+  private def sparkJobsDuring[T](body: => T): (T, Int) = {
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    org.apache.spark.graftdiag.BusDiag.waitUntilEmpty(spark.sparkContext)
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val r = body
+      org.apache.spark.graftdiag.BusDiag.waitUntilEmpty(spark.sparkContext)
+      (r, jobs.get())
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
+  test("tracked policy measurements run ZERO Spark jobs (kNN-shape estimate and postings variant)") {
+    import spark.implicits._
+    // gen-scoped tracked layout with live tombstones
+    val out = TempDirs.create("graft-est-nojobs").resolve("edges").toString
+    SegmentedIndex.appendSegment(
+      (1L to 10L).flatMap(i => Seq((i, "a"), (i, "b"))).toDF("id", "payload"),
+      out, gen = 0L)
+    SegmentedIndex.writeRowCount(out,
+      SegmentedIndex.footerRowCountOf(java.nio.file.Paths.get(out)))
+    SegmentedIndex.tombstone((1L to 3L).toDF("id"), out, "id", uptoGen = Some(0L))
+    val (est, jobs) = sparkJobsDuring {
+      SegmentedIndex.coveredFractionEstimate(
+        fail("the tracked policy path forced the raw frame"): org.apache.spark.sql.DataFrame,
+        out, genScoped = true, rowsPerInstance = 2.0, requireTracked = true)
+    }
+    assert(est == 6.0 / 20)
+    assert(jobs == 0, s"tracked estimate submitted $jobs Spark job(s)")
+    // postings variant: tombstones + df sidecar + _rowcount only
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha alpha delta"),
+      (3L, "beta beta beta epsilon")).toDF("doc_id", "text")
+    val pOut = TempDirs.create("graft-est-nojobs-postings")
+      .resolve("postings").toString
+    TextOps.writePostingsLayout(spark, docs, pOut)
+    val dirty = Seq(1L).toDF("doc_id")
+    val removed = TextOps.postingsOf(docs.join(dirty, Seq("doc_id"), "left_semi"))
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    TextOps.deleteFromPostings(spark, pOut, dirty, uptoGen = 0L)
+    TextOps.updateDfSidecar(spark, pOut, removed, removed.limit(0), gen = 1L)
+    val (pEst, pJobs) = sparkJobsDuring(TextOps.postingsCoveredFraction(spark, pOut))
+    assert(pEst > 0.0)
+    assert(pJobs == 0, s"postings measurement submitted $pJobs Spark job(s)")
+  }
+
+  test("driver-side tombstone-instance scan equals the Spark distinct count on both sidecar shapes") {
+    import spark.implicits._
+    val gen = TempDirs.create("graft-inst-gen").resolve("edges").toString
+    Seq((1L, "a")).toDF("id", "payload").write.parquet(gen)
+    SegmentedIndex.tombstone((1L to 5L).toDF("id"), gen, "id", uptoGen = Some(0L))
+    SegmentedIndex.tombstone(Seq(2L, 6L).toDF("id"), gen, "id", uptoGen = Some(3L))
+    SegmentedIndex.tombstone(Seq(2L, 6L).toDF("id"), gen, "id", uptoGen = Some(3L)) // replay
+    assert(SegmentedIndex.tombstoneInstances(gen, genScoped = true) ==
+      SegmentedIndex.tombstoneInstancesSpark(spark, gen, genScoped = true))
+    assert(SegmentedIndex.tombstoneInstances(gen, genScoped = true) == 7L)
+    val plain = TempDirs.create("graft-inst-plain").resolve("corpus").toString
+    Seq((1L, "a")).toDF("id", "payload").write.parquet(plain)
+    SegmentedIndex.tombstone((1L to 4L).toDF("id"), plain, "id", uptoGen = None)
+    SegmentedIndex.tombstone(Seq(3L, 4L, 5L).toDF("id"), plain, "id", uptoGen = None)
+    assert(SegmentedIndex.tombstoneInstances(plain, genScoped = false) ==
+      SegmentedIndex.tombstoneInstancesSpark(spark, plain, genScoped = false))
+    assert(SegmentedIndex.tombstoneInstances(plain, genScoped = false) == 5L)
+  }
+
+  test("an untracked layout fails LOUDLY at the policy sites instead of silently listing the layout") {
+    import spark.implicits._
+    val out = TempDirs.create("graft-est-untracked").resolve("edges").toString
+    SegmentedIndex.appendSegment(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "payload"), out, gen = 0L)
+    SegmentedIndex.tombstone(Seq(1L).toDF("id"), out, "id", uptoGen = Some(0L))
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.maybeCompact(spark.read.parquet(out), out,
+        keyCol = "id", genCol = Some("gen")) { _ => fail("must not rewrite") }
+    }
+    intercept[IllegalArgumentException] {
+      SegmentedIndex.coveredFractionEstimate(spark.read.parquet(out), out,
+        genScoped = true, requireTracked = true)
+    }
+    // the legacy fallback stays reachable for un-maintained layouts
+    assert(SegmentedIndex.coveredFractionEstimate(spark.read.parquet(out), out,
+      genScoped = true) == 0.5)
   }
 }

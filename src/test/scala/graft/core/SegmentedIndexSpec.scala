@@ -119,6 +119,10 @@ class SegmentedIndexSpec extends AnyFunSuite {
     val out = TempDirs.create("graft-segidx-spec").resolve("policy").toString
     SegmentedIndex.appendSegment(
       (1L to 10L).map(i => (i, s"p$i")).toDF("id", "payload"), out, gen = 0L)
+    // maintained layouts must track their row count (maybeCompact is
+    // loud about it — the policy path never lists the layout)
+    SegmentedIndex.writeRowCount(out,
+      SegmentedIndex.footerRowCountOf(Paths.get(out)))
     def rewrite(tmp: String): Unit =
       SegmentedIndex.live(spark, spark.read.parquet(out), out,
           keyCol = "id", genCol = Some("gen")).drop("gen")
@@ -126,14 +130,14 @@ class SegmentedIndexSpec extends AnyFunSuite {
     // 3 of 10 rows covered (0.3 ≤ 0.5): policy must NOT compact
     SegmentedIndex.tombstone((1L to 3L).toDF("id"), out, keyCol = "id",
       uptoGen = Some(0L))
-    assert(!SegmentedIndex.maybeCompact(spark, spark.read.parquet(out), out,
+    assert(!SegmentedIndex.maybeCompact(spark.read.parquet(out), out,
       keyCol = "id", genCol = Some("gen"))(rewrite))
     assert(Files.isDirectory(Paths.get(out, "_tombstones")))
     // 6 of 10 covered (0.6 > 0.5): policy compacts, tombstones clear,
     // live rows survive physically
     SegmentedIndex.tombstone((4L to 6L).toDF("id"), out, keyCol = "id",
       uptoGen = Some(0L))
-    assert(SegmentedIndex.maybeCompact(spark, spark.read.parquet(out), out,
+    assert(SegmentedIndex.maybeCompact(spark.read.parquet(out), out,
       keyCol = "id", genCol = Some("gen"))(rewrite))
     assert(!Files.isDirectory(Paths.get(out, "_tombstones")))
     assert(spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
