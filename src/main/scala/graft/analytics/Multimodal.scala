@@ -65,12 +65,34 @@ object Multimodal {
   }
 
   /** Real image decode: full raster via ImageIO. None for payloads that
-    * are not a decodable image. */
+    * are not a decodable image.
+    *
+    * The stream is wrapped in a HEAP-backed cache explicitly:
+    * `ImageIO.read(InputStream)` defaults to a FILE-backed cache
+    * stream (`ImageIO.getUseCache`), i.e. one temp file created and
+    * deleted PER DECODE — per-image disk I/O that serializes on the
+    * filesystem and made the decode-bound gates track the box's I/O
+    * weather instead of their own work (m04's r16 warm flap). The
+    * payloads here are already in-memory byte arrays; nothing about
+    * them belongs on disk. Same for [[encodePng]] on the write side. */
   def decodeImage(bytes: Array[Byte]): Option[(ImageMeta, java.awt.image.BufferedImage)] =
     sniffImage(bytes).flatMap { fmt =>
-      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      Option(javax.imageio.ImageIO.read(in))
         .map(img => (ImageMeta(fmt, img.getWidth, img.getHeight), img))
     }
+
+  /** PNG-encode a raster to bytes through a heap-backed stream — see
+    * [[decodeImage]] for why the default file-cache stream is banned
+    * from the per-image hot path. */
+  private[graft] def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    javax.imageio.ImageIO.write(img, "png", ios)
+    ios.close() // flushes the cache into bos
+    bos.toByteArray
+  }
 
   /** Integer luminance (ITU-R 601 weights, scaled by 1000 to stay
     * exact) of a packed ARGB pixel. */
@@ -211,9 +233,7 @@ object Multimodal {
       }
       ty += 1
     }
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(out, "png", baos)
-    (baos.toByteArray, crc)
+    (encodePng(out), crc)
   }
 
   /** Partition-wise resize over a typed blob dataset: image payloads go
@@ -357,9 +377,7 @@ object Multimodal {
         }
         y += 1
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      (docId, bos.toByteArray)
+      (docId, encodePng(img))
     }
   }
 
@@ -512,6 +530,13 @@ object Multimodal {
     * corpus (memoized twin). Rows-only (PNG round trip); Verify pins
     * `m13_eq_every_epoch` / `m13_compaction_fired`. */
   def m13MultiEpochImages(spark: SparkSession, dir: String): DataFrame =
+    m13MultiEpochImages(spark, dir, rebuildCheck = true)
+
+  /** [[m13MultiEpochImages]] with the rebuild twin optional — the g08
+    * probe-mode convention (ChainProbe): `rebuildCheck = false` skips
+    * the full-corpus decode+hash check and `eq_rebuild` reads null. */
+  private[graft] def m13MultiEpochImages(spark: SparkSession, dir: String,
+                                         rebuildCheck: Boolean): DataFrame =
     graft.core.TempDirs.scoped("graft-m13") { tmp =>
       import spark.implicits._
       val ids = Tables.documents(spark, dir).select(col("doc_id")).as[Long]
@@ -520,6 +545,16 @@ object Multimodal {
         .withColumn("gen", lit(0L)).withColumn("op", lit("put"))
         .write.mode("overwrite").parquet(index)
       var deadSinceCompact = 0L
+      // the policy DENOMINATOR is maintainer arithmetic too: seeded
+      // from the just-written log's footers (driver-side, bounded),
+      // advanced by the known per-epoch append sizes, re-based from
+      // the rewrite after a compaction — the epoch loop never runs a
+      // count job or a log-wide listing just to decide whether to
+      // compact (the same discipline as the tombstone families'
+      // _rowcount sidecar; this log's maintainer is in-process so a
+      // local var is its sidecar)
+      var totalRows = graft.core.SegmentedIndex.footerRowCountOf(
+        java.nio.file.Paths.get(index))
       val rows = (1 to Pipeline.P13Epochs).map { e =>
         val cls = col("doc_id") % 16
         val delClasses = Pipeline.p13DeleteClasses(e).map(Int.box)
@@ -536,28 +571,45 @@ object Multimodal {
         puts.unionByName(rms).write.mode("append").parquet(index)
         val nRm = rmIds.count()
         // counted off the key pairs, not `puts` — re-counting puts
-        // would re-run the diff's decode+hash job
-        val nReput = diffKeys.filter(kv => kv._1 >= 0).count()
+        // would re-run the diff's decode+hash job. One pass yields
+        // both the re-put count and the epoch's full put-row count
+        // (re-puts + final-epoch adds, the negative ids)
+        val (nPutRows, nReput) = {
+          val r = diffKeys.toDF("doc_id", "key")
+            .agg(count(lit(1)), count(when(col("doc_id") >= 0, lit(1)))).head()
+          (r.getLong(0), r.getLong(1))
+        }
         // maintainer-arithmetic covered fraction: rm rows are dead
         // twice over (themselves + their target), re-crawls supersede
-        // exactly one, adds none; denominator is the footer-only count
+        // exactly one, adds none; the denominator advances by exactly
+        // what this epoch appended (put rows + rm rows)
         deadSinceCompact += 2 * nRm + nReput
-        val total = spark.read.parquet(index).count()
-        val covered = if (total == 0L) 0.0 else deadSinceCompact.toDouble / total
+        totalRows += nPutRows + nRm
+        val covered =
+          if (totalRows == 0L) 0.0 else deadSinceCompact.toDouble / totalRows
         val compacted = covered > graft.core.SegmentedIndex.CompactThreshold
-        if (compacted) { m13CompactLog(spark, index); deadSinceCompact = 0L }
+        if (compacted) {
+          m13CompactLog(spark, index)
+          deadSinceCompact = 0L
+          // re-base from the rewrite the compaction just published —
+          // a driver-side footer walk of exactly what was written
+          totalRows = graft.core.SegmentedIndex.footerRowCountOf(
+            java.nio.file.Paths.get(index))
+        }
         val live = graft.core.SegmentedIndex.resolveNewest(
             spark.read.parquet(index), keyCol = "doc_id", genCol = "gen",
             opCol = "op")
           .select("doc_id", "ahash")
         val got = Pipeline.familyDigest(hashGroups(live))
-        val rebuiltDigest = graft.core.FixtureClock.memo(m13RebuildDigests, (dir, e))({ _ =>
-          Pipeline.familyDigest(hashGroups(imageHashes(
-            syntheticImagesKeyed(m13KeysAt(ids, e)))))
-        })
+        val eq: Option[Boolean] = if (!rebuildCheck) None else {
+          val rebuiltDigest = graft.core.FixtureClock.memo(m13RebuildDigests, (dir, e))({ _ =>
+            Pipeline.familyDigest(hashGroups(imageHashes(
+              syntheticImagesKeyed(m13KeysAt(ids, e)))))
+          })
+          Some(got == rebuiltDigest)
+        }
         (e, nRm + nReput, got._1,
-          math.floor(covered * 1000 + 0.5) / 1000, compacted,
-          got == rebuiltDigest)
+          math.floor(covered * 1000 + 0.5) / 1000, compacted, eq)
       }
       rows.toDF("epoch", "n_dirty", "n_groups", "covered_before",
           "compacted", "eq_rebuild")
@@ -1047,7 +1099,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st24_stream_image_index" -> st24StreamImageIndex _,
     "m12_image_index_maintenance" -> m12ImageIndexMaintenance _,
-    "m13_multi_epoch_images" -> m13MultiEpochImages _,
+    "m13_multi_epoch_images" -> ((s, d) => m13MultiEpochImages(s, d)),
     "m11_sharded_mm_packing" -> m11ShardedInterleavedPacking _,
     "m01_blob_meta"    -> m01BlobMeta _,
     "m02_frame_stats"  -> m02FrameStats _,
