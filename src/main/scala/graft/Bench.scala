@@ -117,12 +117,13 @@ object Bench {
       db.close()
     } catch { case _: Throwable => () }
     // javax.imageio plugin-registry init + one decode/encode round trip
+    // through the engine's own heap-cached codec path (the gates never
+    // touch ImageIO's default file-cache streams)
     try {
       val img = new java.awt.image.BufferedImage(
         4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+      graft.analytics.Multimodal.decodeImage(
+        graft.analytics.Multimodal.encodePng(img))
     } catch { case _: Throwable => () }
     // k-means machinery (centroid-literal struct arrays, decimal
     // partial sums, cell self-join with array_dot): its one-time
@@ -180,6 +181,23 @@ object Bench {
     // steadiness criterion below — a distribution, not a point sample
     val passThreads =
       scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[Int]]
+    // per-pass, per-query POOL samples (root ThreadGroup enumerate —
+    // no stack dumps, so it is cheap enough to take per query): the
+    // overall p90 criterion says WHETHER the driver is steady; the
+    // per-pool p90s say WHICH pool moved when it is not — the r16
+    // driver run's steady_ok:false was unattributable because the
+    // only pool data was a pass-end point histogram
+    val passPools = scala.collection.mutable
+      .Map.empty[String, scala.collection.mutable.ArrayBuffer[Map[String, Int]]]
+    def poolSample(): Map[String, Int] = {
+      var g = Thread.currentThread().getThreadGroup
+      while (g.getParent != null) g = g.getParent
+      val arr = new Array[Thread](g.activeCount() + 64)
+      val n = g.enumerate(arr, true)
+      (0 until math.min(n, arr.length)).flatMap(i => Option(arr(i)))
+        .map(_.getName.replaceAll("[0-9a-f-]{8,}|[0-9]+", "#"))
+        .groupBy(identity).view.mapValues(_.size).toMap
+    }
     // per-pass FIXTURE time (graft.core.FixtureClock): wall clock the
     // pass spent building once-per-JVM rebuild twins / seed stores /
     // synthetic corpora inside memoized builders — check-and-fixture
@@ -233,6 +251,8 @@ object Bench {
         diags += s"""{"pass":"$tag","query":"$name","sec":${(dt * 1000).round / 1000.0},"fix":${(fixDt * 1000).round / 1000.0},"t":${System.currentTimeMillis / 1000},"diag":${snap.json}}"""
         passThreads.getOrElseUpdate(tag,
           scala.collection.mutable.ArrayBuffer.empty[Int]) += snap.threads
+        passPools.getOrElseUpdate(tag,
+          scala.collection.mutable.ArrayBuffer.empty[Map[String, Int]]) += poolSample()
         // a NEGATIVE duration marks an errored query — loud in the
         // JSON instead of masquerading as a normal timing
         name -> (if (ok) dt else -dt)
@@ -310,17 +330,30 @@ object Bench {
     val repoRoot = sys.env.getOrElse("SPARK_GRAFT_REPO", System.getProperty("user.dir"))
     val histPath = java.nio.file.Paths.get(repoRoot, "bench_history.jsonl")
     val HistLookback = 3
-    val prevFlagged: Set[String] =
-      if (!java.nio.file.Files.exists(histPath)) Set.empty
+    // per same-sf history line: ORGANIC flags (aging ∪ weather minus
+    // that run's promoted repeats — BenchFlags.organicFlags: feeding a
+    // promotion record back into later lookbacks made promotion
+    // self-perpetuating, the r16 advice) plus the run's recorded
+    // steadiness (grown pools + ok) for the steadiness repeat rule.
+    final case class HistRun(flags: Set[String], steadyGrown: Set[String],
+                             steadyMiss: Boolean)
+    val histRuns: Seq[HistRun] =
+      if (!java.nio.file.Files.exists(histPath)) Nil
       else try {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         import scala.jdk.CollectionConverters._
-        def flagsOf(line: String): Option[(String, Set[String])] =
+        def runOf(line: String): Option[(String, HistRun)] =
           try {
             val n = om.readTree(line)
-            val fs = (n.path("aging_violations").elements().asScala ++
-              n.path("weather_flags").elements().asScala).map(_.asText()).toSet
-            Some((n.path("sf").asText(), fs))
+            def set(node: com.fasterxml.jackson.databind.JsonNode) =
+              node.elements().asScala.map(_.asText()).toSet
+            val flags = BenchFlags.organicFlags(
+              set(n.path("aging_violations")), set(n.path("weather_flags")),
+              set(n.path("promoted_repeats")))
+            val st = n.path("steady")
+            Some((n.path("sf").asText(), HistRun(flags,
+              set(st.path("grown")),
+              steadyMiss = st.has("ok") && !st.path("ok").asBoolean(true))))
           } catch {
             case e: Throwable =>
               System.err.println("[bench] unparseable bench_history.jsonl line " +
@@ -329,15 +362,16 @@ object Bench {
           }
         java.nio.file.Files.readAllLines(histPath).asScala
           .filter(_.trim.nonEmpty)
-          .reverseIterator.flatMap(flagsOf)
+          .reverseIterator.flatMap(runOf)
           .filter { case (sf, _) => sf == sfDir }
-          .take(HistLookback).flatMap(_._2).toSet
+          .take(HistLookback).map(_._2).toSeq
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] cannot read $histPath (${e.getMessage}); " +
             "cross-run repeat promotion disabled for this run")
-          Set.empty
+          Nil
       }
+    val prevFlagged: Set[String] = histRuns.flatMap(_.flags).toSet
     val part = BenchFlags.partition(
       results.map(_._1).toIndexedSeq, results.map(_._2).toIndexedSeq,
       warm1.map(_._2).toIndexedSeq, warm2.map(_._2).toIndexedSeq, prevFlagged)
@@ -370,19 +404,6 @@ object Bench {
     // the metric line carries ONLY totals + per-family subtotals +
     // errors; the full per-query cold+warm maps (which at 119 queries
     // run ~5 KB and were getting truncated) go to a JSON file instead
-    val perQueryFile = java.nio.file.Paths.get("target", "bench_queries.json")
-    java.nio.file.Files.createDirectories(perQueryFile.getParent)
-    java.nio.file.Files.write(perQueryFile,
-      (s"""{"sf":"$sfDir","n":${results.size},""" +
-        s""""queries":${fmt(results, 9)},""" +
-        s""""queries_warm":${fmt(warm, 9)},""" +
-        s""""queries_warm1":${fmt(warm1, 9)},""" +
-        s""""queries_warm2":${fmt(warm2, 9)},""" +
-        s""""errors":$errors,""" +
-        s""""aging_violations":${agingViolations.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-        s""""weather_flags":${weatherFlags.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-        s""""thread_hist":$threadHist,""" +
-        s""""aging":[${diags.mkString(",")}]}""" + "\n").getBytes("UTF-8"))
     // per-family (gate-prefix) subtotals of successful queries: small
     // enough to survive the tail window, coarse enough to localize a
     // regression to dedup vs streaming vs ANN vs text without the file
@@ -421,10 +442,57 @@ object Bench {
       if (xs.isEmpty) -1 else xs.sorted.apply(((xs.size - 1) * 0.9).toInt)
     val w1p90 = p90(passThreads.getOrElse("warm1", Nil).toSeq)
     val w2p90 = p90(passThreads.getOrElse("warm2", Nil).toSeq)
-    val steadyOk = w1p90 > 0 && w2p90 <= 1.05 * w1p90
+    // per-pool p90s across the pass's per-query samples (a pool absent
+    // from a sample counts 0 there), so a miss is ATTRIBUTABLE: the
+    // verdict names the grown pool(s) and applies the repeat-by-name
+    // rule against the previous recorded run — BenchFlags.steadiness
+    // (a one-off miss inside a weather run files as weather; only a
+    // repeat is a leak). The r16 driver miss (962→1082 with a g07
+    // weather window, first occurrence) files as weather under this
+    // rule — BenchFlagsSpec replays it.
+    def poolP90(tag: String): Map[String, Int] = {
+      val samples = passPools.getOrElse(tag, Nil).toSeq
+      if (samples.isEmpty) Map.empty
+      else samples.flatMap(_.keys).toSet.iterator
+        .map((p: String) => p -> p90(samples.map(_.getOrElse(p, 0)))).toMap
+    }
+    val pools1 = poolP90("warm1")
+    val pools2 = poolP90("warm2")
+    val prevSteady = histRuns.headOption
+    val steadyRes = BenchFlags.steadiness(w1p90, w2p90, pools1, pools2,
+      prevGrown = prevSteady.map(_.steadyGrown).getOrElse(Set.empty),
+      prevMiss = prevSteady.exists(_.steadyMiss),
+      weatherFlags = weatherFlags)
+    val steadyOk = steadyRes.ok
+    def jsonStr(s: String) =
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"").filter(_ >= ' ') + "\""
+    val grownJson = steadyRes.grown.map(jsonStr).mkString("[", ",", "]")
     // pass-end point samples stay on the line for continuity with
-    // earlier rounds' artifacts
-    val steady = s"""{"threads_warm1":$w1Thr,"threads_warm2":${endSnap.threads},"threads_warm1_p90":$w1p90,"threads_warm2_p90":$w2p90,"steady_ok":$steadyOk}"""
+    // earlier rounds' artifacts; the full per-pool p90 maps go to the
+    // per-query file (the metric line lives inside a ~2000-char tail)
+    val steady = s"""{"threads_warm1":$w1Thr,"threads_warm2":${endSnap.threads},"threads_warm1_p90":$w1p90,"threads_warm2_p90":$w2p90,"steady_ok":$steadyOk,"verdict":${jsonStr(steadyRes.verdict)},"grown":$grownJson}"""
+    def poolsJson(m: Map[String, Int]) =
+      m.toSeq.sortBy { case (n, c) => (-c, n) }.take(16)
+        .map { case (n, c) => s"${jsonStr(n)}:$c" }.mkString("{", ",", "}")
+    // the full per-query maps + per-pool p90s (which at 119+ queries
+    // and ~30 pools outgrow the consumer's ~2000-char stdout tail) go
+    // to a JSON file; the metric line carries totals + verdicts only
+    val perQueryFile = java.nio.file.Paths.get("target", "bench_queries.json")
+    java.nio.file.Files.createDirectories(perQueryFile.getParent)
+    java.nio.file.Files.write(perQueryFile,
+      (s"""{"sf":"$sfDir","n":${results.size},""" +
+        s""""queries":${fmt(results, 9)},""" +
+        s""""queries_warm":${fmt(warm, 9)},""" +
+        s""""queries_warm1":${fmt(warm1, 9)},""" +
+        s""""queries_warm2":${fmt(warm2, 9)},""" +
+        s""""errors":$errors,""" +
+        s""""aging_violations":${agingViolations.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""weather_flags":${weatherFlags.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""thread_hist":$threadHist,""" +
+        s""""steady":$steady,""" +
+        s""""pools_warm1_p90":${poolsJson(pools1)},""" +
+        s""""pools_warm2_p90":${poolsJson(pools2)},""" +
+        s""""aging":[${diags.mkString(",")}]}""" + "\n").getBytes("UTF-8"))
     val violJson = agingViolations.map("\"" + _ + "\"").mkString("[", ",", "]")
     val wthJson = weatherFlags.map("\"" + _ + "\"").mkString("[", ",", "]")
     val promJson = promotedRepeats.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -433,13 +501,17 @@ object Bench {
     // per-query map was overwritten each run, so an av/d-family drift
     // could not be attributed gate-by-gate against the prior round
     try {
+      // the recorded steady object is what the NEXT run's lookback
+      // parses ("ok"/"grown" — the steadiness repeat-by-name rule)
+      val histSteady = s"""{"ok":$steadyOk,"verdict":${jsonStr(steadyRes.verdict)},""" +
+        s""""grown":$grownJson,"w1p90":$w1p90,"w2p90":$w2p90}"""
       val hist = s"""{"t":${System.currentTimeMillis / 1000},"sf":"$sfDir","n":${results.size},""" +
         s""""value":${sc3(total)},"total_warm":${sc3(totalWarm)},""" +
         s""""cold_engine":${sc3(coldEngine)},"cold_fixtures":${sc3(coldFixtures)},""" +
         s""""queries":${fmt(results, 3)},"queries_warm1":${fmt(warm1, 3)},""" +
         s""""queries_warm2":${fmt(warm2, 3)},""" +
         s""""aging_violations":$violJson,"weather_flags":$wthJson,""" +
-        s""""promoted_repeats":$promJson,"errors":$errors}""" + "\n"
+        s""""promoted_repeats":$promJson,"steady":$histSteady,"errors":$errors}""" + "\n"
       java.nio.file.Files.writeString(histPath, hist,
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)

@@ -12,6 +12,58 @@ object BenchFlags {
   final case class Partition(aging: Seq[String], weather: Seq[String],
                              promoted: Seq[String])
 
+  /** A history line's ORGANIC flags — what the cross-run repeat
+    * lookback may consume. A PROMOTED entry is bookkeeping (the
+    * partition moved it to aging *because* it repeated), not a fresh
+    * observation: feeding it back into later lookbacks made promotion
+    * self-perpetuating — a weather-prone gate flagged twice could
+    * re-promote forever off its own promotion record and never demote
+    * after clean runs (the r16 advice). Subtracting the promoted set
+    * leaves exactly the flags the run observed first-hand. */
+  def organicFlags(aging: Set[String], weather: Set[String],
+                   promoted: Set[String]): Set[String] =
+    (aging ++ weather) -- promoted
+
+  final case class Steadiness(ok: Boolean, verdict: String, grown: Seq[String])
+
+  /** Steadiness verdict with per-pool attribution and the same
+    * repeat-by-name discipline as the per-gate flags (the r16 driver
+    * run's `steady_ok: false` could not be attributed: the p90 thread
+    * criterion names no pool, and a one-off miss in a weather window
+    * is indistinguishable from a leak without a cross-run rule).
+    *
+    *  - overall criterion unchanged: warm2's p90 per-query thread
+    *    count may grow at most 5% over warm1's (one-sided — a shrink
+    *    is just idle reaping);
+    *  - `grown` names the pools whose own p90 breaks the same 5%
+    *    bound by at least [[PoolGrowthFloor]] threads (a 3→4 helper
+    *    pool is scheduler noise, not a leak shape);
+    *  - a miss is a LEAK only when it repeats: a named pool also in
+    *    the previous run's grown set, or a diffuse miss (no pool
+    *    crosses the floor) following a previous diffuse miss;
+    *  - otherwise a one-off miss files as `weather` when the run
+    *    carried weather windows, else `watch` (attribute next run —
+    *    exactly the one-round detection delay the per-gate promotion
+    *    already accepts). */
+  val PoolGrowthFloor = 8
+
+  def steadiness(w1p90: Int, w2p90: Int,
+                 pools1: Map[String, Int], pools2: Map[String, Int],
+                 prevGrown: Set[String], prevMiss: Boolean,
+                 weatherFlags: Seq[String]): Steadiness = {
+    val ok = w1p90 > 0 && w2p90 <= 1.05 * w1p90
+    val grown = (pools1.keySet ++ pools2.keySet).toSeq.sorted.filter { p =>
+      val a = pools1.getOrElse(p, 0); val b = pools2.getOrElse(p, 0)
+      b > 1.05 * a && b - a >= PoolGrowthFloor
+    }
+    val verdict =
+      if (ok) "ok"
+      else if (grown.exists(prevGrown.contains) || (grown.isEmpty && prevMiss)) "leak"
+      else if (weatherFlags.nonEmpty) "weather"
+      else "watch"
+    Steadiness(ok, verdict, grown)
+  }
+
   /** Per-index cross-pass minimum of the positive durations (negative
     * marks an errored query; 0 when every pass errored). */
   def minOf(cold: IndexedSeq[Double], w1: IndexedSeq[Double],

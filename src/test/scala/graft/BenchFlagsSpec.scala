@@ -102,6 +102,63 @@ class BenchFlagsSpec extends AnyFunSuite {
       .foreach(n => assert(p.aging.contains(n), s"$n must stay in aging: $p"))
   }
 
+  test("promotion is not self-perpetuating: a promoted entry is excluded from the organic lookback flags") {
+    // run 2 promoted gate X off run 1's weather flag; its history line
+    // records X under BOTH aging_violations and promoted_repeats. The
+    // lookback must see run 2 as contributing NOTHING organic for X —
+    // otherwise any later weather hit on X within the lookback window
+    // re-promotes off the promotion record itself, forever (r16
+    // advice: a weather-prone gate could never demote).
+    val run2 = BenchFlags.organicFlags(
+      aging = Set("x_gate"), weather = Set.empty, promoted = Set("x_gate"))
+    assert(run2.isEmpty, s"promotion record leaked into organic flags: $run2")
+    // a genuinely-isolated aging flag in the same run stays organic
+    val mixed = BenchFlags.organicFlags(
+      aging = Set("x_gate", "y_gate"), weather = Set("z_gate"),
+      promoted = Set("x_gate"))
+    assert(mixed == Set("y_gate", "z_gate"))
+  }
+
+  test("steadiness: the r16 driver miss (962→1082, g07 weather window, first occurrence) files as weather") {
+    // the r16 driver artifact's exact inputs: overall p90 962→1082
+    // (+12.5% against the +5% one-sided criterion), one weather window
+    // (g07), no prior recorded miss — per-pool attribution sees the
+    // dispatcher plateau shift (synthetic but shaped like thread_hist)
+    val s = BenchFlags.steadiness(962, 1082,
+      pools1 = Map("dispatcher-event-loop-#" -> 560, "shuffle-client-#" -> 180),
+      pools2 = Map("dispatcher-event-loop-#" -> 660, "shuffle-client-#" -> 182),
+      prevGrown = Set.empty, prevMiss = false,
+      weatherFlags = Seq("g07_incremental_knn"))
+    assert(!s.ok)
+    assert(s.grown == Seq("dispatcher-event-loop-#"))
+    assert(s.verdict == "weather",
+      s"a first-occurrence miss in a weather run must file as weather: $s")
+  }
+
+  test("steadiness: a pool growing in two consecutive runs is a leak; clean runs reset; small pools never flag") {
+    val grown1 = Map("pool-a-#" -> 40)
+    val grown2 = Map("pool-a-#" -> 60)
+    // repeat by pool name across consecutive runs → leak, weather or not
+    val leak = BenchFlags.steadiness(900, 1000, grown1, grown2,
+      prevGrown = Set("pool-a-#"), prevMiss = true,
+      weatherFlags = Seq("g07_incremental_knn"))
+    assert(leak.verdict == "leak")
+    // same miss, different pool last time → not a leak; no weather → watch
+    val watch = BenchFlags.steadiness(900, 1000, grown1, grown2,
+      prevGrown = Set("pool-b-#"), prevMiss = true, weatherFlags = Nil)
+    assert(watch.verdict == "watch")
+    // diffuse miss (no pool past the floor) repeating → leak
+    val diffuse = BenchFlags.steadiness(900, 1000,
+      Map("a-#" -> 5, "b-#" -> 5), Map("a-#" -> 9, "b-#" -> 9),
+      prevGrown = Set.empty, prevMiss = true, weatherFlags = Nil)
+    assert(diffuse.grown.isEmpty && diffuse.verdict == "leak")
+    // a 3→4 helper pool is noise: growth below the absolute floor
+    val s = BenchFlags.steadiness(900, 920,
+      Map("tiny-#" -> 3), Map("tiny-#" -> 7),
+      prevGrown = Set.empty, prevMiss = false, weatherFlags = Nil)
+    assert(s.ok && s.grown.isEmpty)
+  }
+
   test("window mechanics: elevated gates extend a window without counting toward its 3 slow members") {
     // five gates: slow, ELEVATED (bridges), slow, slow, clean
     val mins = IndexedSeq(1.0, 0.5, 1.0, 1.0, 1.0)
