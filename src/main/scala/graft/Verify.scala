@@ -798,6 +798,37 @@ object Verify {
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/invariants.json"), invJson)
     println(s"[verify] invariants: $invJson")
+    // COMMIT the verdicts per round (r16 verdict item 2): the judge
+    // reads every named invariant from the repo without running
+    // Verify. The round number is inferred the way the driver numbers
+    // its own artifacts — one past the newest committed
+    // CORRECTNESS_r{N}.json (the driver's Verify run precedes its
+    // CORRECTNESS write, so both land on the same N; a builder-local
+    // full run mid-round overwrites the same file with fresher
+    // verdicts, which is the point). Skipped for subset runs — a
+    // partial invariant map must never shadow a full one.
+    if (only.isEmpty) {
+      try {
+        val repo = Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_REPO", System.getProperty("user.dir")))
+        val rounds = scala.util.Using.resource(Files.list(repo)) { s =>
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString)
+            .flatMap("""CORRECTNESS_r(\d+)\.json""".r
+              .findFirstMatchIn(_).map(_.group(1).toInt))
+            .toList
+        }
+        if (rounds.nonEmpty) {
+          val f = repo.resolve(f"invariants_r${rounds.max + 1}%02d.json")
+          Files.writeString(f, invJson + "\n")
+          println(s"[verify] invariant verdicts committed to $f")
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[verify] could not write the per-round " +
+            s"invariants copy (${e.getMessage}); outDir copy is unaffected")
+      }
+    }
     spark.stop()
   }
 }
