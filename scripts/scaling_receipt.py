@@ -85,10 +85,14 @@ def main():
             fams[family(g)][sf] += t
     per_family = {}
     for f, ts in sorted(fams.items()):
+        # alpha() is None when a summed time is 0 (3-decimal inputs can
+        # legitimately round a sub-ms family to 0.0 at one sf) — guard
+        # like the per-gate path instead of crashing round()
+        fam_a = alpha(ts["sf0.01"], ts["sf0.1"])
         per_family[f] = {
             "sf0.001": round(ts["sf0.001"], 2), "sf0.01": round(ts["sf0.01"], 2),
             "sf0.1": round(ts["sf0.1"], 2),
-            "alpha_01_1": round(alpha(ts["sf0.01"], ts["sf0.1"]), 3),
+            "alpha_01_1": None if fam_a is None else round(fam_a, 3),
         }
     receipt = {
         "round": rnd,

@@ -21,6 +21,13 @@ object FixtureClock {
   private val nanos = new java.util.concurrent.atomic.AtomicLong(0L)
   private val depth = ThreadLocal.withInitial[Integer](() => 0)
 
+  /** Clock seam: the spec swaps in a deterministic tick so the
+    * no-double-count and hit-is-free properties are pinned exactly,
+    * structurally — not with wall-clock upper bounds that flake when
+    * the box stalls mid-sleep (the r16 advice). Production never
+    * touches this. */
+  @volatile private[core] var nanoClock: () => Long = () => System.nanoTime()
+
   /** Total fixture-construction nanos so far this JVM. */
   def totalNanos: Long = nanos.get()
 
@@ -37,11 +44,11 @@ object FixtureClock {
   def timed[T](body: => T): T = {
     val d = depth.get()
     depth.set(d + 1)
-    val t0 = System.nanoTime()
+    val t0 = nanoClock()
     try body
     finally {
       depth.set(d)
-      if (d == 0) nanos.addAndGet(System.nanoTime() - t0)
+      if (d == 0) nanos.addAndGet(nanoClock() - t0)
     }
   }
 }
