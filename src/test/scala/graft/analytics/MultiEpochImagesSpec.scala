@@ -57,4 +57,22 @@ class MultiEpochImagesSpec extends AnyFunSuite {
     // the added pattern — all non-empty groups
     assert(rows.last._3 >= 4, "final epoch lost planted pattern groups")
   }
+
+  test("probe mode (rebuildCheck=false): twins skipped, eq_rebuild null, maintenance receipts unchanged") {
+    // ChainProbe's contract: probe mode must not fabricate a verdict
+    // (eq_rebuild reads null) and must not change the maintenance work
+    // being priced — the covered/compacted trajectory is identical to
+    // the checking run's
+    val checked = Multimodal.m13MultiEpochImages(spark, dir).collect()
+      .map(r => (r.getAs[Int]("epoch"), r.getAs[Double]("covered_before"),
+        r.getAs[Boolean]("compacted"))).sortBy(_._1).toSeq
+    val probeRows = Multimodal.m13MultiEpochImages(spark, dir, rebuildCheck = false)
+      .collect().sortBy(_.getAs[Int]("epoch"))
+    assert(probeRows.forall(_.isNullAt(probeRows.head.fieldIndex("eq_rebuild"))),
+      "probe mode must record NO rebuild verdict, not a fabricated one")
+    val probe = probeRows.map(r => (r.getAs[Int]("epoch"),
+      r.getAs[Double]("covered_before"), r.getAs[Boolean]("compacted"))).toSeq
+    assert(probe == checked,
+      s"probe mode changed the maintenance trajectory: $probe vs $checked")
+  }
 }
