@@ -324,30 +324,31 @@ object TextOps {
     }
 
   /** DRIVER-SIDE twin of [[readDfSidecar]]'s effective-df fold,
-    * summed: live (doc, term) posting rows = Σ max-with-0 of
-    * (base df + Σ deltas) per term. The sidecars are |vocab|-bounded
-    * by contract — the same bound that lets the Spark fold run as a
-    * broadcast-sized agg — so folding them in the driver costs
-    * microseconds and keeps the compaction-policy path free of Spark
-    * jobs entirely (the r16 verdict's item 7 applied to the postings
-    * family, whose rows-per-key varies so the generic instance
-    * estimate can't serve it). Term-by-term, exactly like the Spark
-    * fold: a (buggy) negative effective df clamps to 0 here as the
-    * `filter(df > 0)` drops it there. */
+    * summed: live (doc, term) posting rows = Σ over terms of
+    * (base df + Σ deltas). One streaming pass, O(1) driver memory —
+    * NOT a per-term map: the sidecars are |vocab|-bounded, and a
+    * 100 TB corpus's vocabulary long tail is exactly the thing the
+    * policy path must not materialize in the driver. The global sum
+    * equals readDfSidecar's per-term `filter(df > 0)` fold because
+    * every term's effective df is non-negative under the maintainer
+    * invariant (batch g's deltas remove only postings that exist —
+    * the p13 oracle pins the sidecar end-to-end); were that invariant
+    * ever broken, an un-clamped negative term only LOWERS this sum,
+    * which over-states the covered fraction and compacts early — the
+    * estimate's safe direction. Keeps the compaction-policy path free
+    * of Spark jobs entirely (the r16 verdict's item 7 applied to the
+    * postings family, whose rows-per-key varies so the generic
+    * instance estimate can't serve it). */
   private def dfSidecarLiveRows(out: String): Long = {
-    val eff = new java.util.HashMap[String, Long]()
+    var total = 0L
     def fold(dirName: String, field: String): Unit =
       graft.core.SegmentedIndex.foreachSidecarRow(
           java.nio.file.Paths.get(out, dirName)) { g =>
-        if (g.getFieldRepetitionCount(field) > 0) {
-          val term = g.getString("term", 0)
-          eff.merge(term, g.getLong(field, 0), (a, b) => a + b)
-        }
+        if (g.getFieldRepetitionCount(field) > 0)
+          total += g.getLong(field, 0)
       }
     fold("_df", "df")
     fold("_df_deltas", "delta")
-    var total = 0L
-    eff.values.forEach(v => if (v > 0) total += v)
     total
   }
 
