@@ -154,6 +154,15 @@ object Bench {
         .queryName("bench_warmup_stream").start()
       q.processAllAvailable(); q.stop()
     } catch { case _: Throwable => () }
+    // deterministic per-gate cost counters (jobs/stages/tasks/shuffle
+    // bytes) — the weather-immune twin of the timing maps: a warm-pass
+    // job-count change is a plan change by construction, no weather
+    // attribution needed (the r16 count()-per-append tax was caught by
+    // a timing diff that happened to land in a calm window; this
+    // instrument catches that class structurally)
+    graft.core.CostAccounting.install(spark)
+    val passCosts = scala.collection.mutable.Map.empty[
+      String, scala.collection.mutable.LinkedHashMap[String, graft.core.CostAccounting.Snapshot]]
     // per-query aging diagnostics (heap/metaspace/threads/listeners/
     // state providers/GC/JIT) — the evidence trail that the driver
     // reaches a steady state instead of degrading across passes (the
@@ -217,11 +226,20 @@ object Bench {
         // driver arrays, but the sweep must not bake that in) keeps
         // its only data copy
         val preIds = spark.sparkContext.getPersistentRDDs.keySet
+        // cost snapshots bracket ONLY the gate's own work: the pre
+        // snapshot drains whatever the previous boundary left queued
+        // (milliseconds), the post snapshot runs before the cache
+        // sweep — neither drain sits inside the timed region
+        val cost0 = graft.core.CostAccounting.snapshot(spark)
         val fix0 = graft.core.FixtureClock.totalNanos
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         val fixDt = (graft.core.FixtureClock.totalNanos - fix0) / 1e9
+        val cost = graft.core.CostAccounting.snapshot(spark).diff(cost0)
+        passCosts.getOrElseUpdate(tag,
+          scala.collection.mutable.LinkedHashMap
+            .empty[String, graft.core.CostAccounting.Snapshot])(name) = cost
         // successful queries only, like `total` below — an errored
         // gate's whole duration is excluded from the pass total, so
         // counting its fixture time would subtract it from OTHER
@@ -248,7 +266,7 @@ object Bench {
         // where 5-6 CONSECUTIVE queries run 3-5× slow) is provable
         // from the artifact alone, vs a per-query defect which names
         // the same query across runs
-        diags += s"""{"pass":"$tag","query":"$name","sec":${(dt * 1000).round / 1000.0},"fix":${(fixDt * 1000).round / 1000.0},"t":${System.currentTimeMillis / 1000},"diag":${snap.json}}"""
+        diags += s"""{"pass":"$tag","query":"$name","sec":${(dt * 1000).round / 1000.0},"fix":${(fixDt * 1000).round / 1000.0},"t":${System.currentTimeMillis / 1000},"cost":${cost.json},"diag":${snap.json}}"""
         passThreads.getOrElseUpdate(tag,
           scala.collection.mutable.ArrayBuffer.empty[Int]) += snap.threads
         passPools.getOrElseUpdate(tag,
@@ -477,6 +495,78 @@ object Bench {
     // the full per-query maps + per-pool p90s (which at 119+ queries
     // and ~30 pools outgrow the consumer's ~2000-char stdout tail) go
     // to a JSON file; the metric line carries totals + verdicts only
+    // deterministic cost receipt: per gate, the cold/warm1/warm2
+    // job/stage/task/byte deltas plus the intra-run stability verdict
+    // (warm1 jobs == warm2 jobs). Written fresh each run; a round
+    // commits it under receipts/bench_costs_r{N}.json, and the NEXT
+    // runs diff their stable warm job counts against the latest
+    // committed receipt — BenchFlags.costDrift, the weather-immune
+    // regression gate
+    val costGates: Seq[String] = passCosts.get("warm1")
+      .map(_.keys.toSeq).getOrElse(Nil)
+    def costOf(tag: String, gate: String) =
+      passCosts.get(tag).flatMap(_.get(gate))
+    val costsJson = costGates.map { g =>
+      val w1 = costOf("warm1", g)
+      val w2 = costOf("warm2", g)
+      val stable = (w1, w2) match {
+        case (Some(a), Some(b)) => a.jobs == b.jobs
+        case _ => false
+      }
+      def j(o: Option[graft.core.CostAccounting.Snapshot]) =
+        o.map(_.json).getOrElse("null")
+      s"""${jsonStr(g)}:{"cold":${j(costOf("cold", g))},"warm1":${j(w1)},""" +
+        s""""warm2":${j(w2)},"stable":$stable}"""
+    }.mkString("{", ",", "}")
+    val costsFile = java.nio.file.Paths.get("target", "bench_costs.json")
+    java.nio.file.Files.createDirectories(costsFile.getParent)
+    java.nio.file.Files.write(costsFile,
+      (s"""{"sf":"$sfDir","t":${System.currentTimeMillis / 1000},""" +
+        s""""gates":$costsJson}""" + "\n").getBytes("UTF-8"))
+    // diff against the latest committed receipt (same sf only): gates
+    // stable in both runs whose job count moved. Loud on parse
+    // failure, silent when no receipt exists yet (first round)
+    val costDrift: Seq[String] = try {
+      val rdir = java.nio.file.Paths.get(repoRoot, "receipts")
+      val latest: Option[java.nio.file.Path] =
+        if (!java.nio.file.Files.isDirectory(rdir)) None
+        else {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(rdir).iterator().asScala
+            .filter(_.getFileName.toString.matches("bench_costs_r\\d+\\.json"))
+            .toSeq.sortBy(p => p.getFileName.toString
+              .replaceAll("\\D", "").toInt).lastOption
+        }
+      latest match {
+        case None => Nil
+        case Some(p) =>
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val n = om.readTree(java.nio.file.Files.readString(p))
+          if (n.path("sf").asText() != sfDir) Nil
+          else {
+            import scala.jdk.CollectionConverters._
+            def jobsPair(node: com.fasterxml.jackson.databind.JsonNode) = {
+              val a = node.path("warm1").path("jobs")
+              val b = node.path("warm2").path("jobs")
+              if (a.isNumber && b.isNumber) Some((a.asLong(), b.asLong()))
+              else None
+            }
+            val base = n.path("gates").properties().asScala
+              .flatMap(e => jobsPair(e.getValue).map(e.getKey -> _)).toMap
+            val cur = costGates.flatMap { g =>
+              for (a <- costOf("warm1", g); b <- costOf("warm2", g))
+                yield g -> (a.jobs, b.jobs)
+            }.toMap
+            BenchFlags.costDrift(cur, base)
+          }
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] cost-receipt diff failed (${e.getMessage}); " +
+          "cost_drift disabled for this run")
+        Nil
+    }
+    val costDriftJson = costDrift.map(jsonStr).mkString("[", ",", "]")
     val perQueryFile = java.nio.file.Paths.get("target", "bench_queries.json")
     java.nio.file.Files.createDirectories(perQueryFile.getParent)
     java.nio.file.Files.write(perQueryFile,
@@ -488,6 +578,7 @@ object Bench {
         s""""errors":$errors,""" +
         s""""aging_violations":${agingViolations.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""weather_flags":${weatherFlags.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""cost_drift":$costDriftJson,""" +
         s""""thread_hist":$threadHist,""" +
         s""""steady":$steady,""" +
         s""""pools_warm1_p90":${poolsJson(pools1)},""" +
@@ -516,7 +607,7 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${sc3(total)},"unit":"sec","total_warm":${sc3(totalWarm)},"cold_engine":${sc3(coldEngine)},"cold_fixtures":${sc3(coldFixtures)},"warm_fixtures":${sc3(warmFixtures)},"n_queries":${results.size},"families":$fams,"families_warm":$famsWarm,"steady":$steady,"aging_violations":$violJson,"weather_flags":$wthJson,"promoted_repeats":$promJson,"errors":$errors,"per_query_file":"$perQueryFile","history_file":"$histPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sc3(total)},"unit":"sec","total_warm":${sc3(totalWarm)},"cold_engine":${sc3(coldEngine)},"cold_fixtures":${sc3(coldFixtures)},"warm_fixtures":${sc3(warmFixtures)},"n_queries":${results.size},"families":$fams,"families_warm":$famsWarm,"steady":$steady,"aging_violations":$violJson,"weather_flags":$wthJson,"promoted_repeats":$promJson,"cost_drift":$costDriftJson,"errors":$errors,"per_query_file":"$perQueryFile","costs_file":"$costsFile","history_file":"$histPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

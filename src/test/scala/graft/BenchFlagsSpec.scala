@@ -170,4 +170,25 @@ class BenchFlagsSpec extends AnyFunSuite {
     val w2 = BenchFlags.weatherIdx(IndexedSeq(2.5, 0.55, 2.6, 2.7, 1.05), mins)
     assert(w2 == Set.empty, s"a clean gate must still break a window: $w2")
   }
+
+  test("cost drift: only stable-both-sides job-count changes flag; variance and coverage changes never do") {
+    val base = Map(
+      "q01" -> (4L, 4L),   // stable at 4
+      "q02" -> (6L, 6L),   // stable at 6
+      "st9" -> (11L, 12L), // unstable in the baseline run
+      "old" -> (3L, 3L))   // removed this round
+    val cur = Map(
+      "q01" -> (5L, 5L),   // stable, moved 4→5  → DRIFT
+      "q02" -> (6L, 6L),   // stable, unchanged  → clean
+      "st9" -> (12L, 12L), // stable now, but baseline couldn't assert → skip
+      "new" -> (7L, 7L))   // added this round   → skip
+    assert(BenchFlags.costDrift(cur, base) == Seq("q01"))
+    // a gate unstable in the CURRENT run never flags, even against a
+    // stable baseline (the r16 count()-tax shape in reverse would
+    // first show as instability, then repeat as stable drift)
+    val wobbly = cur.updated("q01", (5L, 6L))
+    assert(BenchFlags.costDrift(wobbly, base).isEmpty)
+    // identical runs → empty
+    assert(BenchFlags.costDrift(base, base).isEmpty)
+  }
 }
