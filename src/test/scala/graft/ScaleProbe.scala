@@ -139,11 +139,19 @@ object ScaleProbe {
       // SPARK_GRAFT_ONLY=a,b,c restricts the sweep (dev iteration knob)
       .filter(n => sys.env.get("SPARK_GRAFT_ONLY")
         .forall(_.split(",").contains(n)))
-    def time(name: String, dir: String): (Double, Long) = {
+    // job counts ride along: for a scale-sound plan the 10× run
+    // executes the SAME jobs — only bytes grow. A job count that grows
+    // with the corpus names a driver loop whose trip count is
+    // data-dependent (a fixpoint iteration, a size-adaptive stage) —
+    // either by design (document it) or a scale bug (fix it)
+    graft.core.CostAccounting.install(spark)
+    def time(name: String, dir: String): (Double, Long, Long) = {
+      val c0 = graft.core.CostAccounting.snapshot(spark)
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, dir).count()
       spark.catalog.clearCache()
-      ((System.nanoTime() - t0) / 1e9, n)
+      val dt = (System.nanoTime() - t0) / 1e9
+      (dt, n, graft.core.CostAccounting.snapshot(spark).diff(c0).jobs)
     }
     // untimed warmup at sf0.001: each query's one-time classload +
     // codegen + JIT cost (t07's trigram fit alone is tens of seconds
@@ -152,11 +160,11 @@ object ScaleProbe {
       try time(name, "/root/testdata/sf0.001")
       catch { case _: Throwable => () }
     }
-    println(f"[scale] ${"query"}%-26s ${"1x_s"}%8s ${s"${rep}x_s"}%8s ${"ratio"}%6s  rows_1x -> rows_big")
+    println(f"[scale] ${"query"}%-26s ${"1x_s"}%8s ${s"${rep}x_s"}%8s ${"ratio"}%6s ${"jobs"}%9s  rows_1x -> rows_big")
     names.foreach { name =>
-      val (t1, n1) = time(name, sfDir)
-      val (tb, nb) = time(name, big)
-      println(f"[scale] $name%-26s $t1%8.2f $tb%8.2f ${tb / t1}%6.1f  $n1 -> $nb")
+      val (t1, n1, j1) = time(name, sfDir)
+      val (tb, nb, jb) = time(name, big)
+      println(f"[scale] $name%-26s $t1%8.2f $tb%8.2f ${tb / t1}%6.1f ${s"$j1->$jb"}%9s  $n1 -> $nb")
     }
 
     // k-NN graph IVF tier, probed through the API with the cell count

@@ -99,9 +99,18 @@ object ChainProbe {
         "g08_multi_epoch_knn" ->
           ((s: SparkSession, d: String) => Graph.g08MultiEpochKnn(s, d, rebuildCheck = false)))
 
+      // job counts ride along (graft.core.CostAccounting): a chain is a
+      // fixed number of epochs, each a fixed set of diff/append/policy
+      // actions, and compaction fires at the same epochs at REP× (the
+      // covered signal is scale-invariant) — so the 10× chain should
+      // execute the SAME number of Spark jobs, seed construction
+      // included (the seed build is the same plan over more rows). A
+      // growing count would name a data-dependent driver loop.
+      graft.core.CostAccounting.install(spark)
       def timeChain(fn: (SparkSession, String) => DataFrame, dir: String)
-          : (Double, Double, Seq[(Int, Double, Boolean)]) = {
+          : (Double, Double, Seq[(Int, Double, Boolean)], Long) = {
         val preIds = spark.sparkContext.getPersistentRDDs.keySet
+        val c0 = graft.core.CostAccounting.snapshot(spark)
         val fix0 = graft.core.FixtureClock.totalNanos
         val t0 = System.nanoTime()
         val rs = fn(spark, dir)
@@ -112,7 +121,7 @@ object ChainProbe {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs
           .foreach { case (id, rdd) => if (!preIds.contains(id)) rdd.unpersist(false) }
-        (wall, fix, rs)
+        (wall, fix, rs, graft.core.CostAccounting.snapshot(spark).diff(c0).jobs)
       }
       println(s"[chain] rep=$rep — engine = wall minus FixtureClock'd baseline/seed " +
         "construction; rebuild twins skipped (probe mode); compaction must still " +
@@ -121,15 +130,16 @@ object ChainProbe {
         try timeChain(fn, "/root/testdata/sf0.001") // untimed classload/codegen warmup
         catch { case e: Throwable =>
           println(s"[chain] $name warmup failed: ${e.getMessage}") }
-        val (w1, f1, r1) = timeChain(fn, sfDir)
-        val (wb, fb, rb) = timeChain(fn, big)
+        val (w1, f1, r1, j1) = timeChain(fn, sfDir)
+        val (wb, fb, rb, jb) = timeChain(fn, big)
         val (e1, eb) = (math.max(w1 - f1, 1e-9), math.max(wb - fb, 1e-9))
         def fired(rs: Seq[(Int, Double, Boolean)]) =
           rs.filter(_._3).map(_._1).mkString("[", ",", "]")
         def cov(rs: Seq[(Int, Double, Boolean)]) =
           rs.map(r => f"${r._2}%.3f").mkString("[", ",", "]")
         println(f"[chain] $name%-26s 1x: wall $w1%7.2f fix $f1%7.2f eng $e1%7.2f | " +
-          f"${rep}x: wall $wb%7.2f fix $fb%7.2f eng $eb%7.2f | eng_ratio ${eb / e1}%5.1f")
+          f"${rep}x: wall $wb%7.2f fix $fb%7.2f eng $eb%7.2f | eng_ratio ${eb / e1}%5.1f " +
+          s"| jobs $j1->$jb")
         println(s"[chain]   compact_epochs 1x=${fired(r1)} ${rep}x=${fired(rb)}  " +
           s"covered 1x=${cov(r1)} ${rep}x=${cov(rb)}")
       }
