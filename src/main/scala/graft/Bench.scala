@@ -509,8 +509,10 @@ object Bench {
     val costsJson = costGates.map { g =>
       val w1 = costOf("warm1", g)
       val w2 = costOf("warm2", g)
+      // stability = identical (jobs, stages) signature across the two
+      // warm passes — what BenchFlags.costDrift asserts cross-run
       val stable = (w1, w2) match {
-        case (Some(a), Some(b)) => a.jobs == b.jobs
+        case (Some(a), Some(b)) => a.jobs == b.jobs && a.stages == b.stages
         case _ => false
       }
       def j(o: Option[graft.core.CostAccounting.Snapshot]) =
@@ -545,17 +547,20 @@ object Bench {
           if (n.path("sf").asText() != sfDir) Nil
           else {
             import scala.jdk.CollectionConverters._
-            def jobsPair(node: com.fasterxml.jackson.databind.JsonNode) = {
-              val a = node.path("warm1").path("jobs")
-              val b = node.path("warm2").path("jobs")
-              if (a.isNumber && b.isNumber) Some((a.asLong(), b.asLong()))
-              else None
+            def sigPair(node: com.fasterxml.jackson.databind.JsonNode) = {
+              def sig(p: com.fasterxml.jackson.databind.JsonNode) = {
+                val j = p.path("jobs"); val s = p.path("stages")
+                if (j.isNumber && s.isNumber) Some((j.asLong(), s.asLong()))
+                else None
+              }
+              for (a <- sig(node.path("warm1")); b <- sig(node.path("warm2")))
+                yield (a, b)
             }
             val base = n.path("gates").properties().asScala
-              .flatMap(e => jobsPair(e.getValue).map(e.getKey -> _)).toMap
+              .flatMap(e => sigPair(e.getValue).map(e.getKey -> _)).toMap
             val cur = costGates.flatMap { g =>
               for (a <- costOf("warm1", g); b <- costOf("warm2", g))
-                yield g -> (a.jobs, b.jobs)
+                yield g -> ((a.jobs, a.stages), (b.jobs, b.stages))
             }.toMap
             BenchFlags.costDrift(cur, base)
           }

@@ -24,25 +24,33 @@ object BenchFlags {
                    promoted: Set[String]): Set[String] =
     (aging ++ weather) -- promoted
 
-  /** Deterministic-cost drift: gates whose warm-pass Spark JOB count
+  /** A gate's deterministic cost signature for one warm pass: Spark
+    * job count + stage count. Jobs catch an extra action (the
+    * count()-per-append class); stages catch a lost exchange reuse or
+    * an extra shuffle at CONSTANT job count. Both are measured exactly
+    * reproducible intra-run and cross-run on all 186 gates (two full
+    * sf0.1 runs, zero diffs); byte counters are NOT in the signature —
+    * compressed shuffle sizes wobble ≲1% with intra-partition row
+    * order (11/186 gates differed cross-run, max 0.8%). */
+  type CostSig = (Long, Long)
+
+  /** Deterministic-cost drift: gates whose warm-pass cost signature
     * moved against the committed baseline receipt. Timing flags need
     * the weather partition above because the box's clock is noisy;
-    * job counts are not — for a deterministic gate on fixed input the
-    * warm-pass job count is identical every run, so any change is a
-    * plan change (an extra action, a lost reuse) by construction.
+    * job and stage counts are not — for a deterministic gate on fixed
+    * input they are identical every run, so any change is a plan
+    * change by construction.
     *
-    * Each side supplies (warm1 jobs, warm2 jobs) per gate. Only gates
+    * Each side supplies (warm1 sig, warm2 sig) per gate. Only gates
     * that PROVE intra-run stability on BOTH sides (warm1 == warm2)
     * participate: a gate with intra-run variance — state-store
     * maintenance riding its own cadence through a streaming drive —
     * cannot assert a cross-run contract, and flagging it would
     * re-import exactly the noise this instrument exists to escape.
-    * Byte counters are recorded in the receipt but never flagged
-    * (compressed shuffle sizes wobble ~1% with intra-partition row
-    * order). Gates present on one side only (added/removed this
-    * round) are skipped — coverage changes are not drift. */
-  def costDrift(current: Map[String, (Long, Long)],
-                baseline: Map[String, (Long, Long)]): Seq[String] =
+    * Gates present on one side only (added/removed this round) are
+    * skipped — coverage changes are not drift. */
+  def costDrift(current: Map[String, (CostSig, CostSig)],
+                baseline: Map[String, (CostSig, CostSig)]): Seq[String] =
     current.toSeq.sortBy(_._1).collect {
       case (gate, (c1, c2)) if c1 == c2 &&
           baseline.get(gate).exists { case (b1, b2) => b1 == b2 && b1 != c1 } =>

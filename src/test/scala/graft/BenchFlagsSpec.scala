@@ -171,23 +171,26 @@ class BenchFlagsSpec extends AnyFunSuite {
     assert(w2 == Set.empty, s"a clean gate must still break a window: $w2")
   }
 
-  test("cost drift: only stable-both-sides job-count changes flag; variance and coverage changes never do") {
+  test("cost drift: only stable-both-sides signature changes flag; variance and coverage changes never do") {
+    def sig(j: Long, s: Long): BenchFlags.CostSig = (j, s)
     val base = Map(
-      "q01" -> (4L, 4L),   // stable at 4
-      "q02" -> (6L, 6L),   // stable at 6
-      "st9" -> (11L, 12L), // unstable in the baseline run
-      "old" -> (3L, 3L))   // removed this round
+      "q01" -> (sig(4, 4), sig(4, 4)),    // stable at (4,4)
+      "q02" -> (sig(6, 8), sig(6, 8)),    // stable at (6,8)
+      "q03" -> (sig(5, 7), sig(5, 7)),    // stable at (5,7)
+      "st9" -> (sig(11, 11), sig(12, 12)),// unstable in the baseline run
+      "old" -> (sig(3, 3), sig(3, 3)))    // removed this round
     val cur = Map(
-      "q01" -> (5L, 5L),   // stable, moved 4→5  → DRIFT
-      "q02" -> (6L, 6L),   // stable, unchanged  → clean
-      "st9" -> (12L, 12L), // stable now, but baseline couldn't assert → skip
-      "new" -> (7L, 7L))   // added this round   → skip
-    assert(BenchFlags.costDrift(cur, base) == Seq("q01"))
+      "q01" -> (sig(5, 5), sig(5, 5)),    // job count moved 4→5   → DRIFT
+      "q02" -> (sig(6, 9), sig(6, 9)),    // same jobs, stages 8→9 → DRIFT
+      "q03" -> (sig(5, 7), sig(5, 7)),    // unchanged             → clean
+      "st9" -> (sig(12, 12), sig(12, 12)),// stable now, baseline couldn't assert → skip
+      "new" -> (sig(7, 7), sig(7, 7)))    // added this round      → skip
+    assert(BenchFlags.costDrift(cur, base) == Seq("q01", "q02"))
     // a gate unstable in the CURRENT run never flags, even against a
     // stable baseline (the r16 count()-tax shape in reverse would
     // first show as instability, then repeat as stable drift)
-    val wobbly = cur.updated("q01", (5L, 6L))
-    assert(BenchFlags.costDrift(wobbly, base).isEmpty)
+    val wobbly = cur.updated("q01", (sig(5, 5), sig(6, 6)))
+    assert(BenchFlags.costDrift(wobbly, base) == Seq("q02"))
     // identical runs → empty
     assert(BenchFlags.costDrift(base, base).isEmpty)
   }
