@@ -585,7 +585,8 @@ object Graph {
         keyCol = "vec_id", genCol = Some("gen")).drop("gen")
       applyKnnDiffToStore(a, live, b, g07DirtyOld(a), g07NewIds(b), store, gen,
         cents = Some(Similarity.ivfCentroids(spark, dir)),
-        pureNewIds = Some(b.filter(col("vec_id") < 0).select("vec_id")))
+        pureNewIds = Some(b.filter(col("vec_id") < 0).select("vec_id")),
+        survivorsBound = Some(corpusCount(spark, dir)))
       // compact on policy, not per epoch: rewrite only once tombstones
       // cover CompactThreshold of stored rows (read-amp ≤ ~2× between
       // compactions), carrying live rows into the epoch's one segment.
@@ -603,6 +604,21 @@ object Graph {
       g07StoredEdges(spark, dir).localCheckpoint(true)
     }
   }
+
+  /** Memoized snapshot-A corpus row count per (JVM, dataset) — a
+    * fixture constant (the g07SeedCounts convention). Used only as the
+    * survivor-count UPPER bound for [[gainersPruned]]'s early-exit
+    * test, so the per-application `survivors.count()` job disappears;
+    * the CDC snapshots never grow past 2× the base corpus (deletions
+    * match or exceed additions per epoch), hence the factor at the
+    * g08 call site. */
+  private val corpusCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def corpusCount(spark: SparkSession, dir: String): Long =
+    graft.core.FixtureClock.memo(corpusCounts, dir)({ _ =>
+      Dedup.normalizedVectors(spark, dir).count()
+    })
 
   private val g07StoreDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -689,7 +705,8 @@ object Graph {
                                          newIds: DataFrame, k: Int = 5,
                                          cents: Option[Array[(Int, Array[Double])]] = None,
                                          admission: String = "auto",
-                                         materialize: Boolean = true)
+                                         materialize: Boolean = true,
+                                         survivorsBound: Option[Long] = None)
       : DataFrame = {
     // (1) lists referencing a dirty (deleted|changed) neighbor
     val refRecompute = edgesA
@@ -710,7 +727,8 @@ object Graph {
       .agg(min(col("cos_sim")).as("kth"), count(lit(1)).as("n_edges"))
     val survivors = a.join(broadcast(dirtyOld), Seq("vec_id"), "left_anti")
     val gainers = cents.fold(gainersExact(survivors, newVecs, kth, k))(cs =>
-      gainersPruned(survivors, newVecs, kth, k, cs, admission, materialize))
+      gainersPruned(survivors, newVecs, kth, k, cs, admission, materialize,
+        survivorsBound))
     // (3) + union; deleted ids fall out via the semi join against B.
     // Materialize the bounded id set eagerly so the newVecs checkpoint
     // can be RELEASED here — without this, every epoch/microbatch
@@ -791,12 +809,21 @@ object Graph {
                             kth: DataFrame, k: Int,
                             cents: Array[(Int, Array[Double])],
                             admission: String,
-                            materialize: Boolean = true): DataFrame = {
+                            materialize: Boolean = true,
+                            survivorsBound: Option[Long] = None): DataFrame = {
     import graft.functions.VectorFunctions._
     require(cents.zipWithIndex.forall { case ((c, _), i) => c == i },
       "pruned admission requires contiguous 0-based cell ids")
-    if (admission != "pruned" &&
-        survivors.count() * math.max(1L, newVecs.count()) < PrunedMinPairWork)
+    // counted once: the early-exit product and the exact-work estimate
+    // below share it (was two separate count jobs per application)
+    val nNew = math.max(1L, newVecs.count())
+    // callers with a driver-side survivor-count UPPER bound (a tracked
+    // store's `_rowcount` sidecar, a memoized fixture count) skip the
+    // survivors count JOB: bound·|new| under the cutoff implies the
+    // true product is too — decision-equivalent below the threshold,
+    // and above it the per-application profile scan decides as before
+    val nSurv = survivorsBound.getOrElse(survivors.count())
+    if (admission != "pruned" && nSurv * nNew < PrunedMinPairWork)
       return gainersExact(survivors, newVecs, kth, k)
     def angle(c: Column) = acos(greatest(lit(-1.0), least(lit(1.0), c)))
     val assigned = survivors
@@ -842,7 +869,7 @@ object Graph {
           case r if r.isNullAt(0) => 0L
           case r => r.getLong(0)
         }
-        val exactWork = statsRows.map(_._4).sum * math.max(1L, newVecs.count())
+        val exactWork = statsRows.map(_._4).sum * nNew
         admittedWork < PrunedWorkCutoff * exactWork
     }
     val fullGainers =
@@ -879,10 +906,11 @@ object Graph {
       store: String, gen: Long,
       cents: Option[Array[(Int, Array[Double])]], k: Int = 5,
       admission: String = "auto",
-      pureNewIds: Option[DataFrame] = None): Long = {
+      pureNewIds: Option[DataFrame] = None,
+      survivorsBound: Option[Long] = None): Long = {
     // knnRecomputeIds returns an eagerly-checkpointed bounded frame
     val recomputeIds = knnRecomputeIds(aCur, eCur, bCur, dirtyOld, newIds, k, cents,
-        admission)
+        admission, materialize = true, survivorsBound = survivorsBound)
     val nRec = recomputeIds.count()
     // `pureNewIds` names the ids among `newIds` with NO stored rows
     // (caller contract: truly first-seen at this generation). Dropping
@@ -996,12 +1024,19 @@ object Graph {
         spark.read.parquet(store), store,
         keyCol = "vec_id", genCol = Some("gen"))
       val cls = col("vec_id") % 13
+      // epoch e's post-image IS epoch e+1's pre-image: carry the
+      // materialized snapshot across iterations instead of deriving
+      // and checkpointing it twice (4 snapshot materializations per
+      // pass instead of 6 — union-of-rotations compute plus a
+      // checkpoint job each)
+      var carried: DataFrame = null
       val rows = (1 to G08Epochs).map { e =>
         // materialize both snapshots once per epoch: the apply's
         // admission scan, the |touched|·N recompute, and the rebuild
         // twin each consume them several times, and re-deriving the
         // union-of-rotations plan per consumer triples the corpus work
-        val aCur = g08Snapshot(a, e - 1).localCheckpoint(true)
+        val aCur = if (carried != null) carried
+                   else g08Snapshot(a, e - 1).localCheckpoint(true)
         val bCur = g08Snapshot(a, e).localCheckpoint(true)
         val dirtyOld = a.filter(cls === 3 * e - 2 || cls === 3 * e - 1)
           .select("vec_id")
@@ -1011,7 +1046,8 @@ object Graph {
         val nRec = applyKnnDiffToStore(aCur, liveEdges.drop("gen"), bCur,
           dirtyOld, newIds, store, gen = e.toLong, cents = cents,
           pureNewIds = Some(a.filter(cls === 3 * e)
-            .select((col("vec_id") * -1 - 1).as("vec_id"))))
+            .select((col("vec_id") * -1 - 1).as("vec_id"))),
+          survivorsBound = Some(2 * corpusCount(spark, dir)))
         // one covered measurement drives BOTH the recorded column and
         // the compaction decision (maybeCompact would re-measure; the
         // policy — strictly above the threshold — is replicated
@@ -1042,10 +1078,12 @@ object Graph {
           })
           Some((nLive, liveCrc) == rebuiltDigest)
         }
-        aCur.unpersist(); bCur.unpersist()
+        aCur.unpersist()
+        carried = bCur // next epoch's pre-image; released there or below
         (e, nRec, nLive, math.floor(covered * 1000 + 0.5) / 1000,
           compacted, eq)
       }
+      if (carried != null) carried.unpersist()
       rows.toDF("epoch", "n_recomputed", "n_live", "covered_before",
           "compacted", "eq_rebuild")
         .orderBy("epoch").localCheckpoint(true)

@@ -315,8 +315,26 @@ object Multimodal {
   def imageHashes(blobs: org.apache.spark.sql.Dataset[(Long, Array[Byte])]): DataFrame = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
+      // decode-dedup: aHash is a pure function of the payload BYTES, so
+      // byte-identical blobs (re-uploads, the synthetic corpora's ~10
+      // planted patterns) decode once per partition instead of once per
+      // row — the guide's decide-with-small-rows move applied to the
+      // decode itself. Bounded LRU: distinct payloads cost one wasted
+      // map probe each, never unbounded heap.
+      val memo = new java.util.LinkedHashMap[java.nio.ByteBuffer, Option[Long]](
+          64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[java.nio.ByteBuffer, Option[Long]]): Boolean =
+          size() > 256
+      }
       it.flatMap { case (docId, bytes) =>
-        decodeImage(bytes).map { case (_, img) => (docId, aHash64(img)) }
+        val k = java.nio.ByteBuffer.wrap(bytes)
+        var h = memo.get(k)
+        if (h == null) {
+          h = decodeImage(bytes).map { case (_, img) => aHash64(img) }
+          memo.put(k, h)
+        }
+        h.map(docId -> _)
       }
     }.toDF("doc_id", "ahash")
   }
@@ -360,24 +378,35 @@ object Multimodal {
       ids: org.apache.spark.sql.Dataset[(Long, Long)])
       : org.apache.spark.sql.Dataset[(Long, Array[Byte])] = {
     import ids.sparkSession.implicits._
-    ids.map { case (docId, key) =>
-      var state = key * 2654435761L + 12345L
-      def nextBit(): Boolean = {
-        state = state * 6364136223846793005L + 1442695040888963407L
-        ((state >>> 33) & 1L) == 1L
-      }
-      val img = new java.awt.image.BufferedImage(16, 16,
-        java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < 16) {
-        var x = 0
-        while (x < 16) {
-          img.setRGB(x, y, if (nextBit()) 0xFFFFFF else 0x000000)
-          x += 1
+    ids.mapPartitions { it =>
+      // the PNG is a pure function of the pattern KEY (docs sharing a
+      // pattern produce byte-identical PNGs by design), so encode once
+      // per distinct key per partition instead of once per row — the
+      // fixture corpora carry ~10-21 distinct keys, and the raster
+      // fill + PNG encode was the whole per-row cost
+      val memo = new java.util.HashMap[Long, Array[Byte]]()
+      def pngOf(key: Long): Array[Byte] = {
+        var state = key * 2654435761L + 12345L
+        def nextBit(): Boolean = {
+          state = state * 6364136223846793005L + 1442695040888963407L
+          ((state >>> 33) & 1L) == 1L
         }
-        y += 1
+        val img = new java.awt.image.BufferedImage(16, 16,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            img.setRGB(x, y, if (nextBit()) 0xFFFFFF else 0x000000)
+            x += 1
+          }
+          y += 1
+        }
+        encodePng(img)
       }
-      (docId, encodePng(img))
+      it.map { case (docId, key) =>
+        (docId, memo.computeIfAbsent(key, pngOf(_)))
+      }
     }
   }
 

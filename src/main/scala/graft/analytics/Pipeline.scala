@@ -778,6 +778,21 @@ object Pipeline {
       .select("doc_id")
   }
 
+  /** Every epoch's |dirty| in ONE aggregation job: the per-class row
+    * counts of the base table, folded per epoch's class set. Equals
+    * `p13DirtyIds(docs, e).count()` by construction (the dirty set IS
+    * the union of disjoint id classes), but the three chains each paid
+    * one count job per epoch for it — a full doc-scan action whose
+    * only product was a receipt column. */
+  private[analytics] def p13DirtyCounts(docs: DataFrame): Int => Long = {
+    val byClass = docs
+      .groupBy((col("doc_id") % 16).cast("int").as("cls"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    e => (p13DeleteClasses(e) :+ p13ChangeClass(e))
+      .map(byClass.getOrElse(_, 0L)).sum
+  }
+
   /** Epoch `e`'s re-added documents (doc_id, text) under the shared
     * p13 rules: the change class's revised text plus (final epoch
     * only) the negated class-0 copies. A DIRECT construction off the
@@ -835,6 +850,7 @@ object Pipeline {
       : Seq[(Int, Long, Double, Boolean)] = {
     val docs = Tables.documents(spark, dir)
     copyBaseline(p10BaselineLayout(spark, dir), java.nio.file.Paths.get(out))
+    val nDirty = p13DirtyCounts(docs)
     (1 to P13Epochs).map { e =>
       val dirty = p13DirtyIds(docs, e)
       // classes are disjoint across epochs, so the dirty docs'
@@ -857,7 +873,7 @@ object Pipeline {
       val compacted = covered > graft.core.SegmentedIndex.CompactThreshold
       if (compacted) TextOps.compactPostings(spark, out)
       onEpoch(e)
-      (e, dirty.count(), math.floor(covered * 1000 + 0.5) / 1000, compacted)
+      (e, nDirty(e), math.floor(covered * 1000 + 0.5) / 1000, compacted)
     }
   }
 
@@ -923,6 +939,7 @@ object Pipeline {
       // |queries|-bounded, consumed ~3× per probe call × 3 epochs —
       // materialize the embed once per invocation
       val queries = p11QuerySet(docs).localCheckpoint(true)
+      val nDirty = p13DirtyCounts(docs)
       val rows = (1 to P13Epochs).map { e =>
         val dirty = p13DirtyIds(docs, e).select(col("doc_id").as("vec_id"))
         Similarity.deleteFromIvfPqCorpus(spark, out, dirty, uptoGen = e - 1L)
@@ -958,7 +975,7 @@ object Pipeline {
           })
           Some(got == rebuiltDigest)
         }
-        (e, dirty.count(), got._1,
+        (e, nDirty(e), got._1,
           math.floor(covered * 1000 + 0.5) / 1000, compacted, eq)
       }
       queries.unpersist()
@@ -1010,6 +1027,7 @@ object Pipeline {
       // |queries|-bounded, consumed twice per probe call × 3 epochs —
       // materialize the embed once per invocation (the p14 convention)
       val queries = p08QuerySet(docs).localCheckpoint(true)
+      val nDirty = p13DirtyCounts(docs)
       val rows = (1 to P13Epochs).map { e =>
         val dirty = p13DirtyIds(docs, e).select(col("doc_id").as("vec_id"))
         Similarity.deleteFromIvfCorpusGenScoped(spark, out, dirty, uptoGen = e - 1L)
@@ -1037,7 +1055,7 @@ object Pipeline {
           })
           Some(got == rebuiltDigest)
         }
-        (e, dirty.count(), got._1,
+        (e, nDirty(e), got._1,
           math.floor(covered * 1000 + 0.5) / 1000, compacted, eq)
       }
       queries.unpersist()

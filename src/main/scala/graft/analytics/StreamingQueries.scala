@@ -823,17 +823,21 @@ object StreamingQueries {
         // replaces its own prior attempt — idempotent up to the
         // end-of-stream compaction, after which no redelivery exists
         val g = batchId + 1
-        val dirty = batch
-          .filter(col("change_type").isin("deleted", "changed"))
-          .select(col("doc_id").as("vec_id")).localCheckpoint(true)
-        if (!dirty.isEmpty)
-          Similarity.deleteFromIvfPqCorpus(bs, out, dirty, uptoGen = g - 1)
-        val add = batch
-          .filter(col("change_type").isin("changed", "added"))
-          .select(col("doc_id"), col("text"))
-        if (!add.isEmpty)
+        // ONE class-count job decides both branches (was a checkpoint
+        // job plus two isEmpty jobs per microbatch); each branch then
+        // re-scans the one-file microbatch inside its own write job
+        val byType = batch.groupBy("change_type").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        def n(t: String) = byType.getOrElse(t, 0L)
+        if (n("deleted") + n("changed") > 0)
+          Similarity.deleteFromIvfPqCorpus(bs, out,
+            batch.filter(col("change_type").isin("deleted", "changed"))
+              .select(col("doc_id").as("vec_id")), uptoGen = g - 1)
+        if (n("changed") + n("added") > 0)
           Similarity.appendIvfPqCorpusWith(cents, books, out,
-            Pipeline.p11Vectors(add), gen = g)
+            Pipeline.p11Vectors(batch
+              .filter(col("change_type").isin("changed", "added"))
+              .select(col("doc_id"), col("text"))), gen = g)
       }
       .start()
     q.processAllAvailable()
@@ -981,7 +985,11 @@ object StreamingQueries {
         Graph.applyKnnDiffToStore(aCur, eCur, bCur, dirtyOld,
           newRows.select("vec_id"), edgeStore, g, Some(cents),
           pureNewIds = Some(batch.filter(col("change_type") === "added")
-            .select("vec_id")))
+            .select("vec_id")),
+          // stored rows ≥ live rows: the tracked corpus store's O(1)
+          // row-count sidecar is a sound survivor upper bound, so the
+          // admission early-exit runs zero count jobs per microbatch
+          survivorsBound = graft.core.SegmentedIndex.readRowCount(corpusStore))
         dirtyOld.unpersist(); newRows.unpersist(); ()
       }
       .start()
@@ -1059,29 +1067,36 @@ object StreamingQueries {
         // per-generation overwrite (gen-named files), so a
         // redelivered batch lands on the same bytes
         val g = batchId + 1
-        val dirtyRows = batch
-          .filter(col("change_type").isin("deleted", "changed"))
-          .select(col("doc_id"), col("old_text")).localCheckpoint(true)
+        // ONE class-count job decides both branches (was one isEmpty
+        // job per branch per microbatch); the checkpoints stay — each
+        // branch frame feeds two consumers below
+        val byType = batch.groupBy("change_type").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        def nOf(t: String) = byType.getOrElse(t, 0L)
         // outgoing per-term doc counts from the feed's BEFORE-image —
         // equals the stored rows by construction (a doc's postings are
         // a pure function of its text), so the delta tokenizes |diff|
         // docs and never scans the index
         val removed =
-          if (dirtyRows.isEmpty) None
-          else Some(TextOps.postingsOf(
-              dirtyRows.select(col("doc_id"), col("old_text").as("text")))
-            .groupBy("term").agg(count(lit(1)).as("n")))
-        // covers every generation below this batch's: the base rows
-        // and nothing a later batch appends
-        if (removed.isDefined)
-          TextOps.deleteFromPostings(bs, out, dirtyRows.select("doc_id"),
-            uptoGen = g - 1)
-        val reTok = batch
-          .filter(col("change_type").isin("changed", "added"))
-          .select(col("doc_id"), col("text")).localCheckpoint(true)
-        val added =
-          if (reTok.isEmpty) None
+          if (nOf("deleted") + nOf("changed") == 0) None
           else {
+            val dirtyRows = batch
+              .filter(col("change_type").isin("deleted", "changed"))
+              .select(col("doc_id"), col("old_text")).localCheckpoint(true)
+            // covers every generation below this batch's: the base
+            // rows and nothing a later batch appends
+            TextOps.deleteFromPostings(bs, out, dirtyRows.select("doc_id"),
+              uptoGen = g - 1)
+            Some(TextOps.postingsOf(
+                dirtyRows.select(col("doc_id"), col("old_text").as("text")))
+              .groupBy("term").agg(count(lit(1)).as("n")))
+          }
+        val added =
+          if (nOf("changed") + nOf("added") == 0) None
+          else {
+            val reTok = batch
+              .filter(col("change_type").isin("changed", "added"))
+              .select(col("doc_id"), col("text")).localCheckpoint(true)
             TextOps.appendPostings(reTok, out, gen = g)
             Some(TextOps.postingsOf(reTok)
               .groupBy("term").agg(count(lit(1)).as("n")))
