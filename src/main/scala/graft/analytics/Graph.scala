@@ -707,7 +707,22 @@ object Graph {
                                          admission: String = "auto",
                                          materialize: Boolean = true,
                                          survivorsBound: Option[Long] = None)
-      : DataFrame = {
+      : DataFrame =
+    knnRecomputeIdsImpl(a, edgesA, b, dirtyOld, newIds, k, cents, admission,
+      materialize, survivorsBound)._1
+
+  /** [[knnRecomputeIds]] plus the set's cardinality when materialized
+    * (known for free from the driver-local materialization — no count
+    * job). `materialize = false` (PlanSpec only) keeps the full lazy
+    * lineage and returns no count. */
+  private def knnRecomputeIdsImpl(a: DataFrame, edgesA: DataFrame,
+                                  b: DataFrame, dirtyOld: DataFrame,
+                                  newIds: DataFrame, k: Int = 5,
+                                  cents: Option[Array[(Int, Array[Double])]] = None,
+                                  admission: String = "auto",
+                                  materialize: Boolean = true,
+                                  survivorsBound: Option[Long] = None)
+      : (DataFrame, Option[Long]) = {
     // (1) lists referencing a dirty (deleted|changed) neighbor
     val refRecompute = edgesA
       .join(broadcast(dirtyOld.withColumnRenamed("vec_id", "neighbor_id")),
@@ -716,34 +731,36 @@ object Graph {
     // the diff's new side: re-embedded vectors + additions — BOUNDED,
     // and consumed by three subplans (admission probes, the short-row
     // semi join, the recompute union), so materialize the |diff| rows
-    // once instead of re-deriving them with a corpus scan per use
+    // once as a driver-local relation: every later broadcast of it
+    // builds with zero jobs, and its cardinality is free
     // `materialize = false` (PlanSpec only) keeps the full lineage so
     // the admission join shape stays inspectable — the production
-    // checkpoints below hide it behind a `Scan ExistingRDD`
+    // materialization below would hide it behind a local scan
     val newVecsRaw = b.join(broadcast(newIds), Seq("vec_id"), "left_semi")
       .select("vec_id", "v", "norm")
-    val newVecs = if (materialize) newVecsRaw.localCheckpoint(true) else newVecsRaw
+    val newVecsL =
+      if (materialize) Some(graft.core.Bounded.localize(newVecsRaw)) else None
+    val newVecs = newVecsL.fold(newVecsRaw)(_.df)
     val kth = edgesA.groupBy("vec_id")
       .agg(min(col("cos_sim")).as("kth"), count(lit(1)).as("n_edges"))
     val survivors = a.join(broadcast(dirtyOld), Seq("vec_id"), "left_anti")
     val gainers = cents.fold(gainersExact(survivors, newVecs, kth, k))(cs =>
       gainersPruned(survivors, newVecs, kth, k, cs, admission, materialize,
-        survivorsBound))
+        survivorsBound, newCount = newVecsL.map(_.count)))
     // (3) + union; deleted ids fall out via the semi join against B.
-    // Materialize the bounded id set eagerly so the newVecs checkpoint
-    // can be RELEASED here — without this, every epoch/microbatch
-    // leaked its |diff|-row block into the block manager for the JVM's
-    // lifetime (lineage is truncated, so unpersist-before-materialize
-    // would be unsafe; unpersist-after is not)
     val ids = refRecompute
       .unionByName(gainers)
       .unionByName(newVecs.select("vec_id"))
       .distinct()
     if (materialize) {
-      val cut = ids.localCheckpoint(true)
-      newVecs.unpersist()
-      cut
-    } else ids
+      // driver-local: consumers broadcast it joblessly, the caller's
+      // |set| needs no count job, and nothing lingers in the block
+      // manager (the r16 shape checkpointed + counted + re-collected
+      // the same bounded set once per consuming action)
+      val cut = graft.core.Bounded.localize(ids)
+      newVecsL.foreach(_.release())
+      (cut.df, Some(cut.count))
+    } else (ids, None)
   }
 
   /** (2) admission test, exact tier: per-row k-th-best threshold vs
@@ -810,13 +827,15 @@ object Graph {
                             cents: Array[(Int, Array[Double])],
                             admission: String,
                             materialize: Boolean = true,
-                            survivorsBound: Option[Long] = None): DataFrame = {
+                            survivorsBound: Option[Long] = None,
+                            newCount: Option[Long] = None): DataFrame = {
     import graft.functions.VectorFunctions._
     require(cents.zipWithIndex.forall { case ((c, _), i) => c == i },
       "pruned admission requires contiguous 0-based cell ids")
     // counted once: the early-exit product and the exact-work estimate
-    // below share it (was two separate count jobs per application)
-    val nNew = math.max(1L, newVecs.count())
+    // below share it; callers that localized newVecs pass the
+    // cardinality in, so no count job runs at all
+    val nNew = math.max(1L, newCount.getOrElse(newVecs.count()))
     // callers with a driver-side survivor-count UPPER bound (a tracked
     // store's `_rowcount` sidecar, a memoized fixture count) skip the
     // survivors count JOB: bound·|new| under the cutoff implies the
@@ -850,8 +869,9 @@ object Graph {
     val statsDf = broadcast(
       statsRows.toSeq.toDF("cell", "delta", "min_kth", "n_c"))
     // each new vector probes all K cells; keep pairs the bound admits
-    // (|diff|·K rows in, bounded out — checkpointed: the work estimate
-    // and the pruned join both consume it)
+    // (|diff|·K rows in, bounded out — materialized driver-locally:
+    // the work estimate reads it without a job and the pruned join
+    // broadcasts it without a job)
     val admittedRaw = newVecs
       .select(col("vec_id").as("nid"), col("v").as("nv"), col("norm").as("nnorm"))
       .withColumn("cos_arr", Similarity.cosToCentroids(cents, col("nv"), col("nnorm")))
@@ -861,13 +881,23 @@ object Graph {
       .filter(cos(greatest(lit(0.0), angle(col("cos_cn")) - col("delta")))
         >= col("min_kth") - lit(1e-4))
       .select(col("cell"), col("nid"), col("nv"), col("nnorm"), col("n_c"))
-    val admitted = if (materialize) admittedRaw.localCheckpoint(true) else admittedRaw
+    val admittedL =
+      if (materialize) Some(graft.core.Bounded.localize(admittedRaw)) else None
+    val admitted = admittedL.fold(admittedRaw)(_.df)
     val usePruned = admission match {
       case "pruned" => true
       case _ =>
-        val admittedWork = admitted.agg(sum(col("n_c"))).first() match {
-          case r if r.isNullAt(0) => 0L
-          case r => r.getLong(0)
+        // the work estimate is a fold over the (bounded) admitted pairs
+        // — driver-side when they were just collected anyway, one agg
+        // job only on the lazy (PlanSpec) or over-cap path
+        val admittedWork = admittedL.filter(_.local) match {
+          case Some(l) =>
+            val i = l.df.schema.fieldIndex("n_c")
+            l.rows.iterator.map(_.getLong(i)).sum
+          case None => admitted.agg(sum(col("n_c"))).first() match {
+            case r if r.isNullAt(0) => 0L
+            case r => r.getLong(0)
+          }
         }
         val exactWork = statsRows.map(_._4).sum * nNew
         admittedWork < PrunedWorkCutoff * exactWork
@@ -881,14 +911,21 @@ object Graph {
               >= col("kth"))
           .select("vec_id").distinct()
       else gainersExact(survivors, newVecs, kth, k)
-    // materialize before releasing the admitted checkpoint (same
-    // release discipline as knnRecomputeIds' newVecs)
     val out = short.unionByName(fullGainers).distinct()
-    if (materialize) {
-      val cut = out.localCheckpoint(true)
-      admitted.unpersist()
-      cut
-    } else out
+    admittedL match {
+      // admitted went driver-local: nothing to release, so the gainer
+      // set can stay LAZY and fold into the caller's one materializing
+      // action (one job where the r16 shape paid a checkpoint job here
+      // plus a broadcast-collect job per consumer)
+      case Some(l) if l.local => out
+      // over-cap fallback: materialize before releasing the admitted
+      // checkpoint (the old discipline)
+      case Some(l) =>
+        val cut = out.localCheckpoint(true)
+        l.release()
+        cut
+      case None => out
+    }
   }
 
   /** One CDC application against a SEGMENTED edge store — the
@@ -908,10 +945,17 @@ object Graph {
       admission: String = "auto",
       pureNewIds: Option[DataFrame] = None,
       survivorsBound: Option[Long] = None): Long = {
-    // knnRecomputeIds returns an eagerly-checkpointed bounded frame
-    val recomputeIds = knnRecomputeIds(aCur, eCur, bCur, dirtyOld, newIds, k, cents,
+    // the diff id frames are bounded by contract: take them driver-
+    // local once (free when the caller already localized them), so the
+    // several broadcasts below build without collect jobs
+    val dirtyL = graft.core.Bounded.localize(dirtyOld)
+    val pureNewL = pureNewIds.map(pn => graft.core.Bounded.localize(
+      pn.select(col("vec_id").as("_pn_id"))))
+    val (recomputeIds, nRecOpt) = knnRecomputeIdsImpl(aCur, eCur, bCur,
+        dirtyL.df, newIds, k, cents,
         admission, materialize = true, survivorsBound = survivorsBound)
-    val nRec = recomputeIds.count()
+    // known for free from the driver-local materialization
+    val nRec = nRecOpt.getOrElse(recomputeIds.count())
     // `pureNewIds` names the ids among `newIds` with NO stored rows
     // (caller contract: truly first-seen at this generation). Dropping
     // them from the tombstone write changes no live view — a tombstone
@@ -920,18 +964,20 @@ object Graph {
     // which is what makes the compaction policy's metadata-cheap
     // covered estimate EXACT for this store. Diff-bounded broadcast
     // anti-join; absent, every recompute id is tombstoned as before.
-    val tombstoneIds = recomputeIds.unionByName(dirtyOld.select("vec_id"))
-    val tombstoneStored = pureNewIds.fold(tombstoneIds)(pn =>
-      tombstoneIds.join(broadcast(pn.select(col("vec_id").as("_pn_id"))),
+    val tombstoneIds = recomputeIds.unionByName(dirtyL.df.select("vec_id"))
+    val tombstoneStored = pureNewL.fold(tombstoneIds)(pn =>
+      tombstoneIds.join(broadcast(pn.df),
         col("vec_id") === col("_pn_id"), "left_anti"))
     graft.core.SegmentedIndex.tombstone(
       tombstoneStored, store,
       keyCol = "vec_id", uptoGen = Some(gen - 1))
     if (nRec > 0)
       graft.core.SegmentedIndex.appendSegment(
-        knnForQueries(bCur.join(recomputeIds, Seq("vec_id"), "left_semi"), bCur, k),
+        knnForQueries(bCur.join(broadcast(recomputeIds), Seq("vec_id"), "left_semi"),
+          bCur, k),
         store, gen)
     recomputeIds.unpersist()
+    dirtyL.release(); pureNewL.foreach(_.release())
     nRec
   }
 

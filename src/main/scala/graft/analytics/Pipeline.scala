@@ -852,7 +852,11 @@ object Pipeline {
     copyBaseline(p10BaselineLayout(spark, dir), java.nio.file.Paths.get(out))
     val nDirty = p13DirtyCounts(docs)
     (1 to P13Epochs).map { e =>
-      val dirty = p13DirtyIds(docs, e)
+      // the dirty id set is diff-bounded: ONE collect job takes it
+      // driver-local, so the tombstone write needs no dedupe exchange
+      // and the before-image semi-join's broadcast builds joblessly
+      val dirtyL = graft.core.Bounded.localize(p13DirtyIds(docs, e))
+      val dirty = dirtyL.df
       // classes are disjoint across epochs, so the dirty docs'
       // BEFORE-image text is the base table's — the removed df deltas
       // tokenize the diff without reading the stored index
@@ -873,6 +877,7 @@ object Pipeline {
       val compacted = covered > graft.core.SegmentedIndex.CompactThreshold
       if (compacted) TextOps.compactPostings(spark, out)
       onEpoch(e)
+      dirtyL.release()
       (e, nDirty(e), math.floor(covered * 1000 + 0.5) / 1000, compacted)
     }
   }
@@ -937,8 +942,10 @@ object Pipeline {
       val cents = Similarity.readIvfCodebook(spark, out)
       val books = Similarity.readPqCodebooks(spark, out)
       // |queries|-bounded, consumed ~3× per probe call × 3 epochs —
-      // materialize the embed once per invocation
-      val queries = p11QuerySet(docs).localCheckpoint(true)
+      // materialize the embed once per invocation, DRIVER-LOCAL so
+      // each probe's broadcast of it builds with zero jobs
+      val queriesL = graft.core.Bounded.localize(p11QuerySet(docs))
+      val queries = queriesL.df
       val nDirty = p13DirtyCounts(docs)
       val rows = (1 to P13Epochs).map { e =>
         val dirty = p13DirtyIds(docs, e).select(col("doc_id").as("vec_id"))
@@ -978,7 +985,7 @@ object Pipeline {
         (e, nDirty(e), got._1,
           math.floor(covered * 1000 + 0.5) / 1000, compacted, eq)
       }
-      queries.unpersist()
+      queriesL.release()
       rows.toDF("epoch", "n_dirty", "n_topk", "covered_before",
           "compacted", "eq_rebuild")
         .orderBy("epoch").localCheckpoint(true)
@@ -1025,8 +1032,11 @@ object Pipeline {
       val cents = Similarity.readIvfCodebook(spark, out)
       val storedCols = spark.read.parquet(out).columns.toSet
       // |queries|-bounded, consumed twice per probe call × 3 epochs —
-      // materialize the embed once per invocation (the p14 convention)
-      val queries = p08QuerySet(docs).localCheckpoint(true)
+      // materialize the embed once per invocation (the p14
+      // convention), DRIVER-LOCAL so each probe's broadcast of it
+      // builds with zero jobs
+      val queriesL = graft.core.Bounded.localize(p08QuerySet(docs))
+      val queries = queriesL.df
       val nDirty = p13DirtyCounts(docs)
       val rows = (1 to P13Epochs).map { e =>
         val dirty = p13DirtyIds(docs, e).select(col("doc_id").as("vec_id"))
@@ -1058,7 +1068,7 @@ object Pipeline {
         (e, nDirty(e), got._1,
           math.floor(covered * 1000 + 0.5) / 1000, compacted, eq)
       }
-      queries.unpersist()
+      queriesL.release()
       rows.toDF("epoch", "n_dirty", "n_topk", "covered_before",
           "compacted", "eq_rebuild")
         .orderBy("epoch").localCheckpoint(true)

@@ -823,21 +823,25 @@ object StreamingQueries {
         // replaces its own prior attempt — idempotent up to the
         // end-of-stream compaction, after which no redelivery exists
         val g = batchId + 1
-        // ONE class-count job decides both branches (was a checkpoint
-        // job plus two isEmpty jobs per microbatch); each branch then
-        // re-scans the one-file microbatch inside its own write job
-        val byType = batch.groupBy("change_type").agg(count(lit(1)).as("n"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-        def n(t: String) = byType.getOrElse(t, 0L)
+        // ONE job reads the one-file microbatch driver-locally; the
+        // branch decisions fold over the collected rows (no count job)
+        // and the branch frames are filters over the LocalRelation, so
+        // the deletes' internal broadcasts build with zero jobs and
+        // the appends never re-scan the source file
+        val batchL = graft.core.Bounded.localize(
+          batch.select(col("doc_id"), col("change_type"), col("text")))
+        val byType = graft.core.Bounded.countsBy(batchL, "change_type")
+        def n(t: String): Long = byType.getOrElse(t, 0L)
         if (n("deleted") + n("changed") > 0)
           Similarity.deleteFromIvfPqCorpus(bs, out,
-            batch.filter(col("change_type").isin("deleted", "changed"))
+            batchL.df.filter(col("change_type").isin("deleted", "changed"))
               .select(col("doc_id").as("vec_id")), uptoGen = g - 1)
         if (n("changed") + n("added") > 0)
           Similarity.appendIvfPqCorpusWith(cents, books, out,
-            Pipeline.p11Vectors(batch
+            Pipeline.p11Vectors(batchL.df
               .filter(col("change_type").isin("changed", "added"))
               .select(col("doc_id"), col("text"))), gen = g)
+        batchL.release()
       }
       .start()
     q.processAllAvailable()
@@ -945,12 +949,20 @@ object StreamingQueries {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val bs = batch.sparkSession
         val g = batchId + 1 // gen 0 is the seed; batchId is replay-stable
-        val dirtyOld = batch
+        // ONE job reads the one-file microbatch driver-locally; the
+        // two diff frames are filters over the LocalRelation (the
+        // optimizer folds them back to LocalRelations), so every
+        // downstream broadcast/semi-join of them builds with zero jobs
+        // — the r16 shape paid two checkpoint jobs here plus a
+        // broadcast-collect job per consuming action
+        val batchL = graft.core.Bounded.localize(batch
+          .select(col("vec_id"), col("change_type"), col("v"), col("norm")))
+        val dirtyOld = batchL.df
           .filter(col("change_type").isin("deleted", "changed"))
-          .select("vec_id").localCheckpoint(true)
-        val newRows = batch
+          .select("vec_id")
+        val newRows = batchL.df
           .filter(col("change_type").isin("changed", "added"))
-          .select(col("vec_id"), col("v"), col("norm")).localCheckpoint(true)
+          .select(col("vec_id"), col("v"), col("norm"))
         // the replay-stable pre-images: live as of the previous
         // generation (immutable), never "whatever is on disk now"
         val aCur = graft.core.SegmentedIndex.liveAsOf(bs,
@@ -984,13 +996,13 @@ object StreamingQueries {
         // instance-count estimate stays exact (no stored rows to cover)
         Graph.applyKnnDiffToStore(aCur, eCur, bCur, dirtyOld,
           newRows.select("vec_id"), edgeStore, g, Some(cents),
-          pureNewIds = Some(batch.filter(col("change_type") === "added")
+          pureNewIds = Some(batchL.df.filter(col("change_type") === "added")
             .select("vec_id")),
           // stored rows ≥ live rows: the tracked corpus store's O(1)
           // row-count sidecar is a sound survivor upper bound, so the
           // admission early-exit runs zero count jobs per microbatch
           survivorsBound = graft.core.SegmentedIndex.readRowCount(corpusStore))
-        dirtyOld.unpersist(); newRows.unpersist(); ()
+        batchL.release(); ()
       }
       .start()
     q.processAllAvailable()
@@ -1067,11 +1079,13 @@ object StreamingQueries {
         // per-generation overwrite (gen-named files), so a
         // redelivered batch lands on the same bytes
         val g = batchId + 1
-        // ONE class-count job decides both branches (was one isEmpty
-        // job per branch per microbatch); the checkpoints stay — each
-        // branch frame feeds two consumers below
-        val byType = batch.groupBy("change_type").agg(count(lit(1)).as("n"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        // ONE job reads the one-file microbatch driver-locally; branch
+        // decisions fold over the collected rows (no count job) and
+        // both branch frames are filters over the LocalRelation — no
+        // checkpoint jobs, no broadcast-collect jobs in the consumers
+        val batchL = graft.core.Bounded.localize(batch.select(
+          col("doc_id"), col("change_type"), col("text"), col("old_text")))
+        val byType = graft.core.Bounded.countsBy(batchL, "change_type")
         def nOf(t: String) = byType.getOrElse(t, 0L)
         // outgoing per-term doc counts from the feed's BEFORE-image —
         // equals the stored rows by construction (a doc's postings are
@@ -1080,9 +1094,9 @@ object StreamingQueries {
         val removed =
           if (nOf("deleted") + nOf("changed") == 0) None
           else {
-            val dirtyRows = batch
+            val dirtyRows = batchL.df
               .filter(col("change_type").isin("deleted", "changed"))
-              .select(col("doc_id"), col("old_text")).localCheckpoint(true)
+              .select(col("doc_id"), col("old_text"))
             // covers every generation below this batch's: the base
             // rows and nothing a later batch appends
             TextOps.deleteFromPostings(bs, out, dirtyRows.select("doc_id"),
@@ -1094,9 +1108,9 @@ object StreamingQueries {
         val added =
           if (nOf("changed") + nOf("added") == 0) None
           else {
-            val reTok = batch
+            val reTok = batchL.df
               .filter(col("change_type").isin("changed", "added"))
-              .select(col("doc_id"), col("text")).localCheckpoint(true)
+              .select(col("doc_id"), col("text"))
             TextOps.appendPostings(reTok, out, gen = g)
             Some(TextOps.postingsOf(reTok)
               .groupBy("term").agg(count(lit(1)).as("n")))
@@ -1109,6 +1123,7 @@ object StreamingQueries {
             TextOps.updateDfSidecar(bs, out,
               r.getOrElse(any.limit(0)), a.getOrElse(any.limit(0)), gen = g)
         }
+        batchL.release()
       }
       .start()
     q.processAllAvailable()

@@ -319,7 +319,14 @@ object TextOps {
   private[analytics] def appendPostings(docs: DataFrame, out: String,
                                         gen: Long = 1L): Unit =
     graft.core.SegmentedIndex.publishGeneration(out, gen) { stage =>
-      postingsOf(docs).withColumn("gen", lit(gen)).repartition(col("term"))
+      // ONE exchange: the diff append skips the base layout's
+      // term-hash repartition (guide §2.4 — the agg exchange is the
+      // only one the pass needs). Term locality of the gen segments
+      // buys no reader anything (live reads scan every file) and the
+      // policy compaction rewrites term-hashed anyway; the shuffle
+      // still carries aggregated (doc, term, tf) rows, never raw
+      // tokens.
+      postingsOf(docs).withColumn("gen", lit(gen))
         .write.mode("overwrite").parquet(stage)
     }
 
@@ -414,10 +421,12 @@ object TextOps {
   private[analytics] def updateDfSidecar(spark: SparkSession, out: String,
                                          removed: DataFrame, added: DataFrame,
                                          gen: Long = 1L): Unit = {
-    val delta = removed.select(col("term"), col("n").as("rem"))
-      .join(added.select(col("term"), col("n").as("add")), Seq("term"), "full_outer")
-      .select(col("term"),
-        (coalesce(col("add"), lit(0L)) - coalesce(col("rem"), lit(0L))).as("delta"))
+    // union-with-sign instead of a full-outer join: one aggregation
+    // stage fewer per fold, identical per-term delta (a term on one
+    // side only sums against an implicit 0)
+    val delta = removed.select(col("term"), (-col("n")).as("delta"))
+      .unionByName(added.select(col("term"), col("n").as("delta")))
+      .groupBy("term").agg(sum(col("delta")).as("delta"))
       .filter(col("delta") =!= 0L)
       .coalesce(1)
     graft.core.SegmentedIndex.appendSegment(delta, out + "/_df_deltas", gen)

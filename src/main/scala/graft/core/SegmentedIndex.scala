@@ -138,9 +138,20 @@ object SegmentedIndex {
     * so an at-least-once maintainer may replay this safely. */
   def tombstone(keys: DataFrame, out: String, keyCol: String,
                 uptoGen: Option[Long]): Unit = {
-    val rows = keys.select(col(keyCol)).distinct()
+    // the key set is diff-bounded by contract: dedupe DRIVER-SIDE
+    // (one collect job — free when the caller passes a LocalRelation)
+    // instead of a distinct() exchange, so the sidecar write is one
+    // single-stage job. Over-cap inputs fall back to the exchange.
+    val sel = keys.select(col(keyCol))
+    val l = Bounded.localize(sel)
+    val rows =
+      if (l.local)
+        sel.sparkSession.createDataFrame(
+          java.util.Arrays.asList(l.rows.distinct: _*), sel.schema)
+      else l.df.distinct()
     uptoGen.fold(rows)(g => rows.withColumn("upto_gen", lit(g)))
       .coalesce(1).write.mode("append").parquet(s"$out/_tombstones")
+    l.release()
   }
 
   /** The accumulated tombstones, max-folded per key (a key deleted

@@ -176,7 +176,17 @@ class MaintenanceProbeSpec extends AnyFunSuite {
       } finally spark.sparkContext.removeSparkListener(l)
       bytes.get()
     }
-    flat("st26-scratch", scratch)
+    // r17: the |diff|-bounded id frames went DRIVER-LOCAL
+    // (graft.core.Bounded.localize — LocalRelations, not checkpointed
+    // RDD blocks), so a batch registers NO RDD blocks at all. Pin the
+    // stronger property directly: zero scratch at 1x and at Rep x —
+    // any reappearing per-batch block (e.g. a reintroduced corpus
+    // checkpoint) fails this immediately.
+    assert(scratch(dir) == 0L,
+      "st26-scratch: a microbatch registered RDD blocks — the drive " +
+        "should hold only driver-local diff frames")
+    assert(scratch(big) == 0L,
+      s"st26-scratch at ${Rep}x: a microbatch registered RDD blocks")
   }
 
   test("kNN-edge maintenance writes are diff-proportional (segmented tombstone + recomputed segment)") {
