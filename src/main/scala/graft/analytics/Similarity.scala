@@ -1102,8 +1102,21 @@ object Similarity {
     def probesOf(q: DataFrame) = q.select(col("query_id"), col("qv"), col("qnorm"),
       explode(slice(array_sort(cellScores(centroids, col("qv"), col("qnorm"))),
         1, nProbe).getField("cell")).as("cell"))
-    val probedCells = probesOf(queries).select("cell").distinct()
-      .collect().map(_.getInt(0)).sorted
+    // |queries|·nProbe-bounded: ONE collect job materializes the probe
+    // pairs driver-locally — the probed-cell set falls out of the
+    // collected rows (the old separate distinct+collect action) and
+    // the scored join's broadcast of them builds joblessly
+    val probesL = graft.core.Bounded.localize(probesOf(queries))
+    val probedCells =
+      if (probesL.local) {
+        val i = probesL.df.schema.fieldIndex("cell")
+        probesL.rows.map(_.getInt(i)).distinct.sorted
+      } else {
+        probesL.release() // over-cap: stay on the lazy plan, as before
+        probesOf(queries).select("cell").distinct()
+          .collect().map(_.getInt(0)).sorted
+      }
+    val probes = if (probesL.local) probesL.df else probesOf(queries)
     // `where` is a metadata predicate over columns DENORMALIZED into
     // the layout ([[writeIvfLayout]] persists whatever extra columns
     // ride on the corpus frame): it lands directly on the pruned scan,
@@ -1127,7 +1140,7 @@ object Similarity {
       else
         graft.core.SegmentedIndex.live(spark, pruned1, out,
           keyCol = "vec_id", genCol = None)
-    val scored = broadcast(probesOf(queries)).join(pruned, "cell")
+    val scored = broadcast(probes).join(pruned, "cell")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(array_dot(col("qv"), col("v")) / (col("qnorm") * col("norm")), 4).as("cos_sim"))
@@ -1414,11 +1427,24 @@ object Similarity {
         array_dot(subv(col("qv"), m), typedLit(books(m)(cell).toSeq))
       }: _*)
     }: _*)
-    val probes = queries.select(col("query_id"), col("qv"), col("qnorm"), luts.as("luts"),
+    def probesOf(q: DataFrame) = q.select(
+      col("query_id"), col("qv"), col("qnorm"), luts.as("luts"),
       explode(slice(array_sort(cellScores(centroids, col("qv"), col("qnorm"))),
         1, nProbe).getField("cell")).as("cell"))
-    val probedCells = probes.select("cell").distinct()
-      .collect().map(_.getInt(0)).sorted
+    // |queries|·nProbe-bounded (the ivfStoredTopKWith move): one
+    // collect job yields the probed-cell set for free and makes the
+    // ADC join's broadcast jobless
+    val probesL = graft.core.Bounded.localize(probesOf(queries))
+    val probedCells =
+      if (probesL.local) {
+        val i = probesL.df.schema.fieldIndex("cell")
+        probesL.rows.map(_.getInt(i)).distinct.sorted
+      } else {
+        probesL.release() // over-cap: stay on the lazy plan, as before
+        probesOf(queries).select("cell").distinct()
+          .collect().map(_.getInt(0)).sorted
+      }
+    val probes = if (probesL.local) probesL.df else probesOf(queries)
     // tombstoned generations (deleteFromIvfPqCorpus) excluded at ADC
     // time — gen-scoped, so a same-epoch re-append at a higher gen is
     // probe-visible with no compaction in between

@@ -497,15 +497,20 @@ object StreamingQueries {
       .writeStream
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val queries = batch
-            .select(col("vec_id").as("query_id"),
-              as_double_array(col("embedding")).as("qv"))
-            .withColumn("qnorm", array_norm(col("qv")))
+        // ONE collect job materializes the batch's (bounded) query
+        // slice driver-locally — it doubles as the emptiness check
+        // (the old isEmpty job) and the probe's broadcasts of it
+        // build joblessly
+        val qL = graft.core.Bounded.localize(batch
+          .select(col("vec_id").as("query_id"),
+            as_double_array(col("embedding")).as("qv"))
+          .withColumn("qnorm", array_norm(col("qv"))))
+        if (qL.count > 0) {
           Similarity.ivfStoredTopKWith(cents, batch.sparkSession, out,
-              queries, k, nProbe)
+              qL.df, k, nProbe)
             .write.mode("append").parquet(results)
         }
+        qL.release()
       }
       .start()
     q.processAllAvailable()

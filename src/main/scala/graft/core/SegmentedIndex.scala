@@ -161,12 +161,89 @@ object SegmentedIndex {
   def tombstonesOf(spark: SparkSession, out: String,
                    genScoped: Boolean): Option[DataFrame] =
     if (!Files.isDirectory(Paths.get(out, "_tombstones"))) None
-    else {
-      val raw = spark.read.parquet(s"$out/_tombstones")
-      Some(if (genScoped)
-        raw.groupBy(raw.columns.head).agg(max(col("upto_gen")).as("upto_gen"))
-      else raw.distinct())
-    }
+    else Some(tombstonesLocal(spark, out, genScoped, asOfGen = None)
+      .getOrElse {
+        val raw = spark.read.parquet(s"$out/_tombstones")
+        if (genScoped)
+          raw.groupBy(raw.columns.head).agg(max(col("upto_gen")).as("upto_gen"))
+        else raw.distinct()
+      })
+
+  /** The tombstone fold as a DRIVER-LOCAL relation — None when the
+    * sidecar is over-cap or has a shape the driver reader doesn't
+    * handle (callers then run the Spark fold as before).
+    *
+    * Why: [[live]]/[[liveAsOf]] BROADCAST the folded tombstones into
+    * every consuming action, and a broadcast whose child is a real
+    * scan+aggregate re-runs as one Spark job per action — the
+    * maintenance loops paid that per store per microbatch/epoch. The
+    * sidecar is diff-bounded by the same contract that lets the live
+    * view broadcast it at all, so the fold is a microsecond driver
+    * read ([[foreachSidecarRow]] — the policy path's reader), and a
+    * broadcast over the resulting LocalRelation builds with ZERO jobs.
+    * `asOfGen` applies [[liveAsOf]]'s `upto_gen < asOfGen` filter
+    * before the max-fold (the replay-stability rule). */
+  private[graft] def tombstonesLocal(spark: SparkSession, out: String,
+                                     genScoped: Boolean,
+                                     asOfGen: Option[Long]): Option[DataFrame] =
+    try {
+      val dir = Paths.get(out, "_tombstones")
+      if (footerRowCountOf(dir) > Bounded.maxRows(spark)) return None
+      var keyName: String = null
+      var keyType: org.apache.spark.sql.types.DataType = null
+      // genScoped: key -> max upto_gen; plain: insertion-ordered key set
+      val maxGen = new java.util.HashMap[Any, java.lang.Long]()
+      val seen = new java.util.LinkedHashSet[Any]()
+      def keyOf(g: org.apache.parquet.example.data.Group): Any = {
+        if (keyName == null) {
+          keyName = g.getType.getFieldName(0)
+          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+          import org.apache.spark.sql.types._
+          keyType = g.getType.getType(0).asPrimitiveType().getPrimitiveTypeName match {
+            case INT64 => LongType
+            case INT32 => IntegerType
+            case BINARY => StringType
+            case DOUBLE => DoubleType
+            case BOOLEAN => BooleanType
+            case other => throw new IllegalStateException(s"key type $other")
+          }
+        }
+        if (g.getFieldRepetitionCount(0) == 0) null
+        else keyType match {
+          case org.apache.spark.sql.types.LongType => g.getLong(0, 0)
+          case org.apache.spark.sql.types.IntegerType => g.getInteger(0, 0)
+          case org.apache.spark.sql.types.StringType => g.getString(0, 0)
+          case org.apache.spark.sql.types.DoubleType => g.getDouble(0, 0)
+          case _ => g.getBoolean(0, 0)
+        }
+      }
+      foreachSidecarRow(dir) { g =>
+        val k = keyOf(g)
+        if (genScoped) {
+          val i = g.getType.getFieldIndex("upto_gen")
+          val u = if (g.getFieldRepetitionCount(i) == 0) Long.MinValue
+                  else g.getLong(i, 0)
+          if (asOfGen.forall(u < _)) {
+            val prev = maxGen.get(k)
+            if (prev == null || u > prev) maxGen.put(k, u)
+          }
+        } else { seen.add(k); () }
+      }
+      if (keyName == null) return None // empty sidecar: let Spark read it
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      import scala.jdk.CollectionConverters._
+      val (schema, rows) =
+        if (genScoped)
+          (StructType(Seq(StructField(keyName, keyType),
+            StructField("upto_gen", LongType))),
+            maxGen.entrySet().iterator().asScala
+              .map(e => org.apache.spark.sql.Row(e.getKey, e.getValue.longValue()))
+              .toList)
+        else
+          (StructType(Seq(StructField(keyName, keyType))),
+            seen.iterator().asScala.map(org.apache.spark.sql.Row(_)).toList)
+      Some(spark.createDataFrame(rows.asJava, schema))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** `raw` minus tombstone-covered rows: the diff-bounded broadcast
     * anti-join every probe/report pays between compactions. For
@@ -201,9 +278,13 @@ object SegmentedIndex {
     val upTo = raw.filter(col(genCol) <= asOfGen)
     if (!Files.isDirectory(Paths.get(out, "_tombstones"))) upTo
     else {
-      val t = spark.read.parquet(s"$out/_tombstones")
-        .filter(col("upto_gen") < asOfGen)
-        .groupBy(keyCol).agg(max(col("upto_gen")).as("upto_gen"))
+      // driver-local fold when bounded (see tombstonesLocal) — the
+      // broadcast below then builds with zero jobs per consumer
+      val t = tombstonesLocal(spark, out, genScoped = true,
+          asOfGen = Some(asOfGen))
+        .getOrElse(spark.read.parquet(s"$out/_tombstones")
+          .filter(col("upto_gen") < asOfGen)
+          .groupBy(keyCol).agg(max(col("upto_gen")).as("upto_gen")))
       val ts = broadcast(t.withColumnRenamed(keyCol, "_t_key"))
       upTo.join(ts,
         col(keyCol) === col("_t_key") && col(genCol) <= col("upto_gen"), "left_anti")
