@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// pass the forked runMain's stdout through RAW instead of re-logging
+// each line with an `[info] ` prefix: the bench's one-line metric JSON
+// must reach the driver's stdout tail parseable (r17 verdict item 2 —
+// `parsed: null` in every BENCH artifact since round 1)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -612,7 +612,23 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${sc3(total)},"unit":"sec","total_warm":${sc3(totalWarm)},"cold_engine":${sc3(coldEngine)},"cold_fixtures":${sc3(coldFixtures)},"warm_fixtures":${sc3(warmFixtures)},"n_queries":${results.size},"families":$fams,"families_warm":$famsWarm,"steady":$steady,"aging_violations":$violJson,"weather_flags":$wthJson,"promoted_repeats":$promJson,"cost_drift":$costDriftJson,"errors":$errors,"per_query_file":"$perQueryFile","costs_file":"$costsFile","history_file":"$histPath","sf":"$sfDir"}""")
+    val metricLine = s"""{"metric":"total","value":${sc3(total)},"unit":"sec","total_warm":${sc3(totalWarm)},"cold_engine":${sc3(coldEngine)},"cold_fixtures":${sc3(coldFixtures)},"warm_fixtures":${sc3(warmFixtures)},"n_queries":${results.size},"families":$fams,"families_warm":$famsWarm,"steady":$steady,"aging_violations":$violJson,"weather_flags":$wthJson,"promoted_repeats":$promJson,"cost_drift":$costDriftJson,"errors":$errors,"per_query_file":"$perQueryFile","costs_file":"$costsFile","history_file":"$histPath","sf":"$sfDir"}"""
+    // the driver↔bench metric contract (the r17 verdict's item 2:
+    // `parsed: null` in every BENCH artifact r01–r17 because the line
+    // only ever reached the consumer through sbt's `[info] `-prefixed
+    // logger): ALSO persist the metric JSON at a fixed path the driver
+    // can read, and print it as the run's LAST stdout line — build.sbt
+    // now sets `run / outputStrategy := StdoutOutput`, so the forked
+    // JVM's stdout passes through raw instead of via the logger
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("target", "bench_metric.json"),
+      (metricLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] cannot write target/bench_metric.json: $e") }
     spark.stop()
+    // after spark.stop() so no late WARN line can land between the
+    // metric and EOF; flush explicitly — the JVM is about to exit
+    System.out.println(metricLine)
+    System.out.flush()
   }
 }

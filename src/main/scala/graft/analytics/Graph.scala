@@ -94,6 +94,19 @@ object Graph {
   private[analytics] def pagerank(edges: DataFrame, iters: Int = Iters,
                                   damping: Double = Damping,
                                   seeds: Option[Seq[Long]] = None): DataFrame = {
+    // Iteration-co-partitioning note (guide §2.2, the r17 deferred
+    // plan): pre-pinning edges to hash(src) and nodes to hash(id) was
+    // built and MEASURED in r18 — it does not pay here. Under AQE the
+    // checkpoint boundary erases the carried partitioning
+    // (AdaptiveSparkPlanExec reports UnknownPartitioning, so the
+    // LogicalRDD the next query sees has none), while at RUNTIME the
+    // repeated per-iteration exchanges of the checkpointed node/edge
+    // tables are canonically identical and AQE's exchange reuse
+    // already dedupes them into one shuffle each — the explicit
+    // repartitions only added two real exchanges of their own
+    // (g01 warm in-job 1.15 s → 1.97 s, jobs 37 → 37). The one
+    // exchange per iteration that remains live is the in-contribution
+    // aggregation — fundamental mass movement along edges.
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val withDeg = edges.join(outDeg, "src").localCheckpoint(true)
     // max over zero groups is one row holding null — an empty edge
@@ -357,6 +370,10 @@ object Graph {
     * per-node argmax as a partial aggregate `max(struct(cnt, -label))`,
     * never a per-node window. */
   private[analytics] def labelPropagation(edges: DataFrame, iters: Int = LpaIters): DataFrame = {
+    // (pre-pinning sym/nodes partitioning was measured in r18 and does
+    // not pay — see the [[pagerank]] co-partitioning note: checkpoints
+    // erase partitioning under AQE and runtime exchange reuse already
+    // dedupes the repeated identical exchanges)
     val und = undirected(edges)
     val sym = und.select(col("a").as("u"), col("b").as("v"))
       .union(und.select(col("b").as("u"), col("a").as("v")))
@@ -365,11 +382,15 @@ object Graph {
     var labels = nodes.select(col("id"), col("id").as("label"))
     var lastCut: Option[DataFrame] = None
     for (i <- 1 to iters) {
-      val counts = sym.join(labels, sym("v") === labels("id"))
-        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("cnt"))
-      val next = counts.groupBy(col("u"))
-        .agg(max(struct(col("cnt"), (-col("label")).as("nl"))).as("best"))
-        .select(col("u").as("id"), (-col("best.nl")).as("label"))
+      // ONE aggregation for the round's update: `mode(label,
+      // deterministic = true)` IS "most frequent label, ties to the
+      // smallest" — the r17 shape spelled the same argmax as
+      // count-per-(node, label) THEN max(struct(cnt, −label)), paying
+      // a second exchange per round for the intermediate keying
+      val next = sym.join(labels, sym("v") === labels("id"))
+        .groupBy(col("u"))
+        .agg(mode(col("label"), deterministic = true).as("label"))
+        .select(col("u").as("id"), col("label"))
       // isolated nodes (none in a kNN graph, but the operator should
       // not lose them) keep their label
       labels = nodes.join(next, Seq("id"), "left")

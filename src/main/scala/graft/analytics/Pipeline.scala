@@ -714,24 +714,23 @@ object Pipeline {
     copyBaseline(p10BaselineLayout(spark, dir), java.nio.file.Paths.get(out))
     val dirty = diffL.df.filter(col("change_type").isin("deleted", "changed"))
       .select("doc_id")
-    // per-term df delta of the OUTGOING postings, tokenized from the
-    // BEFORE-IMAGE (snapshot A's text for the dirty docs) — a doc's
-    // postings are a pure function of its text, so this equals the
-    // stored rows without scanning the index (st23's shape: the delta
-    // is |diff|-proportional, and nothing here races the compaction
-    // below because the index is never read)
-    val removed = TextOps.postingsOf(
-        docs.join(broadcast(dirty), Seq("doc_id"), "left_semi"))
-      .groupBy("term").agg(count(lit(1)).as("n"))
     TextOps.deleteFromPostings(spark, out, dirty)
     TextOps.compactPostings(spark, out)
-    val reTok = Dedup.cdcSnapshotBText(docs)
-      .join(diffL.df.filter(col("change_type").isin("changed", "added"))
-        .select("doc_id"), Seq("doc_id"), "left_semi")
-    TextOps.appendPostings(reTok, out)
-    val added = TextOps.postingsOf(reTok)
-      .groupBy("term").agg(count(lit(1)).as("n"))
-    TextOps.updateDfSidecar(spark, out, removed, added)
+    // ONE side-tagged tokenize pass (the st23 move): the append
+    // segment and both per-term df deltas fold out of one localized
+    // aggregation instead of three tokenize plans. The removed side
+    // tokenizes the BEFORE-IMAGE (snapshot A's text for the dirty
+    // docs) — a doc's postings are a pure function of its text, so
+    // this equals the stored rows without scanning the index, and
+    // nothing here races the compaction above because the index is
+    // never read.
+    TextOps.maintainPostingsBatch(spark, out,
+      addDocs = Some(Dedup.cdcSnapshotBText(docs)
+        .join(diffL.df.filter(col("change_type").isin("changed", "added"))
+          .select("doc_id"), Seq("doc_id"), "left_semi")),
+      rmDocs = Some(docs.join(broadcast(dirty), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"))),
+      gen = 1L)
     diffL.release()
     out
   }
@@ -795,20 +794,9 @@ object Pipeline {
       .select("doc_id")
   }
 
-  /** Every epoch's |dirty| in ONE aggregation job: the per-class row
-    * counts of the base table, folded per epoch's class set. Equals
-    * `p13DirtyIds(docs, e).count()` by construction (the dirty set IS
-    * the union of disjoint id classes), but the three chains each paid
-    * one count job per epoch for it — a full doc-scan action whose
-    * only product was a receipt column. */
-  private[analytics] def p13DirtyCounts(docs: DataFrame): Int => Long = {
-    val byClass = docs
-      .groupBy((col("doc_id") % 16).cast("int").as("cls"))
-      .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    e => (p13DeleteClasses(e) :+ p13ChangeClass(e))
-      .map(byClass.getOrElse(_, 0L)).sum
-  }
+  // (r18: the chains' per-epoch |dirty| receipt column now reads off
+  // the localized dirty id set for free — the r17 `p13DirtyCounts`
+  // class-count aggregation job is gone, verdict item 8.)
 
   /** Epoch `e`'s re-added documents (doc_id, text) under the shared
     * p13 rules: the change class's revised text plus (final epoch
@@ -867,25 +855,24 @@ object Pipeline {
       : Seq[(Int, Long, Double, Boolean)] = {
     val docs = Tables.documents(spark, dir)
     copyBaseline(p10BaselineLayout(spark, dir), java.nio.file.Paths.get(out))
-    val nDirty = p13DirtyCounts(docs)
     (1 to P13Epochs).map { e =>
       // the dirty id set is diff-bounded: ONE collect job takes it
       // driver-local, so the tombstone write needs no dedupe exchange
       // and the before-image semi-join's broadcast builds joblessly
       val dirtyL = graft.core.Bounded.localize(p13DirtyIds(docs, e))
       val dirty = dirtyL.df
-      // classes are disjoint across epochs, so the dirty docs'
-      // BEFORE-image text is the base table's — the removed df deltas
-      // tokenize the diff without reading the stored index
-      val removed = TextOps.postingsOf(
-          docs.join(broadcast(dirty), Seq("doc_id"), "left_semi"))
-        .groupBy("term").agg(count(lit(1)).as("n"))
       TextOps.deleteFromPostings(spark, out, dirty, uptoGen = e - 1L)
-      val reTok = p13ReAddText(docs, e)
-      TextOps.appendPostings(reTok, out, gen = e.toLong)
-      val added = TextOps.postingsOf(reTok)
-        .groupBy("term").agg(count(lit(1)).as("n"))
-      TextOps.updateDfSidecar(spark, out, removed, added, gen = e.toLong)
+      // ONE side-tagged tokenize pass per epoch (the st23 move): the
+      // append segment and both df-sidecar deltas fold out of one
+      // localized aggregation instead of three tokenize plans. The
+      // dirty docs' BEFORE-image text is the base table's (classes are
+      // disjoint across epochs), so the removed side never reads the
+      // stored index.
+      TextOps.maintainPostingsBatch(spark, out,
+        addDocs = Some(p13ReAddText(docs, e)),
+        rmDocs = Some(docs.join(broadcast(dirty), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("text"))),
+        gen = e.toLong)
       // one measurement drives both the receipt and the compaction
       // decision (the g08 convention: the policy — strictly above the
       // threshold — is replicated verbatim so the receipt can't drift
@@ -895,7 +882,10 @@ object Pipeline {
       if (compacted) TextOps.compactPostings(spark, out)
       onEpoch(e)
       dirtyL.release()
-      (e, nDirty(e), math.floor(covered * 1000 + 0.5) / 1000, compacted)
+      // |dirty| is free off the localized id set — the r17 shape ran a
+      // per-gate class-count aggregation job just for this receipt
+      // column (the r17 verdict's item 8)
+      (e, dirtyL.count, math.floor(covered * 1000 + 0.5) / 1000, compacted)
     }
   }
 
@@ -963,10 +953,13 @@ object Pipeline {
       // each probe's broadcast of it builds with zero jobs
       val queriesL = graft.core.Bounded.localize(p11QuerySet(docs))
       val queries = queriesL.df
-      val nDirty = p13DirtyCounts(docs)
       val rows = (1 to P13Epochs).map { e =>
-        val dirty = p13DirtyIds(docs, e).select(col("doc_id").as("vec_id"))
-        Similarity.deleteFromIvfPqCorpus(spark, out, dirty, uptoGen = e - 1L)
+        // localized once: the delete's internal tombstone localize is
+        // then jobless, and |dirty| is free for the receipt column —
+        // the r17 shape ran a per-gate class-count aggregation for it
+        val dirtyL = graft.core.Bounded.localize(
+          p13DirtyIds(docs, e).select(col("doc_id").as("vec_id")))
+        Similarity.deleteFromIvfPqCorpus(spark, out, dirtyL.df, uptoGen = e - 1L)
         // re-embed DIRECTLY off the shared re-add construction —
         // equal to snapshot-e ⋉ re-add ids (disjoint classes) without
         // the per-epoch full-corpus snapshot derivation the r14
@@ -999,7 +992,8 @@ object Pipeline {
           })
           Some(got == rebuiltDigest)
         }
-        (e, nDirty(e), got._1,
+        dirtyL.release()
+        (e, dirtyL.count, got._1,
           math.floor(covered * 1000 + 0.5) / 1000, compacted, eq)
       }
       queriesL.release()
@@ -1054,10 +1048,12 @@ object Pipeline {
       // builds with zero jobs
       val queriesL = graft.core.Bounded.localize(p08QuerySet(docs))
       val queries = queriesL.df
-      val nDirty = p13DirtyCounts(docs)
       val rows = (1 to P13Epochs).map { e =>
-        val dirty = p13DirtyIds(docs, e).select(col("doc_id").as("vec_id"))
-        Similarity.deleteFromIvfCorpusGenScoped(spark, out, dirty, uptoGen = e - 1L)
+        // localized once — jobless tombstone localize + free |dirty|
+        // (the p14 convention; r17 verdict item 8)
+        val dirtyL = graft.core.Bounded.localize(
+          p13DirtyIds(docs, e).select(col("doc_id").as("vec_id")))
+        Similarity.deleteFromIvfCorpusGenScoped(spark, out, dirtyL.df, uptoGen = e - 1L)
         val reEmbed = p08Vectors(p13ReAddText(docs, e))
         Similarity.appendIvfCorpusWith(cents, out, reEmbed, storedCols,
           gen = e.toLong)
@@ -1082,7 +1078,8 @@ object Pipeline {
           })
           Some(got == rebuiltDigest)
         }
-        (e, nDirty(e), got._1,
+        dirtyL.release()
+        (e, dirtyL.count, got._1,
           math.floor(covered * 1000 + 0.5) / 1000, compacted, eq)
       }
       queriesL.release()

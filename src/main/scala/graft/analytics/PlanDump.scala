@@ -52,9 +52,23 @@ object PlanDump {
       "p14_multi_epoch_pq", "p15_multi_epoch_ivf",
       "st23_stream_postings", "st25_stream_pq_maintain",
       "st26_stream_knn_maintain", "g07_incremental_knn",
-      "g08_multi_epoch_knn", "m04_image_dups")
+      "g08_multi_epoch_knn", "m04_image_dups",
+      // r18 additions: the iterative graph gates (co-partitioned
+      // iterations) — their declared frames are lazy, so the full
+      // iteration chain IS the dumped plan
+      "g01_knn_pagerank", "g02_ppr_retrieval", "g05_lpa_communities")
     touched.foreach { n =>
       dump(n)(graft.SparkEntry.queries(n)(spark, dir))
+    }
+
+    // r18 internal shapes: the iteration engines raw (tail iterations
+    // after the last checkpoint cut — count the Exchange nodes per
+    // iteration), and the one-pass postings batch tokenize
+    locally {
+      val e = Similarity.knnEdges(spark, dir)
+        .select(col("vec_id").as("src"), col("neighbor_id").as("dst"))
+      dump("internal_pagerank_ranks")(Graph.pagerank(e))
+      dump("internal_lpa_labels")(Graph.labelPropagation(e))
     }
 
     // internal shapes (identical construction on both commits)

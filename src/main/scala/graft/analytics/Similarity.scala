@@ -1112,11 +1112,15 @@ object Similarity {
         val i = probesL.df.schema.fieldIndex("cell")
         probesL.rows.map(_.getInt(i)).distinct.sorted
       } else {
-        probesL.release() // over-cap: stay on the lazy plan, as before
-        probesOf(queries).select("cell").distinct()
+        // over-cap: the checkpoint localize already built serves BOTH
+        // consumers (the r17 shape released it and re-ran probesOf
+        // twice more — the distinct+collect AND the scored join); the
+        // block sticks around until the caller's action completes and
+        // the session sweeps it
+        probesL.df.select("cell").distinct()
           .collect().map(_.getInt(0)).sorted
       }
-    val probes = if (probesL.local) probesL.df else probesOf(queries)
+    val probes = probesL.df
     // `where` is a metadata predicate over columns DENORMALIZED into
     // the layout ([[writeIvfLayout]] persists whatever extra columns
     // ride on the corpus frame): it lands directly on the pruned scan,
@@ -1352,30 +1356,43 @@ object Similarity {
     // materialize the assigned batch ONCE: the codes and refine
     // publishes below both consume it, and re-deriving the plan would
     // run the (model-pass-shaped) embed + cell assignment twice per
-    // batch. Batch-sized, never corpus-sized — safe in a microbatch.
-    val assigned = vecs
+    // batch. Batch-sized by contract (a CDC diff / microbatch, never
+    // the corpus): Bounded.localize runs the embed + cell assignment
+    // cluster-side in its one capped-collect job and hands the rows
+    // back driver-local, so each publish below is ONE single-stage
+    // job — the r17 shape paid a checkpoint job plus an exchange
+    // stage-job per publish (5 jobs per batch; this is 3). Over-cap
+    // batches keep the r17 checkpoint + repartition shape.
+    val assigned = graft.core.Bounded.localize(vecs
       .select(col("vec_id"), as_double_array(col("embedding")).as("v"))
       .withColumn("norm", array_norm(col("v")))
-      .withColumn("cell", cellOf(cents, col("v"), col("norm")))
-      .localCheckpoint(true)
+      .withColumn("cell", cellOf(cents, col("v"), col("norm"))))
     // both writes are per-generation OVERWRITES (gen-named files via
     // publishGeneration), so an at-least-once maintainer replaying a
     // batch replaces its own prior code AND refine rows instead of
     // duplicating them
     try {
+      // the parallel view (an RDD scan, not the LocalRelation) keeps
+      // the nibble-pack projection codegen'd instead of folded
+      // driver-side interpreted; coalesce(1) keeps the write one task
+      // writing one file per touched cell — exactly the repartition
+      // shape's output, without its exchange
+      def batchOf(cols: Seq[org.apache.spark.sql.Column]) =
+        if (assigned.local)
+          graft.core.Bounded.parallel(assigned).select(cols: _*)
+            .withColumn("gen", lit(genPub)).coalesce(1)
+        else
+          assigned.df.select(cols: _*)
+            .withColumn("gen", lit(genPub)).repartition(col("cell"))
       graft.core.SegmentedIndex.publishGeneration(out, genPub) { stage =>
-        assigned.select(col("vec_id"), col("norm"), col("cell"), pqCodeCol(books))
-          .withColumn("gen", lit(genPub))
-          .repartition(col("cell"))
+        batchOf(Seq(col("vec_id"), col("norm"), col("cell"), pqCodeCol(books)))
           .write.mode("overwrite").partitionBy("cell").parquet(stage)
       }
       graft.core.SegmentedIndex.publishGeneration(s"$out/_refine", genPub) { stage =>
-        assigned.select(col("vec_id"), col("v"), col("norm"), col("cell"))
-          .withColumn("gen", lit(genPub))
-          .repartition(col("cell"))
+        batchOf(Seq(col("vec_id"), col("v"), col("norm"), col("cell")))
           .write.mode("overwrite").partitionBy("cell").parquet(stage)
       }
-    } finally { assigned.unpersist(); () }
+    } finally { assigned.release(); () }
   }
 
   /** Compact a stored IVF-PQ layout: apply tombstones physically to
@@ -1440,11 +1457,12 @@ object Similarity {
         val i = probesL.df.schema.fieldIndex("cell")
         probesL.rows.map(_.getInt(i)).distinct.sorted
       } else {
-        probesL.release() // over-cap: stay on the lazy plan, as before
-        probesOf(queries).select("cell").distinct()
+        // over-cap: reuse the checkpoint for both consumers (see
+        // ivfStoredTopKWith — the r17 shape paid the probe plan thrice)
+        probesL.df.select("cell").distinct()
           .collect().map(_.getInt(0)).sorted
       }
-    val probes = if (probesL.local) probesL.df else probesOf(queries)
+    val probes = probesL.df
     // tombstoned generations (deleteFromIvfPqCorpus) excluded at ADC
     // time — gen-scoped, so a same-epoch re-append at a higher gen is
     // probe-visible with no compaction in between

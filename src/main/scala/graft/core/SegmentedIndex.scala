@@ -243,7 +243,24 @@ object SegmentedIndex {
           (StructType(Seq(StructField(keyName, keyType))),
             seen.iterator().asScala.map(org.apache.spark.sql.Row(_)).toList)
       Some(spark.createDataFrame(rows.asJava, schema))
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // loud (once per store): a silent None here permanently reverts
+        // every live()/liveAsOf() read to the per-action Spark fold —
+        // the exact regression the driver-local fold removed — and a
+        // genuine reader bug (unexpected key physical type, schema
+        // evolution) would otherwise never surface (r17 advice item 4)
+        if (tombstoneFoldWarned.add(out))
+          System.err.println(s"[segmented-index] driver-local tombstone fold " +
+            s"failed for $out (${e.getClass.getName}: ${e.getMessage}); " +
+            "falling back to the Spark fold for this store")
+        None
+    }
+
+  /** Stores whose driver-local tombstone fold already warned — one
+    * line per store per JVM, not one per consuming action. */
+  private val tombstoneFoldWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** `raw` minus tombstone-covered rows: the diff-bounded broadcast
     * anti-join every probe/report pays between compactions. For

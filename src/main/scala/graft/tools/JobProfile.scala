@@ -23,8 +23,12 @@ object JobProfile {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val passes = if (args.length > 2) args(2).toInt else 2
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // ad-hoc conf experiments: JOBPROF_CONF="k=v;k=v"
+    val extra = sys.env.getOrElse("JOBPROF_CONF", "")
+      .split(";").map(_.trim).filter(_.contains("="))
+      .map { kv => val i = kv.indexOf('='); (kv.take(i), kv.drop(i + 1)) }
+    val spark = extra.foldLeft(SparkSession.builder()
+      .master(s"local[$cpus]")) { case (b, (k, v)) => b.config(k, v) }
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled",
         (!sys.env.contains("JOBPROF_NOAQE")).toString)
