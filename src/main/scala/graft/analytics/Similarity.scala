@@ -1040,11 +1040,11 @@ object Similarity {
     * exactly as it covered their pre-compaction originals. */
   def compactIvfCorpusGenScoped(spark: SparkSession, out: String): Unit =
     graft.core.SegmentedIndex.compactWith(out) { tmp =>
-      graft.core.SegmentedIndex.live(spark,
-          withFileGen(spark.read.parquet(out)), out,
-          keyCol = "vec_id", genCol = Some("gen"))
-        .drop("gen")
-        .repartition(col("cell"))
+      graft.core.SegmentedIndex.rewriteClustered(
+          graft.core.SegmentedIndex.live(spark,
+            withFileGen(spark.read.parquet(out)), out,
+            keyCol = "vec_id", genCol = Some("gen"))
+          .drop("gen"), out, "cell")
         .write.mode("overwrite").partitionBy("cell").parquet(tmp)
     }
 
@@ -1405,9 +1405,12 @@ object Similarity {
     graft.core.SegmentedIndex.compactWith(out, skipSidecars = Set("_refine")) { tmp =>
       def liveOf(path: String) = graft.core.SegmentedIndex.live(spark,
         spark.read.parquet(path), out, keyCol = "vec_id", genCol = Some("gen"))
-      liveOf(out).repartition(col("cell"))
+      // scale-adaptive rewrite (rewriteClustered): cluster-by-cell for
+      // big layouts, one task under the driver-local cap — same per-cell
+      // files, one exchange stage-job fewer per layout
+      graft.core.SegmentedIndex.rewriteClustered(liveOf(out), out, "cell")
         .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-      liveOf(s"$out/_refine").repartition(col("cell"))
+      graft.core.SegmentedIndex.rewriteClustered(liveOf(s"$out/_refine"), out, "cell")
         .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/_refine")
     }
 
@@ -1546,9 +1549,9 @@ object Similarity {
     // cell-partitioned; sidecar carry + tombstone clearing + the
     // two-rename swap are the shared SegmentedIndex shell
     graft.core.SegmentedIndex.compactWith(out) { tmp =>
-      graft.core.SegmentedIndex.live(spark, spark.read.parquet(out), out,
-          keyCol = "vec_id", genCol = None)
-        .repartition(col("cell"))
+      graft.core.SegmentedIndex.rewriteClustered(
+          graft.core.SegmentedIndex.live(spark, spark.read.parquet(out), out,
+            keyCol = "vec_id", genCol = None), out, "cell")
         .write.mode("overwrite").partitionBy("cell").parquet(tmp)
     }
 

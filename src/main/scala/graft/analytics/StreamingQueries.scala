@@ -793,6 +793,23 @@ object StreamingQueries {
     * final index is slicing-invariant: the probe must equal p11's
     * batch loop exactly (Verify: `st25_eq_p11`, and transitively the
     * full PQ rebuild). Rows-only (k-means + PQ). */
+  /** st25's staged change feed (the st23 staging rule — once per
+    * (JVM, dataset), read in place). */
+  private val st25FeedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def st25FeedDir(spark: SparkSession, dir: String): String =
+    graft.core.FixtureClock.memo(st25FeedDirs, dir)({ _ =>
+      val p = graft.core.TempDirs.create("graft-st25-feed")
+        .resolve("feed").toString
+      val docs = Tables.documents(spark, dir)
+      Dedup.d14SnapshotCdc(spark, dir).select("doc_id", "change_type")
+        .join(Dedup.cdcSnapshotBText(docs).select(col("doc_id"), col("text")),
+          Seq("doc_id"), "left")
+        .repartition(3).write.parquet(p)
+      p
+    })
+
   def st25StreamPqMaintain(spark: SparkSession, dir: String): DataFrame =
     graft.core.TempDirs.scoped("graft-st25") { tmp =>
     val docs = Tables.documents(spark, dir)
@@ -802,13 +819,9 @@ object StreamingQueries {
       Pipeline.p11BaselineLayout(spark, dir), tmp.resolve("index"))
     // the change feed: d14's diff rows with snapshot-B text for
     // changed/added (deletes carry none), re-laid into 3 files and
-    // trickled one per batch
-    val feedDir = tmp.resolve("feed").toString
-    val diff = Dedup.d14SnapshotCdc(spark, dir).select("doc_id", "change_type")
-    diff
-      .join(Dedup.cdcSnapshotBText(docs).select(col("doc_id"), col("text")),
-        Seq("doc_id"), "left")
-      .repartition(3).write.parquet(feedDir)
+    // trickled one per batch — staged once per (JVM, dataset) (input
+    // staging, the st22/st23 rule; the drive reads it in place)
+    val feedDir = st25FeedDir(spark, dir)
     val s = EventStream.boundedDriveSession(spark)
     val feedSchema = new org.apache.spark.sql.types.StructType()
       .add("doc_id", org.apache.spark.sql.types.LongType)
@@ -892,20 +905,34 @@ object StreamingQueries {
     * bytes. Per-batch pair work is the cell-pruned admission +
     * |touched|·N recompute — diff-bounded, never N². Rows-only (kNN
     * maintenance). */
+  /** st26's staged change feed (the st22/st23 staging rule). */
+  private val st26FeedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def st26FeedDir(spark: SparkSession, dir: String): String =
+    graft.core.FixtureClock.memo(st26FeedDirs, dir)({ _ =>
+      val p = graft.core.TempDirs.create("graft-st26-feed")
+        .resolve("feed").toString
+      val a0 = Dedup.normalizedVectors(spark, dir)
+      val b = Graph.vectorSnapshotB(a0)
+      // the change feed, after-image convention
+      val deleted = a0.filter(col("vec_id") % 10 === 7)
+        .select(col("vec_id"), lit("deleted").as("change_type"),
+          lit(null).cast("array<double>").as("v"), lit(null).cast("double").as("norm"))
+      val changed = b.filter(col("vec_id") % 10 === 3)
+        .select(col("vec_id"), lit("changed").as("change_type"), col("v"), col("norm"))
+      val added = b.filter(col("vec_id") < 0)
+        .select(col("vec_id"), lit("added").as("change_type"), col("v"), col("norm"))
+      deleted.unionByName(changed).unionByName(added)
+        .repartition(3).write.parquet(p)
+      p
+    })
+
   def st26StreamKnnMaintain(spark: SparkSession, dir: String): DataFrame = {
-    val a0 = Dedup.normalizedVectors(spark, dir)
-    val b = Graph.vectorSnapshotB(a0)
-    // the change feed, after-image convention
-    val deleted = a0.filter(col("vec_id") % 10 === 7)
-      .select(col("vec_id"), lit("deleted").as("change_type"),
-        lit(null).cast("array<double>").as("v"), lit(null).cast("double").as("norm"))
-    val changed = b.filter(col("vec_id") % 10 === 3)
-      .select(col("vec_id"), lit("changed").as("change_type"), col("v"), col("norm"))
-    val added = b.filter(col("vec_id") < 0)
-      .select(col("vec_id"), lit("added").as("change_type"), col("v"), col("norm"))
     graft.core.TempDirs.scoped("graft-st26") { tmp =>
       val edgeStore = st26Drive(spark, dir, tmp,
-        deleted.unionByName(changed).unionByName(added))
+        feed = spark.emptyDataFrame, // unused: the staged dir is read in place
+        stagedFeedDir = Some(st26FeedDir(spark, dir)))
       // |5N|-bounded final graph materialized eagerly; the scoped
       // segmented stores are deleted when this returns
       graft.core.SegmentedIndex.live(spark,
@@ -924,7 +951,8 @@ object StreamingQueries {
     * on policy, and returns the edge-store path. */
   private[graft] def st26Drive(spark: SparkSession, dir: String,
       tmp: java.nio.file.Path,
-      feed: DataFrame): String = {
+      feed: DataFrame,
+      stagedFeedDir: Option[String] = None): String = {
     val corpusStore = tmp.resolve("corpus").toString
     val edgeStore = tmp.resolve("edges").toString
     // generation 0: yesterday's corpus + the shared stored edge
@@ -949,8 +977,14 @@ object StreamingQueries {
     // its exactness whatever corpus the per-application cell profile
     // (δ_c, min kth) is measured over
     val cents = Similarity.ivfCentroids(spark, dir)
-    val feedDir = tmp.resolve("feed").toString
-    feed.repartition(3).write.parquet(feedDir)
+    // the gate passes its fixture feed pre-staged (once per JVM — the
+    // st22/st23 staging rule); ad-hoc feeds (the MaintenanceProbe
+    // receipts) still stage into the scoped tmp per drive
+    val feedDir = stagedFeedDir.getOrElse {
+      val fd = tmp.resolve("feed").toString
+      feed.repartition(3).write.parquet(fd)
+      fd
+    }
     val s = EventStream.boundedDriveSession(spark)
     val feedSchema = new org.apache.spark.sql.types.StructType()
       .add("vec_id", org.apache.spark.sql.types.LongType)
@@ -1059,10 +1093,31 @@ object StreamingQueries {
   private[graft] def streamMaintainPostings(spark: SparkSession, dir: String): String =
     streamMaintainPostingsAt(spark, dir, graft.core.TempDirs.create("graft-st23"))
 
+  /** st23's staged change feed — a pure function of the fixture
+    * (d14's diff rows with both text images, re-laid into 3 files),
+    * staged once per (JVM, dataset) like st22's 4-file re-lay: input
+    * staging, not the operation under test. The drive reads the
+    * memoized dir in place (read-only). */
+  private val st23FeedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def st23FeedDir(spark: SparkSession, dir: String): String =
+    graft.core.FixtureClock.memo(st23FeedDirs, dir)({ _ =>
+      val p = graft.core.TempDirs.create("graft-st23-feed")
+        .resolve("feed").toString
+      val docs = Tables.documents(spark, dir)
+      Dedup.d14SnapshotCdc(spark, dir).select("doc_id", "change_type")
+        .join(Dedup.cdcSnapshotBText(docs).select(col("doc_id"), col("text")),
+          Seq("doc_id"), "left")
+        .join(docs.select(col("doc_id"), col("text").as("old_text")),
+          Seq("doc_id"), "left")
+        .repartition(3).write.parquet(p)
+      p
+    })
+
   private def streamMaintainPostingsAt(spark: SparkSession, dir: String,
                                        tmp: java.nio.file.Path): String = {
     val out = tmp.resolve("postings").toString
-    val docs = Tables.documents(spark, dir)
     // yesterday's index: a file copy of the memoized baseline (p10's
     // discipline — the full-corpus tokenize ran once per JVM)
     Pipeline.copyBaseline(Pipeline.p10BaselineLayout(spark, dir), tmp.resolve("postings"))
@@ -1070,14 +1125,7 @@ object StreamingQueries {
     // new text for changed/added rows, the BEFORE-image for
     // changed/deleted rows — so the consumer's removed-df deltas
     // tokenize the diff instead of scanning the stored index
-    val feedDir = tmp.resolve("feed").toString
-    val diff = Dedup.d14SnapshotCdc(spark, dir).select("doc_id", "change_type")
-    diff
-      .join(Dedup.cdcSnapshotBText(docs).select(col("doc_id"), col("text")),
-        Seq("doc_id"), "left")
-      .join(docs.select(col("doc_id"), col("text").as("old_text")),
-        Seq("doc_id"), "left")
-      .repartition(3).write.parquet(feedDir)
+    val feedDir = st23FeedDir(spark, dir)
     val s = EventStream.boundedDriveSession(spark)
     val feedSchema = new org.apache.spark.sql.types.StructType()
       .add("doc_id", org.apache.spark.sql.types.LongType)

@@ -399,7 +399,10 @@ object TextOps {
   private[analytics] def compactPostings(spark: SparkSession, out: String): Unit =
     graft.core.SegmentedIndex.compactWith(out,
         skipSidecars = Set("_df", "_df_deltas")) { tmp =>
-      postingsLive(spark, out).repartition(col("term"))
+      // scale-adaptive rewrite: term-hashed for big layouts, one task
+      // under the driver-local cap (SegmentedIndex.rewriteClustered)
+      graft.core.SegmentedIndex.rewriteClustered(
+          postingsLive(spark, out), out, "term")
         .write.mode("overwrite").parquet(tmp)
       // source (`out/_df` + deltas) and target (`tmp/_df`) differ, so
       // no read-overwrite cycle to cut here

@@ -631,6 +631,21 @@ object SegmentedIndex {
     due
   }
 
+  /** Rewrite partitioning for a compaction, SCALE-ADAPTIVE off the
+    * layout's own tracked row count: a big layout clusters by
+    * `partCol` (one output file per partition value — the §6 file
+    * discipline a million-file deployment needs), while a layout whose
+    * stored rows fit under the driver-local cap skips the exchange and
+    * rewrites in ONE task — AQE would coalesce that shuffle to one
+    * partition anyway, so the exchange only bought a stage-job.
+    * `readRowCount` counts STORED rows (≥ live rows), so the bound is
+    * sound; untracked layouts keep the clustered rewrite. */
+  def rewriteClustered(df: DataFrame, out: String, partCol: String): DataFrame =
+    readRowCount(out) match {
+      case Some(n) if n <= Bounded.maxRows(df.sparkSession) => df.coalesce(1)
+      case _ => df.repartition(col(partCol))
+    }
+
   /** The compaction shell every owner shares: heal a crashed prior
     * swap, hand the caller the staging dir to write the rewrite into
     * (the owner chooses partitioning), carry every underscore sidecar
