@@ -1749,9 +1749,11 @@ object Similarity {
     import graft.functions.VectorFunctions._
     val base = Tables.embeddings(spark, dir)
       .select(col("vec_id"), as_double_array(col("embedding")).as("raw"))
-    val (scale, codes) = quantize(col("raw"))
-    val deq = base.select(col("vec_id"), scale.as("s"), codes.as("c"))
-      .select(col("vec_id"), transform(col("c"), x => x * col("s")).as("v"))
+    // fused quantize→dequantize: one codegen'd pass per row instead of
+    // the four-HOF interpreted chain (bit-identical — FunctionsSpec
+    // pins it against [[quantize]] ∘ ×scale element by element)
+    val deq = base
+      .select(col("vec_id"), int8_dequantize(col("raw")).as("v"))
       .withColumn("norm", array_norm(col("v")))
       .filter(col("norm") > 0)
     bruteTopK(deq, deq.filter(col("vec_id") % 100 === 0)

@@ -34,6 +34,66 @@ class FunctionsSpec extends AnyFunSuite {
     assert(e.eval(null) == 32.0)
   }
 
+  test("as_double_array equals the plain array cast bit-for-bit") {
+    // pins the doc claim on as_double_array: the HOF spelling is a
+    // plan-shape choice (projection boundary), not a semantic one
+    val rnd = new scala.util.Random(29)
+    val vecs: Seq[Seq[Float]] =
+      Seq.fill(40)(Seq.fill(8)(rnd.nextFloat() * 100 - 50)) ++
+        Seq(Seq(0.1f, -0.0f, Float.MinPositiveValue), Seq.empty[Float])
+    val df = vecs.toDF("v")
+    val got = df.select(
+      as_double_array(col("v")).as("fast"),
+      col("v").cast("array<double>").as("slow")).collect()
+    got.foreach { r =>
+      val fast = r.getSeq[Double](0).map(java.lang.Double.doubleToLongBits)
+      val slow = r.getSeq[Double](1).map(java.lang.Double.doubleToLongBits)
+      assert(fast == slow)
+    }
+  }
+
+  test("int8_dequantize matches the quantize HOF chain bit-for-bit") {
+    val rnd = new scala.util.Random(13)
+    val vecs: Seq[Seq[Double]] =
+      Seq.fill(60)(Seq.fill(16)(rnd.nextDouble() * 8 - 4)) ++ Seq(
+        Seq.fill(16)(0.0),                    // zero vector → zero codes
+        Seq(-3.5, 0.0, 127.0, -127.0),        // max at a negative component
+        Seq(1e-300, -1e-300, 5e-300, 0.0),    // denormal-adjacent scales
+        Seq(42.0))                            // single element
+    val df = vecs.toDF("v")
+    // the s18 chain this expression fuses: scale = max|x|/127,
+    // codes = floor(x/scale + 0.5) (0 when scale = 0), deq = codes·scale
+    val scale = array_max(transform(col("v"), x => abs(x))) / 127.0
+    val codes = when(scale === 0.0, transform(col("v"), _ => lit(0.0)))
+      .otherwise(transform(col("v"), x => floor(x / scale + lit(0.5))))
+    val got = df.select(
+      int8_dequantize(col("v")).as("fast"),
+      transform(codes, x => x * scale).as("slow")).collect()
+    got.foreach { r =>
+      val fast = r.getSeq[Double](0).map(java.lang.Double.doubleToLongBits)
+      val slow = r.getSeq[Double](1).map(java.lang.Double.doubleToLongBits)
+      assert(fast == slow)
+    }
+  }
+
+  test("int8_dequantize interpreted eval handles empty and null slots like the chain") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val at = ArrayType(DoubleType)
+    def evalOf(v: Seq[Any]) =
+      Int8Dequantize(Literal.create(v, at)).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    // empty array stays empty
+    assert(evalOf(Seq.empty[Double]).numElements() == 0)
+    // all-null input: array_max is null → every chained product is null
+    val allNull = evalOf(Seq(null, null))
+    assert(allNull.isNullAt(0) && allNull.isNullAt(1))
+    // null slot beside a real value propagates; the real value quantizes
+    val mixed = evalOf(Seq(2.0, null))
+    assert(!mixed.isNullAt(0) && mixed.isNullAt(1))
+    assert(mixed.getDouble(0) == math.floor(2.0 / (2.0 / 127.0) + 0.5) * (2.0 / 127.0))
+  }
+
   test("array_norm of unit vectors is 1") {
     val df = Seq(Seq(1.0, 0.0, 0.0), Seq(0.6, 0.8, 0.0)).toDF("v")
     val norms = df.select(array_norm(col("v"))).collect().map(_.getDouble(0))
