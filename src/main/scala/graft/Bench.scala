@@ -612,7 +612,15 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case _: Throwable => () }
-    val metricLine = s"""{"metric":"total","value":${sc3(total)},"unit":"sec","total_warm":${sc3(totalWarm)},"cold_engine":${sc3(coldEngine)},"cold_fixtures":${sc3(coldFixtures)},"warm_fixtures":${sc3(warmFixtures)},"n_queries":${results.size},"families":$fams,"families_warm":$famsWarm,"steady":$steady,"aging_violations":$violJson,"weather_flags":$wthJson,"promoted_repeats":$promJson,"cost_drift":$costDriftJson,"errors":$errors,"per_query_file":"$perQueryFile","costs_file":"$costsFile","history_file":"$histPath","sf":"$sfDir"}"""
+    // "queries" inline: the driver contract's one-line JSON carries
+    // the per-gate map itself ({"metric",...,"queries":{name: sec},
+    // "sf"}) — it had drifted into the per-query FILE only, which was
+    // invisible while the driver never parsed the line (r01–r17,
+    // `parsed: null`) but breaks the contract the moment it does.
+    // Same values as the history line's map (cold-pass seconds, the
+    // field every round's history carried), plus the warm-min map the
+    // round-over-round comparisons actually read. Additive only.
+    val metricLine = s"""{"metric":"total","value":${sc3(total)},"unit":"sec","queries":${fmt(results, 3)},"queries_warm":${fmt(warm, 3)},"total_warm":${sc3(totalWarm)},"cold_engine":${sc3(coldEngine)},"cold_fixtures":${sc3(coldFixtures)},"warm_fixtures":${sc3(warmFixtures)},"n_queries":${results.size},"families":$fams,"families_warm":$famsWarm,"steady":$steady,"aging_violations":$violJson,"weather_flags":$wthJson,"promoted_repeats":$promJson,"cost_drift":$costDriftJson,"errors":$errors,"per_query_file":"$perQueryFile","costs_file":"$costsFile","history_file":"$histPath","sf":"$sfDir"}"""
     // the driver↔bench metric contract (the r17 verdict's item 2:
     // `parsed: null` in every BENCH artifact r01–r17 because the line
     // only ever reached the consumer through sbt's `[info] `-prefixed
