@@ -176,13 +176,29 @@ object Rag {
     val toks = TextOps.postings(spark, dir)
       .filter(col("bucket").isin(qBuckets: _*))
       .select(col("doc_id"), col("term"))
+    // idf as exact integer ten-thousandths (the dround numerator,
+    // integer-valued by construction), so the per-(query, doc) sum is
+    // a primitive LONG aggregation instead of decimal(18,4): the
+    // partial-sum state the fan-out exchange carries shrinks from a
+    // 16-byte decimal + isEmpty to one long (§2.3 narrower types), and
+    // the per-row add in the term fan-out — the gate's hot loop — is
+    // codegen'd long arithmetic. Bit-identical to the decimal
+    // spelling: idf = m/1e4 with integer m, cast(idf as decimal(18,4))
+    // recovers exactly m (the double is within half-ulp of the
+    // 4-decimal grid point, 5e-5 away from any rounding boundary), the
+    // long sum S = Σm is exact (|S| ≤ |terms|·ln(nDocs)·1e4 ≪ 2^53),
+    // and S.toDouble / 10000.0 is the correctly-rounded double of
+    // S/1e4 — the same value decimal(28,4)→double produces. RagSpec
+    // pins the equality group-by-group against the decimal spelling.
     val idf = TextOps.postingsDf(spark, dir)
-      .withColumn("idf", Det.dround(log(lit(nDocs.toDouble) / col("df")), 4))
+      .withColumn("idf_m",
+        floor(log(lit(nDocs.toDouble) / col("df")) * lit(1e4) + lit(0.5))
+          .cast("long"))
     val qterms = qterms0.join(idf, "term")
     val lexScored = broadcast(qterms).join(toks, "term")
       .filter(col("doc_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(Det.dround(sum(col("idf").cast("decimal(18,4)")).cast("double"), 4)
+      .agg(Det.dround(sum(col("idf_m")).cast("double") / lit(10000.0), 4)
         .as("lex_score"))
     val lex = Similarity.rankTopK(
         lexScored.select(col("query_id"), col("doc_id").as("neighbor_id"),

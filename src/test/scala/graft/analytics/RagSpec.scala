@@ -62,6 +62,44 @@ class RagSpec extends AnyFunSuite {
       "postings scan lost its bucket PartitionFilters")
   }
 
+  test("p09 lexical sum: long-micros spelling ≡ decimal(18,4) spelling") {
+    // the r18 narrowing replaced sum(cast(idf as decimal(18,4))) with
+    // a primitive long sum of the dround numerator; pin bit-equality
+    // of both spellings group-by-group over the REAL fixture fan-out
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val qterms0 = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("query_id"), lower(col("tok")).as("term")).distinct()
+    val idfBoth = TextOps.postingsDf(spark, dir)
+      .withColumn("idf", Det.dround(log(lit(nDocs.toDouble) / col("df")), 4))
+      .withColumn("idf_m",
+        floor(log(lit(nDocs.toDouble) / col("df")) * lit(1e4) + lit(0.5))
+          .cast("long"))
+    // per-term: the decimal cast of the rounded double recovers the
+    // same integer ten-thousandths the long spelling computes directly
+    val badTerm = idfBoth
+      .filter(col("idf").cast("decimal(18,4)") =!=
+        (col("idf_m").cast("decimal(18,4)") / lit(10000)))
+      .count()
+    assert(badTerm == 0L, s"$badTerm terms where decimal cast != micros")
+    val toks = TextOps.postings(spark, dir).select(col("doc_id"), col("term"))
+    val fanout = broadcast(qterms0.join(idfBoth, "term")).join(toks, "term")
+      .filter(col("doc_id") =!= col("query_id"))
+    val both = fanout.groupBy(col("query_id"), col("doc_id"))
+      .agg(
+        Det.dround(sum(col("idf").cast("decimal(18,4)")).cast("double"), 4)
+          .as("dec_score"),
+        Det.dround(sum(col("idf_m")).cast("double") / lit(10000.0), 4)
+          .as("long_score"))
+    assert(both.count() > 0)
+    // exact double equality — the two spellings must agree bit for bit
+    val bad = both.filter(col("dec_score") =!= col("long_score")).count()
+    assert(bad == 0L, s"$bad (query, doc) groups diverge")
+  }
+
   test("p04 gate: per-query top-5, one passage per doc, self excluded") {
     val got = Rag.p04RagRetrieval(spark, dir)
     val rows = got.collect()
